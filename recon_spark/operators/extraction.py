@@ -1,0 +1,221 @@
+"""Mention detection + SVO triple extraction (the recognizer analog).
+
+Reference analog: ``EntityRecognizer.predict`` batch inference
+(/root/reference/recon/recognizer.py:31-43, 111-138) — re-expressed two ways:
+
+1. ``detect_mentions`` — Arrow-vectorized pandas UDF (the north-star hot
+   path: batched mention detection per page; model/pattern compiled once
+   per executor, rows processed per Arrow batch, no row-at-a-time Python
+   dispatch).
+2. ``detect_mentions_jvm`` — pure Spark-SQL higher-order-function fold
+   (zero Python anywhere; used to cross-check the UDF and for the
+   whole-stage-codegen benchmark variant).
+
+Both implement the same spec (gazetteer.py): maximal-munch left-to-right
+scan over whitespace tokens, longest surface first. Equality of the two
+implementations is asserted in tests/test_extraction.py.
+
+Scale notes: extraction is embarrassingly parallel (per-row, no shuffle).
+Upstream bucketing by url/doc-id hash keeps re-extraction deterministic and
+co-located; nothing here widens the plan.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from recon_spark.gazetteer import (
+    GAZ_AMBIG,
+    GAZ_FIXED,
+    MENTION_PATTERN,
+    PREDICATES,
+    label_of,
+)
+
+_MENTION_RE = re.compile(MENTION_PATTERN)
+
+_SPAN_DDL = (
+    "ARRAY<STRUCT<text: STRING, start: INT, end: INT, label: STRING, "
+    "token_start: INT, token_end: INT, kb_id: STRING, source: STRING>>"
+)
+
+
+def _scan_text(doc_id: int, text: str) -> list[dict]:
+    """Per-row kernel: regex maximal-munch scan → span dicts."""
+    spans = []
+    tok_of_char: dict[int, int] = {}
+    pos = 0
+    for tid, w in enumerate(text.split(" ")):
+        tok_of_char[pos] = tid
+        pos += len(w) + 1
+    for m in _MENTION_RE.finditer(text):
+        surface = m.group(1)
+        start, end = m.start(1), m.end(1)
+        t0 = tok_of_char.get(start, -1)
+        t1 = t0 + surface.count(" ")
+        spans.append(
+            {
+                "text": surface,
+                "start": start,
+                "end": end,
+                "label": label_of(surface, doc_id),
+                "token_start": t0,
+                "token_end": t1,
+                "kb_id": None,
+                "source": "gazetteer",
+            }
+        )
+    return spans
+
+
+def detect_mentions(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Add a ``spans`` column of detected mentions (Arrow-batched)."""
+
+    @F.pandas_udf(_SPAN_DDL)
+    def _detect(batches: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        # scalar-iterator form: pattern already compiled at module import,
+        # one Python process handles many Arrow batches.
+        for doc_ids, texts in batches:
+            yield pd.Series(
+                [_scan_text(d, t) for d, t in zip(doc_ids, texts)], dtype=object
+            )
+
+    return df.withColumn("spans", _detect(F.col(id_col), F.col(text_col)))
+
+
+def _sql_label_case_spark(surface_expr: str, docid_expr: str) -> str:
+    parts = [f"CASE {surface_expr}"]
+    for s, lab in GAZ_FIXED.items():
+        parts.append(f" WHEN '{s}' THEN '{lab}'")
+    for s, (even, odd) in GAZ_AMBIG.items():
+        parts.append(
+            f" WHEN '{s}' THEN (CASE WHEN {docid_expr} % 2 = 0 THEN '{even}' ELSE '{odd}' END)"
+        )
+    parts.append(" END")
+    return "".join(parts)
+
+
+def detect_mentions_jvm(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Pure JVM mention detection: one aggregate() fold per row, no Python.
+
+    State: (last consumed token index, char pos, mentions). Bigram surfaces
+    tried before unigrams at each position — identical output to
+    detect_mentions().
+    """
+    bigrams = sorted(s for s in list(GAZ_FIXED) + list(GAZ_AMBIG) if " " in s)
+    unigrams = sorted(s for s in list(GAZ_FIXED) + list(GAZ_AMBIG) if " " not in s)
+    big_arr = "array(" + ", ".join(f"'{s}'" for s in bigrams) + ")"
+    uni_arr = "array(" + ", ".join(f"'{s}'" for s in unigrams) + ")"
+    w = "__w"
+    label2 = _sql_label_case_spark(
+        f"concat(element_at({w}, i + 1), ' ', element_at({w}, i + 2))", id_col
+    )
+    label1 = _sql_label_case_spark(f"element_at({w}, i + 1)", id_col)
+
+    expr = f"""
+    aggregate(
+      sequence(0, size({w}) - 1),
+      named_struct(
+        'last', -1, 'pos', 0,
+        'ms', CAST(array() AS {_SPAN_DDL})),
+      (acc, i) -> CASE
+          WHEN i > acc.last
+               AND i + 1 < size({w})
+               AND array_contains({big_arr}, concat(element_at({w}, i + 1), ' ', element_at({w}, i + 2)))
+          THEN named_struct(
+            'last', i + 1,
+            'pos', acc.pos + length(element_at({w}, i + 1)) + 1,
+            'ms', array_append(acc.ms, named_struct(
+              'text', concat(element_at({w}, i + 1), ' ', element_at({w}, i + 2)),
+              'start', acc.pos,
+              'end', acc.pos + length(element_at({w}, i + 1)) + 1 + length(element_at({w}, i + 2)),
+              'label', {label2},
+              'token_start', i, 'token_end', i + 1,
+              'kb_id', CAST(NULL AS STRING), 'source', 'gazetteer')))
+          WHEN i > acc.last AND array_contains({uni_arr}, element_at({w}, i + 1))
+          THEN named_struct(
+            'last', i,
+            'pos', acc.pos + length(element_at({w}, i + 1)) + 1,
+            'ms', array_append(acc.ms, named_struct(
+              'text', element_at({w}, i + 1),
+              'start', acc.pos,
+              'end', acc.pos + length(element_at({w}, i + 1)),
+              'label', {label1},
+              'token_start', i, 'token_end', i,
+              'kb_id', CAST(NULL AS STRING), 'source', 'gazetteer')))
+          ELSE named_struct(
+            'last', acc.last,
+            'pos', acc.pos + length(element_at({w}, i + 1)) + 1,
+            'ms', acc.ms)
+        END,
+      acc -> acc.ms
+    )
+    """
+    return (
+        df.withColumn(w, F.split(F.col(text_col), " "))
+        .withColumn("spans", F.expr(expr))
+        .drop(w)
+    )
+
+
+def mentions_long(df_with_spans: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Explode spans → one row per mention (doc_id, surface, label, start, end)."""
+    return (
+        df_with_spans.select(id_col, F.explode("spans").alias("s"))
+        .select(
+            id_col,
+            F.col("s.text").alias("surface"),
+            F.col("s.label").alias("label"),
+            F.col("s.start").alias("start"),
+            F.col("s.end").alias("end"),
+        )
+    )
+
+
+def entity_unigrams() -> list[str]:
+    return sorted(s for s in list(GAZ_FIXED) + list(GAZ_AMBIG) if " " not in s)
+
+
+def extract_triples_tokens(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """SVO triple extraction over raw tokens, pure JVM (no shuffle):
+    consecutive (subj ∈ entities, pred ∈ predicates, obj ∈ entities)
+    token windows. Returns (doc_id, subj, pred, obj, pos) long format.
+
+    This is the demo/oracle-checkable form; the pages pipeline
+    (recon_spark/triples.py) adds char-offset provenance and entity
+    linking on top.
+    """
+    uni = entity_unigrams()
+    uni_arr = "array(" + ", ".join(f"'{s}'" for s in uni) + ")"
+    pred_arr = "array(" + ", ".join(f"'{s}'" for s in PREDICATES) + ")"
+    w = "__w"
+    expr = f"""
+    filter(
+      transform(
+        CASE WHEN size({w}) >= 3 THEN sequence(1, size({w}) - 2)
+             ELSE CAST(array() AS ARRAY<INT>) END,
+        i -> named_struct(
+               'subj', element_at({w}, i), 'pred', element_at({w}, i + 1),
+               'obj', element_at({w}, i + 2), 'pos', i - 1)
+      ),
+      t -> array_contains({uni_arr}, t.subj)
+           AND array_contains({pred_arr}, t.pred)
+           AND array_contains({uni_arr}, t.obj)
+    )
+    """
+    return (
+        df.withColumn(w, F.split(F.col(text_col), " "))
+        .select(id_col, F.explode(F.expr(expr)).alias("t"))
+        .select(id_col, "t.subj", "t.pred", "t.obj", "t.pos")
+    )
