@@ -1,0 +1,47 @@
+"""Code distribution: make the recon_spark package importable on executors.
+
+The production launch story is ``spark-submit --py-files recon_spark.zip``
+(BASELINE.json north_star). When we're handed an already-running
+SparkSession (the driver harness does this), we replicate that by zipping
+the package and calling ``sc.addPyFile`` — idempotent per session.
+Without this, Arrow UDF closures that reference module-level kernels
+fail to unpickle on workers started from a different cwd.
+"""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+from pyspark.sql import SparkSession
+
+_PKG_DIR = os.path.dirname(os.path.abspath(__file__))
+_SENT_KEY = "recon_spark.pyfiles.shipped"
+
+
+def build_pyfiles_zip(dest: str | None = None) -> str:
+    """Zip the recon_spark package (sources only) for --py-files/addPyFile."""
+    dest = dest or os.path.join("/tmp", "recon_spark_pyfiles.zip")
+    with zipfile.ZipFile(dest, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(_PKG_DIR):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if not f.endswith(".py"):
+                    continue
+                full = os.path.join(root, f)
+                rel = os.path.join(
+                    "recon_spark", os.path.relpath(full, _PKG_DIR)
+                )
+                zf.write(full, rel)
+    return dest
+
+
+def ensure_pyfiles(spark: SparkSession) -> None:
+    """Ship the package to this session's executors exactly once."""
+    sc = spark.sparkContext
+    conf_flag = sc.environment.get(_SENT_KEY)
+    if conf_flag:
+        return
+    sc.addPyFile(build_pyfiles_zip())
+    sc.environment[_SENT_KEY] = "1"

@@ -73,6 +73,40 @@ def label_of(surface: str, doc_id: int) -> str | None:
     return None
 
 
+# --- Degraded "model" gazetteer --------------------------------------------
+# A deterministic stand-in for a trained recognizer whose predictions
+# disagree with gold in every way the reference's error taxonomy
+# distinguishes (top_prediction_errors, /root/reference/recon/insights.py:113-236):
+#   - "line" missing            → false negatives
+#   - "hash" labeled TECH       → label confusion (gold: DATA)
+#   - "big" tagged SIZE         → false positive vs NOT_LABELED
+#   - "customer query" missing  → boundary mismatch (gold bigram FN + two
+#                                  unigram FPs at different offsets)
+#   - "customer" always ORG     → confusion on even docs (gold: PERSON)
+MODEL_FIXED: dict[str, str] = {
+    k: v for k, v in GAZ_FIXED.items() if k not in ("line", "customer query")
+}
+MODEL_FIXED["hash"] = "TECH"
+MODEL_FIXED["big"] = "SIZE"
+MODEL_FIXED["customer"] = "ORG"
+MODEL_AMBIG: dict[str, tuple[str, str]] = {
+    k: v for k, v in GAZ_AMBIG.items() if k != "customer"
+}
+
+MODEL_SURFACES: list[str] = sorted(
+    list(MODEL_FIXED) + list(MODEL_AMBIG), key=lambda s: (-len(s), s)
+)
+MODEL_PATTERN = r"\b(" + "|".join(MODEL_SURFACES) + r")\b"
+
+
+def model_label_of(surface: str, doc_id: int) -> str | None:
+    if surface in MODEL_FIXED:
+        return MODEL_FIXED[surface]
+    if surface in MODEL_AMBIG:
+        return MODEL_AMBIG[surface][int(doc_id) % 2]
+    return None
+
+
 # --- Entity-linking alias dictionary (FIXTURES.md §4) -----------------------
 # alias -> list of (entity_id, canonical name, score); top-1 by
 # (score desc, entity_id asc) wins — multiple candidates exercise the
@@ -113,13 +147,20 @@ DEFAULT_CORRECTIONS: list[tuple[str, list[str], str | None]] = [
 
 # --- DuckDB oracle SQL fragments ---------------------------------------------
 
-def sql_label_case(surface_col: str = "surface", docid_col: str = "doc_id") -> str:
+def sql_label_case(
+    surface_col: str = "surface",
+    docid_col: str = "doc_id",
+    fixed: dict[str, str] | None = None,
+    ambig: dict[str, tuple[str, str]] | None = None,
+) -> str:
     """CASE expression mapping a matched surface to its label — the exact
-    dual of label_of()."""
+    dual of label_of() / model_label_of()."""
+    fixed = GAZ_FIXED if fixed is None else fixed
+    ambig = GAZ_AMBIG if ambig is None else ambig
     parts = [f"CASE {surface_col}"]
-    for s, lab in GAZ_FIXED.items():
+    for s, lab in fixed.items():
         parts.append(f" WHEN '{s}' THEN '{lab}'")
-    for s, (even, odd) in GAZ_AMBIG.items():
+    for s, (even, odd) in ambig.items():
         parts.append(
             f" WHEN '{s}' THEN (CASE WHEN {docid_col} % 2 = 0"
             f" THEN '{even}' ELSE '{odd}' END)"
@@ -128,18 +169,78 @@ def sql_label_case(surface_col: str = "surface", docid_col: str = "doc_id") -> s
     return "".join(parts)
 
 
-def sql_mentions_cte(table: str = "documents") -> str:
-    """CTE producing one row per detected mention: (doc_id, surface, label).
-    regexp_extract_all with longest-first alternation == maximal munch."""
+def sql_mentions_cte(
+    table: str = "documents",
+    name: str = "mentions",
+    fixed: dict[str, str] | None = None,
+    ambig: dict[str, tuple[str, str]] | None = None,
+    pattern: str | None = None,
+) -> str:
+    """CTE body producing one row per detected mention:
+    (doc_id, surface, label). regexp_extract_all with longest-first
+    alternation == maximal munch (matches the Spark extractor exactly;
+    asserted in tests/test_oracles.py)."""
+    pattern = MENTION_PATTERN if pattern is None else pattern
+    label_case = sql_label_case(fixed=fixed, ambig=ambig)
     return f"""
-mentions_raw AS (
+{name}_raw AS (
     SELECT doc_id,
-           unnest(regexp_extract_all(text, '{MENTION_PATTERN}')) AS surface
+           unnest(regexp_extract_all(text, '{pattern}')) AS surface
     FROM {table}
 ),
-mentions AS (
-    SELECT doc_id, surface, {sql_label_case()} AS label
-    FROM mentions_raw
+{name} AS (
+    SELECT doc_id, surface, {label_case} AS label
+    FROM {name}_raw
+)"""
+
+
+def sql_mentions_pos_cte(
+    table: str = "documents",
+    name: str = "mentions",
+    fixed: dict[str, str] | None = None,
+    ambig: dict[str, tuple[str, str]] | None = None,
+) -> str:
+    """Token-position mention CTE: (doc_id, pos, nwords, surface, label),
+    where (pos, nwords) identifies the span exactly like (start, end).
+
+    Works relationally (no sequential scan) because with our gazetteers no
+    two bigram candidates can ever overlap — bigram second words
+    (table/stream/query) never start a bigram — so maximal munch reduces
+    to: keep every bigram candidate, keep unigram candidates not covered
+    by a bigram. The regex CTE and the Spark scanner are asserted equal to
+    this in tests."""
+    fixed = GAZ_FIXED if fixed is None else fixed
+    ambig = GAZ_AMBIG if ambig is None else ambig
+    surfaces = list(fixed) + list(ambig)
+    bigrams = [s for s in surfaces if " " in s]
+    unigrams = [s for s in surfaces if " " not in s]
+    big_in = ", ".join(f"'{s}'" for s in bigrams) or "''"
+    uni_in = ", ".join(f"'{s}'" for s in unigrams) or "''"
+    label_case = sql_label_case(fixed=fixed, ambig=ambig)
+    return f"""
+{name}_tok AS (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS w,
+           unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+    FROM {table}
+),
+{name}_big AS (
+    SELECT a.doc_id, a.pos, 2 AS nwords, a.w || ' ' || b.w AS surface
+    FROM {name}_tok a JOIN {name}_tok b
+      ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    WHERE a.w || ' ' || b.w IN ({big_in})
+),
+{name}_uni AS (
+    SELECT t.doc_id, t.pos, 1 AS nwords, t.w AS surface
+    FROM {name}_tok t
+    WHERE t.w IN ({uni_in})
+      AND NOT EXISTS (
+        SELECT 1 FROM {name}_big g
+        WHERE g.doc_id = t.doc_id AND g.pos IN (t.pos, t.pos - 1))
+),
+{name} AS (
+    SELECT doc_id, pos, nwords, surface, {label_case} AS label
+    FROM (SELECT * FROM {name}_big UNION ALL SELECT * FROM {name}_uni)
 )"""
 
 

@@ -1,0 +1,138 @@
+"""Bulk correction operators (label/span fixes over nested span arrays).
+
+Reference: /root/reference/recon/corrections.py — rename_labels (:12-25),
+fix_annotations (:28-95), corrections_from_dict (:98-139),
+strip_annotations (:142-176), split_sentences (:179-233); plus
+upcase_labels from /root/reference/recon/validation.py:7-19.
+
+All span edits are pure JVM higher-order functions (transform/filter) —
+no Python on the hot path. Correction rule sets are small dimension
+tables by construction (human-authored), so they are inlined into the
+expression tree (the broadcast-join degenerate case: a literal map
+beats a shuffle or even a broadcast hash join for <O(10^4) rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _rebuild_span(updates: dict[str, str]) -> str:
+    """named_struct(...) SQL preserving span field order with overrides."""
+    fields = ["text", "start", "end", "label", "token_start", "token_end", "kb_id", "source"]
+    parts = []
+    for f in fields:
+        parts.append(f"'{f}', {updates.get(f, 's.' + f)}")
+    return "named_struct(" + ", ".join(parts) + ")"
+
+
+def upcase_labels(df: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """Uppercase every span label (recon.upcase_labels.v1)."""
+    expr = f"transform({spans_col}, s -> {_rebuild_span({'label': 'upper(s.label)'})})"
+    return df.withColumn(spans_col, F.expr(expr))
+
+
+def rename_labels(
+    df: DataFrame, label_map: dict[str, str], spans_col: str = "spans"
+) -> DataFrame:
+    """label → label rename via mapping (recon.rename_labels.v1);
+    unmapped labels pass through."""
+    if not label_map:
+        return df
+    kv = ", ".join(f"'{k}', '{v}'" for k, v in label_map.items())
+    upd = {"label": f"coalesce(element_at(map({kv}), s.label), s.label)"}
+    expr = f"transform({spans_col}, s -> {_rebuild_span(upd)})"
+    return df.withColumn(spans_col, F.expr(expr))
+
+
+def corrections_from_dict(d: dict[str, object]) -> list[tuple[str, list[str], str | None]]:
+    """Shorthand dict → correction rules, mirroring the reference's
+    corrections_from_dict: value is a target label, None (delete),
+    (from, to) or ([froms], to)."""
+    out: list[tuple[str, list[str], str | None]] = []
+    for key, val in d.items():
+        if val is None or isinstance(val, str):
+            out.append((key, ["ANY"], val))
+        elif isinstance(val, tuple):
+            froms = [val[0]] if isinstance(val[0], str) else list(val[0])
+            out.append((key, froms, val[1]))
+        else:
+            raise ValueError(f"Cannot parse correction value {val!r} for {key!r}")
+    return out
+
+
+def fix_annotations(
+    df: DataFrame,
+    corrections: list[tuple[str, list[str], str | None]],
+    case_sensitive: bool = False,
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Apply correction rules to spans (recon.fix_annotations.v1):
+    for a span whose surface matches a rule's annotation and whose label
+    is in from_labels (or from_labels contains 'ANY'): retag to to_label,
+    or drop the span when to_label is None. Never adds spans."""
+    if not corrections:
+        return df
+
+    def surf(e: str) -> str:
+        return e if case_sensitive else f"lower({e})"
+
+    drop_conds = []
+    label_expr = "s.label"
+    # build nested CASE right-to-left so first-matching-rule wins like the
+    # reference's dict lookup (annotations are unique keys there; keep
+    # last-write-wins for duplicate annotations by iterating in order)
+    for ann, froms, to in corrections:
+        ann_key = ann if case_sensitive else ann.lower()
+        from_ok = (
+            "true"
+            if "ANY" in froms
+            else "array_contains(array(" + ", ".join(f"'{f}'" for f in froms) + "), s.label)"
+        )
+        cond = f"({surf('s.text')} = '{ann_key}' AND {from_ok})"
+        if to is None:
+            drop_conds.append(cond)
+        else:
+            label_expr = f"CASE WHEN {cond} THEN '{to}' ELSE {label_expr} END"
+
+    kept = (
+        f"filter({spans_col}, s -> NOT (" + " OR ".join(drop_conds) + "))"
+        if drop_conds
+        else spans_col
+    )
+    expr = f"transform({kept}, s -> {_rebuild_span({'label': label_expr})})"
+    return df.withColumn(spans_col, F.expr(expr))
+
+
+DEFAULT_STRIP_CHARS = ".!?-: "
+
+
+def strip_annotations(
+    df: DataFrame, strip_chars: str = DEFAULT_STRIP_CHARS, spans_col: str = "spans"
+) -> DataFrame:
+    """Trim leading/trailing strip-chars from every span surface, moving
+    start/end to keep the offset invariant; spans stripping to nothing
+    are dropped (recon.strip_annotations.v1; the reference IndexErrors on
+    that edge — SURVEY.md §2.2)."""
+    cls = "[" + "".join("\\\\" + c if c in r"\^]-" else c for c in strip_chars) + "]"
+    lead = f"length(s.text) - length(regexp_replace(s.text, '^{cls}+', ''))"
+    trail = f"length(s.text) - length(regexp_replace(s.text, '{cls}+$', ''))"
+    upd = {
+        "text": f"regexp_replace(regexp_replace(s.text, '^{cls}+', ''), '{cls}+$', '')",
+        "start": f"CAST(s.start + ({lead}) AS INT)",
+        "end": f"CAST(s.end - ({trail}) AS INT)",
+    }
+    expr = (
+        f"filter(transform({spans_col}, s -> {_rebuild_span(upd)}),"
+        " s -> length(s.text) > 0)"
+    )
+    return df.withColumn(spans_col, F.expr(expr))
+
+
+def search(df: DataFrame, query: str, text_col: str = "text", case_sensitive: bool = False) -> DataFrame:
+    """Substring search over text (reference Dataset.search,
+    recon/dataset.py:291-311) — a pushdown-friendly filter."""
+    col = F.col(text_col) if case_sensitive else F.lower(F.col(text_col))
+    q = query if case_sensitive else query.lower()
+    return df.where(col.contains(q))

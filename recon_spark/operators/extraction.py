@@ -33,11 +33,11 @@ from recon_spark.gazetteer import (
     GAZ_AMBIG,
     GAZ_FIXED,
     MENTION_PATTERN,
+    MODEL_PATTERN,
     PREDICATES,
     label_of,
+    model_label_of,
 )
-
-_MENTION_RE = re.compile(MENTION_PATTERN)
 
 _SPAN_DDL = (
     "ARRAY<STRUCT<text: STRING, start: INT, end: INT, label: STRING, "
@@ -45,7 +45,7 @@ _SPAN_DDL = (
 )
 
 
-def _scan_text(doc_id: int, text: str) -> list[dict]:
+def _scan_text(doc_id: int, text: str, mention_re, labeler, source: str) -> list[dict]:
     """Per-row kernel: regex maximal-munch scan → span dicts."""
     spans = []
     tok_of_char: dict[int, int] = {}
@@ -53,7 +53,7 @@ def _scan_text(doc_id: int, text: str) -> list[dict]:
     for tid, w in enumerate(text.split(" ")):
         tok_of_char[pos] = tid
         pos += len(w) + 1
-    for m in _MENTION_RE.finditer(text):
+    for m in mention_re.finditer(text):
         surface = m.group(1)
         start, end = m.start(1), m.end(1)
         t0 = tok_of_char.get(start, -1)
@@ -63,31 +63,45 @@ def _scan_text(doc_id: int, text: str) -> list[dict]:
                 "text": surface,
                 "start": start,
                 "end": end,
-                "label": label_of(surface, doc_id),
+                "label": labeler(surface, doc_id),
                 "token_start": t0,
                 "token_end": t1,
                 "kb_id": None,
-                "source": "gazetteer",
+                "source": source,
             }
         )
     return spans
 
 
 def detect_mentions(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    which: str = "gold",
+    out_col: str = "spans",
 ) -> DataFrame:
-    """Add a ``spans`` column of detected mentions (Arrow-batched)."""
+    """Add a column of detected mentions (Arrow-batched pandas UDF).
+
+    which='gold' uses the annotation gazetteer; which='model' uses the
+    degraded model gazetteer (the EntityRecognizer stand-in for the
+    prediction-error / hardest-example harnesses).
+    """
+    pattern = MENTION_PATTERN if which == "gold" else MODEL_PATTERN
+    labeler = label_of if which == "gold" else model_label_of
+    source = "gazetteer" if which == "gold" else "model"
 
     @F.pandas_udf(_SPAN_DDL)
     def _detect(batches: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
-        # scalar-iterator form: pattern already compiled at module import,
-        # one Python process handles many Arrow batches.
+        # scalar-iterator form: compile once per python worker, stream
+        # Arrow batches through.
+        rx = re.compile(pattern)
         for doc_ids, texts in batches:
             yield pd.Series(
-                [_scan_text(d, t) for d, t in zip(doc_ids, texts)], dtype=object
+                [_scan_text(d, t, rx, labeler, source) for d, t in zip(doc_ids, texts)],
+                dtype=object,
             )
 
-    return df.withColumn("spans", _detect(F.col(id_col), F.col(text_col)))
+    return df.withColumn(out_col, _detect(F.col(id_col), F.col(text_col)))
 
 
 def _sql_label_case_spark(surface_expr: str, docid_expr: str) -> str:

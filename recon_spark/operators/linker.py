@@ -1,0 +1,80 @@
+"""Entity linking: broadcast alias-dictionary join + top-1 candidate.
+
+Reference: /root/reference/recon/linker.py — EntityLinker (kb_id =
+surface, :15-21) and SpacyEntityLinker (KB candidate lookup, take the
+top candidate, :23-36); alias machinery in
+/root/reference/recon/preprocess.py:100-131.
+
+Spark shape: explode mentions → broadcast-hash join against the alias
+dictionary (small dimension table) → row_number() = 1 by
+(score desc, entity_id asc) for deterministic top-1. The alias dict is
+broadcast, so linking adds no shuffle on the fact side; the only wide
+exchange in canonicalization is the final groupBy, which AQE handles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from recon_spark.gazetteer import ALIASES
+
+
+def alias_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        ALIASES, schema="alias string, entity_id string, name string, score double"
+    )
+
+
+def link_mentions(
+    mentions: DataFrame, aliases: DataFrame, surface_col: str = "surface"
+) -> DataFrame:
+    """Attach (entity_id, name, score) of the best-scoring alias candidate
+    to each mention row; mentions with no candidate keep NULL kb columns
+    (left join — the reference returns the span unlinked)."""
+    w = Window.partitionBy(surface_col, "doc_id", "label").orderBy(
+        F.desc("score"), "entity_id"
+    )
+    best = (
+        F.broadcast(aliases)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("alias").orderBy(F.desc("score"), "entity_id")
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .drop("rk")
+    )
+    return mentions.join(
+        best, mentions[surface_col] == best["alias"], "left"
+    ).drop("alias")
+
+
+def link_spans(df: DataFrame, aliases: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """Fill span.kb_id from the alias dictionary inside the nested array
+    (no explode): build a literal surface→entity map from the collected
+    top-1 candidates and apply it with a JVM transform. Correct because
+    the alias dict is a small broadcastable dimension by contract."""
+    rows = (
+        aliases.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("alias").orderBy(F.desc("score"), "entity_id")
+            ),
+        )
+        .where("rk = 1")
+        .select("alias", "entity_id")
+        .collect()
+    )
+    if not rows:
+        return df
+    kv = ", ".join(f"'{r['alias']}', '{r['entity_id']}'" for r in rows)
+    upd = f"coalesce(element_at(map({kv}), lower(s.text)), s.kb_id)"
+    fields = ["text", "start", "end", "label", "token_start", "token_end", "kb_id", "source"]
+    struct = ", ".join(
+        f"'{f}', " + (upd if f == "kb_id" else f"s.{f}") for f in fields
+    )
+    return df.withColumn(
+        spans_col, F.expr(f"transform({spans_col}, s -> named_struct({struct}))")
+    )

@@ -1,0 +1,104 @@
+"""Validation operators: tokenization, span-offset gate, overlap filtering.
+
+Reference: /root/reference/recon/tokenization.py:7-49 (add_tokens: attach
+tokens, align spans, DROP examples whose spans don't align),
+/root/reference/recon/validation.py:22-112 (filter_overlaps: greedy
+keep-longest per overlapping chain), /root/reference/recon/types.py:85-96
+(span-offset invariant: span.text == text[start:end]).
+
+add_tokens + the offset invariant are pure JVM; filter_overlaps is a
+per-row array algorithm (chain construction is inherently sequential) so
+it runs as an Arrow-vectorized pandas UDF over the shared pure-Python
+kernel in core/spans.py — identical semantics on driver and executors,
+zero shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from recon_spark.core.spans import filter_overlaps as _filter_overlaps_py
+
+_TOKEN_DDL = "ARRAY<STRUCT<text: STRING, start: INT, end: INT, id: INT>>"
+_SPAN_DDL = (
+    "ARRAY<STRUCT<text: STRING, start: INT, end: INT, label: STRING, "
+    "token_start: INT, token_end: INT, kb_id: STRING, source: STRING>>"
+)
+
+
+def add_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    spans_col: str = "spans",
+    tokens_col: str = "tokens",
+    drop_misaligned: bool = True,
+) -> DataFrame:
+    """Whitespace-tokenize with char offsets (JVM aggregate fold), attach
+    token_start/token_end to spans, and (like the reference) drop rows
+    where any span does not align to token boundaries."""
+    tok_expr = f"""
+    aggregate(
+      split({text_col}, ' '),
+      named_struct('pos', 0, 'i', 0, 'ts', CAST(array() AS {_TOKEN_DDL})),
+      (acc, w) -> named_struct(
+        'pos', acc.pos + length(w) + 1,
+        'i', acc.i + 1,
+        'ts', array_append(acc.ts, named_struct(
+          'text', w, 'start', acc.pos, 'end', acc.pos + length(w), 'id', acc.i))),
+      acc -> acc.ts
+    )
+    """
+    out = df.withColumn(tokens_col, F.expr(tok_expr))
+    align_expr = f"""
+    transform({spans_col}, s -> named_struct(
+      'text', s.text, 'start', s.start, 'end', s.end, 'label', s.label,
+      'token_start', try_element_at(filter({tokens_col}, t -> t.start = s.start), 1).id,
+      'token_end', try_element_at(filter({tokens_col}, t -> t.end = s.end), 1).id,
+      'kb_id', s.kb_id, 'source', s.source))
+    """
+    out = out.withColumn(spans_col, F.expr(align_expr))
+    if drop_misaligned:
+        out = out.where(
+            F.expr(
+                f"forall({spans_col}, s -> s.token_start IS NOT NULL AND s.token_end IS NOT NULL)"
+            )
+        )
+    return out
+
+
+def span_offsets_valid(text_col: str = "text", spans_col: str = "spans") -> Column:
+    """Column predicate: every span satisfies
+    span.text == substring(text, start+1, end-start) — the reference's
+    pydantic span-text validator as a DataFrame assertion."""
+    return F.expr(
+        f"forall({spans_col}, s -> s.text = substring({text_col}, s.start + 1, s.end - s.start))"
+    )
+
+
+def validate_span_offsets(df: DataFrame, text_col: str = "text", spans_col: str = "spans") -> DataFrame:
+    """Keep only rows passing the span-offset invariant (the ingest gate)."""
+    return df.where(span_offsets_valid(text_col, spans_col))
+
+
+def filter_overlaps(df: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """Resolve overlapping spans per row: greedy keep-longest per
+    overlapping chain (Arrow-batched; kernel shared with the driver-side
+    oracle in core/spans.py, golden cases from the reference's
+    tests/test_validation.py replicated in tests/test_span_core.py)."""
+
+    @F.pandas_udf(_SPAN_DDL)
+    def _resolve(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for spans_series in batches:
+            yield pd.Series(
+                [
+                    _filter_overlaps_py([dict(s) for s in spans] if spans is not None else [])
+                    for spans in spans_series
+                ],
+                dtype=object,
+            )
+
+    return df.withColumn(spans_col, _resolve(F.col(spans_col)))

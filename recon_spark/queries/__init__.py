@@ -1,0 +1,20 @@
+"""Query registry: every implemented operator exposed as a
+(spark, sf_dir) -> DataFrame callable plus a DuckDB oracle SQL twin.
+
+Split by family:
+- core.py      — the Recon capability surface (extraction, stats,
+                 insights, corrections, linking, triples)
+- pipeline.py  — training-data pipeline operators (dedup, similarity,
+                 text analysis, sampling, windowed aggregation,
+                 relational joins)
+
+__spark_entry__.py merges both registries.
+"""
+
+from recon_spark.queries.core import ORACLES as CORE_ORACLES
+from recon_spark.queries.core import QUERIES as CORE_QUERIES
+from recon_spark.queries.pipeline import ORACLES as PIPELINE_ORACLES
+from recon_spark.queries.pipeline import QUERIES as PIPELINE_QUERIES
+
+QUERIES = {**CORE_QUERIES, **PIPELINE_QUERIES}
+ORACLES = {**CORE_ORACLES, **PIPELINE_ORACLES}
