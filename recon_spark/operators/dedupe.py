@@ -1,0 +1,221 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Exact dedupe, shingle-Jaccard near-dup (inverted index), MinHash+LSH,
+and SimHash — all with pure integer arithmetic hash functions (no engine
+builtins) so the DuckDB oracle can reproduce every value bit-exactly.
+Internal Spark-side bucketing may use xxhash64; nothing result-visible
+does.
+
+Hash spec (shared with oracles):
+  wcode(w)   = ascii(w[0])*100000 + ascii(w[1])*100 + length(w)
+               (injective on the 31-word corpus vocabulary)
+  shingle(h3)= ((wc1*31 + wc2) % P * 31 + wc3) % P,  P = 1_000_000_007
+  minhash_i  = min over shingles of (a_i*h + b_i) % P      (16 perms)
+  g32(w)     = (wcode(w) * 2654435761) % 2^32               (simhash bits)
+
+Scale design:
+- exact: groupBy(md5(text)) — map-side combine, one shuffle on a short key.
+- jaccard: inverted index on shingle hash → pair-count join. At CC scale,
+  cap postings per shingle (drop shingles appearing in > F docs — they
+  contribute candidates quadratically but little information).
+- minhash-LSH: per-row signature (no shuffle) → explode 4 bands →
+  groupBy(band, sig) → pairs within buckets. Shuffle volume = 4 rows/doc.
+- simhash: per-row 32-bit signature → block on 4 bytes → verify Hamming
+  distance within blocks (pigeonhole: dist ≤ 3 ⇒ some byte equal... with
+  4 blocks and 32 bits any pair with dist ≤ 7 shares a byte block only if
+  one block is untouched; for dist ≤ 3 at least one of 4 blocks is intact).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+P = 1_000_000_007
+N_PERM = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_PERM // N_BANDS
+
+_rng = random.Random(42)
+PERM_A = [_rng.randrange(1, P) for _ in range(N_PERM)]
+PERM_B = [_rng.randrange(0, P) for _ in range(N_PERM)]
+
+WCODE_SQL = "(ascii({w}) * 100000 + ascii(substring({w}, 2, 1)) * 100 + length({w}))"
+
+
+def _wcodes_expr(text_col: str) -> str:
+    w = WCODE_SQL.format(w="x")
+    return f"transform(split({text_col}, ' '), x -> CAST({w} AS BIGINT))"
+
+
+def _shingles_expr(wcodes: str) -> str:
+    """3-shingle hashes from the wcode array (empty if < 3 tokens)."""
+    return f"""
+    CASE WHEN size({wcodes}) >= 3 THEN
+      transform(sequence(1, size({wcodes}) - 2),
+        i -> ((element_at({wcodes}, i) * 31 + element_at({wcodes}, i + 1)) % {P} * 31
+              + element_at({wcodes}, i + 2)) % {P})
+    ELSE CAST(array() AS ARRAY<BIGINT>) END
+    """
+
+
+def with_shingles(df: DataFrame, text_col: str = "text", out_col: str = "shingles") -> DataFrame:
+    wc = _wcodes_expr(text_col)
+    return df.withColumn(out_col, F.expr(_shingles_expr(wc)))
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact-text duplicate groups: (text_md5, n_dups, keep_id) for groups
+    of size > 1; keep_id = min id (the canonical survivor)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("keep_id"))
+        .where(F.col("n_dups") > 1)
+        .orderBy("text_md5")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_postings: int | None = None,
+) -> DataFrame:
+    """Shingle-set Jaccard near-duplicate pairs via inverted index:
+    (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+
+    max_postings drops shingles appearing in more than that many docs
+    (candidate-pair blowup guard at scale; None = exact, used for the
+    oracle-checked query at test SFs)."""
+    sh = with_shingles(df, text_col).select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct("shingles")).alias("sh")
+    )
+    if max_postings is not None:
+        heavy = sh.groupBy("sh").count().where(F.col("count") > max_postings).select("sh")
+        sh = sh.join(heavy, "sh", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def minhash_signature(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, minhash ARRAY<BIGINT>[16]) — per-row, shuffle-free."""
+    sh = with_shingles(df, text_col)
+    mins = ", ".join(
+        f"array_min(transform(shingles, h -> ({a}L * h + {b}L) % {P}))"
+        for a, b in zip(PERM_A, PERM_B)
+    )
+    return sh.where(F.size("shingles") > 0).select(
+        F.col(id_col).alias("id"), F.expr(f"array({mins})").alias("minhash")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Candidate near-dup pairs from MinHash banding (4 bands × 4 rows):
+    pairs sharing at least one band signature, (id_a, id_b) distinct."""
+    sig = minhash_signature(df, id_col, text_col)
+    bands = sig.select(
+        "id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {N_BANDS - 1}), b -> named_struct("
+                f"'band', b, 'sig', concat_ws('-', slice(minhash, b * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND}))))"
+            )
+        ).alias("bs"),
+    ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+        .orderBy("id_a", "id_b")
+    )
+
+
+def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash BIGINT): 32-bit SimHash over shingle multiset.
+    Bit j is 1 iff sum over shingles of (2*bit_j(g32) - 1) > 0, where
+    g32 = (h * 2654435761) % 2^32. Per-row, shuffle-free."""
+    sh = with_shingles(df, text_col)
+    g = f"transform(shingles, h -> (h * 2654435761L) % 4294967296L)"
+    bits = " + ".join(
+        f"(CASE WHEN aggregate({g}, 0L, (acc, v) -> acc + CASE WHEN (v div {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN {1 << j}L ELSE 0L END)"
+        for j in range(32)
+    )
+    return sh.select(F.col(id_col).alias("id"), F.expr(f"({bits})").alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame, max_dist: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id_a, id_b, dist): pairs with SimHash Hamming distance <= max_dist,
+    candidate-blocked on the four 8-bit pieces (exact for max_dist <= 3 by
+    pigeonhole: at most 3 differing bits touch at most 3 of 4 pieces)."""
+    sig = simhash32(df, id_col, text_col)
+    pieces = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), p -> named_struct("
+                "'p', p, 'piece', (simhash div CAST(pow(256, p) AS BIGINT)) % 256))"
+            )
+        ).alias("pp"),
+    ).select("id", "simhash", F.col("pp.p").alias("p"), F.col("pp.piece").alias("piece"))
+    a = pieces.alias("a")
+    b = pieces.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.p") == F.col("b.p"))
+            & (F.col("a.piece") == F.col("b.piece"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.expr("sa ^ sb")).cast("int").alias("dist"),
+        )
+        .where(F.col("dist") <= max_dist)
+        .orderBy("id_a", "id_b")
+    )

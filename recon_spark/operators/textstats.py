@@ -1,0 +1,100 @@
+"""Text analysis operators: token counts, quality scoring, language-ID
+heuristic, document fingerprinting.
+
+All pure JVM expressions (split/size/aggregate) — the per-document text
+analytics a training-data pipeline runs at ingest. The fingerprint is a
+polynomial rolling hash over word codes, reproducible in ANSI SQL (the
+DuckDB oracle uses list_reduce with the same constants).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from recon_spark.gazetteer import STOPWORDS
+from recon_spark.operators.dedupe import P, _wcodes_expr
+
+_STOP_ARR = "array(" + ", ".join(f"'{s}'" for s in STOPWORDS) + ")"
+
+
+def text_metrics(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, n_tokens, n_chars_text, avg_token_len, stopword_ratio,
+    quality_score). quality = min(1, n_tokens/100) * (1 - stopword_ratio):
+    favors long documents with low stopword density — the shape of the
+    reference-era quality heuristics, fully deterministic."""
+    toks = f"split({text_col}, ' ')"
+    n_tokens = f"size({toks})"
+    n_stop = f"size(filter({toks}, w -> array_contains({_STOP_ARR}, w)))"
+    return df.select(
+        F.col(id_col),
+        F.expr(n_tokens).cast("long").alias("n_tokens"),
+        F.length(text_col).cast("long").alias("n_chars_text"),
+        F.round(
+            F.expr(
+                f"aggregate({toks}, 0L, (a, w) -> a + length(w)) / CAST({n_tokens} AS DOUBLE)"
+            ),
+            6,
+        ).alias("avg_token_len"),
+        F.round(F.expr(f"{n_stop} / CAST({n_tokens} AS DOUBLE)"), 6).alias(
+            "stopword_ratio"
+        ),
+        F.round(
+            F.expr(
+                f"least(1.0D, {n_tokens} / 100.0D) * (1.0D - {n_stop} / CAST({n_tokens} AS DOUBLE))"
+            ),
+            6,
+        ).alias("quality_score"),
+    ).orderBy(id_col)
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, fingerprint): polynomial rolling hash over word codes,
+    h = fold(h*31 + wcode) mod P — an order-sensitive content fingerprint
+    (re-ordered near-dups get different prints; use dedupe.minhash for
+    order-insensitive)."""
+    wc = _wcodes_expr(text_col)
+    return df.select(
+        F.col(id_col),
+        F.expr(f"aggregate({wc}, 0L, (a, c) -> (a * 31 + c) % {P})").alias("fingerprint"),
+    ).orderBy(id_col)
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", out_col: str = "lang_pred"
+) -> DataFrame:
+    """Heuristic language ID via stopword evidence: 'en' when English
+    stopword density >= 1%, else 'und'. (A real pipeline swaps in a
+    fastText-style model behind the same column contract; on the
+    synthetic corpus every language shares the vocabulary, so this is
+    plumbing + determinism, exercised in tests on the pages corpus.)"""
+    toks = f"split({text_col}, ' ')"
+    ratio = f"size(filter({toks}, w -> array_contains({_STOP_ARR}, w))) / CAST(size({toks}) AS DOUBLE)"
+    return df.withColumn(
+        out_col, F.expr(f"CASE WHEN {ratio} >= 0.01 THEN 'en' ELSE 'und' END")
+    )
+
+
+def lang_mention_stats(docs: DataFrame, mentions: DataFrame) -> DataFrame:
+    """Per-language corpus profile: docs, chars, mentions, mentions/doc."""
+    d = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+    m = (
+        mentions.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+    )
+    return (
+        d.join(m, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "total_chars",
+            F.coalesce("n_mentions", F.lit(0)).alias("n_mentions"),
+            F.round(
+                F.coalesce("n_mentions", F.lit(0)) / F.col("n_docs").cast("double"), 6
+            ).alias("mentions_per_doc"),
+        )
+        .orderBy("lang")
+    )

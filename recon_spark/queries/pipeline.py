@@ -1,8 +1,489 @@
-"""Training-data pipeline query registry (filled in incrementally:
-dedup, similarity search, text analysis, sampling, windowed aggregation,
-relational joins)."""
+"""Training-data pipeline query registry: dedup, similarity search,
+text analysis, sampling, windowed aggregation, relational joins.
+
+Every hash in result-visible positions is plain integer arithmetic
+(recon_spark.operators.dedupe spec) so DuckDB reproduces values exactly;
+float aggregates are rounded to 6 decimals on both sides.
+"""
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from recon_spark.gazetteer import STOPWORDS, sql_mentions_cte
+from recon_spark.operators import dedupe as D
+from recon_spark.operators import similarity as SIM
+from recon_spark.operators import textstats as TS
+from recon_spark.operators.dedupe import N_BANDS, N_PERM, P, PERM_A, PERM_B, ROWS_PER_BAND
+from recon_spark.operators.extraction import detect_mentions, mentions_long
+from recon_spark.operators.sample import KNUTH, MOD, stratified_sample
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# --- shared oracle fragments -------------------------------------------------
+
+SQL_SHINGLES = f"""
+wc_t AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+           w -> CAST(ascii(w) * 100000 + ascii(w[2]) * 100 + length(w) AS BIGINT)) AS wc
+  FROM documents
+),
+sh_t AS (
+  SELECT doc_id,
+         CASE WHEN len(wc) >= 3 THEN
+           list_transform(generate_series(1, len(wc) - 2),
+             i -> ((wc[i] * 31 + wc[i + 1]) % {P} * 31 + wc[i + 2]) % {P})
+         ELSE [] END AS sh
+  FROM wc_t
+)"""
+
+
+# --------------------------------------------------------------------------
+# Dedup family
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedupe over the events.props payload column (documents have
+    no exact dups by construction; events do)."""
+    ev = _read(spark, sf_dir, "events")
+    return D.exact_duplicates(ev, id_col="event_id", text_col="props")
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(props) AS text_md5, count(*) AS n_dups, min(event_id) AS keep_id
+FROM events GROUP BY 1 HAVING count(*) > 1 ORDER BY text_md5
+"""
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+SQL_DEDUP_JACCARD = f"""
+WITH {SQL_SHINGLES},
+e AS (SELECT DISTINCT doc_id, unnest(sh) AS h FROM sh_t),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM e GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+  FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(inter / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE inter / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_candidates(_docs(spark, sf_dir))
+
+
+def _sql_minhash() -> str:
+    mins = ", ".join(
+        f"list_min(list_transform(sh, h -> ({a} * h + {b}) % {P}))"
+        for a, b in zip(PERM_A, PERM_B)
+    )
+    bands = ", ".join(
+        "concat_ws('-', "
+        + ", ".join(f"mh[{b * ROWS_PER_BAND + r + 1}]" for r in range(ROWS_PER_BAND))
+        + f") AS band{b}"
+        for b in range(N_BANDS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, band{b} AS sig FROM mh_bands" for b in range(N_BANDS)
+    )
+    return f"""
+mh_t AS (
+  SELECT doc_id, [{mins}] AS mh FROM sh_t WHERE len(sh) > 0
+),
+mh_bands AS (SELECT doc_id, mh[1] IS NOT NULL AS _ok, {bands} FROM mh_t),
+bands_long AS ({band_rows})
+"""
+
+
+SQL_DEDUP_MINHASH_LSH = f"""
+WITH {SQL_SHINGLES},
+{_sql_minhash()}
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands_long a
+JOIN bands_long b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash32(_docs(spark, sf_dir)).orderBy("id")
+
+
+def _sql_simhash_bits() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (g // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) > 0"
+        f" THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(32)
+    )
+    return terms
+
+
+SQL_SIMHASH = f"""
+WITH {SQL_SHINGLES},
+g_t AS (
+  SELECT doc_id, unnest(list_transform(sh, h -> (h * 2654435761) % 4294967296)) AS g
+  FROM sh_t
+)
+SELECT doc_id AS id, {_sql_simhash_bits()} AS simhash
+FROM g_t GROUP BY doc_id ORDER BY id
+"""
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_neardup_pairs(_docs(spark, sf_dir), max_dist=3)
+
+
+SQL_SIMHASH_NEARDUP = f"""
+WITH {SQL_SHINGLES},
+g_t AS (
+  SELECT doc_id, unnest(list_transform(sh, h -> (h * 2654435761) % 4294967296)) AS g
+  FROM sh_t
+),
+sig AS (SELECT doc_id AS id, {_sql_simhash_bits()} AS simhash FROM g_t GROUP BY doc_id)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS dist
+FROM sig a JOIN sig b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
+# --------------------------------------------------------------------------
+# Similarity search family
+# --------------------------------------------------------------------------
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return SIM.cosine_topk(emb, queries, k=10)
+
+
+SQL_ANN_COSINE_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id % 50 = 0),
+v AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, nv)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))) AS cos_raw
+  FROM q, v WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_raw,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id)
+           AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.cosine_neardup_pairs(_read(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+SQL_EMBEDDING_NEARDUP = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)
+         AS cos
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.e, b.e)
+      / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.45
+ORDER BY id_a, id_b
+"""
+
+
+# --------------------------------------------------------------------------
+# Text analysis family
+# --------------------------------------------------------------------------
+
+def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TS.text_metrics(_docs(spark, sf_dir))
+
+
+_STOP_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+SQL_TEXT_METRICS = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws, length(text) AS nc FROM documents)
+SELECT doc_id,
+       CAST(len(ws) AS BIGINT) AS n_tokens,
+       CAST(nc AS BIGINT) AS n_chars_text,
+       round(list_sum(list_transform(ws, w -> length(w))) / CAST(len(ws) AS DOUBLE), 6)
+         AS avg_token_len,
+       round(len(list_filter(ws, w -> w IN ({_STOP_IN}))) / CAST(len(ws) AS DOUBLE), 6)
+         AS stopword_ratio,
+       round(least(1.0, len(ws) / 100.0)
+             * (1.0 - len(list_filter(ws, w -> w IN ({_STOP_IN}))) / CAST(len(ws) AS DOUBLE)), 6)
+         AS quality_score
+FROM t ORDER BY doc_id
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TS.fingerprint(_docs(spark, sf_dir))
+
+
+SQL_FINGERPRINT = f"""
+WITH wc_t AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+           w -> CAST(ascii(w) * 100000 + ascii(w[2]) * 100 + length(w) AS BIGINT)) AS wc
+  FROM documents
+)
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), wc), (a, c) -> (a * 31 + c) % {P})
+         AS fingerprint
+FROM wc_t ORDER BY doc_id
+"""
+
+
+def q_lang_mention_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return TS.lang_mention_stats(docs, mentions_long(detect_mentions(docs)))
+
+
+SQL_LANG_MENTION_STATS = f"""
+WITH {sql_mentions_cte()},
+d AS (SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM documents GROUP BY lang),
+m AS (SELECT lang, count(*) AS n_mentions
+      FROM mentions JOIN documents USING (doc_id) GROUP BY lang)
+SELECT lang, n_docs, total_chars, coalesce(n_mentions, 0) AS n_mentions,
+       round(coalesce(n_mentions, 0) / CAST(n_docs AS DOUBLE), 6) AS mentions_per_doc
+FROM d LEFT JOIN m USING (lang) ORDER BY lang
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = stratified_sample(_docs(spark, sf_dir), "lang", 5)
+    return out.select("doc_id", "lang").orderBy("lang", "doc_id")
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY (doc_id * {KNUTH}) % {MOD}, doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, lang FROM ranked WHERE rk <= 5 ORDER BY lang, doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Windowed aggregation + sessionization (events)
+# --------------------------------------------------------------------------
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # parquet timestamps load as TIMESTAMP_NTZ; exact integer millisecond
+    # arithmetic on both engines (float epoch() rounds at boundaries)
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "ms", F.unix_millis(F.col("ts").cast("timestamp"))
+    )
+    return (
+        ev.groupBy(
+            F.expr("ms div 3600000").alias("hour_bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .orderBy("hour_bucket", "event_type")
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT CAST(epoch_ms(ts) // 3600000 AS BIGINT) AS hour_bucket, event_type,
+       count(*) AS n, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type
+"""
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: a new session starts after a >30-min gap per user.
+    Output per user: n_sessions, n_events, longest session (events)."""
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "ms", F.unix_millis(F.col("ts").cast("timestamp"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    flagged = ev.withColumn(
+        "new_sess",
+        (F.col("ms") - F.lag("ms", 1).over(w) > 1_800_000)
+        .cast("int"),
+    ).withColumn("new_sess", F.coalesce("new_sess", F.lit(1)))
+    sess = flagged.withColumn(
+        "session_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_sess = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return (
+        per_sess.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("len").alias("n_events"),
+            F.max("len").alias("longest_session"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_EVENTS_SESSIONS = """
+WITH e AS (
+  SELECT user_id, event_id, CAST(epoch_ms(ts) AS BIGINT) AS ms FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ms,
+         CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id)
+                   > 1800000
+              THEN 1
+              WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) IS NULL
+              THEN 1
+              ELSE 0 END AS new_sess
+  FROM e
+),
+sess AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+per_sess AS (
+  SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS len
+  FROM sess GROUP BY 1, 2
+)
+SELECT user_id, count(*) AS n_sessions, CAST(sum(len) AS BIGINT) AS n_events,
+       max(len) AS longest_session
+FROM per_sess GROUP BY user_id ORDER BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Relational joins (broadcast dims + top-k)
+# --------------------------------------------------------------------------
+
+def q_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("rev_raw"), F.count(F.lit(1)).alias("n_orders")
+    )
+    return (
+        rev.join(F.broadcast(customer), rev.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            F.round("rev_raw", 4).alias("revenue"),
+            "n_orders",
+        )
+        .orderBy(F.desc("rev_raw"), "c_custkey")
+        .limit(10)
+    )
+
+
+SQL_REVENUE_TOPK = """
+WITH rev AS (
+  SELECT o_custkey, sum(o_totalprice) AS rev_raw, count(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, n_name AS nation, round(rev_raw, 4) AS revenue, n_orders
+FROM rev
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY rev_raw DESC, c_custkey LIMIT 10
+"""
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary over lineitem."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2025-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2025-09-01 00:00:00'
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "simhash": q_simhash,
+    "simhash_neardup": q_simhash_neardup,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "embedding_neardup": q_embedding_neardup,
+    "text_metrics": q_text_metrics,
+    "doc_fingerprint": q_fingerprint,
+    "lang_mention_stats": q_lang_mention_stats,
+    "stratified_sample": q_stratified_sample,
+    "events_hourly": q_events_hourly,
+    "events_sessions": q_events_sessions,
+    "revenue_topk": q_revenue_topk,
+    "pricing_summary": q_pricing_summary,
+}
+
+ORACLES = {
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_jaccard": SQL_DEDUP_JACCARD,
+    "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+    "simhash": SQL_SIMHASH,
+    "simhash_neardup": SQL_SIMHASH_NEARDUP,
+    "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "text_metrics": SQL_TEXT_METRICS,
+    "doc_fingerprint": SQL_FINGERPRINT,
+    "lang_mention_stats": SQL_LANG_MENTION_STATS,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "events_sessions": SQL_EVENTS_SESSIONS,
+    "revenue_topk": SQL_REVENUE_TOPK,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+}
