@@ -37,7 +37,11 @@ from recon_spark.operators.linker import alias_df, link_mentions
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # url/doc-id hash bucketing at the read boundary (the driver's parquet
+    # is one file = one input split; extraction is per-row CPU-bound)
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
 
 
 def _mentions(spark: SparkSession, sf_dir: str, which: str = "gold") -> DataFrame:

@@ -21,7 +21,12 @@ from recon_spark.operators.sample import KNUTH, MOD, stratified_sample
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # url/doc-id hash bucketing at the read boundary: the test parquet is a
+    # single file (1 input split), so per-row-expensive downstream work
+    # (shingling, signatures) would otherwise run on one core
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
