@@ -130,6 +130,66 @@ def strip_annotations(
     return df.withColumn(spans_col, F.expr(expr))
 
 
+def split_sentences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    spans_col: str = "spans",
+    delimiter: str = ". ",
+) -> DataFrame:
+    """Split each row into per-sentence rows, re-basing span offsets
+    relative to the sentence start (recon.split_sentences.v1,
+    /root/reference/recon/corrections.py:179-233; spans crossing a
+    boundary are dropped like the reference's failed char_span lookups).
+    One-to-many: mapInArrow emitting (id, sent_id, text, spans)."""
+    import pyarrow as pa
+
+    from recon_spark.core.spans import split_sentences as _split_py
+
+    span_pa = pa.struct(
+        [
+            ("text", pa.string()),
+            ("start", pa.int32()),
+            ("end", pa.int32()),
+            ("label", pa.string()),
+            ("token_start", pa.int32()),
+            ("token_end", pa.int32()),
+            ("kb_id", pa.string()),
+            ("source", pa.string()),
+        ]
+    )
+    out_ddl = (
+        f"{id_col} long, sent_id int, {text_col} string, {spans_col} "
+        "array<struct<text: string, start: int, end: int, label: string, "
+        "token_start: int, token_end: int, kb_id: string, source: string>>"
+    )
+    fields = ["text", "start", "end", "label", "token_start", "token_end", "kb_id", "source"]
+
+    def _gen(batches):
+        for batch in batches:
+            ids = batch.column(id_col).to_pylist()
+            texts = batch.column(text_col).to_pylist()
+            spans_in = batch.column(spans_col).to_pylist()
+            o_id, o_sid, o_text, o_spans = [], [], [], []
+            for rid, t, spans in zip(ids, texts, spans_in):
+                for k, (sent, sp) in enumerate(_split_py(t, spans or [], delimiter)):
+                    o_id.append(rid)
+                    o_sid.append(k)
+                    o_text.append(sent)
+                    o_spans.append([{f: s.get(f) for f in fields} for s in sp])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(o_id, pa.int64()),
+                    pa.array(o_sid, pa.int32()),
+                    pa.array(o_text, pa.string()),
+                    pa.array(o_spans, pa.list_(span_pa)),
+                ],
+                [id_col, "sent_id", text_col, spans_col],
+            )
+
+    return df.mapInArrow(_gen, out_ddl)
+
+
 def search(df: DataFrame, query: str, text_col: str = "text", case_sensitive: bool = False) -> DataFrame:
     """Substring search over text (reference Dataset.search,
     recon/dataset.py:291-311) — a pushdown-friendly filter."""

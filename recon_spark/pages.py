@@ -1,0 +1,164 @@
+"""Synthetic Common-Crawl-style pages corpus + HTML text extraction.
+
+Production input shape per BASELINE.json input_hint:
+  pages(url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING)
+
+Generation is DISTRIBUTED and deterministic: each page is a pure function
+of (seed, page_id) — spark.range(n) -> mapInArrow — so any subset of the
+corpus can be regenerated bit-identically at any scale on any cluster
+(no driver-side materialization, no external data).
+
+The per-row contract (input_hint): ``text`` is byte-identical to
+``html_to_text(html)`` for every url. ``html_to_text`` is the single
+extraction function used by the distributed pipeline AND the
+single-process reference harness; tests assert the distributed output
+equals the driver-side application byte-for-byte per url.
+
+Content design (FIXTURES.md §1): gazetteer surfaces with head skew (a few
+surfaces ~50-100x more frequent — the CoNLL "U.S." shape — justifying the
+salted coverage aggregate), alias variants for linking, parity-ambiguous
+surfaces for disparity detection, '. '-separated sentences so
+split_sentences has real boundaries, and (ENT pred ENT) adjacencies for
+SVO extraction.
+"""
+
+from __future__ import annotations
+
+import random
+import re
+from datetime import datetime, timedelta, timezone
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+from recon_spark.gazetteer import GAZ_AMBIG, GAZ_FIXED, PREDICATES, STOPWORDS
+
+SEED = 42
+BASE_TS = datetime(2026, 1, 1, tzinfo=timezone.utc)
+
+# vocabulary pools (deterministic ordering matters: tuples, not sets)
+_ENT_UNI = tuple(sorted(s for s in list(GAZ_FIXED) + list(GAZ_AMBIG) if " " not in s))
+_ENT_BI = tuple(sorted(s for s in GAZ_FIXED if " " in s))
+_FILLER = ("big", "small", "fast", "slow", "agg", "dup") + STOPWORDS
+# head-skewed sampling pool: "spark" and "data" dominate (~24/64 draws each)
+_HEAD_POOL = ("spark",) * 24 + ("data",) * 24 + _ENT_UNI
+
+_LANGS = ("en",) * 8 + ("de", "fr", "es", "zh")
+
+
+def page_content(page_id: int, seed: int = SEED) -> tuple[str, str, bytes, str, str]:
+    """Pure function (seed, page_id) -> (url, lang, html, text, title)."""
+    rng = random.Random((seed << 32) ^ page_id)
+    site = rng.randrange(100)
+    url = f"https://site{site:02d}.example.org/articles/{page_id}"
+    lang = _LANGS[rng.randrange(len(_LANGS))]
+    n_sents = 3 + rng.randrange(6)
+    sents = []
+    for _ in range(n_sents):
+        words: list[str] = []
+        n_words = 6 + rng.randrange(12)
+        while len(words) < n_words:
+            r = rng.random()
+            if r < 0.30:
+                words.append(_HEAD_POOL[rng.randrange(len(_HEAD_POOL))])
+            elif r < 0.38:
+                words.append(_ENT_BI[rng.randrange(len(_ENT_BI))])
+            elif r < 0.60:
+                # SVO adjacency plant: ENT pred ENT
+                words.append(_ENT_UNI[rng.randrange(len(_ENT_UNI))])
+                words.append(PREDICATES[rng.randrange(len(PREDICATES))])
+                words.append(_HEAD_POOL[rng.randrange(len(_HEAD_POOL))])
+            else:
+                words.append(_FILLER[rng.randrange(len(_FILLER))])
+        sents.append(" ".join(words))
+    body = ". ".join(sents)
+    title = f"article {page_id}"
+    html = (
+        f'<html><head><title>{title}</title><meta charset="utf-8"/></head>'
+        f'<body>\n<h1>{title}</h1>\n'
+        + "\n".join(f'<p class="s{i}">{s}.</p>' for i, s in enumerate(sents))
+        + "\n</body></html>"
+    ).encode("utf-8")
+    text = html_to_text(html)
+    return url, lang, html, text, title
+
+
+_TAG_RE = re.compile(rb"<[^>]+>")
+
+
+def html_to_text(html: bytes) -> str:
+    """Deterministic HTML -> text: drop <head>, strip tags, unescape the
+    three basic entities, collapse whitespace runs to single spaces.
+    THE single definition of the byte-identical per-url text contract."""
+    head_start = html.find(b"<head>")
+    head_end = html.find(b"</head>")
+    if head_start != -1 and head_end != -1:
+        html = html[:head_start] + html[head_end + len(b"</head>") :]
+    raw = _TAG_RE.sub(b" ", html)
+    s = raw.decode("utf-8")
+    s = s.replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
+    return " ".join(s.split())
+
+
+PAGES_DDL = (
+    "page_id long, url string, warc_ts timestamp, html binary, "
+    "text string, lang string"
+)
+
+
+def generate_pages(spark: SparkSession, n: int, seed: int = SEED, partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic corpus: one row per page_id in [0, n)."""
+    import pyarrow as pa
+
+    partitions = partitions or spark.sparkContext.defaultParallelism
+    base_us = int(BASE_TS.timestamp() * 1_000_000)
+
+    def _gen(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            ids = batch.column("id").to_pylist()
+            urls, tss, htmls, texts, langs = [], [], [], [], []
+            for pid in ids:
+                url, lang, html, text, _ = page_content(pid, seed)
+                urls.append(url)
+                tss.append(base_us + pid * 1_000_000)
+                htmls.append(html)
+                texts.append(text)
+                langs.append(lang)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(urls, pa.string()),
+                    pa.array(tss, pa.timestamp("us")),
+                    pa.array(htmls, pa.binary()),
+                    pa.array(texts, pa.string()),
+                    pa.array(langs, pa.string()),
+                ],
+                ["page_id", "url", "warc_ts", "html", "text", "lang"],
+            )
+
+    return spark.range(0, n, numPartitions=partitions).mapInArrow(_gen, PAGES_DDL)
+
+
+def extract_text_column(df: DataFrame, html_col: str = "html", out_col: str = "text") -> DataFrame:
+    """Re-derive text from html distributively (the ingest-side path when
+    a crawl arrives with html only). Same function, Arrow-batched."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != out_col]
+        + [T.StructField(out_col, T.StringType())]
+    )
+    names = [f.name for f in out_schema.fields]
+
+    def _ex(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            htmls = batch.column(html_col).to_pylist()
+            texts = pa.array([html_to_text(h) for h in htmls], pa.string())
+            cols = [
+                texts if n == out_col else batch.column(n)
+                for n in names
+            ]
+            yield pa.RecordBatch.from_arrays(cols, names)
+
+    return df.mapInArrow(_ex, out_schema)
