@@ -535,6 +535,54 @@ GROUP BY 1, 2, 3 ORDER BY n DESC, subj, pred, obj
 """
 
 
+def q_recognizer_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from recon_spark.operators.scorer import evaluate_recognizer
+
+    docs = _docs(spark, sf_dir)
+    gold = detect_mentions(docs, which="gold")
+    pred = detect_mentions(docs, which="model", out_col="pred_spans")
+    return evaluate_recognizer(gold, pred.select("doc_id", "pred_spans"))
+
+
+SQL_RECOGNIZER_SCORES = f"""
+WITH {sql_mentions_pos_cte(name='gold')},
+{sql_mentions_pos_cte(name='pred', fixed=MODEL_FIXED, ambig=MODEL_AMBIG)},
+j AS (
+  SELECT g.label AS gold_label, p.label AS pred_label
+  FROM gold g FULL OUTER JOIN pred p
+    ON g.doc_id = p.doc_id AND g.pos = p.pos AND g.nwords = p.nwords
+),
+tp AS (SELECT gold_label AS label, CAST(count(*) AS BIGINT) AS tp FROM j
+       WHERE gold_label = pred_label GROUP BY 1),
+fp AS (SELECT pred_label AS label, CAST(count(*) AS BIGINT) AS fp FROM j
+       WHERE pred_label IS NOT NULL
+         AND (gold_label IS NULL OR gold_label <> pred_label) GROUP BY 1),
+fn AS (SELECT gold_label AS label, CAST(count(*) AS BIGINT) AS fn FROM j
+       WHERE gold_label IS NOT NULL
+         AND (pred_label IS NULL OR gold_label <> pred_label) GROUP BY 1),
+per_label AS (
+  SELECT coalesce(tp.label, fp.label, fn.label) AS label,
+         coalesce(tp, 0) AS tp, coalesce(fp, 0) AS fp, coalesce(fn, 0) AS fn
+  FROM tp FULL OUTER JOIN fp ON tp.label = fp.label
+          FULL OUTER JOIN fn ON coalesce(tp.label, fp.label) = fn.label
+),
+combined AS (
+  SELECT * FROM per_label
+  UNION ALL
+  SELECT '__ALL__', CAST(sum(tp) AS BIGINT), CAST(sum(fp) AS BIGINT),
+         CAST(sum(fn) AS BIGINT) FROM per_label
+)
+SELECT label, tp, fp, fn,
+  round(CASE WHEN tp + fp > 0 THEN tp / CAST(tp + fp AS DOUBLE) ELSE 0.0 END, 6)
+    AS precision,
+  round(CASE WHEN tp + fn > 0 THEN tp / CAST(tp + fn AS DOUBLE) ELSE 0.0 END, 6)
+    AS recall,
+  round(CASE WHEN 2*tp + fp + fn > 0
+             THEN 2.0 * tp / CAST(2*tp + fp + fn AS DOUBLE) ELSE 0.0 END, 6) AS f1
+FROM combined ORDER BY label
+"""
+
+
 QUERIES = {
     "ner_stats": q_ner_stats,
     "label_counts": q_label_counts,
@@ -557,9 +605,11 @@ QUERIES = {
     "linked_entities": q_linked_entities,
     "triples": q_triples,
     "triples_canonical": q_triples_canonical,
+    "recognizer_scores": q_recognizer_scores,
 }
 
 ORACLES = {
+    "recognizer_scores": SQL_RECOGNIZER_SCORES,
     "ner_stats": SQL_NER_STATS,
     "label_counts": SQL_LABEL_COUNTS,
     "sorted_type_counts": SQL_SORTED_TYPE_COUNTS,

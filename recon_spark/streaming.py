@@ -1,0 +1,82 @@
+"""Structured Streaming ingestion: incremental crawls -> triple store.
+
+The reference is batch-only (generators at recon/recognizer.py:111-120
+are its only "stream"), but a production CC-scale pipeline ingests
+crawl batches continuously. Two shapes:
+
+1. ``stream_events_hourly`` — watermarked tumbling-window aggregation
+   over an event stream (late data bounded by the watermark).
+2. ``stream_pages_to_triples`` — file-source stream of page batches ->
+   the same extraction stages as the batch factory -> foreachBatch
+   MERGE into the SnapshotStore. Exactly-once lands on the merge key:
+   replayed micro-batches insert 0 rows, so the streaming checkpoint
+   plus the idempotent MERGE give end-to-end resume (same property the
+   batch pipeline has).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from recon_spark.storage import SnapshotStore
+
+
+def stream_events_hourly(
+    spark: SparkSession,
+    source_dir: str,
+    schema_ddl: str = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ),
+    watermark: str = "2 hours",
+):
+    """Streaming tumbling-window count/sum per (hour, event_type) with a
+    late-data watermark. Returns the streaming DataFrame (caller picks
+    sink + trigger; tests use availableNow + memory sink)."""
+    src = spark.readStream.schema(schema_ddl).parquet(source_dir)
+    return (
+        src.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def stream_pages_to_triples(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    n_parts: int = 8,
+):
+    """Incremental triple factory: each arriving page file becomes a
+    micro-batch through the full extraction pipeline, merged
+    idempotently into the triple store. Returns the StreamingQuery
+    (availableNow trigger: drain what's there, then stop)."""
+    from recon_spark.pages import PAGES_DDL
+    from recon_spark.triples import build_triples
+
+    src = spark.readStream.schema(PAGES_DDL).parquet(pages_dir)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        build_triples(spark, batch_df, out_dir, n_parts=n_parts)
+
+    return (
+        src.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def triple_store(spark: SparkSession, out_dir: str) -> SnapshotStore:
+    return SnapshotStore(spark, out_dir, key_col="triple_key", hash_col="content_hash")

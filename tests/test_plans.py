@@ -1,0 +1,64 @@
+"""Physical-plan audits: assert the plans Catalyst produces are the ones
+we'd want at 100 TB — filters pushed to the scan, dimension joins
+broadcast, no Python in JVM-only paths, salted aggs two-stage."""
+
+from pyspark.sql import functions as F
+
+from recon_spark.operators.extraction import (
+    detect_mentions_jvm,
+    extract_triples_tokens,
+    mentions_long,
+    detect_mentions,
+)
+from recon_spark.operators.linker import alias_df, link_mentions
+from recon_spark.operators.stats import entity_coverage
+from tests.conftest import SF_SMOKE
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    df = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").where(
+        F.col("lang") == "en"
+    ).select("doc_id", "n_chars")
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+    # column pruning: text (the wide column) must not be read
+    assert "ReadSchema" in plan and "text" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_alias_join_is_broadcast(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    m = mentions_long(detect_mentions(docs))
+    linked = link_mentions(m, alias_df(spark))
+    assert "BroadcastHashJoin" in plan_of(linked)
+    assert "SortMergeJoin" not in plan_of(linked)
+
+
+def test_jvm_extraction_has_no_python_stage(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    for df in (detect_mentions_jvm(docs), extract_triples_tokens(docs)):
+        plan = plan_of(df)
+        assert "ArrowEvalPython" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "MapInArrow" not in plan  # wholly JVM: codegen-able project
+
+
+def test_salted_coverage_is_two_stage(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    m = mentions_long(detect_mentions(docs))
+    plan = plan_of(entity_coverage(m, salted=True))
+    # two aggregation levels on distinct key sets: (surface,label,salt)
+    # partials then (surface,label) finals -> >= 4 HashAggregate nodes,
+    # salt visible as the pmod grouping expression
+    assert plan.count("HashAggregate") >= 4
+    assert "pmod(doc_id" in plan
+
+
+def test_whole_stage_codegen_covers_triple_extraction(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = plan_of(extract_triples_tokens(docs))
+    # executedPlan().toString() marks codegen stages with "*(n)"
+    assert "*(1)" in plan
