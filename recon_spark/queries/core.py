@@ -45,7 +45,9 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mentions(spark: SparkSession, sf_dir: str, which: str = "gold") -> DataFrame:
-    return mentions_long(detect_mentions(_docs(spark, sf_dir), which=which))
+    from recon_spark.operators.extraction import detect_mentions_long
+
+    return detect_mentions_long(_docs(spark, sf_dir), which=which)
 
 
 # --------------------------------------------------------------------------

@@ -265,8 +265,10 @@ FROM wc_t ORDER BY doc_id
 
 
 def q_lang_mention_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from recon_spark.operators.extraction import detect_mentions_long
+
     docs = _docs(spark, sf_dir)
-    return TS.lang_mention_stats(docs, mentions_long(detect_mentions(docs)))
+    return TS.lang_mention_stats(docs, detect_mentions_long(docs))
 
 
 SQL_LANG_MENTION_STATS = f"""
