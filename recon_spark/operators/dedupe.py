@@ -226,6 +226,75 @@ def minhash_lsh_candidates(
     )
 
 
+def connected_components(
+    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b", max_iter: int = 50
+) -> DataFrame:
+    """Connected components over near-dup pairs: (id, component) where
+    component = min id reachable. Hash-min label propagation: each round
+    every node adopts the smallest label among itself and its neighbors;
+    converges in O(diameter) rounds (near-dup clusters are tiny, so 2-3
+    rounds in practice). Each round is one shuffle on id; the frontier
+    check stops early. AQE handles the shrinking join sizes."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.orderBy("id")
+
+
+def dedupe_corpus(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize the deduped corpus: group near-dup pairs into
+    components, keep the min-id representative of each component, pass
+    through all unpaired rows. The standard training-data dedup shape:
+    candidates (MinHash-LSH) -> verify -> cluster -> keep one."""
+    comps = connected_components(pairs)
+    losers = comps.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, simhash BIGINT): 32-bit SimHash over shingle multiset.
     Bit j is 1 iff sum over shingles of (2*bit_j(g32) - 1) > 0, where

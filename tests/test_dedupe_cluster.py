@@ -1,0 +1,61 @@
+"""Connected-components dedup clustering vs a driver-side union-find."""
+
+from recon_spark.operators.dedupe import (
+    connected_components,
+    dedupe_corpus,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+)
+from tests.conftest import SF_SMOKE
+
+
+def union_find(pairs):
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical = min element of each set
+    return {x: find(x) for x in parent}
+
+
+def test_components_match_union_find(spark):
+    edges = [(1, 2), (2, 3), (10, 11), (30, 31), (31, 32), (3, 10)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    want = union_find(edges)
+    assert got == want
+    assert got[11] == 1  # chain 1-2-3-10-11 collapses to min id
+
+
+def test_dedupe_corpus_on_planted_neardups(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    pairs = jaccard_pairs(docs, threshold=0.5)
+    pair_list = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+    kept = dedupe_corpus(docs, pairs)
+    uf = union_find(pair_list)
+    losers = {x for x, root in uf.items() if root != x}
+    assert kept.count() == docs.count() - len(losers)
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert not (kept_ids & losers)
+
+
+def test_lsh_candidates_cover_jaccard_pairs(spark):
+    """MinHash-LSH recall check: every true near-dup pair (Jaccard >= .5)
+    must appear among the LSH candidates on the planted corpus."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    true_pairs = {
+        (r["id_a"], r["id_b"]) for r in jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    cand = {
+        (r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(docs).collect()
+    }
+    assert true_pairs <= cand
