@@ -244,6 +244,38 @@ def sql_mentions_pos_cte(
 )"""
 
 
+def sql_mentions_char_cte(
+    table: str = "documents",
+    name: str = "mentions",
+    fixed: dict[str, str] | None = None,
+    ambig: dict[str, tuple[str, str]] | None = None,
+) -> str:
+    """Char-offset mention CTE: ``{name}_char(doc_id, start, "end",
+    surface, label)`` with Python-style [start, end) char offsets —
+    the exact dual of the Spark scanner's span offsets. Builds on the
+    token-position CTE; char starts come from a cumulative-length window
+    over the token stream (text is single-space joined, so
+    char_start(pos) = Σ_{p<pos} (len(w_p) + 1))."""
+    base = sql_mentions_pos_cte(table=table, name=name, fixed=fixed, ambig=ambig)
+    return (
+        base
+        + f""",
+{name}_cs AS (
+    SELECT doc_id, pos,
+           CAST(coalesce(sum(length(w) + 1) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS cs
+    FROM {name}_tok
+),
+{name}_char AS (
+    SELECT m.doc_id, c.cs AS start,
+           CAST(c.cs + length(m.surface) AS INT) AS "end",
+           m.surface, m.label
+    FROM {name} m JOIN {name}_cs c ON m.doc_id = c.doc_id AND m.pos = c.pos
+)"""
+    )
+
+
 def sql_alias_values() -> str:
     rows = ", ".join(
         f"('{a}', '{e}', '{n}', {s})" for a, e, n, s in ALIASES

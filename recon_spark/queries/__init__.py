@@ -13,8 +13,10 @@ __spark_entry__.py merges both registries.
 
 from recon_spark.queries.core import ORACLES as CORE_ORACLES
 from recon_spark.queries.core import QUERIES as CORE_QUERIES
+from recon_spark.queries.extra import ORACLES as EXTRA_ORACLES
+from recon_spark.queries.extra import QUERIES as EXTRA_QUERIES
 from recon_spark.queries.pipeline import ORACLES as PIPELINE_ORACLES
 from recon_spark.queries.pipeline import QUERIES as PIPELINE_QUERIES
 
-QUERIES = {**CORE_QUERIES, **PIPELINE_QUERIES}
-ORACLES = {**CORE_ORACLES, **PIPELINE_ORACLES}
+QUERIES = {**CORE_QUERIES, **PIPELINE_QUERIES, **EXTRA_QUERIES}
+ORACLES = {**CORE_ORACLES, **PIPELINE_ORACLES, **EXTRA_ORACLES}

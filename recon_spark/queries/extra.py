@@ -1,0 +1,399 @@
+"""Extra query registry: the remaining SURVEY.md §2 operators exposed
+through the driver contract — overlap resolution, sentence splitting,
+offset-adjusting strip, tokenization stats, deterministic augmentation,
+dedup clustering (connected components), LSH-bucketed ANN, and substring
+search.
+
+Each query pairs a Spark implementation with a DuckDB oracle. The
+non-trivial oracles:
+
+- ``filter_overlaps``: the greedy keep-longest-per-overlapping-chain
+  kernel (reference /root/reference/recon/validation.py:22-112) is
+  re-expressed in DuckDB as a ``list_reduce`` fold over the per-doc span
+  list sorted by (length DESC, start, end, source-rank) — per-chain
+  greedy equals globally-ordered greedy because overlap chains are
+  independent components.
+- ``augment_label_sub``: the substitution index is
+  ``(doc_id·KNUTH + span.start + variant) % |candidates|``
+  (recon_spark/operators/augmentation.py), all integer arithmetic, so
+  the oracle rebuilds each variant's text relationally from token units.
+- ``dedup_cluster``: min-reachable-id connected components as a
+  recursive CTE (the Spark side is hash-min label propagation —
+  both converge to min id per component).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from recon_spark.gazetteer import (
+    MENTION_PATTERN,
+    MODEL_AMBIG,
+    MODEL_FIXED,
+    sql_mentions_char_cte,
+    sql_mentions_pos_cte,
+)
+from recon_spark.operators import stats as S
+from recon_spark.operators.augmentation import ent_label_sub
+from recon_spark.operators.corrections import search, split_sentences, strip_annotations
+from recon_spark.operators.dedupe import connected_components, minhash_lsh_candidates
+from recon_spark.operators.extraction import detect_mentions, mentions_long
+from recon_spark.operators.sample import KNUTH
+from recon_spark.operators.similarity import lsh_neardup_pairs
+from recon_spark.operators.validation import filter_overlaps, add_tokens, validate_span_offsets
+from recon_spark.queries.core import SQL_ENTITY_COVERAGE, _docs
+
+
+# --------------------------------------------------------------------------
+# filter_overlaps — gold ∪ model spans, greedy keep-longest per chain
+# --------------------------------------------------------------------------
+
+def q_filter_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    g = detect_mentions(docs)  # source='gazetteer'
+    gp = detect_mentions(g, which="model", out_col="pred_spans")  # source='model'
+    merged = gp.withColumn("spans", F.expr("concat(spans, pred_spans)")).select(
+        "doc_id", "text", "spans"
+    )
+    resolved = filter_overlaps(merged)
+    return (
+        resolved.select("doc_id", F.explode("spans").alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.start").alias("start"),
+            F.col("s.end").alias("end"),
+            F.col("s.text").alias("text"),
+            F.col("s.label").alias("label"),
+            F.col("s.source").alias("source"),
+        )
+        .orderBy("doc_id", "start")
+    )
+
+
+SQL_FILTER_OVERLAPS = f"""
+WITH {sql_mentions_char_cte(name='gold')},
+{sql_mentions_char_cte(name='model', fixed=MODEL_FIXED, ambig=MODEL_AMBIG)},
+allsp AS (
+  SELECT doc_id, start, "end", surface, label, 'gazetteer' AS src, 0 AS srk FROM gold_char
+  UNION ALL
+  SELECT doc_id, start, "end", surface, label, 'model' AS src, 1 AS srk FROM model_char
+),
+lists AS (
+  SELECT doc_id,
+         list(struct_pack(s := start, e := "end", surface := surface,
+                          label := label, src := src)
+              ORDER BY ("end" - start) DESC, start, "end", srk) AS sp
+  FROM allsp GROUP BY doc_id
+),
+kept AS (
+  -- greedy fold: append the candidate iff it overlaps no already-kept
+  -- span. Written as concat-with-filtered-increment (never returning
+  -- the bare accumulator) because DuckDB 1.0's list_reduce mis-executes
+  -- a CASE branch that passes `acc` through unchanged.
+  SELECT doc_id,
+         list_reduce(
+           list_transform(sp, x -> [x]),
+           (acc, x) -> list_concat(acc, list_filter(x,
+               y -> len(list_filter(acc,
+                   k -> least(struct_extract(k, 'e'), struct_extract(y, 'e'))
+                        - greatest(struct_extract(k, 's'), struct_extract(y, 's')) > 0)) = 0))
+         ) AS ks
+  FROM lists
+),
+flat AS (SELECT doc_id, unnest(ks, recursive := true) FROM kept)
+SELECT doc_id, s AS start, e AS "end", surface AS text, label, src AS source
+FROM flat ORDER BY doc_id, start
+"""
+
+
+# --------------------------------------------------------------------------
+# split_sentences — one-to-many with offset re-basing
+# --------------------------------------------------------------------------
+
+_SENT_DELIM = " the "
+
+
+def q_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = detect_mentions(_docs(spark, sf_dir)).select("doc_id", "text", "spans")
+    s = split_sentences(d, delimiter=_SENT_DELIM)
+    # n_ok re-checks the span-offset invariant on the re-based spans; it
+    # must equal n_spans (the oracle counts mentions per sentence).
+    return s.select(
+        "doc_id",
+        "sent_id",
+        F.col("text").alias("sent_text"),
+        F.size("spans").alias("n_spans"),
+        F.expr(
+            "size(filter(spans, s -> s.text = substring(text, s.start + 1, s.end - s.start)))"
+        ).alias("n_ok"),
+    ).orderBy("doc_id", "sent_id")
+
+
+SQL_SPLIT_SENTENCES = f"""
+WITH sents AS (
+  SELECT doc_id,
+         unnest(string_split(text, '{_SENT_DELIM}')) AS sent_text,
+         unnest(generate_series(1, len(string_split(text, '{_SENT_DELIM}')))) - 1 AS sent_id
+  FROM documents
+)
+SELECT doc_id, CAST(sent_id AS INT) AS sent_id, sent_text,
+       CAST(len(regexp_extract_all(sent_text, '{MENTION_PATTERN}')) AS INT) AS n_spans,
+       CAST(len(regexp_extract_all(sent_text, '{MENTION_PATTERN}')) AS INT) AS n_ok
+FROM sents ORDER BY doc_id, sent_id
+"""
+
+
+# --------------------------------------------------------------------------
+# strip_annotations — metamorphic pad→strip round trip
+# --------------------------------------------------------------------------
+
+def q_strip_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pad every interior span by one char on each side (grabbing the
+    adjacent spaces), strip_annotations trims them back, the offset
+    invariant is re-validated, and the surface coverage must equal the
+    untouched entity-coverage oracle — an exact end-to-end check of the
+    offset arithmetic in recon_spark/operators/corrections.py
+    (reference recon/corrections.py:142-176)."""
+    d = detect_mentions(_docs(spark, sf_dir))
+    pad = (
+        "transform(spans, s -> IF(s.start > 0 AND s.end < length(text), "
+        "named_struct("
+        "'text', substring(text, s.start, s.end - s.start + 2), "
+        "'start', CAST(s.start - 1 AS INT), 'end', CAST(s.end + 1 AS INT), "
+        "'label', s.label, 'token_start', s.token_start, "
+        "'token_end', s.token_end, 'kb_id', s.kb_id, 'source', s.source), s))"
+    )
+    padded = d.withColumn("spans", F.expr(pad))
+    stripped = strip_annotations(padded)
+    valid = validate_span_offsets(stripped)
+    return S.entity_coverage(mentions_long(valid))
+
+
+SQL_STRIP_ANNOTATIONS = SQL_ENTITY_COVERAGE
+
+
+# --------------------------------------------------------------------------
+# token_stats — add_tokens + alignment gate + per-lang rollup
+# --------------------------------------------------------------------------
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = detect_mentions(_docs(spark, sf_dir))
+    t = add_tokens(d)  # drops rows with misaligned spans (none on this corpus)
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("tokens")).alias("n_tokens"),
+            F.sum(F.size("spans")).alias("n_spans"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_TOKEN_STATS = f"""
+WITH {sql_mentions_pos_cte()},
+mcount AS (SELECT doc_id, count(*) AS c FROM mentions GROUP BY doc_id)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS n_tokens,
+       CAST(sum(coalesce(m.c, 0)) AS BIGINT) AS n_spans
+FROM documents d LEFT JOIN mcount m USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
+# --------------------------------------------------------------------------
+# augment_label_sub — deterministic one-to-many augmentation
+# --------------------------------------------------------------------------
+
+_AUG_LABEL = "TECH"  # surface 'spark' only; never part of a bigram
+_AUG_CANDS = ["flink", "storm", "beam"]
+_AUG_N = 2
+
+
+def q_augment_label_sub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = detect_mentions(_docs(spark, sf_dir)).select("doc_id", "text", "spans")
+    a = ent_label_sub(d, _AUG_LABEL, _AUG_CANDS, n_augs=_AUG_N)
+    return a.select(
+        "doc_id", "variant", "text", F.size("spans").alias("n_spans")
+    ).orderBy("doc_id", "variant")
+
+
+_CANDS_SQL = "[" + ", ".join(f"'{c}'" for c in _AUG_CANDS) + "]"
+
+SQL_AUGMENT_LABEL_SUB = f"""
+WITH {sql_mentions_char_cte()},
+vs AS (SELECT unnest(generate_series(0, {_AUG_N - 1})) AS v),
+units AS (
+  SELECT m.doc_id, v.v, m.start AS ord,
+         CASE WHEN m.label = '{_AUG_LABEL}'
+              THEN {_CANDS_SQL}[CAST((m.doc_id * {KNUTH} + m.start + v.v)
+                                     % {len(_AUG_CANDS)} AS INT) + 1]
+              ELSE m.surface END AS unit
+  FROM mentions_char m, vs v
+  UNION ALL
+  SELECT t.doc_id, v.v, t.cs AS ord, t.w AS unit
+  FROM (SELECT tk.doc_id, tk.w, c.cs
+        FROM mentions_tok tk JOIN mentions_cs c
+          ON tk.doc_id = c.doc_id AND tk.pos = c.pos) t, vs v
+  WHERE NOT EXISTS (SELECT 1 FROM mentions_char m
+                    WHERE m.doc_id = t.doc_id
+                      AND m.start <= t.cs AND t.cs < m."end")
+),
+rebuilt AS (
+  SELECT doc_id, v, string_agg(unit, ' ' ORDER BY ord) AS text
+  FROM units GROUP BY doc_id, v
+),
+mc AS (SELECT doc_id, CAST(count(*) AS INT) AS n_spans FROM mentions_char GROUP BY doc_id),
+eligible AS (SELECT DISTINCT doc_id FROM mentions_char WHERE label = '{_AUG_LABEL}')
+SELECT r.doc_id, CAST(r.v AS INT) AS variant, r.text, mc.n_spans
+FROM rebuilt r
+JOIN eligible USING (doc_id)
+JOIN mc USING (doc_id)
+JOIN documents d ON d.doc_id = r.doc_id
+WHERE r.text <> d.text
+QUALIFY row_number() OVER (PARTITION BY r.doc_id, r.text ORDER BY r.v) = 1
+ORDER BY doc_id, variant
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup_cluster — connected components over MinHash-LSH candidate pairs
+# --------------------------------------------------------------------------
+
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return connected_components(minhash_lsh_candidates(_docs(spark, sf_dir)))
+
+
+def _sql_minhash_pairs_cte() -> str:
+    from recon_spark.queries.pipeline import SQL_SHINGLES, _sql_minhash
+
+    return f"""{SQL_SHINGLES},
+{_sql_minhash()},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands_long a
+  JOIN bands_long b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+)"""
+
+
+SQL_DEDUP_CLUSTER = f"""
+WITH RECURSIVE {_sql_minhash_pairs_cte()},
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT s AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.id
+)
+SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id
+"""
+
+
+# --------------------------------------------------------------------------
+# lsh_neardup — random-hyperplane LSH bands + exact cosine verify
+# --------------------------------------------------------------------------
+
+_LSH_DIM = 64
+_LSH_PLANES = 16
+_LSH_BANDS = 4
+_LSH_THRESHOLD = 0.45
+
+
+def q_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_neardup_pairs(
+        emb,
+        threshold=_LSH_THRESHOLD,
+        dim=_LSH_DIM,
+        n_planes=_LSH_PLANES,
+        n_bands=_LSH_BANDS,
+        id_col="vec_id",
+    )
+
+
+def _sql_lsh() -> str:
+    from recon_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(_LSH_DIM, _LSH_PLANES, seed=42)
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(e, [{', '.join(repr(x) for x in p)}]) > 0"
+        f" THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j, p in enumerate(planes)
+    )
+    rows = _LSH_PLANES // _LSH_BANDS
+    return f"""
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+sig AS (SELECT vec_id, e, {bits} AS s FROM v),
+bands AS (
+  SELECT vec_id, e, b,
+         (s // CAST(pow(2, b * {rows}) AS BIGINT)) % {1 << rows} AS piece
+  FROM sig, (SELECT unnest(generate_series(0, {_LSH_BANDS - 1})) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.e AS ea, b.e AS eb
+  FROM bands a JOIN bands b
+    ON a.b = b.b AND a.piece = b.piece AND a.vec_id < b.vec_id
+)"""
+
+
+SQL_LSH_NEARDUP = f"""
+WITH {_sql_lsh()}
+SELECT id_a, id_b,
+       round(list_dot_product(ea, eb)
+             / (sqrt(list_dot_product(ea, ea)) * sqrt(list_dot_product(eb, eb))), 6)
+         AS cos
+FROM cand
+WHERE list_dot_product(ea, eb)
+      / (sqrt(list_dot_product(ea, ea)) * sqrt(list_dot_product(eb, eb)))
+      >= {_LSH_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+# --------------------------------------------------------------------------
+# search_filter — substring search (pushdown-friendly filter)
+# --------------------------------------------------------------------------
+
+def q_search_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        search(_docs(spark, sf_dir), "customer query")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang")
+    )
+
+
+SQL_SEARCH_FILTER = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents
+WHERE position('customer query' IN lower(text)) > 0
+GROUP BY lang ORDER BY lang
+"""
+
+
+QUERIES = {
+    "filter_overlaps": q_filter_overlaps,
+    "split_sentences": q_split_sentences,
+    "strip_annotations": q_strip_annotations,
+    "token_stats": q_token_stats,
+    "augment_label_sub": q_augment_label_sub,
+    "dedup_cluster": q_dedup_cluster,
+    "lsh_neardup": q_lsh_neardup,
+    "search_filter": q_search_filter,
+}
+
+ORACLES = {
+    "filter_overlaps": SQL_FILTER_OVERLAPS,
+    "split_sentences": SQL_SPLIT_SENTENCES,
+    "strip_annotations": SQL_STRIP_ANNOTATIONS,
+    "token_stats": SQL_TOKEN_STATS,
+    "augment_label_sub": SQL_AUGMENT_LABEL_SUB,
+    "dedup_cluster": SQL_DEDUP_CLUSTER,
+    "lsh_neardup": SQL_LSH_NEARDUP,
+    "search_filter": SQL_SEARCH_FILTER,
+}
