@@ -259,6 +259,82 @@ ORDER BY doc_id, variant
 
 
 # --------------------------------------------------------------------------
+# kb_expansion — alias-sibling substitution (recon.augment.kb_expansion.v1)
+# --------------------------------------------------------------------------
+
+def q_kb_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """With the demo KB only E_STREAM has two aliases, so the expansion
+    deterministically swaps 'stream' ↔ 'data stream'; variant 1 always
+    reproduces variant 0's text and is content-deduped away."""
+    from recon_spark.operators.augmentation import kb_expansion
+
+    d = detect_mentions(_docs(spark, sf_dir)).select("doc_id", "text", "spans")
+    a = kb_expansion(d, n_augs=2)
+    return a.select(
+        "doc_id", "variant", "text", F.size("spans").alias("n_spans")
+    ).orderBy("doc_id", "variant")
+
+
+SQL_KB_EXPANSION = f"""
+WITH {sql_mentions_char_cte()},
+units AS (
+  SELECT m.doc_id, m.start AS ord,
+         CASE m.surface WHEN 'stream' THEN 'data stream'
+                        WHEN 'data stream' THEN 'stream'
+                        ELSE m.surface END AS unit
+  FROM mentions_char m
+  UNION ALL
+  SELECT t.doc_id, t.cs AS ord, t.w AS unit
+  FROM (SELECT tk.doc_id, tk.w, c.cs
+        FROM mentions_tok tk JOIN mentions_cs c
+          ON tk.doc_id = c.doc_id AND tk.pos = c.pos) t
+  WHERE NOT EXISTS (SELECT 1 FROM mentions_char m
+                    WHERE m.doc_id = t.doc_id
+                      AND m.start <= t.cs AND t.cs < m."end")
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(unit, ' ' ORDER BY ord) AS text
+  FROM units GROUP BY doc_id
+),
+mc AS (SELECT doc_id, CAST(count(*) AS INT) AS n_spans FROM mentions_char GROUP BY doc_id),
+eligible AS (SELECT DISTINCT doc_id FROM mentions_char
+             WHERE surface IN ('stream', 'data stream'))
+SELECT r.doc_id, CAST(0 AS INT) AS variant, r.text, mc.n_spans
+FROM rebuilt r JOIN eligible USING (doc_id) JOIN mc USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# merge_corrected — human-corrected rows win (prodigy merge analog)
+# --------------------------------------------------------------------------
+
+def q_merge_corrected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from recon_spark.operators.preprocess import merge_corrected
+
+    docs = _docs(spark, sf_dir)
+    corrected = (
+        docs.where(F.col("doc_id") % 7 == 0)
+        .select("text")
+        .distinct()
+        .withColumn("lang", F.lit("xx"))
+    )
+    merged = merge_corrected(docs, corrected, key_col="text")
+    return (
+        merged.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")).orderBy("lang")
+    )
+
+
+SQL_MERGE_CORRECTED = """
+SELECT CASE WHEN EXISTS (SELECT 1 FROM documents c
+                         WHERE c.doc_id % 7 = 0 AND c.text = d.text)
+            THEN 'xx' ELSE d.lang END AS lang,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents d GROUP BY 1 ORDER BY lang
+"""
+
+
+# --------------------------------------------------------------------------
 # dedup_cluster — connected components over MinHash-LSH candidate pairs
 # --------------------------------------------------------------------------
 
@@ -382,6 +458,8 @@ QUERIES = {
     "strip_annotations": q_strip_annotations,
     "token_stats": q_token_stats,
     "augment_label_sub": q_augment_label_sub,
+    "kb_expansion": q_kb_expansion,
+    "merge_corrected": q_merge_corrected,
     "dedup_cluster": q_dedup_cluster,
     "lsh_neardup": q_lsh_neardup,
     "search_filter": q_search_filter,
@@ -393,6 +471,8 @@ ORACLES = {
     "strip_annotations": SQL_STRIP_ANNOTATIONS,
     "token_stats": SQL_TOKEN_STATS,
     "augment_label_sub": SQL_AUGMENT_LABEL_SUB,
+    "kb_expansion": SQL_KB_EXPANSION,
+    "merge_corrected": SQL_MERGE_CORRECTED,
     "dedup_cluster": SQL_DEDUP_CLUSTER,
     "lsh_neardup": SQL_LSH_NEARDUP,
     "search_filter": SQL_SEARCH_FILTER,

@@ -62,3 +62,52 @@ def test_whole_stage_codegen_covers_triple_extraction(spark):
     plan = plan_of(extract_triples_tokens(docs))
     # executedPlan().toString() marks codegen stages with "*(n)"
     assert "*(1)" in plan
+
+
+def test_lsh_signature_is_jvm_only(spark):
+    from recon_spark.operators.similarity import with_lsh_signature
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    plan = plan_of(with_lsh_signature(emb, dim=64, n_planes=16, vec_col="embedding"))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Exchange" not in plan  # per-row signature: zero shuffle
+
+
+def test_merge_corrected_join_is_broadcast(spark):
+    from pyspark.sql import functions as F
+    from recon_spark.operators.preprocess import merge_corrected
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    corrected = (
+        docs.where(F.col("doc_id") % 7 == 0).select("text").distinct()
+        .withColumn("lang", F.lit("xx"))
+    )
+    plan = plan_of(merge_corrected(docs, corrected, key_col="text"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_add_tokens_is_jvm_only(spark):
+    from recon_spark.operators.validation import add_tokens
+    from recon_spark.operators.extraction import detect_mentions_jvm
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = plan_of(add_tokens(detect_mentions_jvm(docs)))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Exchange" not in plan  # tokenize + align: per-row, zero shuffle
+
+
+def test_filter_overlaps_adds_no_shuffle(spark):
+    from pyspark.sql import functions as F
+    from recon_spark.operators.extraction import detect_mentions
+    from recon_spark.operators.validation import filter_overlaps
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    g = detect_mentions(docs)
+    gp = detect_mentions(g, which="model", out_col="pred_spans")
+    merged = gp.withColumn("spans", F.expr("concat(spans, pred_spans)")).select(
+        "doc_id", "text", "spans"
+    )
+    plan = plan_of(filter_overlaps(merged))
+    # extraction + per-row resolution: no Exchange anywhere in the plan
+    assert "Exchange" not in plan
