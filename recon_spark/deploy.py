@@ -21,7 +21,12 @@ _SENT_KEY = "recon_spark.pyfiles.shipped"
 
 def build_pyfiles_zip(dest: str | None = None) -> str:
     """Zip the recon_spark package (sources only) for --py-files/addPyFile."""
-    dest = dest or os.path.join("/tmp", "recon_spark_pyfiles.zip")
+    if not os.path.isdir(_PKG_DIR):
+        raise RuntimeError(
+            "recon_spark is already running from a --py-files archive; "
+            "nothing to zip"
+        )
+    dest = dest or os.path.join("/tmp", f"recon_spark_pyfiles_{os.getpid()}.zip")
     with zipfile.ZipFile(dest, "w", zipfile.ZIP_DEFLATED) as zf:
         for root, _dirs, files in os.walk(_PKG_DIR):
             if "__pycache__" in root:
@@ -38,7 +43,13 @@ def build_pyfiles_zip(dest: str | None = None) -> str:
 
 
 def ensure_pyfiles(spark: SparkSession) -> None:
-    """Ship the package to this session's executors exactly once."""
+    """Ship the package to this session's executors exactly once.
+
+    No-op when the package itself was imported from a zip — that means
+    we were launched via spark-submit --py-files and the archive is
+    already on every executor's path."""
+    if not os.path.isdir(_PKG_DIR):
+        return
     sc = spark.sparkContext
     conf_flag = sc.environment.get(_SENT_KEY)
     if conf_flag:
