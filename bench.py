@@ -37,6 +37,11 @@ HEADLINE = [
     "ann_cosine_topk",
     "text_metrics",
     "events_sessions",
+    # span-surgery + clustering + ANN-scale path
+    "filter_overlaps",
+    "split_sentences",
+    "dedup_cluster",
+    "lsh_neardup",
 ]
 
 

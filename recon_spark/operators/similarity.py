@@ -121,16 +121,20 @@ def lsh_neardup_pairs(
     against the exact pairs in tests."""
     sig = with_lsh_signature(vectors, dim, n_planes, vec_col=vec_col)
     rows_per_band = n_planes // n_bands
+    # bucketed candidate generation on (band, piece, id) ONLY — carrying
+    # the d-dim float arrays through the self-join + distinct multiplies
+    # shuffle bytes by ~d and makes the dedupe compare arrays (measured
+    # 4x slower at sf0.1). Vectors are re-attached to the deduped id
+    # pairs afterwards.
     bands = sig.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
         F.explode(
             F.expr(
                 f"transform(sequence(0, {n_bands - 1}), b -> named_struct('b', b, "
                 f"'piece', (lsh_sig div CAST(pow(2, b * {rows_per_band}) AS BIGINT)) % {1 << rows_per_band}))"
             )
         ).alias("bp"),
-    ).select("id", "v", F.col("bp.b").alias("b"), F.col("bp.piece").alias("piece"))
+    ).select("id", F.col("bp.b").alias("b"), F.col("bp.piece").alias("piece"))
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -140,17 +144,15 @@ def lsh_neardup_pairs(
             & (F.col("a.piece") == F.col("b.piece"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = cand.join(va, "id_a").join(vb, "id_b")
     dot = _DOT.format(a="va", b="vb")
     return (
-        cand.withColumn(
+        pairs.withColumn(
             "cos",
             F.expr(f"{dot} / ({_NORM.format(a='va')} * {_NORM.format(a='vb')})"),
         )
