@@ -84,6 +84,38 @@ def validate_span_offsets(df: DataFrame, text_col: str = "text", spans_col: str 
     return df.where(span_offsets_valid(text_col, spans_col))
 
 
+def filter_overlaps_jvm(df: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """Greedy keep-longest-per-overlapping-chain entirely in JVM:
+    array_sort by (length DESC, start, end, source) then an aggregate()
+    fold appending each span iff it clashes with nothing kept — the
+    exact higher-order-function dual of the pandas kernel (asserted
+    equal in tests/test_span_core.py). Per-chain greedy equals this
+    globally-ordered greedy because chains are independent overlap
+    components. Zero Python, zero shuffle; preferred on the hot path."""
+    cmp_priority = f"""
+    array_sort({spans_col}, (l, r) -> CASE
+      WHEN (l.end - l.start) > (r.end - r.start) THEN -1
+      WHEN (l.end - l.start) < (r.end - r.start) THEN 1
+      WHEN l.start < r.start THEN -1 WHEN l.start > r.start THEN 1
+      WHEN l.end < r.end THEN -1 WHEN l.end > r.end THEN 1
+      WHEN l.source < r.source THEN -1 WHEN l.source > r.source THEN 1
+      ELSE 0 END)
+    """
+    greedy = f"""
+    aggregate(
+      {cmp_priority},
+      CAST(array() AS {_SPAN_DDL}),
+      (acc, x) -> CASE WHEN exists(acc,
+            k -> least(k.end, x.end) - greatest(k.start, x.start) > 0)
+          THEN acc ELSE array_append(acc, x) END)
+    """
+    by_start = f"""
+    array_sort({greedy}, (l, r) ->
+      CASE WHEN l.start < r.start THEN -1 WHEN l.start > r.start THEN 1 ELSE 0 END)
+    """
+    return df.withColumn(spans_col, F.expr(by_start))
+
+
 def filter_overlaps(df: DataFrame, spans_col: str = "spans") -> DataFrame:
     """Resolve overlapping spans per row: greedy keep-longest per
     overlapping chain (Arrow-batched; kernel shared with the driver-side

@@ -41,7 +41,11 @@ from recon_spark.operators.dedupe import connected_components, minhash_lsh_candi
 from recon_spark.operators.extraction import detect_mentions, mentions_long
 from recon_spark.operators.sample import KNUTH
 from recon_spark.operators.similarity import lsh_neardup_pairs
-from recon_spark.operators.validation import filter_overlaps, add_tokens, validate_span_offsets
+from recon_spark.operators.validation import (
+    add_tokens,
+    filter_overlaps_jvm,
+    validate_span_offsets,
+)
 from recon_spark.queries.core import SQL_ENTITY_COVERAGE, _docs
 
 
@@ -56,7 +60,8 @@ def q_filter_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = gp.withColumn("spans", F.expr("concat(spans, pred_spans)")).select(
         "doc_id", "text", "spans"
     )
-    resolved = filter_overlaps(merged)
+    resolved = filter_overlaps_jvm(merged)  # JVM fold; pandas-kernel
+    # variant asserted bit-equal in tests/test_span_core.py
     return (
         resolved.select("doc_id", F.explode("spans").alias("s"))
         .select(

@@ -111,3 +111,14 @@ def test_filter_overlaps_adds_no_shuffle(spark):
     plan = plan_of(filter_overlaps(merged))
     # extraction + per-row resolution: no Exchange anywhere in the plan
     assert "Exchange" not in plan
+
+
+def test_filter_overlaps_jvm_has_no_python_stage(spark):
+    from pyspark.sql import functions as F
+    from recon_spark.operators.extraction import detect_mentions_jvm
+    from recon_spark.operators.validation import filter_overlaps_jvm
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = plan_of(filter_overlaps_jvm(detect_mentions_jvm(docs)))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "MapInArrow" not in plan and "Exchange" not in plan

@@ -125,3 +125,22 @@ class TestTokenize:
         assert ok and ok[0]["token_start"] == 0 and ok[0]["token_end"] == 0
         misaligned = align_spans_to_tokens([sp(1, 4, "T", "par")], toks)
         assert misaligned is None
+
+
+def test_filter_overlaps_jvm_matches_pandas_kernel(spark):
+    """The JVM array_sort+aggregate greedy must be bit-equal to the
+    pandas kernel on the gold∪model overlap workload."""
+    from pyspark.sql import functions as F
+
+    from recon_spark.operators.extraction import detect_mentions
+    from recon_spark.operators.validation import filter_overlaps, filter_overlaps_jvm
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    g = detect_mentions(docs)
+    gp = detect_mentions(g, which="model", out_col="pred_spans")
+    merged = gp.withColumn("spans", F.expr("concat(spans, pred_spans)")).select(
+        "doc_id", "text", "spans"
+    )
+    a = {r["doc_id"]: r["spans"] for r in filter_overlaps(merged).collect()}
+    b = {r["doc_id"]: r["spans"] for r in filter_overlaps_jvm(merged).collect()}
+    assert a == b
