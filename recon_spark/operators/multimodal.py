@@ -84,7 +84,11 @@ def decode_image(payload: bytes, meta: dict, fake: bool = False) -> list[int]:
         )
     w = (meta.get("width") or 8) % 8 + 1
     h = (meta.get("height") or 8) % 8 + 1
-    digest = hashlib.sha256(payload).digest()
+    # fake "pixels" are seeded by sha256 over the payload's hex form —
+    # equally deterministic, and expressible in ANSI SQL (DuckDB's
+    # sha256 takes VARCHAR only), so the driver oracle can replicate
+    # the whole decode→pool pipeline exactly
+    digest = hashlib.sha256(payload.hex().encode()).digest()
     return [digest[(x * h + y) % 32] for x in range(w) for y in range(h)]
 
 

@@ -437,6 +437,73 @@ ORDER BY id_a, id_b
 
 
 # --------------------------------------------------------------------------
+# multimodal_features — opaque-binary decode (stub) → pooled features
+# --------------------------------------------------------------------------
+
+_MEDIA_N = 512
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media table → metadata-only image filter →
+    Arrow-batched fake-decode → 8-way mean pooling, flattened to
+    (media_id, f_idx, feature). The decode stub is seeded by
+    sha256(payload.hex()) so the oracle replicates the whole pipeline
+    relationally."""
+    from recon_spark.operators.multimodal import extract_image_features, generate_media
+
+    media = generate_media(spark, _MEDIA_N)
+    feats = extract_image_features(media, fake=True)
+    return (
+        feats.select(
+            "media_id",
+            F.posexplode("features").alias("f_idx", "f"),
+        )
+        .select("media_id", "f_idx", F.round("f", 6).alias("feature"))
+        .orderBy("media_id", "f_idx")
+    )
+
+
+# image rows are media_id % 3 == 0; their fake decode dims collapse to
+# w = h = media_id % 8 + 1 (generator: width = 32 + i % 64, and
+# (32 + i % 64) % 8 == i % 8; same for height). np.array_split(px, 8)
+# chunk j covers [j*(l//8) + min(j, l%8), +l//8 + (j < l%8)).
+SQL_MULTIMODAL_FEATURES = f"""
+WITH ids AS (SELECT unnest(generate_series(0, {_MEDIA_N - 1})) AS media_id),
+img AS (
+  SELECT media_id, CAST(media_id % 8 + 1 AS BIGINT) AS w
+  FROM ids WHERE media_id % 3 = 0
+),
+d AS (
+  SELECT media_id, w * w AS l,
+         sha256(repeat(sha256('42:' || media_id), 8 + media_id % 8)) AS dh
+  FROM img
+),
+b AS (
+  SELECT media_id, l,
+         list_transform(generate_series(0, 31),
+           k -> CAST(concat('0x', substr(dh, 2 * k + 1, 2)) AS INT)) AS db
+  FROM d
+),
+px AS (
+  SELECT media_id, l,
+         list_transform(generate_series(0, l - 1), j -> db[(j % 32) + 1]) AS p
+  FROM b
+),
+f AS (
+  SELECT media_id, fi AS f_idx,
+         CAST(l // 8 + (CASE WHEN fi < l % 8 THEN 1 ELSE 0 END) AS BIGINT) AS sz,
+         CAST(fi * (l // 8) + least(fi, l % 8) AS BIGINT) AS st,
+         p
+  FROM px, (SELECT unnest(generate_series(0, 7)) AS fi)
+)
+SELECT media_id, CAST(f_idx AS INT) AS f_idx,
+       round(CASE WHEN sz > 0 THEN list_avg(p[st + 1 : st + sz]) ELSE 0.0 END, 6)
+         AS feature
+FROM f ORDER BY media_id, f_idx
+"""
+
+
+# --------------------------------------------------------------------------
 # search_filter — substring search (pushdown-friendly filter)
 # --------------------------------------------------------------------------
 
@@ -465,6 +532,7 @@ QUERIES = {
     "augment_label_sub": q_augment_label_sub,
     "kb_expansion": q_kb_expansion,
     "merge_corrected": q_merge_corrected,
+    "multimodal_features": q_multimodal_features,
     "dedup_cluster": q_dedup_cluster,
     "lsh_neardup": q_lsh_neardup,
     "search_filter": q_search_filter,
@@ -478,6 +546,7 @@ ORACLES = {
     "augment_label_sub": SQL_AUGMENT_LABEL_SUB,
     "kb_expansion": SQL_KB_EXPANSION,
     "merge_corrected": SQL_MERGE_CORRECTED,
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "dedup_cluster": SQL_DEDUP_CLUSTER,
     "lsh_neardup": SQL_LSH_NEARDUP,
     "search_filter": SQL_SEARCH_FILTER,
