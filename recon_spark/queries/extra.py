@@ -503,6 +503,25 @@ FROM f ORDER BY media_id, f_idx
 """
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: one row per (media_id, frame_ts_ms),
+    pure JVM sequence over the metadata duration — the binary column is
+    never touched (column pruning keeps payload bytes out of the scan)."""
+    from recon_spark.operators.multimodal import generate_media, sample_frames
+
+    media = generate_media(spark, _MEDIA_N)
+    return sample_frames(media, every_ms=1000).orderBy("media_id", "frame_ts_ms")
+
+
+SQL_MULTIMODAL_FRAMES = f"""
+WITH ids AS (SELECT unnest(generate_series(0, {_MEDIA_N - 1})) AS media_id),
+vid AS (SELECT media_id, 2000 + media_id % 9000 AS duration_ms
+        FROM ids WHERE media_id % 3 = 2)
+SELECT media_id, CAST(unnest(generate_series(0, duration_ms, 1000)) AS INT) AS frame_ts_ms
+FROM vid ORDER BY media_id, frame_ts_ms
+"""
+
+
 # --------------------------------------------------------------------------
 # search_filter — substring search (pushdown-friendly filter)
 # --------------------------------------------------------------------------
@@ -533,6 +552,7 @@ QUERIES = {
     "kb_expansion": q_kb_expansion,
     "merge_corrected": q_merge_corrected,
     "multimodal_features": q_multimodal_features,
+    "multimodal_frames": q_multimodal_frames,
     "dedup_cluster": q_dedup_cluster,
     "lsh_neardup": q_lsh_neardup,
     "search_filter": q_search_filter,
@@ -547,6 +567,7 @@ ORACLES = {
     "kb_expansion": SQL_KB_EXPANSION,
     "merge_corrected": SQL_MERGE_CORRECTED,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    "multimodal_frames": SQL_MULTIMODAL_FRAMES,
     "dedup_cluster": SQL_DEDUP_CLUSTER,
     "lsh_neardup": SQL_LSH_NEARDUP,
     "search_filter": SQL_SEARCH_FILTER,
