@@ -227,14 +227,57 @@ def minhash_lsh_candidates(
 
 
 def connected_components(
-    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b", max_iter: int = 50
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 50,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Connected components over near-dup pairs: (id, component) where
-    component = min id reachable. Hash-min label propagation: each round
-    every node adopts the smallest label among itself and its neighbors;
-    converges in O(diameter) rounds (near-dup clusters are tiny, so 2-3
-    rounds in practice). Each round is one shuffle on id; the frontier
-    check stops early. AQE handles the shrinking join sizes."""
+    component = min id reachable.
+
+    Size-adaptive strategy (the broadcast-join-threshold pattern): when
+    the edge set is small (≤ driver_threshold pairs — the common case,
+    since near-dup candidates are a tiny fraction of the corpus even at
+    CC scale), collect and union-find on the driver in one pass instead
+    of paying per-round job overhead. Above the threshold: hash-min
+    label propagation — each round every node adopts the smallest label
+    among itself and its neighbors; converges in O(diameter) rounds
+    (near-dup clusters are tiny, so 2-3 rounds). Each round is one
+    shuffle on id; the frontier check stops early; AQE handles the
+    shrinking join sizes. Both paths produce identical labels
+    (component = min reachable id)."""
+    # single action: fetch threshold+1 rows; a full count would run the
+    # (expensive) candidate-generation job twice
+    rows = pairs.select(a_col, b_col).limit(driver_threshold + 1).collect()
+    if len(rows) <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in rows:
+            a, b = r[0], r[1]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comp: dict = {}
+        for n in parent:
+            comp.setdefault(find(n), []).append(n)
+        out = [
+            (n, min(members))
+            for members in comp.values()
+            for n in members
+        ]
+        spark = pairs.sparkSession
+        return spark.createDataFrame(
+            sorted(out), "id long, component long"
+        ).orderBy("id")
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
