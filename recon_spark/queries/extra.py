@@ -36,7 +36,7 @@ from recon_spark.gazetteer import (
 )
 from recon_spark.operators import stats as S
 from recon_spark.operators.augmentation import ent_label_sub
-from recon_spark.operators.corrections import search, split_sentences, strip_annotations
+from recon_spark.operators.corrections import search, split_sentences_jvm, strip_annotations
 from recon_spark.operators.dedupe import connected_components, minhash_lsh_candidates
 from recon_spark.operators.extraction import detect_mentions, mentions_long
 from recon_spark.operators.sample import KNUTH
@@ -121,7 +121,8 @@ _SENT_DELIM = " the "
 
 def q_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = detect_mentions(_docs(spark, sf_dir)).select("doc_id", "text", "spans")
-    s = split_sentences(d, delimiter=_SENT_DELIM)
+    s = split_sentences_jvm(d, delimiter=_SENT_DELIM)  # JVM fold; mapInArrow
+    # kernel asserted bit-equal in tests/test_span_core.py
     # n_ok re-checks the span-offset invariant on the re-based spans; it
     # must equal n_spans (the oracle counts mentions per sentence).
     return s.select(

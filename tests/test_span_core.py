@@ -144,3 +144,17 @@ def test_filter_overlaps_jvm_matches_pandas_kernel(spark):
     a = {r["doc_id"]: r["spans"] for r in filter_overlaps(merged).collect()}
     b = {r["doc_id"]: r["spans"] for r in filter_overlaps_jvm(merged).collect()}
     assert a == b
+
+
+def test_split_sentences_jvm_matches_arrow_kernel(spark):
+    """The JVM fold split must be bit-equal to the mapInArrow kernel."""
+    from recon_spark.operators.corrections import split_sentences, split_sentences_jvm
+    from recon_spark.operators.extraction import detect_mentions
+
+    d = detect_mentions(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ).select("doc_id", "text", "spans")
+    key = lambda r: (r["doc_id"], r["sent_id"], r["text"], tuple(map(tuple, r["spans"])))
+    a = sorted(map(key, split_sentences(d, delimiter=" the ").collect()))
+    b = sorted(map(key, split_sentences_jvm(d, delimiter=" the ").collect()))
+    assert a == b
