@@ -6,11 +6,12 @@ tokens, align spans, DROP examples whose spans don't align),
 keep-longest per overlapping chain), /root/reference/recon/types.py:85-96
 (span-offset invariant: span.text == text[start:end]).
 
-add_tokens + the offset invariant are pure JVM; filter_overlaps is a
-per-row array algorithm (chain construction is inherently sequential) so
-it runs as an Arrow-vectorized pandas UDF over the shared pure-Python
-kernel in core/spans.py — identical semantics on driver and executors,
-zero shuffle.
+add_tokens + the offset invariant are pure JVM. filter_overlaps ships
+two implementations asserted bit-equal: an Arrow-vectorized pandas UDF
+over the shared pure-Python kernel in core/spans.py (identical
+semantics on driver and executors), and filter_overlaps_jvm — the same
+greedy as an array_sort + aggregate fold, zero Python, used on the hot
+path. Both are shuffle-free.
 """
 
 from __future__ import annotations
