@@ -151,6 +151,109 @@ def prediction_errors(
     )
 
 
+def prediction_errors_colocated(
+    df: DataFrame,
+    gold_spans: str = "spans",
+    pred_spans: str = "pred_spans",
+) -> DataFrame:
+    """prediction_errors when gold and pred span arrays share a row
+    (the single-pipeline case): the (start,end) alignment is a per-row
+    array comparison — zero explode, zero join, zero shuffle before the
+    final small aggregate. Identical classification to the full-outer
+    join (each (doc,start,end) occurs at most once per side), asserted
+    against the same oracle."""
+    err_ddl = "ARRAY<STRUCT<text: STRING, true_label: STRING, pred_label: STRING>>"
+    errs = f"""
+    filter(concat(
+      transform({gold_spans}, g -> CASE
+        WHEN NOT exists({pred_spans}, p -> p.start = g.start AND p.end = g.end)
+          THEN named_struct('text', g.text, 'true_label', g.label,
+                            'pred_label', '{NOT_LABELED}')
+        WHEN try_element_at(filter({pred_spans},
+               p -> p.start = g.start AND p.end = g.end), 1).label <> g.label
+          THEN named_struct('text', g.text, 'true_label', g.label,
+                            'pred_label', try_element_at(filter({pred_spans},
+                              p -> p.start = g.start AND p.end = g.end), 1).label)
+        ELSE CAST(NULL AS STRUCT<text: STRING, true_label: STRING, pred_label: STRING>)
+        END),
+      transform(
+        filter({pred_spans},
+               p -> NOT exists({gold_spans}, g -> g.start = p.start AND g.end = p.end)),
+        p -> named_struct('text', p.text, 'true_label', '{NOT_LABELED}',
+                          'pred_label', p.label))
+    ), e -> e IS NOT NULL)
+    """
+    return (
+        df.select(F.explode(F.expr(f"CAST({errs} AS {err_ddl})")).alias("e"))
+        .select("e.text", "e.true_label", "e.pred_label")
+        .groupBy("text", "true_label", "pred_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "text", "true_label", "pred_label")
+    )
+
+
+def hardest_examples_colocated(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    gold_spans: str = "spans",
+    pred_spans: str = "pred_spans",
+) -> DataFrame:
+    """hardest_examples with co-located span arrays: per-row tp/fp/fn
+    via array predicates (no explode, no join), then the same global
+    normalization. Empty-span docs are already rows, so no all-docs
+    re-join is needed."""
+    tp = (
+        f"size(filter({gold_spans}, g -> exists({pred_spans}, "
+        "p -> p.start = g.start AND p.end = g.end AND p.label = g.label)))"
+    )
+    fp = (
+        f"size(filter({pred_spans}, p -> NOT exists({gold_spans}, "
+        "g -> g.start = p.start AND g.end = p.end AND g.label = p.label)))"
+    )
+    fn = (
+        f"size(filter({gold_spans}, g -> NOT exists({pred_spans}, "
+        "p -> p.start = g.start AND p.end = g.end AND p.label = g.label)))"
+    )
+    scored = df.select(
+        F.col(id_col).alias("doc_id"),
+        (F.expr(fp) + F.expr(fn)).cast("long").alias("count"),
+        F.when(
+            (F.size(gold_spans) > 0) & (F.size(pred_spans) > 0),
+            F.when(
+                (2 * F.expr(tp) + F.expr(fp) + F.expr(fn)) > 0,
+                2.0 * F.expr(tp) / (2 * F.expr(tp) + F.expr(fp) + F.expr(fn)),
+            ).otherwise(0.0),
+        )
+        .otherwise(1.0)
+        .alias("fscore"),
+    )
+    glob = scored.agg(F.max("count").alias("max_count"))
+    adj = scored.crossJoin(F.broadcast(glob)).select(
+        "doc_id",
+        "count",
+        (
+            F.col("fscore")
+            - F.col("count") / F.when(F.col("max_count") > 0, F.col("max_count")).otherwise(1)
+        ).alias("raw_score"),
+    )
+    rng = adj.agg(F.min("raw_score").alias("lo"), F.max("raw_score").alias("hi"))
+    return (
+        adj.crossJoin(F.broadcast(rng))
+        .select(
+            "doc_id",
+            "count",
+            F.round(
+                F.when(
+                    F.col("hi") > F.col("lo"),
+                    (F.col("raw_score") - F.col("lo")) / (F.col("hi") - F.col("lo")),
+                ).otherwise(0.0),
+                6,
+            ).alias("score"),
+        )
+        .orderBy("score", "count", "doc_id")
+    )
+
+
 def hardest_examples(
     docs: DataFrame,
     gold: DataFrame,

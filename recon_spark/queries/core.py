@@ -283,10 +283,12 @@ FROM ranked WHERE rk = 1 AND n_labels > 1 ORDER BY annotation
 
 
 def q_prediction_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # gold and pred arrays co-located on one row: zero-shuffle error
+    # classification (join-based I.prediction_errors covers the
+    # two-source case and is asserted equal in tests)
     docs = _docs(spark, sf_dir)
-    gold = detect_mentions(docs, which="gold")
-    pred = detect_mentions(docs, which="model", out_col="pred_spans")
-    return I.prediction_errors(gold, pred.select("doc_id", "pred_spans"))
+    both = detect_mentions(detect_mentions(docs), which="model", out_col="pred_spans")
+    return I.prediction_errors_colocated(both)
 
 
 SQL_PREDICTION_ERRORS = f"""
@@ -310,9 +312,8 @@ GROUP BY 1, 2, 3 ORDER BY n DESC, text, true_label, pred_label
 
 def q_hardest_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    gold = detect_mentions(docs, which="gold")
-    pred = detect_mentions(docs, which="model", out_col="pred_spans")
-    return I.hardest_examples(docs, gold, pred.select("doc_id", "pred_spans"))
+    both = detect_mentions(detect_mentions(docs), which="model", out_col="pred_spans")
+    return I.hardest_examples_colocated(both)
 
 
 SQL_HARDEST_EXAMPLES = f"""

@@ -39,3 +39,23 @@ def test_model_variant_differs_from_gold(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_colocated_insights_match_join_operators(spark):
+    """Per-row (co-located) error classification and hardest scoring must
+    equal the two-source full-outer-join operators."""
+    from recon_spark.operators import insights as I
+    from recon_spark.operators.extraction import detect_mentions
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    both = detect_mentions(detect_mentions(docs), which="model", out_col="pred_spans")
+    gold = both.select("doc_id", "text", "spans")
+    pred = both.select("doc_id", "pred_spans")
+
+    a = sorted(map(tuple, I.prediction_errors(gold, pred).collect()))
+    b = sorted(map(tuple, I.prediction_errors_colocated(both).collect()))
+    assert a == b
+
+    c = sorted(map(tuple, I.hardest_examples(docs, gold, pred).collect()))
+    d = sorted(map(tuple, I.hardest_examples_colocated(both).collect()))
+    assert c == d
