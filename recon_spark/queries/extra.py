@@ -437,6 +437,36 @@ ORDER BY id_a, id_b
 """
 
 
+def q_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus.apply analog (reference recon/corpus.py:142-164): the same
+    ner-stats aggregate over every split in ONE grouped job — the
+    `source` column stands in for train/dev/test. One shuffle total
+    instead of one job per split."""
+    d = detect_mentions(_docs(spark, sf_dir))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_examples"),
+            F.sum((F.size("spans") == 0).cast("long")).alias("n_examples_no_entities"),
+            F.sum(F.size("spans")).alias("n_annotations"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_SPLIT_STATS = f"""
+WITH {sql_mentions_pos_cte()},
+mcount AS (SELECT doc_id, count(*) AS c FROM mentions GROUP BY doc_id)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_examples,
+       CAST(sum(CASE WHEN coalesce(m.c, 0) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_examples_no_entities,
+       CAST(sum(coalesce(m.c, 0)) AS BIGINT) AS n_annotations
+FROM documents d LEFT JOIN mcount m USING (doc_id)
+GROUP BY d.source ORDER BY d.source
+"""
+
+
 # --------------------------------------------------------------------------
 # multimodal_features — opaque-binary decode (stub) → pooled features
 # --------------------------------------------------------------------------
@@ -549,6 +579,7 @@ QUERIES = {
     "split_sentences": q_split_sentences,
     "strip_annotations": q_strip_annotations,
     "token_stats": q_token_stats,
+    "split_stats": q_split_stats,
     "augment_label_sub": q_augment_label_sub,
     "kb_expansion": q_kb_expansion,
     "merge_corrected": q_merge_corrected,
@@ -564,6 +595,7 @@ ORACLES = {
     "split_sentences": SQL_SPLIT_SENTENCES,
     "strip_annotations": SQL_STRIP_ANNOTATIONS,
     "token_stats": SQL_TOKEN_STATS,
+    "split_stats": SQL_SPLIT_STATS,
     "augment_label_sub": SQL_AUGMENT_LABEL_SUB,
     "kb_expansion": SQL_KB_EXPANSION,
     "merge_corrected": SQL_MERGE_CORRECTED,
