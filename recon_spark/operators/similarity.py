@@ -160,3 +160,50 @@ def lsh_neardup_pairs(
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
         .orderBy("id_a", "id_b")
     )
+
+
+def ivf_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.45,
+    centroid_every: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flavored ANN: a deterministic coarse quantizer (every
+    `centroid_every`-th vector is a centroid — the seeded-sample stand-in
+    for k-means training), cosine-argmax cell assignment, candidate
+    pairs within a cell, exact cosine verify. At scale the cell
+    assignment is a broadcast join (centroid count ~ sqrt(N)) and the
+    verify join shuffles only within-cell pairs."""
+    cents = vectors.where(F.col(id_col) % centroid_every == 0).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
+    )
+    dot = _DOT.format(a=vec_col, b="cv")
+    sim = f"({dot}) / ({_NORM.format(a=vec_col)} * {_NORM.format(a='cv')})"
+    assigned = (
+        vectors.crossJoin(F.broadcast(cents))
+        .withColumn("__sim", F.expr(sim))
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(F.desc("__sim"), "cent_id")
+            ),
+        )
+        .where(F.col("__rk") == 1)
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "cent_id")
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    pair_dot = _DOT.format(a="a.v", b="b.v")
+    pair_cos = f"({pair_dot}) / ({_NORM.format(a='a.v')} * {_NORM.format(a='b.v')})"
+    return (
+        a.join(b, (F.col("a.cent_id") == F.col("b.cent_id")) & (F.col("a.id") < F.col("b.id")))
+        .withColumn("cos", F.expr(pair_cos))
+        .where(F.col("cos") >= threshold)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round("cos", 6).alias("cos"),
+        )
+        .orderBy("id_a", "id_b")
+    )

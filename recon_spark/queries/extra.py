@@ -553,6 +553,41 @@ FROM vid ORDER BY media_id, frame_ts_ms
 """
 
 
+def q_ivf_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from recon_spark.operators.similarity import ivf_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_neardup_pairs(emb, threshold=_LSH_THRESHOLD, centroid_every=50, id_col="vec_id")
+
+
+SQL_IVF_NEARDUP = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, e AS cv FROM v WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT v.vec_id AS id, v.e, c.cent_id,
+         list_dot_product(v.e, c.cv)
+           / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.cv, c.cv)))
+           AS sim
+  FROM v, cents c
+),
+assigned AS (
+  SELECT id, e, cent_id
+  FROM scored
+  QUALIFY row_number() OVER (PARTITION BY id ORDER BY sim DESC, cent_id) = 1
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)
+         AS cos
+FROM assigned a JOIN assigned b
+  ON a.cent_id = b.cent_id AND a.id < b.id
+WHERE list_dot_product(a.e, b.e)
+      / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+      >= {_LSH_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
 # --------------------------------------------------------------------------
 # search_filter — substring search (pushdown-friendly filter)
 # --------------------------------------------------------------------------
@@ -587,6 +622,7 @@ QUERIES = {
     "multimodal_frames": q_multimodal_frames,
     "dedup_cluster": q_dedup_cluster,
     "lsh_neardup": q_lsh_neardup,
+    "ivf_neardup": q_ivf_neardup,
     "search_filter": q_search_filter,
 }
 
@@ -603,5 +639,6 @@ ORACLES = {
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,
     "dedup_cluster": SQL_DEDUP_CLUSTER,
     "lsh_neardup": SQL_LSH_NEARDUP,
+    "ivf_neardup": SQL_IVF_NEARDUP,
     "search_filter": SQL_SEARCH_FILTER,
 }
