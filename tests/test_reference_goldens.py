@@ -199,3 +199,61 @@ def test_label_disparities_and_fix_annotations_golden(spark):
         ).collect()
     }
     assert after == set()
+
+
+def _mk_spans_df(spark, text, spans):
+    rows = [
+        (
+            0,
+            text,
+            [
+                {"text": t, "start": s, "end": e, "label": lab,
+                 "token_start": None, "token_end": None, "kb_id": None,
+                 "source": None}
+                for t, s, e, lab in spans
+            ],
+        )
+    ]
+    return spark.createDataFrame(
+        rows,
+        "doc_id long, text string, spans array<struct<text: string,"
+        "start: int, end: int, label: string, token_start: int,"
+        "token_end: int, kb_id: string, source: string>>",
+    )
+
+
+def test_strip_annotations_golden(spark):
+    """Reference test_strip_annotations exact output
+    (/root/reference/tests/test_corrections.py:56-79)."""
+    from recon_spark.operators.corrections import strip_annotations
+
+    df = _mk_spans_df(
+        spark,
+        "This is an - entity more text and entity.",
+        [("- entity", 11, 19, "ENTITY"), ("entity.", 34, 41, "ENTITY")],
+    )
+    out = strip_annotations(df).collect()[0]["spans"]
+    got = [(s["text"], s["start"], s["end"], s["label"]) for s in out]
+    assert got == [("entity", 13, 19, "ENTITY"), ("entity", 34, 40, "ENTITY")]
+
+
+def test_split_sentences_golden(spark):
+    """Reference test_split_sentences span re-basing
+    (/root/reference/tests/test_corrections.py:81-183). Our splitter
+    consumes the '. ' delimiter (the reference's spaCy sents keep the
+    period on the sentence) — sentence text differs by that trailing
+    period, span offsets and counts are identical."""
+    from recon_spark.operators.corrections import split_sentences_jvm
+
+    df = _mk_spans_df(
+        spark,
+        "This is a first sentence with entity. This is an entity in the 2nd sentence.",
+        [("entity", 30, 36, "ENTITY"), ("entity", 49, 55, "ENTITY")],
+    )
+    rows = split_sentences_jvm(df, delimiter=". ").orderBy("sent_id").collect()
+    assert len(rows) == 2
+    s0 = [(s["text"], s["start"], s["end"]) for s in rows[0]["spans"]]
+    s1 = [(s["text"], s["start"], s["end"]) for s in rows[1]["spans"]]
+    assert s0 == [("entity", 30, 36)]
+    assert s1 == [("entity", 11, 17)]  # re-based to sentence 2's origin
+    assert rows[1]["text"] == "This is an entity in the 2nd sentence."
