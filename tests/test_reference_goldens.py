@@ -257,3 +257,29 @@ def test_split_sentences_golden(spark):
     assert s0 == [("entity", 30, 36)]
     assert s1 == [("entity", 11, 17)]  # re-based to sentence 2's origin
     assert rows[1]["text"] == "This is an entity in the 2nd sentence."
+
+
+def test_ent_label_sub_golden(spark):
+    """Reference test_ent_label_substitution exact offsets
+    (/root/reference/tests/test_augmentation.py:6-39): substitute every
+    ENTITY span with 'new entity' (single candidate ⇒ deterministic),
+    all downstream offsets re-based."""
+    from recon_spark.operators.augmentation import ent_label_sub
+
+    df = _mk_spans_df(
+        spark,
+        "This is a first sentence with entity. This is an entity in the 2nd sentence.",
+        [("entity", 30, 36, "ENTITY"), ("entity", 49, 55, "ENTITY")],
+    )
+    rows = ent_label_sub(df, "ENTITY", ["new entity"], n_augs=1).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["text"] == (
+        "This is a first sentence with new entity. This is an new entity in "
+        "the 2nd sentence."
+    )
+    got = [(s["text"], s["start"], s["end"], s["label"]) for s in r["spans"]]
+    assert got == [
+        ("new entity", 30, 40, "ENTITY"),
+        ("new entity", 53, 63, "ENTITY"),
+    ]
