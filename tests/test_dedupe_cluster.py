@@ -59,3 +59,17 @@ def test_lsh_candidates_cover_jaccard_pairs(spark):
         (r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(docs).collect()
     }
     assert true_pairs <= cand
+
+
+def test_blas_allpairs_matches_fold_path(spark):
+    """The BLAS-blocked exact all-pairs must agree with the oracle-pinned
+    expression fold (same pair set, cosines within rounding)."""
+    from recon_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        cosine_neardup_pairs_blas,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = {(r.id_a, r.id_b, round(r.cos, 5)) for r in cosine_neardup_pairs(emb, threshold=0.45).collect()}
+    b = {(r.id_a, r.id_b, round(r.cos, 5)) for r in cosine_neardup_pairs_blas(emb, threshold=0.45).collect()}
+    assert a == b
