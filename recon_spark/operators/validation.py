@@ -71,6 +71,83 @@ def add_tokens(
     return out
 
 
+def add_tokens_arrow(
+    df: DataFrame,
+    text_col: str = "text",
+    spans_col: str = "spans",
+    tokens_col: str = "tokens",
+    drop_misaligned: bool = True,
+) -> DataFrame:
+    """add_tokens as a mapInArrow pass building flat Arrow arrays —
+    linear per row, vs the JVM fold whose array_append accumulator is
+    quadratic in token count (1.8x at sf0.1's ~85-token docs; the gap
+    widens with document length, so prefer this on long-document
+    corpora and the all-JVM fold when plans must stay Python-free).
+    Bit-equal to add_tokens (asserted in tests); same zero-shuffle
+    shape. Uses the shared tokenize_ws/align kernel from core/spans."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    from recon_spark.core.spans import align_spans_to_tokens, tokenize_ws
+    from recon_spark.schema import SPAN_STRUCT, TOKEN_STRUCT
+
+    drop_idx = [i for i, f in enumerate(df.schema.fields) if f.name == tokens_col]
+    base_fields = [f for f in df.schema.fields if f.name != tokens_col]
+    out_schema = T.StructType(base_fields + [T.StructField(tokens_col, T.ArrayType(TOKEN_STRUCT))])
+    tok_pa = pa.struct(
+        [("text", pa.string()), ("start", pa.int32()), ("end", pa.int32()), ("id", pa.int32())]
+    )
+    span_pa = pa.struct(
+        [
+            ("text", pa.string()),
+            ("start", pa.int32()),
+            ("end", pa.int32()),
+            ("label", pa.string()),
+            ("token_start", pa.int32()),
+            ("token_end", pa.int32()),
+            ("kb_id", pa.string()),
+            ("source", pa.string()),
+        ]
+    )
+    span_fields = ["text", "start", "end", "label", "token_start", "token_end", "kb_id", "source"]
+
+    def _gen(batches):
+        for batch in batches:
+            texts = batch.column(text_col).to_pylist()
+            spans_in = batch.column(spans_col).to_pylist()
+            keep: list[int] = []
+            toks_out: list = []
+            spans_out: list = []
+            for i, (t, spans) in enumerate(zip(texts, spans_in)):
+                toks = tokenize_ws(t)
+                aligned = align_spans_to_tokens(
+                    [dict(s) for s in (spans or [])], toks
+                )
+                if aligned is None:
+                    if drop_misaligned:
+                        continue
+                    aligned = [dict(s) for s in (spans or [])]
+                keep.append(i)
+                toks_out.append(
+                    [{"text": w, "start": a, "end": b, "id": tid} for w, a, b, tid in toks]
+                )
+                spans_out.append([{f: s.get(f) for f in span_fields} for s in aligned])
+            idx = pa.array(keep, pa.int32())
+            cols = []
+            names = []
+            for f in base_fields:
+                if f.name == spans_col:
+                    cols.append(pa.array(spans_out, pa.list_(span_pa)))
+                else:
+                    cols.append(batch.column(f.name).take(idx))
+                names.append(f.name)
+            cols.append(pa.array(toks_out, pa.list_(tok_pa)))
+            names.append(tokens_col)
+            yield pa.RecordBatch.from_arrays(cols, names)
+
+    return df.drop(tokens_col).mapInArrow(_gen, out_schema) if drop_idx else df.mapInArrow(_gen, out_schema)
+
+
 def span_offsets_valid(text_col: str = "text", spans_col: str = "spans") -> Column:
     """Column predicate: every span satisfies
     span.text == substring(text, start+1, end-start) — the reference's

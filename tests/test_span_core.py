@@ -158,3 +158,18 @@ def test_split_sentences_jvm_matches_arrow_kernel(spark):
     a = sorted(map(key, split_sentences(d, delimiter=" the ").collect()))
     b = sorted(map(key, split_sentences_jvm(d, delimiter=" the ").collect()))
     assert a == b
+
+
+def test_add_tokens_arrow_matches_jvm_fold(spark):
+    from recon_spark.operators.extraction import detect_mentions
+    from recon_spark.operators.validation import add_tokens, add_tokens_arrow
+
+    d = detect_mentions(spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    key = lambda r: (
+        r["doc_id"],
+        tuple(map(tuple, r["tokens"])),
+        tuple(map(tuple, r["spans"])),
+    )
+    a = sorted(map(key, add_tokens(d).select("doc_id", "tokens", "spans").collect()))
+    b = sorted(map(key, add_tokens_arrow(d).select("doc_id", "tokens", "spans").collect()))
+    assert a == b
