@@ -89,7 +89,7 @@ def add_tokens_arrow(
     from pyspark.sql import types as T
 
     from recon_spark.core.spans import align_spans_to_tokens, tokenize_ws
-    from recon_spark.schema import SPAN_STRUCT, TOKEN_STRUCT
+    from recon_spark.schema import TOKEN_STRUCT
 
     drop_idx = [i for i, f in enumerate(df.schema.fields) if f.name == tokens_col]
     base_fields = [f for f in df.schema.fields if f.name != tokens_col]
