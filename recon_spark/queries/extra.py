@@ -437,6 +437,38 @@ ORDER BY id_a, id_b
 """
 
 
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-evidence language ID over every doc, rolled up to
+    (lang_pred, n_docs) — the plumbing contract a fastText-style model
+    would slot into."""
+    from recon_spark.operators.textstats import language_id
+
+    d = language_id(_docs(spark, sf_dir))
+    return d.groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n_docs")).orderBy("lang_pred")
+
+
+def _sql_stopword_in() -> str:
+    from recon_spark.gazetteer import STOPWORDS
+
+    return ", ".join(f"'{s}'" for s in STOPWORDS)
+
+
+SQL_LANGUAGE_ID = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+p AS (
+  SELECT doc_id,
+         CASE WHEN len(list_filter(ws, w -> w IN ({_sql_stopword_in()})))
+                   / CAST(len(ws) AS DOUBLE) >= 0.01
+              THEN 'en' ELSE 'und' END AS lang_pred
+  FROM t
+)
+SELECT lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+FROM p GROUP BY lang_pred ORDER BY lang_pred
+"""
+
+
 def q_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus.apply analog (reference recon/corpus.py:142-164): the same
     ner-stats aggregate over every split in ONE grouped job — the
@@ -615,6 +647,7 @@ QUERIES = {
     "strip_annotations": q_strip_annotations,
     "token_stats": q_token_stats,
     "split_stats": q_split_stats,
+    "language_id": q_language_id,
     "augment_label_sub": q_augment_label_sub,
     "kb_expansion": q_kb_expansion,
     "merge_corrected": q_merge_corrected,
@@ -632,6 +665,7 @@ ORACLES = {
     "strip_annotations": SQL_STRIP_ANNOTATIONS,
     "token_stats": SQL_TOKEN_STATS,
     "split_stats": SQL_SPLIT_STATS,
+    "language_id": SQL_LANGUAGE_ID,
     "augment_label_sub": SQL_AUGMENT_LABEL_SUB,
     "kb_expansion": SQL_KB_EXPANSION,
     "merge_corrected": SQL_MERGE_CORRECTED,
