@@ -122,3 +122,23 @@ def test_filter_overlaps_jvm_has_no_python_stage(spark):
     plan = plan_of(filter_overlaps_jvm(detect_mentions_jvm(docs)))
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "MapInArrow" not in plan and "Exchange" not in plan
+
+
+def test_language_id_and_split_stats_are_jvm_single_shuffle(spark):
+    from recon_spark.operators.textstats import language_id
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = plan_of(language_id(docs))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Exchange" not in plan  # per-row predicate: zero shuffle
+
+
+def test_ivf_assignment_join_is_broadcast(spark):
+    from recon_spark.operators.similarity import ivf_neardup_pairs
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    plan = plan_of(ivf_neardup_pairs(emb, threshold=0.45))
+    # centroid assignment must broadcast the (small) centroid side; the
+    # within-cell self-join SHOULD shuffle on cent_id — cells are the
+    # parallelism unit at scale
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
