@@ -283,3 +283,22 @@ def test_ent_label_sub_golden(spark):
         ("new entity", 30, 40, "ENTITY"),
         ("new entity", 53, 63, "ENTITY"),
     ]
+
+
+def test_recognizer_self_evaluation_is_perfect(spark):
+    """Reference test_recognizer: evaluating a recognizer against its own
+    annotations scores P/R/F = 1.0 on every label
+    (/root/reference/tests/test_recognizer.py:10-40)."""
+    from pyspark.sql import functions as F
+
+    from recon_spark.operators.extraction import detect_mentions
+    from recon_spark.operators.scorer import evaluate_recognizer
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    gold = detect_mentions(docs)
+    pred = gold.withColumn("pred_spans", F.col("spans")).select("doc_id", "pred_spans")
+    rows = evaluate_recognizer(gold, pred).collect()
+    assert len(rows) > 1  # per-label rows + __ALL__
+    for r in rows:
+        assert (r["precision"], r["recall"], r["f1"]) == (1.0, 1.0, 1.0), r
+        assert r["fp"] == 0 and r["fn"] == 0
