@@ -166,15 +166,17 @@ def ivf_neardup_pairs(
     vectors: DataFrame,
     threshold: float = 0.45,
     centroid_every: int = 50,
+    nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF-flavored ANN: a deterministic coarse quantizer (every
     `centroid_every`-th vector is a centroid — the seeded-sample stand-in
-    for k-means training), cosine-argmax cell assignment, candidate
-    pairs within a cell, exact cosine verify. At scale the cell
-    assignment is a broadcast join (centroid count ~ sqrt(N)) and the
-    verify join shuffles only within-cell pairs."""
+    for k-means training), each vector assigned to its `nprobe` nearest
+    cells (multi-probe: the standard IVF recall lever), candidate pairs
+    sharing a cell, exact cosine verify on deduped id pairs. At scale
+    the cell assignment is a broadcast join (centroid count ~ sqrt(N))
+    and the verify join shuffles only within-cell id pairs."""
     cents = vectors.where(F.col(id_col) % centroid_every == 0).select(
         F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
     )
@@ -189,22 +191,25 @@ def ivf_neardup_pairs(
                 Window.partitionBy(id_col).orderBy(F.desc("__sim"), "cent_id")
             ),
         )
-        .where(F.col("__rk") == 1)
-        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "cent_id")
+        .where(F.col("__rk") <= nprobe)
+        .select(F.col(id_col).alias("id"), "cent_id")
     )
     a = assigned.alias("a")
     b = assigned.alias("b")
-    pair_dot = _DOT.format(a="a.v", b="b.v")
-    pair_cos = f"({pair_dot}) / ({_NORM.format(a='a.v')} * {_NORM.format(a='b.v')})"
-    return (
+    cand = (
         a.join(b, (F.col("a.cent_id") == F.col("b.cent_id")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pair_dot = _DOT.format(a="va", b="vb")
+    pair_cos = f"({pair_dot}) / ({_NORM.format(a='va')} * {_NORM.format(a='vb')})"
+    return (
+        cand.join(va, "id_a").join(vb, "id_b")
         .withColumn("cos", F.expr(pair_cos))
         .where(F.col("cos") >= threshold)
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round("cos", 6).alias("cos"),
-        )
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
         .orderBy("id_a", "id_b")
     )
 

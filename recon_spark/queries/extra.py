@@ -589,7 +589,9 @@ def q_ivf_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from recon_spark.operators.similarity import ivf_neardup_pairs
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return ivf_neardup_pairs(emb, threshold=_LSH_THRESHOLD, centroid_every=50, id_col="vec_id")
+    return ivf_neardup_pairs(
+        emb, threshold=_LSH_THRESHOLD, centroid_every=50, nprobe=2, id_col="vec_id"
+    )
 
 
 SQL_IVF_NEARDUP = f"""
@@ -603,18 +605,24 @@ scored AS (
   FROM v, cents c
 ),
 assigned AS (
-  SELECT id, e, cent_id
+  SELECT id, cent_id
   FROM scored
-  QUALIFY row_number() OVER (PARTITION BY id ORDER BY sim DESC, cent_id) = 1
+  QUALIFY row_number() OVER (PARTITION BY id ORDER BY sim DESC, cent_id) <= 2
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM assigned a JOIN assigned b
+    ON a.cent_id = b.cent_id AND a.id < b.id
 )
-SELECT a.id AS id_a, b.id AS id_b,
-       round(list_dot_product(a.e, b.e)
-             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)
+SELECT c.id_a, c.id_b,
+       round(list_dot_product(va.e, vb.e)
+             / (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))), 6)
          AS cos
-FROM assigned a JOIN assigned b
-  ON a.cent_id = b.cent_id AND a.id < b.id
-WHERE list_dot_product(a.e, b.e)
-      / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+FROM cand c
+JOIN v va ON va.vec_id = c.id_a
+JOIN v vb ON vb.vec_id = c.id_b
+WHERE list_dot_product(va.e, vb.e)
+      / (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e)))
       >= {_LSH_THRESHOLD}
 ORDER BY id_a, id_b
 """
