@@ -98,3 +98,25 @@ def lang_mention_stats(docs: DataFrame, mentions: DataFrame) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# simplified GPT-2-style pre-tokenizer: contractions, letter runs, digit
+# runs, punctuation runs, whitespace runs. Plain alternation only (no
+# lookarounds) so Java regex (Spark) and RE2 (DuckDB) match identically.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n]+|[ \t\n]+"
+
+
+def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, n_ws_tokens, n_bpe_tokens): whitespace token count vs
+    BPE-ish pre-tokenizer count (non-whitespace matches of BPE_PATTERN).
+    Pure JVM regexp; zero shuffle."""
+    ws = f"size(split({text_col}, ' '))"
+    bpe = (
+        f"size(filter(regexp_extract_all({text_col}, \"{BPE_PATTERN}\", 0),"
+        " t -> NOT (t rlike '^[ \\\\t\\\\n]+$')))"
+    )
+    return df.select(
+        F.col(id_col),
+        F.expr(ws).alias("n_ws_tokens"),
+        F.expr(bpe).alias("n_bpe_tokens"),
+    )

@@ -437,6 +437,30 @@ ORDER BY id_a, id_b
 """
 
 
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish-regex token counts per doc (the two token
+    accounting modes a training-data pipeline reports)."""
+    from recon_spark.operators.textstats import token_counts
+
+    return token_counts(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _sql_bpe() -> str:
+    from recon_spark.operators.textstats import BPE_PATTERN
+
+    return BPE_PATTERN.replace("'", "''")
+
+
+SQL_TOKEN_COUNTS = f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+       CAST(len(list_filter(regexp_extract_all(text, '{{pat}}'),
+                x -> NOT regexp_matches(x, '^[ 	
+]+$'))) AS INT) AS n_bpe_tokens
+FROM documents ORDER BY doc_id
+""".replace("{pat}", _sql_bpe())
+
+
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-evidence language ID over every doc, rolled up to
     (lang_pred, n_docs) — the plumbing contract a fastText-style model
@@ -656,6 +680,7 @@ QUERIES = {
     "token_stats": q_token_stats,
     "split_stats": q_split_stats,
     "language_id": q_language_id,
+    "token_counts": q_token_counts,
     "augment_label_sub": q_augment_label_sub,
     "kb_expansion": q_kb_expansion,
     "merge_corrected": q_merge_corrected,
@@ -674,6 +699,7 @@ ORACLES = {
     "token_stats": SQL_TOKEN_STATS,
     "split_stats": SQL_SPLIT_STATS,
     "language_id": SQL_LANGUAGE_ID,
+    "token_counts": SQL_TOKEN_COUNTS,
     "augment_label_sub": SQL_AUGMENT_LABEL_SUB,
     "kb_expansion": SQL_KB_EXPANSION,
     "merge_corrected": SQL_MERGE_CORRECTED,

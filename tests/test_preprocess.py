@@ -78,3 +78,17 @@ def test_iob_repair_orphan_i_tag(spark):
     df = add_tokens(df, drop_misaligned=False)
     spans = df.withColumn("spans", iob_to_spans()).collect()[0]["spans"]
     assert [(s["start"], s["end"], s["label"]) for s in spans] == [(2, 7, "TECH")]
+
+
+def test_bpe_token_counts_on_punctuation(spark):
+    """BPE-ish pre-tokenizer splits contractions, punctuation runs, and
+    digit runs — cross-checked against DuckDB RE2 in the oracle suite;
+    here the exact counts on punctuation-rich strings."""
+    from recon_spark.operators.textstats import token_counts
+
+    df = spark.createDataFrame(
+        [(0, "don't stop! 123 abc-def"), (1, "hello world"), (2, "a'll b're c,d;e")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_tokens"]) for r in token_counts(df).collect()}
+    assert rows == {0: (4, 8), 1: (2, 2), 2: (3, 9)}
