@@ -110,6 +110,11 @@ def run_bench(sf_dir: str, cpus: int, queries: list[str]) -> dict:
         "queries": timings,
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         "pages_per_sec": round(n_docs_tp / extract_sec, 1),
+        # methodology marker: pages/sec is best-of-2 over an in-memory
+        # x20-replicated, pre-persisted corpus (hot path), NOT a cold
+        # single-pass parquet read — numbers are only comparable with
+        # other runs carrying the same mode tag
+        "throughput_mode": "replicated-x20-hot",
         "n_docs": n_docs,
         "cpus": cpus,
     }

@@ -17,11 +17,77 @@ from __future__ import annotations
 from typing import Iterator
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from recon_spark.core.spans import substitute_spans
 from recon_spark.operators.sample import KNUTH
 
 _SPAN_FIELDS = ["text", "start", "end", "label", "token_start", "token_end", "kb_id", "source"]
+
+# mask_1d keying constants (shared with the DuckDB oracle in
+# recon_spark/queries/extra.py)
+MASK_MIX = 2_246_822_519
+MASK_MOD = 1_000_000_007
+
+
+def mask_positions(n: int, prob: float, seed: int) -> set[int]:
+    """Pure kernel: the positions selected by the deterministic 1-d mask.
+
+    Reference semantics (recon/augmentation.py:9-19): a 0/1 mask of
+    ``length`` with exactly ceil(length*prob) ones, uniformly shuffled
+    via the global numpy RNG. A distributed engine must not depend on
+    global RNG state (SURVEY.md §7.3.6), so the shuffle is re-expressed
+    as a keyed rank: position j gets key (seed*KNUTH + j*MASK_MIX) %
+    MASK_MOD, and the ceil(n*prob) positions with the smallest (key, j)
+    are the ones. Same inputs -> same mask, on any cluster, any
+    partitioning."""
+    import math
+
+    if prob < 0 or prob > 1:
+        raise ValueError(
+            f"Prob of {prob} is not allowed. Allowed values between 0 and 1."
+        )
+    if n <= 0:
+        return set()
+    n_ones = math.ceil(n * prob)
+    keyed = sorted(((seed * KNUTH + j * MASK_MIX) % MASK_MOD, j) for j in range(n))
+    return {j for _, j in keyed[:n_ones]}
+
+
+def with_mask_1d(
+    df: DataFrame,
+    n_expr: str,
+    prob: float,
+    seed_expr: str = "doc_id",
+    out_col: str = "mask",
+) -> DataFrame:
+    """mask_1d as a per-row JVM column: ARRAY<BOOLEAN> of length
+    ``n_expr`` with exactly ceil(n*prob) ones at the positions
+    ``mask_positions`` selects (asserted equal in tests). array_sort on
+    (key, j) structs ranks in O(n log n) per row; no shuffle, no
+    Python."""
+    if prob < 0 or prob > 1:
+        raise ValueError(
+            f"Prob of {prob} is not allowed. Allowed values between 0 and 1."
+        )
+    key = f"(CAST({seed_expr} AS BIGINT) * {KNUTH}L + CAST(j AS BIGINT) * {MASK_MIX}L) % {MASK_MOD}L"
+    ones = (
+        f"transform(slice(array_sort(transform(sequence(0, {n_expr} - 1), "
+        f"j -> named_struct('k', {key}, 'j', j))), 1, "
+        f"CAST(ceil(({n_expr}) * {prob}D) AS INT)), s -> s.j)"
+    )
+    mask = f"transform(sequence(0, {n_expr} - 1), j -> array_contains(__mask_ones, j))"
+    return (
+        df.withColumn(
+            "__mask_ones",
+            F.expr(f"IF({n_expr} > 0, {ones}, CAST(array() AS ARRAY<INT>))"),
+        )
+        .withColumn(
+            out_col,
+            F.expr(f"IF({n_expr} > 0, {mask}, CAST(array() AS ARRAY<BOOLEAN>))"),
+        )
+        .drop("__mask_ones")
+    )
 
 
 def _augment_rows(
@@ -31,16 +97,28 @@ def _augment_rows(
     target_label: str,
     candidates: list[str],
     n_augs: int,
+    sub_prob: float = 1.0,
 ) -> list[tuple[int, int, str, list[dict]]]:
-    """Pure kernel: deterministic substitution variants of one example."""
+    """Pure kernel: deterministic substitution variants of one example.
+    sub_prob < 1 masks the target spans (ordered by start) with
+    mask_1d semantics — exactly ceil(n*prob) of them substituted,
+    selection seeded by (doc_id, variant) — mirroring the reference's
+    mask over spans (recon/augmentation.py:97)."""
     out = []
     seen = {text}
-    targets = [s for s in spans if s["label"] == target_label]
+    targets = sorted(
+        (s for s in spans if s["label"] == target_label), key=lambda s: s["start"]
+    )
     if not targets:
         return out
     for v in range(n_augs):
+        if sub_prob >= 1.0:
+            chosen = targets
+        else:
+            keep = mask_positions(len(targets), sub_prob, doc_id + v)
+            chosen = [s for j, s in enumerate(targets) if j in keep]
         repl = {}
-        for s in targets:
+        for s in chosen:
             idx = (doc_id * KNUTH + s["start"] + v) % len(candidates)
             repl[(s["start"], s["end"])] = candidates[idx]
         new_text, new_spans = substitute_spans(text, spans, repl)
@@ -58,10 +136,12 @@ def ent_label_sub(
     id_col: str = "doc_id",
     text_col: str = "text",
     spans_col: str = "spans",
+    sub_prob: float = 1.0,
 ) -> DataFrame:
     """recon.augment.ent_label_sub.v1: emit up to n_augs deterministic
-    variants per example, substituting every span of target_label and
-    re-basing all downstream offsets. One-to-many mapInArrow."""
+    variants per example, substituting a mask_1d-selected ceil(n*sub_prob)
+    of the target_label spans (all of them at the default sub_prob=1.0)
+    and re-basing all downstream offsets. One-to-many mapInArrow."""
     import pyarrow as pa
 
     span_pa = pa.struct(

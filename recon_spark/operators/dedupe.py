@@ -249,6 +249,9 @@ def connected_components(
     (component = min reachable id)."""
     # single action: fetch threshold+1 rows; a full count would run the
     # (expensive) candidate-generation job twice
+    from pyspark.sql.types import StructField, StructType
+
+    id_type = pairs.schema[a_col].dataType  # both paths honor the input id type
     rows = pairs.select(a_col, b_col).limit(driver_threshold + 1).collect()
     if len(rows) <= driver_threshold:
         parent: dict = {}
@@ -275,9 +278,10 @@ def connected_components(
             for n in members
         ]
         spark = pairs.sparkSession
-        return spark.createDataFrame(
-            sorted(out), "id long, component long"
-        ).orderBy("id")
+        schema = StructType(
+            [StructField("id", id_type), StructField("component", id_type)]
+        )
+        return spark.createDataFrame(sorted(out), schema).orderBy("id")
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(

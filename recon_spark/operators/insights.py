@@ -169,8 +169,8 @@ def prediction_errors_colocated(
         WHEN NOT exists({pred_spans}, p -> p.start = g.start AND p.end = g.end)
           THEN named_struct('text', g.text, 'true_label', g.label,
                             'pred_label', '{NOT_LABELED}')
-        WHEN try_element_at(filter({pred_spans},
-               p -> p.start = g.start AND p.end = g.end), 1).label <> g.label
+        WHEN NOT (try_element_at(filter({pred_spans},
+               p -> p.start = g.start AND p.end = g.end), 1).label <=> g.label)
           THEN named_struct('text', g.text, 'true_label', g.label,
                             'pred_label', try_element_at(filter({pred_spans},
                               p -> p.start = g.start AND p.end = g.end), 1).label)

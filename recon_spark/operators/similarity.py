@@ -15,7 +15,9 @@ aggregates over the zipped arrays (no Python).
 from __future__ import annotations
 
 import random
+from typing import Iterator
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -89,6 +91,29 @@ def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
+def with_lsh_signature_jvm(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    out_col: str = "lsh_sig",
+) -> DataFrame:
+    """Random-hyperplane sign signature as a BIGINT (per-row, no shuffle).
+
+    Pure-JVM reference implementation: n_planes interpreted
+    ``aggregate(zip_with(...))`` folds per row. Kept for cross-checking
+    the vectorized path in tests; use ``with_lsh_signature`` on hot
+    paths (~10x faster — the folds were the slowest headline stage)."""
+    planes = hyperplanes(dim, n_planes, seed)
+    bits = []
+    for j, p in enumerate(planes):
+        arr = "array(" + ", ".join(f"{x}D" for x in p) + ")"
+        dot = _DOT.format(a=vec_col, b=arr)
+        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << j}L ELSE 0L END)")
+    return df.withColumn(out_col, F.expr(" + ".join(bits)))
+
+
 def with_lsh_signature(
     df: DataFrame,
     dim: int,
@@ -97,14 +122,89 @@ def with_lsh_signature(
     vec_col: str = "embedding",
     out_col: str = "lsh_sig",
 ) -> DataFrame:
-    """Random-hyperplane sign signature as a BIGINT (per-row, no shuffle)."""
+    """Random-hyperplane sign signature as a BIGINT — Arrow-vectorized
+    numpy kernel (one (batch x dim) @ (dim x n_planes) matmul per Arrow
+    batch). Same bit spec as ``with_lsh_signature_jvm`` (bit j set iff
+    dot(vec, plane_j) > 0 in float64) and asserted bit-equal in tests;
+    per-row, shuffle-free."""
+    import numpy as np
+
     planes = hyperplanes(dim, n_planes, seed)
-    bits = []
-    for j, p in enumerate(planes):
-        arr = "array(" + ", ".join(f"{x}D" for x in p) + ")"
-        dot = _DOT.format(a=vec_col, b=arr)
-        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << j}L ELSE 0L END)")
-    return df.withColumn(out_col, F.expr(" + ".join(bits)))
+
+    @F.pandas_udf("long")
+    def _sig(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        pl = np.asarray(planes, dtype=np.float64).T  # (dim, n_planes)
+        weights = (np.int64(1) << np.arange(pl.shape[1], dtype=np.int64))
+        for vecs in batches:
+            if len(vecs):
+                mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+                sigs = ((mat @ pl) > 0) @ weights
+            else:
+                sigs = np.array([], dtype=np.int64)
+            yield pd.Series(sigs, dtype="int64")
+
+    return df.withColumn(out_col, _sig(F.col(vec_col)))
+
+
+def with_cosine_vectorized(
+    pairs: DataFrame,
+    a_col: str = "va",
+    b_col: str = "vb",
+    out_col: str = "cos",
+) -> DataFrame:
+    """Cosine between two array columns — Arrow-vectorized numpy kernel
+    (einsum over the stacked batch). float64 end to end, so values agree
+    with the interpreted JVM fold / DuckDB ``list_dot_product`` to the
+    last ulp of summation order (asserted equal after round(6) in
+    tests). Use on verify hot paths: candidate sets are O(pairs), and
+    an interpreted 64-element fold per pair was the slowest stage of
+    lsh_neardup (465k candidates at sf0.1)."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def _cos(batches: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        for va, vb in batches:
+            if len(va):
+                A = np.stack([np.asarray(v, dtype=np.float64) for v in va])
+                B = np.stack([np.asarray(v, dtype=np.float64) for v in vb])
+                dots = np.einsum("ij,ij->i", A, B)
+                out = dots / (
+                    np.sqrt(np.einsum("ij,ij->i", A, A))
+                    * np.sqrt(np.einsum("ij,ij->i", B, B))
+                )
+            else:
+                out = np.array([], dtype=np.float64)
+            yield pd.Series(out, dtype="float64")
+
+    return pairs.withColumn(out_col, _cos(F.col(a_col), F.col(b_col)))
+
+
+def _verify_pairs(
+    cand: DataFrame,
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    vectorized: bool = True,
+) -> DataFrame:
+    """Attach vectors to deduped (id_a, id_b) candidates and keep pairs
+    with exact cosine >= threshold."""
+    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = cand.join(va, "id_a").join(vb, "id_b")
+    if vectorized:
+        scored = with_cosine_vectorized(pairs)
+    else:
+        dot = _DOT.format(a="va", b="vb")
+        scored = pairs.withColumn(
+            "cos",
+            F.expr(f"{dot} / ({_NORM.format(a='va')} * {_NORM.format(a='vb')})"),
+        )
+    return (
+        scored.where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+        .orderBy("id_a", "id_b")
+    )
 
 
 def lsh_neardup_pairs(
@@ -115,6 +215,7 @@ def lsh_neardup_pairs(
     n_bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vectorized_verify: bool = True,
 ) -> DataFrame:
     """Approximate near-dup pairs: block on sign-LSH signature bands, then
     exact cosine verify within buckets. Recall grows with bands; verified
@@ -147,43 +248,125 @@ def lsh_neardup_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    pairs = cand.join(va, "id_a").join(vb, "id_b")
-    dot = _DOT.format(a="va", b="vb")
-    return (
-        pairs.withColumn(
-            "cos",
-            F.expr(f"{dot} / ({_NORM.format(a='va')} * {_NORM.format(a='vb')})"),
-        )
-        .where(F.col("cos") >= threshold)
-        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
-        .orderBy("id_a", "id_b")
+    return _verify_pairs(cand, vectors, threshold, id_col, vec_col, vectorized_verify)
+
+
+# Trained-IVF defaults (shared with the DuckDB oracle generator in
+# recon_spark/queries/extra.py — the oracle unrolls the same Lloyd's
+# iterations as chained CTEs):
+KMEANS_K = 32
+KMEANS_ITERS = 3
+KMEANS_ROUND = 6
+
+
+def kmeans_centroids(
+    vectors: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic Lloyd's k-means over a DataFrame of vectors.
+    Returns [(cent_id, centroid)] with cent_id = 0..k-1.
+
+    Spec (mirrored exactly by the oracle's unrolled-CTE replica):
+    - init: rank vectors by id; centroid i = the vector at rank
+      i * stride, stride = ceil(N / k) (rank-based, so sparse or hashed
+      ids can never produce an empty centroid set).
+    - assignment: argmax cosine, ties broken by lower cent_id.
+    - update: per-dimension mean of assigned vectors, rounded to
+      KMEANS_ROUND decimals (rounding absorbs summation-order
+      differences between engines, keeping iterations bit-comparable);
+      a cell with no members keeps its previous centroid.
+
+    Scale shape: each iteration is one broadcast join (k ~ sqrt(N)
+    centroids) + one (cent_id, dim) aggregation — map-side combinable,
+    shuffle volume k*d doubles. Centroids live on the driver between
+    iterations (k*d floats)."""
+    n = vectors.count()
+    if n == 0:
+        raise ValueError("kmeans_centroids: empty vector table")
+    k = min(k, n)
+    stride = -(-n // k)  # ceil
+    ranked = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        (F.row_number().over(Window.orderBy(id_col)) - 1).alias("rn"),
     )
+    init = (
+        ranked.where((F.col("rn") % stride == 0) & (F.col("rn") / stride < k))
+        .select((F.col("rn") / stride).cast("int").alias("cent_id"), "v")
+        .collect()
+    )
+    cents: list[tuple[int, list[float]]] = sorted(
+        (r["cent_id"], [float(x) for x in r["v"]]) for r in init
+    )
+    spark = vectors.sparkSession
+    for _ in range(iters):
+        cdf = spark.createDataFrame(
+            [(cid, cv) for cid, cv in cents], "cent_id int, cv array<double>"
+        )
+        dot = _DOT.format(a="v", b="cv")
+        sim = f"({dot}) / ({_NORM.format(a='v')} * {_NORM.format(a='cv')})"
+        assigned = (
+            vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+            .crossJoin(F.broadcast(cdf))
+            .withColumn("__sim", F.expr(sim))
+            .withColumn(
+                "__rk",
+                F.row_number().over(
+                    Window.partitionBy("id").orderBy(F.desc("__sim"), "cent_id")
+                ),
+            )
+            .where(F.col("__rk") == 1)
+            .select("cent_id", "v")
+        )
+        means = (
+            assigned.select("cent_id", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cent_id", "dim")
+            .agg(F.round(F.avg("x"), KMEANS_ROUND).alias("mu"))
+            .collect()
+        )
+        by_cent: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cent.setdefault(r["cent_id"], {})[r["dim"]] = r["mu"]
+        cents = [
+            (
+                cid,
+                [mu for _, mu in sorted(by_cent[cid].items())]
+                if cid in by_cent
+                else old,  # empty cell keeps its previous centroid
+            )
+            for cid, old in cents
+        ]
+    return cents
 
 
 def ivf_neardup_pairs(
     vectors: DataFrame,
     threshold: float = 0.45,
-    centroid_every: int = 50,
-    nprobe: int = 2,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    nprobe: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vectorized_verify: bool = True,
 ) -> DataFrame:
-    """IVF-flavored ANN: a deterministic coarse quantizer (every
-    `centroid_every`-th vector is a centroid — the seeded-sample stand-in
-    for k-means training), each vector assigned to its `nprobe` nearest
-    cells (multi-probe: the standard IVF recall lever), candidate pairs
-    sharing a cell, exact cosine verify on deduped id pairs. At scale
-    the cell assignment is a broadcast join (centroid count ~ sqrt(N))
-    and the verify join shuffles only within-cell id pairs."""
-    cents = vectors.where(F.col(id_col) % centroid_every == 0).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
-    )
+    """IVF ANN with a trained coarse quantizer: deterministic Lloyd's
+    k-means (kmeans_centroids), each vector assigned to its `nprobe`
+    nearest cells (multi-probe: the standard IVF recall lever),
+    candidate pairs sharing a cell, exact cosine verify on deduped id
+    pairs. At scale the cell assignment is a broadcast join (centroid
+    count ~ sqrt(N)) and the verify join shuffles only within-cell id
+    pairs. Recall vs the exact pair set is asserted in tests and
+    tabulated in BENCH/BASELINE.md."""
+    cents = kmeans_centroids(vectors, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    spark = vectors.sparkSession
+    cdf = spark.createDataFrame(cents, "cent_id int, cv array<double>")
     dot = _DOT.format(a=vec_col, b="cv")
     sim = f"({dot}) / ({_NORM.format(a=vec_col)} * {_NORM.format(a='cv')})"
     assigned = (
-        vectors.crossJoin(F.broadcast(cents))
+        vectors.crossJoin(F.broadcast(cdf))
         .withColumn("__sim", F.expr(sim))
         .withColumn(
             "__rk",
@@ -201,17 +384,7 @@ def ivf_neardup_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    pair_dot = _DOT.format(a="va", b="vb")
-    pair_cos = f"({pair_dot}) / ({_NORM.format(a='va')} * {_NORM.format(a='vb')})"
-    return (
-        cand.join(va, "id_a").join(vb, "id_b")
-        .withColumn("cos", F.expr(pair_cos))
-        .where(F.col("cos") >= threshold)
-        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
-        .orderBy("id_a", "id_b")
-    )
+    return _verify_pairs(cand, vectors, threshold, id_col, vec_col, vectorized_verify)
 
 
 def cosine_neardup_pairs_blas(
@@ -219,47 +392,76 @@ def cosine_neardup_pairs_blas(
     threshold: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    block: int = 4096,
+    n_shards: int = 1,
+    max_collect_rows: int = 20_000_000,
 ) -> DataFrame:
-    """Exact all-pairs cosine via blocked BLAS: one side is collected,
-    L2-normalized, and broadcast (N x d float32 — 100M vectors x 64d is
-    ~25 GB, so at that scale shard the broadcast side and union); each
-    Arrow batch of rows then computes a (batch x N) matmul with numpy.
-    ~40x the interpreted zip_with/aggregate fold. Values can differ from
-    the fold path in the last ulp (summation order), so the fold path
+    """Exact all-pairs cosine via blocked BLAS: the right side is
+    collected, L2-normalized, and broadcast in `n_shards` pieces; each
+    Arrow batch of left rows computes a (batch x shard) matmul per
+    shard, and the shard outputs union. ~40x the interpreted
+    zip_with/aggregate fold. Values can differ from the fold path in
+    the last ulp (summation order), so the fold path
     (cosine_neardup_pairs) remains the oracle-pinned exact baseline;
     this is the throughput path, asserted equal after round(6) in
-    tests."""
+    tests (including the sharded path).
+
+    Sharding bounds driver + executor peak memory to N/n_shards vectors
+    per broadcast (the driver drops its local copy after each
+    broadcast; executors fetch a shard when its union branch runs).
+    `max_collect_rows` guards the collect the same way
+    connected_components guards its driver union-find: past the bound
+    the exact path raises and points at the candidate-based
+    lsh/ivf_neardup_pairs, which never materialize the table anywhere."""
     import numpy as np
 
     spark = vectors.sparkSession
-    rows = vectors.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
+    n = vectors.count()
+    if n > max_collect_rows:
+        raise ValueError(
+            f"cosine_neardup_pairs_blas: {n} vectors exceeds "
+            f"max_collect_rows={max_collect_rows}; exact all-pairs is a "
+            "collect-and-broadcast path. Use lsh_neardup_pairs / "
+            "ivf_neardup_pairs (candidate generation + exact verify) at "
+            "this scale, or raise n_shards and max_collect_rows "
+            "explicitly."
+        )
 
-    def _gen(batches):
-        import pandas as pd
+    def _shard_gen(b_ids, b_mat):
+        def _gen(batches):
+            all_ids, all_mat = b_ids.value, b_mat.value
+            for pdf in batches:
+                out_a, out_b, out_c = [], [], []
+                bids = pdf[id_col].to_numpy(dtype=np.int64)
+                bmat = np.array(list(pdf[vec_col]), dtype=np.float64)
+                if len(bmat):
+                    bmat /= np.linalg.norm(bmat, axis=1, keepdims=True)
+                    sims = bmat @ all_mat.T  # (batch, shard)
+                    for i in range(len(bids)):
+                        mask = (sims[i] >= threshold) & (all_ids > bids[i])
+                        js = np.nonzero(mask)[0]
+                        out_a.extend([int(bids[i])] * len(js))
+                        out_b.extend(all_ids[js].tolist())
+                        out_c.extend(np.round(sims[i][js], 6).tolist())
+                yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos": out_c})
 
-        all_ids, all_mat = b_ids.value, b_mat.value
-        for pdf in batches:
-            out_a, out_b, out_c = [], [], []
-            bids = pdf[id_col].to_numpy(dtype=np.int64)
-            bmat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            if len(bmat):
-                bmat /= np.linalg.norm(bmat, axis=1, keepdims=True)
-                sims = bmat @ all_mat.T  # (batch, N)
-                for i in range(len(bids)):
-                    mask = (sims[i] >= threshold) & (all_ids > bids[i])
-                    js = np.nonzero(mask)[0]
-                    out_a.extend([int(bids[i])] * len(js))
-                    out_b.extend(all_ids[js].tolist())
-                    out_c.extend(np.round(sims[i][js], 6).tolist())
-            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos": out_c})
+        return _gen
 
-    out = vectors.select(id_col, vec_col).mapInPandas(
-        _gen, "id_a long, id_b long, cos double"
-    )
+    left = vectors.select(id_col, vec_col)
+    outs = []
+    for s in range(n_shards):
+        shard = left if n_shards == 1 else left.where(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)) == s
+        )
+        rows = shard.collect()
+        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        mat = np.array([r[1] for r in rows], dtype=np.float64)
+        if len(mat):
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        b_ids = spark.sparkContext.broadcast(ids)
+        b_mat = spark.sparkContext.broadcast(mat)
+        del rows, ids, mat  # driver holds one shard at a time
+        outs.append(left.mapInPandas(_shard_gen(b_ids, b_mat), "id_a long, id_b long, cos double"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
     return out.orderBy("id_a", "id_b")

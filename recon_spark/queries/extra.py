@@ -609,47 +609,150 @@ FROM vid ORDER BY media_id, frame_ts_ms
 """
 
 
+_IVF_NPROBE = 8
+
+
 def q_ivf_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from recon_spark.operators.similarity import ivf_neardup_pairs
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return ivf_neardup_pairs(
-        emb, threshold=_LSH_THRESHOLD, centroid_every=50, nprobe=2, id_col="vec_id"
+        emb, threshold=_LSH_THRESHOLD, nprobe=_IVF_NPROBE, id_col="vec_id"
     )
 
 
-SQL_IVF_NEARDUP = f"""
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-cents AS (SELECT vec_id AS cent_id, e AS cv FROM v WHERE vec_id % 50 = 0),
-scored AS (
-  SELECT v.vec_id AS id, v.e, c.cent_id,
-         list_dot_product(v.e, c.cv)
-           / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.cv, c.cv)))
-           AS sim
-  FROM v, cents c
-),
-assigned AS (
-  SELECT id, cent_id
-  FROM scored
-  QUALIFY row_number() OVER (PARTITION BY id ORDER BY sim DESC, cent_id) <= 2
-),
-cand AS (
+def _sql_ivf() -> str:
+    """Unrolled deterministic Lloyd's k-means (the DuckDB replica of
+    recon_spark.operators.similarity.kmeans_centroids): rank-based init,
+    argmax-cosine assignment with lower-cent_id tie-break, per-dim means
+    rounded to KMEANS_ROUND so the iterations stay bit-comparable across
+    engines, empty cells keep their previous centroid."""
+    from recon_spark.operators.similarity import KMEANS_ITERS, KMEANS_K, KMEANS_ROUND
+
+    cos = (
+        "list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+    parts = [
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+        f"""p AS (SELECT count(*) AS n, least({KMEANS_K}, count(*)) AS k,
+       CAST(ceil(count(*) / CAST(least({KMEANS_K}, count(*)) AS DOUBLE)) AS BIGINT) AS stride
+  FROM v)""",
+        """ranked AS (SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) - 1 AS rn FROM v)""",
+        """c0 AS (SELECT CAST(rn // p.stride AS INT) AS cent_id, e AS cv
+  FROM ranked, p WHERE rn % p.stride = 0 AND rn // p.stride < p.k)""",
+    ]
+    prev = "c0"
+    for i in range(1, KMEANS_ITERS + 1):
+        sim = cos.format(a="v.e", b="c.cv")
+        parts.append(
+            f"""a{i} AS (
+  SELECT vec_id, e, cent_id FROM (
+    SELECT v.vec_id, v.e, c.cent_id,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY {sim} DESC, c.cent_id) AS rk
+    FROM v, {prev} c)
+  WHERE rk = 1)"""
+        )
+        parts.append(
+            f"""m{i} AS (
+  SELECT cent_id, j, round(avg(e[j]), {KMEANS_ROUND}) AS mu
+  FROM a{i}, (SELECT unnest(generate_series(1, {_LSH_DIM})) AS j)
+  GROUP BY cent_id, j)"""
+        )
+        parts.append(
+            f"""c{i} AS (
+  SELECT c.cent_id, coalesce(m.cv, c.cv) AS cv
+  FROM {prev} c LEFT JOIN
+    (SELECT cent_id, list(mu ORDER BY j) AS cv FROM m{i} GROUP BY cent_id) m
+    USING (cent_id))"""
+        )
+        prev = f"c{i}"
+    sim = cos.format(a="v.e", b="c.cv")
+    parts.append(
+        f"""assigned AS (
+  SELECT vec_id AS id, cent_id FROM (
+    SELECT v.vec_id, c.cent_id,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY {sim} DESC, c.cent_id) AS rk
+    FROM v, {prev} c)
+  WHERE rk <= {_IVF_NPROBE})"""
+    )
+    parts.append(
+        """cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM assigned a JOIN assigned b
-    ON a.cent_id = b.cent_id AND a.id < b.id
-)
-SELECT c.id_a, c.id_b,
-       round(list_dot_product(va.e, vb.e)
-             / (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))), 6)
-         AS cos
+  FROM assigned a JOIN assigned b ON a.cent_id = b.cent_id AND a.id < b.id)"""
+    )
+    pair_cos = cos.format(a="va.e", b="vb.e")
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT c.id_a, c.id_b, round({pair_cos}, 6) AS cos
 FROM cand c
 JOIN v va ON va.vec_id = c.id_a
 JOIN v vb ON vb.vec_id = c.id_b
-WHERE list_dot_product(va.e, vb.e)
-      / (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e)))
-      >= {_LSH_THRESHOLD}
+WHERE {pair_cos} >= {_LSH_THRESHOLD}
 ORDER BY id_a, id_b
 """
+    )
+
+
+SQL_IVF_NEARDUP = _sql_ivf()
+
+
+# --------------------------------------------------------------------------
+# mask_1d — deterministic shuffled 0/1 mask (reference augmentation.py:9-19)
+# --------------------------------------------------------------------------
+
+_MASK_PROB = 0.3
+
+
+def q_mask_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mask_1d over each document's whitespace tokens (prob=0.3, seeded
+    by doc_id): per doc the mask length, the exact ceil(n*prob) ones
+    count, and position aggregates of the selected ones — pinning the
+    keyed-rank selection end to end."""
+    from recon_spark.operators.augmentation import with_mask_1d
+
+    d = _docs(spark, sf_dir).withColumn("n_tokens", F.expr("size(split(text, ' '))"))
+    m = with_mask_1d(d, "n_tokens", _MASK_PROB, seed_expr="doc_id")
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        F.expr("CAST(size(filter(mask, x -> x)) AS INT)").alias("n_masked"),
+        F.expr(
+            "CAST(aggregate(sequence(0, n_tokens - 1), 0L, "
+            "(acc, j) -> acc + IF(element_at(mask, j + 1), CAST(j AS BIGINT), 0L)) AS BIGINT)"
+        ).alias("masked_pos_sum"),
+        F.expr(
+            "CAST(array_min(filter(transform(sequence(0, n_tokens - 1), "
+            "j -> IF(element_at(mask, j + 1), j, -1)), j -> j >= 0)) AS INT)"
+        ).alias("first_masked"),
+    ).orderBy("doc_id")
+
+
+def _sql_mask_1d() -> str:
+    from recon_spark.operators.augmentation import MASK_MIX, MASK_MOD
+
+    return f"""
+WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+pos AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS j FROM t),
+keyed AS (
+  SELECT doc_id, n, j,
+         (doc_id * {KNUTH} + j * {MASK_MIX}) % {MASK_MOD} AS k
+  FROM pos
+),
+ranked AS (
+  SELECT doc_id, n, j,
+         row_number() OVER (PARTITION BY doc_id ORDER BY k, j) AS rn
+  FROM keyed
+)
+SELECT doc_id, CAST(any_value(n) AS INT) AS n_tokens,
+       CAST(count(*) FILTER (rn <= ceil(n * {_MASK_PROB})) AS INT) AS n_masked,
+       CAST(sum(j) FILTER (rn <= ceil(n * {_MASK_PROB})) AS BIGINT) AS masked_pos_sum,
+       CAST(min(j) FILTER (rn <= ceil(n * {_MASK_PROB})) AS INT) AS first_masked
+FROM ranked GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+SQL_MASK_1D = _sql_mask_1d()
 
 
 # --------------------------------------------------------------------------
@@ -689,6 +792,7 @@ QUERIES = {
     "dedup_cluster": q_dedup_cluster,
     "lsh_neardup": q_lsh_neardup,
     "ivf_neardup": q_ivf_neardup,
+    "mask_1d": q_mask_1d,
     "search_filter": q_search_filter,
 }
 
@@ -708,5 +812,6 @@ ORACLES = {
     "dedup_cluster": SQL_DEDUP_CLUSTER,
     "lsh_neardup": SQL_LSH_NEARDUP,
     "ivf_neardup": SQL_IVF_NEARDUP,
+    "mask_1d": SQL_MASK_1D,
     "search_filter": SQL_SEARCH_FILTER,
 }

@@ -1,0 +1,160 @@
+"""mask_1d (reference recon/augmentation.py:9-19) + similarity scale
+paths: golden mask selection, Spark/kernel bit-equality, sub_prob span
+masking, ANN recall vs the exact pair set, and the sharded BLAS path."""
+
+import math
+
+import pytest
+
+from recon_spark.operators.augmentation import (
+    MASK_MIX,
+    MASK_MOD,
+    _augment_rows,
+    mask_positions,
+    with_mask_1d,
+)
+from recon_spark.operators.sample import KNUTH
+from tests.conftest import SF_ORACLE, SF_SMOKE
+
+
+def test_mask_1d_exact_ones_count():
+    # reference invariant: exactly ceil(length * prob) ones
+    for n, prob in [(10, 0.3), (10, 0.5), (7, 0.25), (1, 0.5), (5, 1.0), (8, 0.0), (0, 0.5)]:
+        ps = mask_positions(n, prob, seed=13)
+        expected = math.ceil(n * prob) if n > 0 else 0
+        assert len(ps) == expected, (n, prob, ps)
+        assert all(0 <= j < n for j in ps)
+
+
+def test_mask_1d_golden_positions():
+    # pinned against the keyed-rank spec: smallest (seed*KNUTH + j*MIX) % MOD
+    n, prob, seed = 6, 0.5, 3
+    keyed = sorted(((seed * KNUTH + j * MASK_MIX) % MASK_MOD, j) for j in range(n))
+    expected = {j for _, j in keyed[: math.ceil(n * prob)]}
+    assert mask_positions(n, prob, seed) == expected
+    # determinism: same inputs -> same mask
+    assert mask_positions(n, prob, seed) == mask_positions(n, prob, seed)
+    # different seed -> (almost surely) different selection for this golden
+    assert mask_positions(n, prob, seed + 1) != expected
+
+
+def test_mask_1d_prob_validation():
+    with pytest.raises(ValueError):
+        mask_positions(5, 1.5, 0)
+    with pytest.raises(ValueError):
+        mask_positions(5, -0.1, 0)
+
+
+def test_with_mask_1d_matches_kernel(spark):
+    rows = [(i, 3 + (i * 7) % 9) for i in range(40)]  # (seed, n)
+    df = spark.createDataFrame(rows, "doc_id long, n int")
+    out = with_mask_1d(df, "n", 0.4, seed_expr="doc_id").collect()
+    for r in out:
+        got = {j for j, b in enumerate(r["mask"]) if b}
+        assert got == mask_positions(r["n"], 0.4, r["doc_id"])
+        assert len(r["mask"]) == r["n"]
+
+
+def test_ent_label_sub_sub_prob_masks_targets():
+    text = "t0 xxxxxxx t1 xxxxxxx t2 xxxxxxx t3 xxxxxxx"
+    spans = [
+        {"text": "t0", "start": 0, "end": 2, "label": "X"},
+        {"text": "t1", "start": 11, "end": 13, "label": "X"},
+        {"text": "t2", "start": 22, "end": 24, "label": "X"},
+        {"text": "t3", "start": 33, "end": 35, "label": "X"},
+    ]
+    out = _augment_rows(5, text, spans, "X", ["AA", "BB"], n_augs=1, sub_prob=0.5)
+    assert len(out) == 1
+    _, _, new_text, _ = out[0]
+    # exactly ceil(4 * 0.5) = 2 of the four targets substituted
+    n_subbed = sum(new_text.count(c) for c in ("AA", "BB"))
+    assert n_subbed == 2
+    keep = mask_positions(4, 0.5, 5 + 0)
+    for j in range(4):
+        assert (f"t{j}" not in new_text) == (j in keep)
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(spark):
+    from recon_spark.operators.similarity import cosine_neardup_pairs_blas
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    return {
+        (r["id_a"], r["id_b"])
+        for r in cosine_neardup_pairs_blas(emb, threshold=0.45).collect()
+    }
+
+
+def test_ivf_trained_recall(spark, exact_pairs):
+    from recon_spark.operators.similarity import ivf_neardup_pairs
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in ivf_neardup_pairs(emb, threshold=0.45).collect()
+    }
+    assert got <= exact_pairs  # precision 1.0 by construction (exact verify)
+    recall = len(got & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.8, f"IVF recall {recall} < 0.8 vs {len(exact_pairs)} exact pairs"
+
+
+def test_lsh_recall_reported(spark, exact_pairs):
+    from recon_spark.operators.similarity import (
+        cosine_neardup_pairs_blas,
+        lsh_neardup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_neardup_pairs(emb, threshold=0.45, dim=64).collect()
+    }
+    assert got <= exact_pairs
+    # sign-LSH recall is banded (BENCH/BASELINE.md): near-perfect in the
+    # high-similarity regime it is designed for, weak in the 0.45-0.55
+    # "not actually near-duplicates" band. Assert both properties.
+    strong = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_neardup_pairs_blas(emb, threshold=0.55).collect()
+    }
+    if strong:
+        strong_recall = len(got & strong) / len(strong)
+        assert strong_recall >= 0.9, f"LSH strong-band recall {strong_recall}"
+    recall = len(got & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.3, f"LSH overall recall {recall}"
+
+
+def test_blas_sharded_equals_unsharded(spark):
+    from recon_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        cosine_neardup_pairs_blas,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    one = {(r["id_a"], r["id_b"], r["cos"]) for r in
+           cosine_neardup_pairs_blas(emb, threshold=0.45, n_shards=1).collect()}
+    three = {(r["id_a"], r["id_b"], r["cos"]) for r in
+             cosine_neardup_pairs_blas(emb, threshold=0.45, n_shards=3).collect()}
+    fold = {(r["id_a"], r["id_b"], r["cos"]) for r in
+            cosine_neardup_pairs(emb, threshold=0.45).collect()}
+    assert one == three == fold and len(one) > 0
+
+
+def test_blas_guard_raises(spark):
+    from recon_spark.operators.similarity import cosine_neardup_pairs_blas
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    with pytest.raises(ValueError, match="max_collect_rows"):
+        cosine_neardup_pairs_blas(emb, threshold=0.45, max_collect_rows=10)
+
+
+def test_connected_components_string_ids(spark):
+    # ADVICE r1: the driver union-find fast path must honor non-long id
+    # types the same way the distributed path does
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "id_a string, id_b string"
+    )
+    from recon_spark.operators.dedupe import connected_components
+
+    out = {(r["id"], r["component"]) for r in connected_components(pairs).collect()}
+    assert out == {("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")}

@@ -64,13 +64,30 @@ def test_whole_stage_codegen_covers_triple_extraction(spark):
     assert "*(1)" in plan
 
 
-def test_lsh_signature_is_jvm_only(spark):
-    from recon_spark.operators.similarity import with_lsh_signature
+def test_lsh_signature_jvm_path_is_jvm_only(spark):
+    from recon_spark.operators.similarity import with_lsh_signature_jvm
 
     emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
-    plan = plan_of(with_lsh_signature(emb, dim=64, n_planes=16, vec_col="embedding"))
+    plan = plan_of(with_lsh_signature_jvm(emb, dim=64, n_planes=16, vec_col="embedding"))
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "Exchange" not in plan  # per-row signature: zero shuffle
+
+
+def test_lsh_signature_vectorized_no_shuffle_and_bit_equal(spark):
+    from recon_spark.operators.similarity import (
+        with_lsh_signature,
+        with_lsh_signature_jvm,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    fast = with_lsh_signature(emb, dim=64, n_planes=16, vec_col="embedding")
+    plan = plan_of(fast)
+    assert "ArrowEvalPython" in plan  # vectorized numpy kernel
+    assert "Exchange" not in plan  # still per-row: zero shuffle
+    slow = with_lsh_signature_jvm(emb, dim=64, n_planes=16, vec_col="embedding")
+    a = {r["vec_id"]: r["lsh_sig"] for r in fast.select("vec_id", "lsh_sig").collect()}
+    b = {r["vec_id"]: r["lsh_sig"] for r in slow.select("vec_id", "lsh_sig").collect()}
+    assert a == b and len(a) > 0
 
 
 def test_merge_corrected_join_is_broadcast(spark):
