@@ -46,10 +46,11 @@ def register(name: str):
 class Dataset:
     """A named, versioned example table: DataFrame + SnapshotStore.
 
-    Content identity: ``example_hash`` = xxhash64(text, spans) recomputed
-    after every op (internal identity — see SURVEY.md §7.3.1 on xxh3_64
-    parity; the reference's exact intdigests need the xxhash lib, which
-    this sandbox lacks, so hashes here are engine-internal only).
+    Content identity: ``example_hash`` = the reference's xxh3_64 example
+    hash (recon/hashing.py:42-59, bit-exact via recon_spark.hashing —
+    signed 64-bit view so it fits LongType), recomputed after every op.
+    When libxxhash is unavailable the engine falls back to Spark's
+    builtin xxhash64 (internal-only identity; parity tests skip).
     """
 
     def __init__(self, name: str, df: DataFrame, store_dir: str):
@@ -66,9 +67,13 @@ class Dataset:
 
     @staticmethod
     def _with_hash(df: DataFrame) -> DataFrame:
+        from recon_spark.hashing import HAVE_XXH3, example_hash_column
+
         out = df
         if "example_key" not in df.columns:
             out = out.withColumn("example_key", F.xxhash64("text"))
+        if HAVE_XXH3 and "spans" in df.columns:
+            return out.withColumn("example_hash", example_hash_column(out))
         return out.withColumn(
             "example_hash", F.xxhash64("text", F.to_json(F.col("spans")))
         )
@@ -117,6 +122,24 @@ class Dataset:
     def commit_hash(self) -> str:
         hist = self.store.history()
         return hist[-1]["commit_hash"] if hist else ""
+
+    def reference_commit_hash(self, order_col: str = "example_key") -> int:
+        """The reference's Dataset.commit_hash (recon/dataset.py:104-106:
+        dataset_hash over the example hashes in list order). A
+        distributed table has no list order, so the caller names the
+        ordering column; with an ingest-order column this reproduces the
+        reference's pinned intdigests bit-exactly (tests/test_hash_parity).
+        Collects only (order, hash) pairs — O(n) longs, not the data."""
+        from recon_spark.hashing import HAVE_XXH3, dataset_hash
+
+        if not HAVE_XXH3:
+            raise RuntimeError("libxxhash not available; reference parity disabled")
+        rows = (
+            self._df.select(F.col(order_col).alias("o"), "example_hash")
+            .orderBy("o")
+            .collect()
+        )
+        return dataset_hash(self.name, (r["example_hash"] % (1 << 64) for r in rows))
 
 
 class Corpus:

@@ -329,6 +329,51 @@ FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type
 """
 
 
+def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming twin of events_hourly: Structured Streaming
+    tumbling-window aggregation (recon_spark/streaming.py) drained with
+    an availableNow trigger into a memory sink, then returned as a
+    batch DataFrame. Must match the batch oracle exactly — the
+    driver-verifiable statement that the streaming pipeline computes
+    the same answer as the batch one. Complete output mode because the
+    sink is the final aggregate (watermarked append would withhold the
+    last windows of a finite drain)."""
+    import os
+    import tempfile
+    import uuid
+
+    from recon_spark.streaming import stream_events_hourly
+
+    # FileStreamSource wants a directory of arriving files; stage the
+    # batch table as a one-file drop-box (symlink — no data copied)
+    src_dir = tempfile.mkdtemp(prefix="recon_stream_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events-000.parquet")
+    sdf = stream_events_hourly(spark, src_dir)
+    agg = sdf.select(
+        (F.unix_millis(F.col("window_start")) / 3_600_000)
+        .cast("bigint")
+        .alias("hour_bucket"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+    name = "stream_events_hourly_" + uuid.uuid4().hex[:8]
+    chk = tempfile.mkdtemp(prefix="recon_stream_chk_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("hour_bucket", "event_type")
+
+
+SQL_STREAM_EVENTS_HOURLY = SQL_EVENTS_HOURLY
+
+
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: a new session starts after a >30-min gap per user.
     Output per user: n_sessions, n_events, longest session (events)."""
@@ -472,6 +517,7 @@ QUERIES = {
     "lang_mention_stats": q_lang_mention_stats,
     "stratified_sample": q_stratified_sample,
     "events_hourly": q_events_hourly,
+    "stream_events_hourly": q_stream_events_hourly,
     "events_sessions": q_events_sessions,
     "revenue_topk": q_revenue_topk,
     "pricing_summary": q_pricing_summary,
@@ -490,6 +536,7 @@ ORACLES = {
     "lang_mention_stats": SQL_LANG_MENTION_STATS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "events_hourly": SQL_EVENTS_HOURLY,
+    "stream_events_hourly": SQL_STREAM_EVENTS_HOURLY,
     "events_sessions": SQL_EVENTS_SESSIONS,
     "revenue_topk": SQL_REVENUE_TOPK,
     "pricing_summary": SQL_PRICING_SUMMARY,

@@ -77,3 +77,34 @@ def test_udf_matches_driver(spark):
     ]
     want = [example_hash(t, s) for t, s in rows]
     assert got == want
+
+
+def test_dataset_reference_commit_hash_pin(spark, tmp_path):
+    """End-to-end: a Dataset built from the reference's dev fixture
+    reproduces the reference's pinned commit hash 13155558785603486975
+    (/root/reference/tests/test_dataset.py:26) through the distributed
+    hash column + ordered dataset_hash fold."""
+    from recon_spark.operations import Dataset
+
+    rows = load_examples(f"{SKILLS}/dev.jsonl")
+    data = [
+        (
+            i,
+            t,
+            [
+                {"text": s["text"], "start": s["start"], "end": s["end"],
+                 "label": s["label"], "token_start": s.get("token_start"),
+                 "token_end": s.get("token_end"), "kb_id": None, "source": None}
+                for s in spans
+            ],
+        )
+        for i, (t, spans) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "idx long, text string, spans array<struct<text: string, start: int,"
+        "end: int, label: string, token_start: int, token_end: int,"
+        "kb_id: string, source: string>>",
+    ).repartition(4)  # parity must not depend on partitioning
+    ds = Dataset("dev", df, str(tmp_path / "dev"))
+    assert ds.reference_commit_hash(order_col="idx") == 13155558785603486975
