@@ -178,12 +178,24 @@ def run_throughput(cpus: int) -> dict:
     extract_triples_tokens(docs).selectExpr("count(*)").collect()
     hot_sec = time.perf_counter() - t0
 
-    # full slice: + salted coverage aggregation + minhash signatures
+    # full slice, per stage (the r1 full-slice number sub-scaled at
+    # 0.748; stage timings show WHICH stage is bus/shuffle-bound):
+    # extract-long -> salted coverage agg -> minhash signatures
     t0 = time.perf_counter()
-    m = detect_mentions_long(docs)
+    m = detect_mentions_long(docs).persist()
+    m.count()
+    extract_long_sec = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
     entity_coverage(m, salted=True).count()
+    coverage_sec = time.perf_counter() - t0
+    m.unpersist()
+
+    t0 = time.perf_counter()
     minhash_signature(docs).selectExpr("sum(element_at(minhash, 1))").collect()
-    slice_sec = time.perf_counter() - t0
+    minhash_sec = time.perf_counter() - t0
+
+    slice_sec = extract_long_sec + coverage_sec + minhash_sec
     spark.stop()
     return {
         "cpus": cpus,
@@ -191,6 +203,9 @@ def run_throughput(cpus: int) -> dict:
         "sec": round(hot_sec + slice_sec, 2),
         "hot_sec": round(hot_sec, 2),
         "slice_sec": round(slice_sec, 2),
+        "stage_extract_long_sec": round(extract_long_sec, 2),
+        "stage_coverage_sec": round(coverage_sec, 2),
+        "stage_minhash_sec": round(minhash_sec, 2),
         "pages_per_sec": round(n_docs / hot_sec, 1),
         "slice_pages_per_sec": round(n_docs / slice_sec, 1),
     }
@@ -246,6 +261,14 @@ def scaling_report_run(sf_dir: str, n_lo: int | None = None, n_hi: int | None = 
     eff_slice = round(
         (r_hi["slice_pages_per_sec"] / r_lo["slice_pages_per_sec"]) / (n_hi / n_lo), 3
     )
+    stages = ("stage_extract_long_sec", "stage_coverage_sec", "stage_minhash_sec")
+    stage_eff = {
+        s: round((r_lo[s] / r_hi[s]) / (n_hi / n_lo), 3) for s in stages
+    }
+    stage_rows = "\n".join(
+        f"| {s.replace('stage_', '').replace('_sec', '')} | {r_lo[s]} | {r_hi[s]} | {stage_eff[s]} |"
+        for s in stages
+    )
     ceiling = _hardware_ceiling(n_lo, n_hi)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
@@ -274,6 +297,13 @@ of this one box, a contention real clusters do not have.
 
 - **Hot-path scaling efficiency = {eff_hot}** (target >= 0.8)
 - Full-slice scaling efficiency = {eff_slice}
+
+Per-stage breakdown of the full slice (which stage sub-scales):
+
+| stage | sec @local[{n_lo}] | sec @local[{n_hi}] | efficiency |
+|---|---|---|---|
+{stage_rows}
+
 - Raw-CPU ceiling of this host (pure-python busy loops, no Spark,
   same N -> 4N, measured in the same session): **{ceiling}** — SMT
   sharing + hypervisor steal bound every number above.

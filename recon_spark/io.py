@@ -63,3 +63,134 @@ def split_valid_invalid(df: DataFrame) -> tuple[DataFrame, DataFrame]:
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Examples -> JSONL (Dataset.to_disk analog)."""
     df.write.mode(mode).json(path)
+
+
+# --- spaCy DocBin connector (import-gated: no spaCy wheel in sandbox) -------
+
+
+def _require_spacy():
+    """DocBin is spaCy's binary format; reading/writing it without the
+    library would mean re-implementing its msgpack layout from scratch.
+    Gate, don't stub: callers get a actionable error, and everything
+    below runs unmodified once `pip install spacy` is present (tests
+    importorskip)."""
+    try:
+        import spacy  # noqa: F401
+        from spacy.tokens import Doc, DocBin  # noqa: F401
+
+        return spacy
+    except ImportError as e:
+        raise RuntimeError(
+            "from_spacy/to_spacy need the spacy package (DocBin codec). "
+            "Install spacy, or use read_jsonl/write_jsonl for the "
+            "text-format path."
+        ) from e
+
+
+def from_spacy(spark: SparkSession, path: str, lang_code: str = "en") -> DataFrame:
+    """Load a .spacy DocBin into the examples shape
+    (reference recon/loaders.py:58-94: doc.text, entity spans with
+    char + token offsets, tokens). DocBin is a single driver-side file
+    by design, so the decode happens on the driver and parallelizes via
+    createDataFrame; for partitioned corpora store one DocBin per
+    partition and union."""
+    spacy = _require_spacy()
+    from spacy.tokens import DocBin
+
+    nlp = spacy.blank(lang_code)
+    rows = []
+    for doc in DocBin().from_disk(path).get_docs(nlp.vocab):
+        rows.append(
+            (
+                doc.text,
+                [
+                    {
+                        "text": e.text,
+                        "start": e.start_char,
+                        "end": e.end_char,
+                        "label": e.label_,
+                        "token_start": e.start,
+                        "token_end": e.end,
+                        "kb_id": None,
+                        "source": None,
+                    }
+                    for e in doc.ents
+                ],
+                [
+                    {"text": t.text, "start": t.idx, "end": t.idx + len(t), "id": t.i}
+                    for t in doc
+                ],
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("text", T.StringType()),
+                T.StructField("spans", T.ArrayType(SPAN_STRUCT)),
+                T.StructField("tokens", T.ArrayType(TOKEN_STRUCT)),
+            ]
+        ),
+    )
+
+
+def to_spacy(df: DataFrame, path: str, lang_code: str = "en") -> None:
+    """Examples -> one .spacy DocBin file (reference loaders.py:97-130:
+    only rows with tokens are encodable — Doc needs words+spaces).
+    Collects to the driver because DocBin is a single-file format; use
+    to_spacy_partitioned for corpus-scale output."""
+    spacy = _require_spacy()
+    from spacy.tokens import Doc, DocBin
+    from spacy.training import get_words_and_spaces
+
+    nlp = spacy.blank(lang_code)
+    doc_bin = DocBin(attrs=["ENT_IOB", "ENT_TYPE"])
+    for r in df.select("text", "spans", "tokens").collect():
+        if not r["tokens"]:
+            continue
+        words, spaces = get_words_and_spaces([t["text"] for t in r["tokens"]], r["text"])
+        doc = Doc(nlp.vocab, words=words, spaces=spaces)
+        doc.set_ents(
+            [doc.char_span(s["start"], s["end"], label=s["label"]) for s in r["spans"] or []]
+        )
+        doc_bin.add(doc)
+    doc_bin.to_disk(path)
+
+
+def to_spacy_partitioned(df: DataFrame, out_dir: str, lang_code: str = "en") -> None:
+    """Corpus-scale DocBin export: one part-<n>.spacy file per partition,
+    written by the executors (no driver collect). The union of parts is
+    the dataset; from_spacy each part and union to read back."""
+    _require_spacy()
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write(idx: int, rows):
+        import spacy
+        from spacy.tokens import Doc, DocBin
+        from spacy.training import get_words_and_spaces
+
+        nlp = spacy.blank(lang_code)
+        doc_bin = DocBin(attrs=["ENT_IOB", "ENT_TYPE"])
+        n = 0
+        for r in rows:
+            if not r["tokens"]:
+                continue
+            words, spaces = get_words_and_spaces(
+                [t["text"] for t in r["tokens"]], r["text"]
+            )
+            doc = Doc(nlp.vocab, words=words, spaces=spaces)
+            doc.set_ents(
+                [
+                    doc.char_span(s["start"], s["end"], label=s["label"])
+                    for s in r["spans"] or []
+                ]
+            )
+            doc_bin.add(doc)
+            n += 1
+        if n:
+            doc_bin.to_disk(os.path.join(out_dir, f"part-{idx:05d}.spacy"))
+        return iter([])
+
+    df.select("text", "spans", "tokens").rdd.mapPartitionsWithIndex(_write).count()

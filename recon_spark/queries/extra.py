@@ -621,12 +621,13 @@ def q_ivf_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_ivf() -> str:
+def _sql_ivf_parts() -> list[str]:
     """Unrolled deterministic Lloyd's k-means (the DuckDB replica of
     recon_spark.operators.similarity.kmeans_centroids): rank-based init,
     argmax-cosine assignment with lower-cent_id tie-break, per-dim means
     rounded to KMEANS_ROUND so the iterations stay bit-comparable across
-    engines, empty cells keep their previous centroid."""
+    engines, empty cells keep their previous centroid. Returns the CTE
+    parts ending in ``ivf_pairs`` (id_a, id_b, cos >= threshold)."""
     from recon_spark.operators.similarity import KMEANS_ITERS, KMEANS_K, KMEANS_ROUND
 
     cos = (
@@ -682,19 +683,69 @@ def _sql_ivf() -> str:
   FROM assigned a JOIN assigned b ON a.cent_id = b.cent_id AND a.id < b.id)"""
     )
     pair_cos = cos.format(a="va.e", b="vb.e")
-    return (
-        "WITH " + ",\n".join(parts) + f"""
-SELECT c.id_a, c.id_b, round({pair_cos}, 6) AS cos
-FROM cand c
-JOIN v va ON va.vec_id = c.id_a
-JOIN v vb ON vb.vec_id = c.id_b
-WHERE {pair_cos} >= {_LSH_THRESHOLD}
-ORDER BY id_a, id_b
-"""
+    parts.append(
+        f"""ivf_pairs AS (
+  SELECT c.id_a, c.id_b, round({pair_cos}, 6) AS cos
+  FROM cand c
+  JOIN v va ON va.vec_id = c.id_a
+  JOIN v vb ON vb.vec_id = c.id_b
+  WHERE {pair_cos} >= {_LSH_THRESHOLD})"""
+    )
+    return parts
+
+
+SQL_IVF_NEARDUP = (
+    "WITH "
+    + ",\n".join(_sql_ivf_parts())
+    + "\nSELECT id_a, id_b, cos FROM ivf_pairs ORDER BY id_a, id_b\n"
+)
+
+
+def q_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-path grading query for embedding near-dup: one row
+    (n_exact, n_found, recall) comparing the IVF candidates+verify path
+    against the exact all-pairs set at the same threshold. Precision is
+    1.0 by construction (exact verify), so recall = n_found / n_exact;
+    the driver-checked value IS the recall claim in BENCH/BASELINE.md."""
+    from recon_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        ivf_neardup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = cosine_neardup_pairs(emb, threshold=_LSH_THRESHOLD).select("id_a", "id_b")
+    found = ivf_neardup_pairs(
+        emb, threshold=_LSH_THRESHOLD, nprobe=_IVF_NPROBE, id_col="vec_id"
+    ).select("id_a", "id_b")
+    n_exact = exact.count()
+    n_found = found.count()
+    return spark.createDataFrame(
+        [(n_exact, n_found, round(n_found / n_exact, 6) if n_exact else 0.0)],
+        "n_exact bigint, n_found bigint, recall double",
     )
 
 
-SQL_IVF_NEARDUP = _sql_ivf()
+SQL_NEARDUP_RECALL = (
+    "WITH "
+    + ",\n".join(_sql_ivf_parts())
+    + f""",
+exact AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.e, b.e)
+        / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+        >= {_LSH_THRESHOLD}
+),
+counts AS (
+  SELECT (SELECT count(*) FROM exact) AS n_exact,
+         (SELECT count(*) FROM ivf_pairs) AS n_found
+)
+SELECT CAST(n_exact AS BIGINT) AS n_exact, CAST(n_found AS BIGINT) AS n_found,
+       CASE WHEN n_exact > 0 THEN round(n_found / CAST(n_exact AS DOUBLE), 6)
+            ELSE 0.0 END AS recall
+FROM counts
+"""
+)
 
 
 # --------------------------------------------------------------------------
@@ -792,6 +843,7 @@ QUERIES = {
     "dedup_cluster": q_dedup_cluster,
     "lsh_neardup": q_lsh_neardup,
     "ivf_neardup": q_ivf_neardup,
+    "neardup_recall": q_neardup_recall,
     "mask_1d": q_mask_1d,
     "search_filter": q_search_filter,
 }
@@ -812,6 +864,7 @@ ORACLES = {
     "dedup_cluster": SQL_DEDUP_CLUSTER,
     "lsh_neardup": SQL_LSH_NEARDUP,
     "ivf_neardup": SQL_IVF_NEARDUP,
+    "neardup_recall": SQL_NEARDUP_RECALL,
     "mask_1d": SQL_MASK_1D,
     "search_filter": SQL_SEARCH_FILTER,
 }

@@ -183,3 +183,41 @@ class TestStreaming:
         )
         q2.awaitTermination(180)
         assert store.read().count() == n_stream
+
+
+def test_spacy_connector_gated_or_roundtrip(spark, tmp_path):
+    """DocBin connector: without spacy the gate raises an actionable
+    error; with spacy installed the write/read round trip preserves
+    text, entity char+token offsets, and token boundaries."""
+    import pytest
+
+    from recon_spark.io import from_spacy, to_spacy
+
+    df = spark.createDataFrame(
+        [
+            (
+                "apache spark joins tables",
+                [{"text": "apache spark", "start": 0, "end": 12, "label": "TECH",
+                  "token_start": 0, "token_end": 2, "kb_id": None, "source": None}],
+                [{"text": "apache", "start": 0, "end": 6, "id": 0},
+                 {"text": "spark", "start": 7, "end": 12, "id": 1},
+                 {"text": "joins", "start": 13, "end": 18, "id": 2},
+                 {"text": "tables", "start": 19, "end": 25, "id": 3}],
+            )
+        ],
+        "text string, spans array<struct<text: string, start: int, end: int,"
+        "label: string, token_start: int, token_end: int, kb_id: string,"
+        "source: string>>, tokens array<struct<text: string, start: int,"
+        "end: int, id: int>>",
+    )
+    try:
+        import spacy  # noqa: F401
+    except ImportError:
+        with pytest.raises(RuntimeError, match="spacy"):
+            to_spacy(df, str(tmp_path / "x.spacy"))
+        return
+    to_spacy(df, str(tmp_path / "x.spacy"))
+    back = from_spacy(spark, str(tmp_path / "x.spacy")).collect()
+    assert back[0]["text"] == "apache spark joins tables"
+    s = back[0]["spans"][0]
+    assert (s["start"], s["end"], s["label"]) == (0, 12, "TECH")
