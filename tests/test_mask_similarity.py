@@ -158,3 +158,15 @@ def test_connected_components_string_ids(spark):
 
     out = {(r["id"], r["component"]) for r in connected_components(pairs).collect()}
     assert out == {("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")}
+
+
+def test_cosine_topk_vectorized_equals_fold(spark):
+    from pyspark.sql import functions as F
+
+    from recon_spark.operators.similarity import cosine_topk, cosine_topk_vectorized
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    fast = [tuple(r) for r in cosine_topk_vectorized(emb, queries, k=10).collect()]
+    slow = [tuple(r) for r in cosine_topk(emb, queries, k=10).collect()]
+    assert fast == slow and len(fast) > 0
