@@ -29,6 +29,7 @@ from recon_spark.operators import stats as S
 from recon_spark.operators.corrections import fix_annotations, rename_labels, upcase_labels
 from recon_spark.operators.extraction import (
     detect_mentions,
+    detect_mentions_both,
     entity_unigrams,
     extract_triples_tokens,
     mentions_long,
@@ -287,7 +288,7 @@ def q_prediction_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # classification (join-based I.prediction_errors covers the
     # two-source case and is asserted equal in tests)
     docs = _docs(spark, sf_dir)
-    both = detect_mentions(detect_mentions(docs), which="model", out_col="pred_spans")
+    both = detect_mentions_both(docs)  # fused single Arrow pass
     return I.prediction_errors_colocated(both)
 
 
@@ -312,7 +313,7 @@ GROUP BY 1, 2, 3 ORDER BY n DESC, text, true_label, pred_label
 
 def q_hardest_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    both = detect_mentions(detect_mentions(docs), which="model", out_col="pred_spans")
+    both = detect_mentions_both(docs)  # fused single Arrow pass
     return I.hardest_examples_colocated(both)
 
 

@@ -38,7 +38,11 @@ from recon_spark.operators import stats as S
 from recon_spark.operators.augmentation import ent_label_sub
 from recon_spark.operators.corrections import search, split_sentences_jvm, strip_annotations
 from recon_spark.operators.dedupe import connected_components, minhash_lsh_candidates
-from recon_spark.operators.extraction import detect_mentions, mentions_long
+from recon_spark.operators.extraction import (
+    detect_mentions,
+    detect_mentions_both,
+    mentions_long,
+)
 from recon_spark.operators.sample import KNUTH
 from recon_spark.operators.similarity import lsh_neardup_pairs
 from recon_spark.operators.validation import (
@@ -55,8 +59,7 @@ from recon_spark.queries.core import SQL_ENTITY_COVERAGE, _docs
 
 def q_filter_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    g = detect_mentions(docs)  # source='gazetteer'
-    gp = detect_mentions(g, which="model", out_col="pred_spans")  # source='model'
+    gp = detect_mentions_both(docs)  # fused gold+model single Arrow pass
     merged = gp.withColumn("spans", F.expr("concat(spans, pred_spans)")).select(
         "doc_id", "text", "spans"
     )

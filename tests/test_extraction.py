@@ -59,3 +59,16 @@ def test_colocated_insights_match_join_operators(spark):
     c = sorted(map(tuple, I.hardest_examples(docs, gold, pred).collect()))
     d = sorted(map(tuple, I.hardest_examples_colocated(both).collect()))
     assert c == d
+
+
+def test_detect_mentions_both_equals_chained(spark):
+    from recon_spark.operators.extraction import detect_mentions, detect_mentions_both
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    chained = detect_mentions(
+        detect_mentions(docs), which="model", out_col="pred_spans"
+    ).select("doc_id", "spans", "pred_spans")
+    fused = detect_mentions_both(docs).select("doc_id", "spans", "pred_spans")
+    a = {r["doc_id"]: (r["spans"], r["pred_spans"]) for r in chained.collect()}
+    b = {r["doc_id"]: (r["spans"], r["pred_spans"]) for r in fused.collect()}
+    assert a == b and len(a) > 0
