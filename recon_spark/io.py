@@ -194,3 +194,115 @@ def to_spacy_partitioned(df: DataFrame, out_dir: str, lang_code: str = "en") -> 
         return iter([])
 
     df.select("text", "spans", "tokens").rdd.mapPartitionsWithIndex(_write).count()
+
+
+# --- Prodigy SQLite connector ----------------------------------------------
+#
+# Reference: Dataset.from_prodigy / to_prodigy (recon/dataset.py:427-468)
+# go through the prodigy package's DB API. Prodigy's storage layout is a
+# plain SQLite file with three tables (documented in prodigy's DB docs):
+#   dataset(id, name, created, meta, session)
+#   example(id, input_hash, task_hash, content)   -- content = task JSON
+#   link(id, example_id, dataset_id)
+# Reading that layout needs only the stdlib, so unlike DocBin this
+# connector is NOT gated: it works in any environment.
+
+_PRODIGY_DDL = (
+    "CREATE TABLE IF NOT EXISTS dataset (id INTEGER PRIMARY KEY, name TEXT UNIQUE,"
+    " created INTEGER, meta TEXT, session INTEGER);"
+    "CREATE TABLE IF NOT EXISTS example (id INTEGER PRIMARY KEY, input_hash INTEGER,"
+    " task_hash INTEGER, content TEXT);"
+    "CREATE TABLE IF NOT EXISTS link (id INTEGER PRIMARY KEY, example_id INTEGER,"
+    " dataset_id INTEGER);"
+)
+
+
+def from_prodigy_db(spark: SparkSession, db_path: str, dataset_name: str) -> DataFrame:
+    """Load a Prodigy dataset from its SQLite store into the examples
+    shape. Only the raw JSON strings touch the driver (SELECT content);
+    parsing + the span-text fill run distributed via from_json — the
+    same validator path as read_jsonl."""
+    import sqlite3
+
+    con = sqlite3.connect(db_path)
+    try:
+        rows = con.execute(
+            "SELECT e.content FROM example e"
+            " JOIN link l ON l.example_id = e.id"
+            " JOIN dataset d ON d.id = l.dataset_id"
+            " WHERE d.name = ? ORDER BY e.id",
+            (dataset_name,),
+        ).fetchall()
+    finally:
+        con.close()
+    raw = spark.createDataFrame([(r[0],) for r in rows], "content string")
+    parsed = raw.select(F.from_json("content", PRODIGY_SCHEMA).alias("ex")).select("ex.*")
+    fill = """
+    transform(coalesce(spans, CAST(array() AS ARRAY<STRUCT<
+        text: STRING, start: INT, end: INT, label: STRING,
+        token_start: INT, token_end: INT, kb_id: STRING, source: STRING>>)),
+      s -> named_struct(
+        'text', coalesce(s.text, substring(text, s.start + 1, s.end - s.start)),
+        'start', s.start, 'end', s.end, 'label', s.label,
+        'token_start', s.token_start, 'token_end', s.token_end,
+        'kb_id', s.kb_id, 'source', s.source))
+    """
+    return parsed.withColumn("spans", F.expr(fill))
+
+
+def to_prodigy_db(df: DataFrame, db_path: str, dataset_name: str) -> int:
+    """Write examples into a Prodigy-layout SQLite store (creates the
+    three tables if absent; replaces the named dataset). SQLite is a
+    single-file driver-side format, so rows collect to the driver —
+    Prodigy datasets are human-annotation-sized by nature; for corpus
+    export use write_jsonl. Returns the number of examples written.
+    input_hash/task_hash follow Prodigy's semantics (input_hash keys the
+    raw text, task_hash the text+annotations); Prodigy rehashes on
+    import, so the exact function only needs determinism (crc32 here).
+    """
+    import json
+    import sqlite3
+    import time
+    import zlib
+
+    rows = df.select("text", "spans").collect()
+    con = sqlite3.connect(db_path)
+    try:
+        con.executescript(_PRODIGY_DDL)
+        con.execute("DELETE FROM link WHERE dataset_id IN "
+                    "(SELECT id FROM dataset WHERE name = ?)", (dataset_name,))
+        con.execute("DELETE FROM dataset WHERE name = ?", (dataset_name,))
+        cur = con.execute(
+            "INSERT INTO dataset (name, created, meta, session) VALUES (?, ?, '{}', 0)",
+            (dataset_name, int(time.time())),
+        )
+        ds_id = cur.lastrowid
+        n = 0
+        for r in rows:
+            content = json.dumps(
+                {
+                    "text": r["text"],
+                    "spans": [
+                        {k: s[k] for k in ("text", "start", "end", "label")}
+                        for s in (r["spans"] or [])
+                    ],
+                },
+                sort_keys=True,
+            )
+            cur = con.execute(
+                "INSERT INTO example (input_hash, task_hash, content) VALUES (?, ?, ?)",
+                (
+                    zlib.crc32(r["text"].encode("utf-8")),
+                    zlib.crc32(content.encode("utf-8")),
+                    content,
+                ),
+            )
+            con.execute(
+                "INSERT INTO link (example_id, dataset_id) VALUES (?, ?)",
+                (cur.lastrowid, ds_id),
+            )
+            n += 1
+        con.commit()
+    finally:
+        con.close()
+    return n

@@ -221,3 +221,32 @@ def test_spacy_connector_gated_or_roundtrip(spark, tmp_path):
     assert back[0]["text"] == "apache spark joins tables"
     s = back[0]["spans"][0]
     assert (s["start"], s["end"], s["label"]) == (0, 12, "TECH")
+
+
+def test_prodigy_db_roundtrip(spark, tmp_path):
+    """to_prodigy_db -> from_prodigy_db preserves text, span offsets and
+    labels through the SQLite store, and the span-text fill validator
+    materializes missing surfaces on read."""
+    from recon_spark.io import from_prodigy_db, to_prodigy_db
+
+    df = spark.createDataFrame(
+        [
+            ("spark joins tables",
+             [{"text": None, "start": 0, "end": 5, "label": "TECH",
+               "token_start": 0, "token_end": 0, "kb_id": None, "source": None}]),
+            ("no entities here", []),
+        ],
+        "text string, spans array<struct<text: string, start: int, end: int,"
+        "label: string, token_start: int, token_end: int, kb_id: string,"
+        "source: string>>",
+    )
+    db = str(tmp_path / "prodigy.db")
+    assert to_prodigy_db(df, db, "train") == 2
+    back = from_prodigy_db(spark, db, "train").orderBy("text").collect()
+    assert [r["text"] for r in back] == ["no entities here", "spark joins tables"]
+    s = back[1]["spans"][0]
+    # surface filled from offsets by the validator path
+    assert (s["text"], s["start"], s["end"], s["label"]) == ("spark", 0, 5, "TECH")
+    # replace semantics: writing again does not duplicate
+    assert to_prodigy_db(df, db, "train") == 2
+    assert from_prodigy_db(spark, db, "train").count() == 2
