@@ -345,7 +345,11 @@ def dedupe_corpus(
 def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, simhash BIGINT): 32-bit SimHash over shingle multiset.
     Bit j is 1 iff sum over shingles of (2*bit_j(g32) - 1) > 0, where
-    g32 = (h * 2654435761) % 2^32. Per-row, shuffle-free."""
+    g32 = (h * 2654435761) % 2^32. Per-row, shuffle-free, pure JVM.
+
+    Default path: measured at parity with the numpy variant at sf0.1
+    (interpreted-fold cost ~ per-row numpy overhead) and bit-identical
+    to the DuckDB oracle by construction."""
     sh = with_shingles(df, text_col).withColumn(
         "__g", F.expr("transform(shingles, h -> (h * 2654435761L) % 4294967296L)")
     )
@@ -354,6 +358,51 @@ def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         for j in range(32)
     )
     return sh.select(F.col(id_col).alias("id"), F.expr(f"({bits})").alias("simhash"))
+
+
+def simhash32_vectorized(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """simhash32 — Arrow-vectorized numpy kernel: per row, unpack each
+    shingle's 32 g32 bits into a (n_shingles x 32) 0/1 matrix, column
+    sums vs n/2 give the bit votes. Exact same integer spec as
+    simhash32 (asserted bit-equal in tests). At sf0.1 it only matches
+    the JVM fold (row-at-a-time numpy setup dominates); it wins when
+    docs are long (shingle count >> numpy per-row overhead)."""
+    import numpy as np
+
+    p = P
+
+    @F.pandas_udf("long")
+    def _simhash(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        jbits = np.arange(32, dtype=np.uint64)
+        weights = (np.int64(1) << np.arange(32, dtype=np.int64))
+
+        def one(text: str):
+            ws = text.split(" ")
+            if len(ws) < 3:
+                return 0  # empty shingle set: every vote sum is 0, no bit set
+            wc = np.fromiter(
+                (
+                    (ord(w[0]) if w else 0) * 100000
+                    + (ord(w[1]) if len(w) > 1 else 0) * 100
+                    + len(w)
+                    for w in ws
+                ),
+                dtype=np.int64,
+                count=len(ws),
+            )
+            h = ((wc[:-2] * 31 + wc[1:-1]) % p * 31 + wc[2:]) % p
+            g = (h.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+            ones = ((g[:, None] >> jbits) & np.uint64(1)).astype(np.int64)
+            # bit j set iff (#ones - #zeros) > 0  <=>  2*sum > n
+            votes = 2 * ones.sum(axis=0) > len(g)
+            return int((votes * weights).sum())
+
+        for texts in batches:
+            yield pd.Series([one(t) for t in texts], dtype="int64")
+
+    return df.select(
+        F.col(id_col).alias("id"), _simhash(F.col(text_col)).alias("simhash")
+    )
 
 
 def simhash_neardup_pairs(

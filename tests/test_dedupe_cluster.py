@@ -73,3 +73,14 @@ def test_blas_allpairs_matches_fold_path(spark):
     a = {(r.id_a, r.id_b, round(r.cos, 5)) for r in cosine_neardup_pairs(emb, threshold=0.45).collect()}
     b = {(r.id_a, r.id_b, round(r.cos, 5)) for r in cosine_neardup_pairs_blas(emb, threshold=0.45).collect()}
     assert a == b
+
+
+def test_simhash_vectorized_equals_jvm(spark):
+    from recon_spark.operators.dedupe import simhash32, simhash32_vectorized
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    short = spark.createDataFrame([(9001, "one two")], "doc_id long, text string")
+    both = docs.select("doc_id", "text").unionByName(short)
+    a = {r["id"]: r["simhash"] for r in simhash32_vectorized(both).collect()}
+    b = {r["id"]: r["simhash"] for r in simhash32(both).collect()}
+    assert a == b and a[9001] == 0 and len(a) > 1
