@@ -391,6 +391,7 @@ def kmeans_centroids(
     iters: int = KMEANS_ITERS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_train_rows: int = 1_000_000,
 ) -> list[tuple[int, list[float]]]:
     """Deterministic Lloyd's k-means over a DataFrame of vectors.
     Returns [(cent_id, centroid)] with cent_id = 0..k-1.
@@ -408,10 +409,23 @@ def kmeans_centroids(
     Scale shape: each iteration is one broadcast join (k ~ sqrt(N)
     centroids) + one (cent_id, dim) aggregation — map-side combinable,
     shuffle volume k*d doubles. Centroids live on the driver between
-    iterations (k*d floats)."""
+    iterations (k*d floats). Past ``max_train_rows`` the quantizer
+    trains on a deterministic rank-strided sample of that size (the
+    standard IVF practice — centroid quality saturates long before the
+    full table; assignment still covers every vector). At the test SFs
+    the table is below the bound, so the sample IS the table and the
+    oracle replica is unaffected."""
     n = vectors.count()
     if n == 0:
         raise ValueError("kmeans_centroids: empty vector table")
+    if n > max_train_rows:
+        every = -(-n // max_train_rows)
+        vectors = vectors.select(
+            F.col(id_col).alias(id_col),
+            F.col(vec_col).alias(vec_col),
+            (F.row_number().over(Window.orderBy(id_col)) - 1).alias("__trn"),
+        ).where(F.col("__trn") % every == 0).drop("__trn")
+        n = -(-n // every)
     k = min(k, n)
     stride = -(-n // k)  # ceil
     ranked = vectors.select(

@@ -170,3 +170,31 @@ def test_cosine_topk_vectorized_equals_fold(spark):
     fast = [tuple(r) for r in cosine_topk_vectorized(emb, queries, k=10).collect()]
     slow = [tuple(r) for r in cosine_topk(emb, queries, k=10).collect()]
     assert fast == slow and len(fast) > 0
+
+
+def test_kmeans_partitioning_independent(spark):
+    """Lloyd's must produce identical centroids under any partitioning —
+    the property the round-6 mean rounding buys (summation order differs
+    per partitioning; rounded means must not). This is what keeps the
+    Spark result bit-comparable with the single-threaded DuckDB oracle."""
+    from recon_spark.operators.similarity import kmeans_centroids
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    one = kmeans_centroids(emb.repartition(1))
+    many = kmeans_centroids(emb.repartition(16))
+    assert one == many and len(one) > 0
+
+
+def test_kmeans_train_sample_bound(spark):
+    from recon_spark.operators.similarity import kmeans_centroids
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    full = kmeans_centroids(emb)
+    # below the bound the sample IS the table
+    assert kmeans_centroids(emb, max_train_rows=10_000_000) == full
+    # above the bound: trains on a strided sample, still k valid centroids
+    sampled = kmeans_centroids(emb, max_train_rows=50)
+    # stride rounding can yield fewer than k centroids (ceil(n/stride));
+    # the oracle replica uses the same formula, so this is spec, not drift
+    assert 0 < len(sampled) <= len(full)
+    assert all(len(cv) == len(full[0][1]) for _, cv in sampled)
