@@ -115,6 +115,9 @@ def run_bench(sf_dir: str, cpus: int, queries: list[str]) -> dict:
         # single-pass parquet read — numbers are only comparable with
         # other runs carrying the same mode tag
         "throughput_mode": "replicated-x20-hot",
+        # window context: the sandbox host is time-shared; absolute
+        # numbers are only comparable between runs at similar load
+        "loadavg_1m": os.getloadavg()[0],
         "n_docs": n_docs,
         "cpus": cpus,
     }
