@@ -110,7 +110,10 @@ def from_spacy(spark: SparkSession, path: str, lang_code: str = "en") -> DataFra
                         "end": e.end_char,
                         "label": e.label_,
                         "token_start": e.start,
-                        "token_end": e.end,
+                        # spaCy Span.end is exclusive; the engine's
+                        # token_end is the index of the LAST token
+                        # (detect_mentions: t0 + surf.count(' '))
+                        "token_end": e.end - 1,
                         "kb_id": None,
                         "source": None,
                     }
@@ -150,9 +153,13 @@ def to_spacy(df: DataFrame, path: str, lang_code: str = "en") -> None:
             continue
         words, spaces = get_words_and_spaces([t["text"] for t in r["tokens"]], r["text"])
         doc = Doc(nlp.vocab, words=words, spaces=spaces)
-        doc.set_ents(
-            [doc.char_span(s["start"], s["end"], label=s["label"]) for s in r["spans"] or []]
-        )
+        ents = [
+            doc.char_span(s["start"], s["end"], label=s["label"])
+            for s in r["spans"] or []
+        ]
+        # char_span returns None for offsets not on token boundaries;
+        # skip those spans (set_ents would raise on None)
+        doc.set_ents([e for e in ents if e is not None])
         doc_bin.add(doc)
     doc_bin.to_disk(path)
 
@@ -181,12 +188,11 @@ def to_spacy_partitioned(df: DataFrame, out_dir: str, lang_code: str = "en") -> 
                 [t["text"] for t in r["tokens"]], r["text"]
             )
             doc = Doc(nlp.vocab, words=words, spaces=spaces)
-            doc.set_ents(
-                [
-                    doc.char_span(s["start"], s["end"], label=s["label"])
-                    for s in r["spans"] or []
-                ]
-            )
+            ents = [
+                doc.char_span(s["start"], s["end"], label=s["label"])
+                for s in r["spans"] or []
+            ]
+            doc.set_ents([e for e in ents if e is not None])
             doc_bin.add(doc)
             n += 1
         if n:

@@ -134,9 +134,13 @@ class Dataset:
 
         if not HAVE_XXH3:
             raise RuntimeError("libxxhash not available; reference parity disabled")
+        # secondary sort on the hash keeps the fold deterministic when
+        # the order column has ties (e.g. the default example_key =
+        # xxhash64(text) under duplicate texts); supply an explicit
+        # ingest-order column to reproduce a reference list order exactly
         rows = (
             self._df.select(F.col(order_col).alias("o"), "example_hash")
-            .orderBy("o")
+            .orderBy("o", "example_hash")
             .collect()
         )
         return dataset_hash(self.name, (r["example_hash"] % (1 << 64) for r in rows))

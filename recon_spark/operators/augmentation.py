@@ -50,7 +50,12 @@ def mask_positions(n: int, prob: float, seed: int) -> set[int]:
     if n <= 0:
         return set()
     n_ones = math.ceil(n * prob)
-    keyed = sorted(((seed * KNUTH + j * MASK_MIX) % MASK_MOD, j) for j in range(n))
+    # seed is reduced mod MASK_MOD first so the product stays < 2^63 —
+    # the JVM/DuckDB replicas compute in 64-bit integers and must never
+    # wrap; Python % and Spark pmod both yield non-negative remainders,
+    # so negative seeds agree across engines too.
+    s = seed % MASK_MOD
+    keyed = sorted(((s * KNUTH + j * MASK_MIX) % MASK_MOD, j) for j in range(n))
     return {j for _, j in keyed[:n_ones]}
 
 
@@ -70,7 +75,10 @@ def with_mask_1d(
         raise ValueError(
             f"Prob of {prob} is not allowed. Allowed values between 0 and 1."
         )
-    key = f"(CAST({seed_expr} AS BIGINT) * {KNUTH}L + CAST(j AS BIGINT) * {MASK_MIX}L) % {MASK_MOD}L"
+    key = (
+        f"pmod(pmod(CAST({seed_expr} AS BIGINT), {MASK_MOD}L) * {KNUTH}L "
+        f"+ CAST(j AS BIGINT) * {MASK_MIX}L, {MASK_MOD}L)"
+    )
     ones = (
         f"transform(slice(array_sort(transform(sequence(0, {n_expr} - 1), "
         f"j -> named_struct('k', {key}, 'j', j))), 1, "
@@ -170,7 +178,7 @@ def ent_label_sub(
             o_id, o_v, o_text, o_spans = [], [], [], []
             for rid, t, spans in zip(ids, texts, spans_in):
                 for did, v, nt, ns in _augment_rows(
-                    rid, t, spans or [], target_label, candidates, n_augs
+                    rid, t, spans or [], target_label, candidates, n_augs, sub_prob
                 ):
                     o_id.append(did)
                     o_v.append(v)

@@ -25,6 +25,16 @@ _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOU
 _NORM = "sqrt(aggregate({a}, 0.0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
 
 
+def _round_half_away(x, ndigits: int = 6):
+    """Round half away from zero, matching Spark's F.round and DuckDB's
+    round for doubles — np.round rounds half to even, which disagrees on
+    exact midpoints (e.g. 13/128 = 0.1015625 at 6 decimals)."""
+    import numpy as np
+
+    m = 10.0 ** ndigits
+    return np.sign(x) * np.floor(np.abs(x) * m + 0.5) / m
+
+
 def with_norm(df: DataFrame, vec_col: str = "embedding", out_col: str = "norm") -> DataFrame:
     return df.withColumn(out_col, F.expr(_NORM.format(a=vec_col)))
 
@@ -101,7 +111,12 @@ def cosine_topk_vectorized(
             sims = bmat @ mat.T  # (batch, Q)
             for qi in range(len(ids)):
                 col = sims[:, qi]
-                for j in np.argpartition(col, -min(k + 1, len(col)))[-(k + 1):]:
+                # lexsort keys are (last key primary): sort by -cos then
+                # id — exact (cos DESC, neighbor_id ASC) pre-selection,
+                # so equal-cosine ties keep the smallest ids (a value-only
+                # argpartition could drop the tie-break winner)
+                order = np.lexsort((bids, -col))[: k + 1]
+                for j in order:
                     if bids[j] == ids[qi]:
                         continue
                     item = (col[j], -int(bids[j]))  # rank: cos desc, id asc
@@ -274,8 +289,9 @@ def _verify_pairs(
     from pyspark.sql.types import IntegerType, LongType
 
     integral_ids = isinstance(vectors.schema[id_col].dataType, (IntegerType, LongType))
-    n = vectors.count()
-    if vectorized and integral_ids and n <= broadcast_rows:
+    # count only when the broadcast path is reachable — the join path
+    # must not pay a scan-and-count job it cannot use
+    if vectorized and integral_ids and vectors.count() <= broadcast_rows:
         rows = vectors.select(id_col, vec_col).collect()
         ids = np.array([r[0] for r in rows], dtype=np.int64)
         mat = np.array([r[1] for r in rows], dtype=np.float64)
@@ -298,7 +314,7 @@ def _verify_pairs(
                         {
                             "id_a": ia[keep],
                             "id_b": ib[keep],
-                            "cos": np.round(cos[keep], 6),
+                            "cos": _round_half_away(cos[keep]),
                         }
                     )
                 else:
@@ -349,10 +365,11 @@ def lsh_neardup_pairs(
     # shuffle bytes by ~d and makes the dedupe compare arrays (measured
     # 4x slower at sf0.1). Vectors are re-attached to the deduped id
     # pairs afterwards.
-    # (id, band, piece) is tiny (n_bands rows/doc of 3 ints); persist so
-    # the signature kernel runs once, not once per side of the self-join
-    # (the two sides do NOT share an exchange — 2 ArrowEvalPython stages
-    # in the unpersisted plan)
+    # (id, band, piece) is tiny (n_bands rows/doc of 3 ints). The two
+    # self-join sides each run the signature kernel (no shared exchange),
+    # but the kernel is sub-second and an explicit persist measured no
+    # faster while pinning cache for the session's lifetime — callers
+    # that loop should cache at their level instead.
     bands = sig.select(
         F.col(id_col).alias("id"),
         F.explode(
@@ -361,7 +378,7 @@ def lsh_neardup_pairs(
                 f"'piece', (lsh_sig div CAST(pow(2, b * {rows_per_band}) AS BIGINT)) % {1 << rows_per_band}))"
             )
         ).alias("bp"),
-    ).select("id", F.col("bp.b").alias("b"), F.col("bp.piece").alias("piece")).persist()
+    ).select("id", F.col("bp.b").alias("b"), F.col("bp.piece").alias("piece"))
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -581,7 +598,7 @@ def cosine_neardup_pairs_blas(
                         js = np.nonzero(mask)[0]
                         out_a.extend([int(bids[i])] * len(js))
                         out_b.extend(all_ids[js].tolist())
-                        out_c.extend(np.round(sims[i][js], 6).tolist())
+                        out_c.extend(_round_half_away(sims[i][js]).tolist())
                 yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos": out_c})
 
         return _gen
@@ -593,14 +610,17 @@ def cosine_neardup_pairs_blas(
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)) == s
         )
         rows = shard.collect()
+        if not rows:  # an unoccupied hash bucket contributes no pairs
+            continue
         ids = np.array([r[0] for r in rows], dtype=np.int64)
         mat = np.array([r[1] for r in rows], dtype=np.float64)
-        if len(mat):
-            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
         b_ids = spark.sparkContext.broadcast(ids)
         b_mat = spark.sparkContext.broadcast(mat)
         del rows, ids, mat  # driver holds one shard at a time
         outs.append(left.mapInPandas(_shard_gen(b_ids, b_mat), "id_a long, id_b long, cos double"))
+    if not outs:
+        return spark.createDataFrame([], "id_a long, id_b long, cos double")
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)

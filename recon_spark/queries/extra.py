@@ -790,7 +790,7 @@ WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
 pos AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS j FROM t),
 keyed AS (
   SELECT doc_id, n, j,
-         (doc_id * {KNUTH} + j * {MASK_MIX}) % {MASK_MOD} AS k
+         ((doc_id % {MASK_MOD}) * {KNUTH} + j * {MASK_MIX}) % {MASK_MOD} AS k
   FROM pos
 ),
 ranked AS (

@@ -29,7 +29,9 @@ def test_mask_1d_exact_ones_count():
 def test_mask_1d_golden_positions():
     # pinned against the keyed-rank spec: smallest (seed*KNUTH + j*MIX) % MOD
     n, prob, seed = 6, 0.5, 3
-    keyed = sorted(((seed * KNUTH + j * MASK_MIX) % MASK_MOD, j) for j in range(n))
+    keyed = sorted(
+        (((seed % MASK_MOD) * KNUTH + j * MASK_MIX) % MASK_MOD, j) for j in range(n)
+    )
     expected = {j for _, j in keyed[: math.ceil(n * prob)]}
     assert mask_positions(n, prob, seed) == expected
     # determinism: same inputs -> same mask
@@ -46,7 +48,15 @@ def test_mask_1d_prob_validation():
 
 
 def test_with_mask_1d_matches_kernel(spark):
-    rows = [(i, 3 + (i * 7) % 9) for i in range(40)]  # (seed, n)
+    # include negative and >2^33 seeds: the key reduces the seed mod
+    # MASK_MOD before multiplying, so 64-bit engines never wrap and
+    # pmod/% agree on the sign
+    rows = [(i, 3 + (i * 7) % 9) for i in range(40)] + [
+        (-17, 6),
+        (-1, 5),
+        (10_000_000_001, 7),
+        (2**62 // 3, 8),
+    ]
     df = spark.createDataFrame(rows, "doc_id long, n int")
     out = with_mask_1d(df, "n", 0.4, seed_expr="doc_id").collect()
     for r in out:
@@ -198,3 +208,42 @@ def test_kmeans_train_sample_bound(spark):
     # the oracle replica uses the same formula, so this is spec, not drift
     assert 0 < len(sampled) <= len(full)
     assert all(len(cv) == len(full[0][1]) for _, cv in sampled)
+
+
+def test_ent_label_sub_forwards_sub_prob(spark):
+    """Regression: the DataFrame operator must forward sub_prob to the
+    kernel (it was silently ignored once)."""
+    from recon_spark.operators.augmentation import ent_label_sub
+
+    text = "t0 xxxxxxx t1 xxxxxxx t2 xxxxxxx t3 xxxxxxx"
+    spans = [
+        {"text": f"t{j}", "start": j * 11, "end": j * 11 + 2, "label": "X",
+         "token_start": 2 * j, "token_end": 2 * j, "kb_id": None, "source": None}
+        for j in range(4)
+    ]
+    df = spark.createDataFrame(
+        [(5, text, spans)],
+        "doc_id long, text string, spans array<struct<text: string, start: int,"
+        "end: int, label: string, token_start: int, token_end: int,"
+        "kb_id: string, source: string>>",
+    )
+    out = ent_label_sub(df, "X", ["AA", "BB"], n_augs=1, sub_prob=0.5).collect()
+    assert len(out) == 1
+    n_subbed = sum(out[0]["text"].count(c) for c in ("AA", "BB"))
+    expected = _augment_rows(5, text, spans, "X", ["AA", "BB"], 1, 0.5)
+    assert n_subbed == 2 and out[0]["text"] == expected[0][2]
+
+
+def test_cosine_topk_vectorized_tie_break(spark):
+    """Many identical vectors (all pairwise cosine 1.0): the per-batch
+    pre-selection must keep the smallest neighbor ids, exactly as the
+    (cos DESC, neighbor_id ASC) window does."""
+    from recon_spark.operators.similarity import cosine_topk, cosine_topk_vectorized
+
+    rows = [(i, [1.0, 2.0, 3.0]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.where("vec_id = 7")
+    fast = [tuple(r) for r in cosine_topk_vectorized(df, q, k=5).collect()]
+    slow = [tuple(r) for r in cosine_topk(df, q, k=5).collect()]
+    assert fast == slow
+    assert [r[1] for r in fast] == [0, 1, 2, 3, 4]  # smallest ids win ties
