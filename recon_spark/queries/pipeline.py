@@ -506,6 +506,83 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# clean_corpus — the composed C4-style cleaning decision
+# --------------------------------------------------------------------------
+
+_CLEAN_MIN_TOKENS = 20
+_CLEAN_MIN_STOPWORD = 0.01
+
+
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data cleaning decision, per doc with a
+    first-match-wins reason — short -> lang -> near_dup -> keep —
+    composing text metrics, language evidence, and MinHash-LSH
+    near-dup clustering (non-representative component members drop).
+    Output is the (reason, n_docs) summary; at scale the same plan
+    materializes the kept corpus instead of counting."""
+    from recon_spark.operators.dedupe import (
+        connected_components,
+        minhash_lsh_candidates,
+    )
+
+    docs = _docs(spark, sf_dir)
+    m = TS.text_metrics(docs)
+    comps = connected_components(minhash_lsh_candidates(docs))
+    losers = (
+        comps.where(F.col("id") != F.col("component"))
+        .select(F.col("id").alias("doc_id"))
+        .withColumn("is_loser", F.lit(True))
+    )
+    j = m.join(losers, "doc_id", "left")
+    reason = (
+        F.when(F.col("n_tokens") < _CLEAN_MIN_TOKENS, "short")
+        .when(F.col("stopword_ratio") < _CLEAN_MIN_STOPWORD, "lang")
+        .when(F.col("is_loser"), "near_dup")
+        .otherwise("keep")
+    )
+    return (
+        j.groupBy(reason.alias("reason"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("reason")
+    )
+
+
+def _sql_clean_corpus() -> str:
+    from recon_spark.queries.extra import _sql_minhash_pairs_cte
+
+    return f"""
+WITH RECURSIVE {_sql_minhash_pairs_cte()},
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT s AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.id
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+losers AS (SELECT id AS doc_id FROM comp WHERE id <> component),
+t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+dec AS (
+  SELECT t.doc_id,
+         CASE WHEN len(ws) < {_CLEAN_MIN_TOKENS} THEN 'short'
+              WHEN len(list_filter(ws, w -> w IN ({_STOP_IN})))
+                   / CAST(len(ws) AS DOUBLE) < {_CLEAN_MIN_STOPWORD} THEN 'lang'
+              WHEN l.doc_id IS NOT NULL THEN 'near_dup'
+              ELSE 'keep' END AS reason
+  FROM t LEFT JOIN losers l USING (doc_id)
+)
+SELECT reason, CAST(count(*) AS BIGINT) AS n_docs
+FROM dec GROUP BY reason ORDER BY reason
+"""
+
+
+SQL_CLEAN_CORPUS = _sql_clean_corpus()
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
@@ -519,6 +596,7 @@ QUERIES = {
     "lang_mention_stats": q_lang_mention_stats,
     "stratified_sample": q_stratified_sample,
     "events_hourly": q_events_hourly,
+    "clean_corpus": q_clean_corpus,
     "stream_events_hourly": q_stream_events_hourly,
     "events_sessions": q_events_sessions,
     "revenue_topk": q_revenue_topk,
@@ -538,8 +616,11 @@ ORACLES = {
     "lang_mention_stats": SQL_LANG_MENTION_STATS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "events_hourly": SQL_EVENTS_HOURLY,
+    "clean_corpus": SQL_CLEAN_CORPUS,
     "stream_events_hourly": SQL_STREAM_EVENTS_HOURLY,
     "events_sessions": SQL_EVENTS_SESSIONS,
     "revenue_topk": SQL_REVENUE_TOPK,
     "pricing_summary": SQL_PRICING_SUMMARY,
 }
+
+
