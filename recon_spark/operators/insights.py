@@ -227,6 +227,11 @@ def hardest_examples_colocated(
         .otherwise(1.0)
         .alias("fscore"),
     )
+    # (doc_id, count, fscore) is 3 scalars/doc; persist so the upstream
+    # extraction runs once — the global max/min-max chain otherwise
+    # re-executes the whole subtree 3x (measured 2.1s -> 1.2s at sf0.1).
+    # Pinned memory is O(N_docs * 24B), not the span arrays.
+    scored = scored.persist()
     glob = scored.agg(F.max("count").alias("max_count"))
     adj = scored.crossJoin(F.broadcast(glob)).select(
         "doc_id",
