@@ -159,3 +159,50 @@ def test_ivf_assignment_join_is_broadcast(spark):
     # within-cell self-join SHOULD shuffle on cent_id — cells are the
     # parallelism unit at scale
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_fused_extraction_single_python_stage(spark):
+    from recon_spark.operators.extraction import detect_mentions_both
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = plan_of(detect_mentions_both(docs))
+    # ONE fused Arrow stage for gold+model — chaining two calls costs two
+    assert plan.count("MapInArrow") == 1 or plan.count("ArrowEvalPython") <= 1
+    assert "Exchange" not in plan  # per-row: zero shuffle
+
+
+def test_broadcast_verify_ships_ids_only(spark):
+    from recon_spark.operators.similarity import lsh_neardup_pairs
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    plan = plan_of(lsh_neardup_pairs(emb, threshold=0.45, dim=64))
+    # small-table verify: candidates go to Python as (id_a, id_b) longs;
+    # no per-pair join re-attaching the d-dim vector arrays
+    assert "FlatMapsInPandas" in plan or "MapInPandas" in plan
+    assert plan.count("Join") <= 1  # only the band self-join remains
+
+
+def test_prediction_errors_null_pred_label(spark):
+    """Regression (ADVICE r1): a matched pred span with a NULL label must
+    be reported as a mismatch, not silently dropped by `<>` semantics."""
+    from recon_spark.operators.insights import prediction_errors_colocated
+
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                [{"text": "spark", "start": 0, "end": 5, "label": "TECH",
+                  "token_start": 0, "token_end": 0, "kb_id": None, "source": None}],
+                [{"text": "spark", "start": 0, "end": 5, "label": None,
+                  "token_start": 0, "token_end": 0, "kb_id": None, "source": None}],
+            )
+        ],
+        "doc_id long, spans array<struct<text: string, start: int, end: int,"
+        "label: string, token_start: int, token_end: int, kb_id: string,"
+        "source: string>>, pred_spans array<struct<text: string, start: int,"
+        "end: int, label: string, token_start: int, token_end: int,"
+        "kb_id: string, source: string>>",
+    )
+    rows = prediction_errors_colocated(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["true_label"] == "TECH" and rows[0]["pred_label"] is None
