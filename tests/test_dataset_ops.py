@@ -119,3 +119,24 @@ def test_search(spark, tmp_path):
     ds = Dataset("s", mk_examples(spark), str(tmp_path / "s"))
     assert ds.search("MODEL").count() == 2
     assert ds.search("MODEL", case_sensitive=True).count() == 0
+
+
+def test_stats_cli_matches_distributed_similarity():
+    """The stats CLI's driver-side JS matrix must reproduce the
+    distributed label_distribution_similarity bit-for-bit (value pinned
+    from the operator path on sf0.001)."""
+    import json
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "recon_spark", "stats",
+         "--docs", "/root/testdata/sf0.001/documents.parquet",
+         "--master", "local[4]"],
+        capture_output=True, text=True, check=True, cwd="/root/repo",
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    d = json.loads(line)
+    assert len(d["splits"]) == 20
+    assert d["label_distribution_similarity"]["src0/src1"] == 73.358172
+    assert all(v["n_examples"] == 25 for v in d["splits"].values())
