@@ -427,22 +427,27 @@ def kmeans_centroids(
     centroids) + one (cent_id, dim) aggregation — map-side combinable,
     shuffle volume k*d doubles. Centroids live on the driver between
     iterations (k*d floats). Past ``max_train_rows`` the quantizer
-    trains on a deterministic rank-strided sample of that size (the
-    standard IVF practice — centroid quality saturates long before the
-    full table; assignment still covers every vector). At the test SFs
-    the table is below the bound, so the sample IS the table and the
-    oracle replica is unaffected."""
+    trains on a deterministic hash-strided sample of about that size
+    (the standard IVF practice — centroid quality saturates long before
+    the full table; assignment still covers every vector), so the
+    init's global rank window only ever sees the bounded sample. At the
+    test SFs the table is below the bound, so the sample IS the table
+    and the oracle replica is unaffected."""
     n = vectors.count()
     if n == 0:
         raise ValueError("kmeans_centroids: empty vector table")
     if n > max_train_rows:
+        # hash-based sampling, NOT rank-based: a global row_number over
+        # the full table is a single-partition sort at scale. Above the
+        # bound there is no oracle replica to match, so the sample only
+        # needs determinism, which xxhash64(id) gives per-row.
         every = -(-n // max_train_rows)
-        vectors = vectors.select(
-            F.col(id_col).alias(id_col),
-            F.col(vec_col).alias(vec_col),
-            (F.row_number().over(Window.orderBy(id_col)) - 1).alias("__trn"),
-        ).where(F.col("__trn") % every == 0).drop("__trn")
-        n = -(-n // every)
+        vectors = vectors.where(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(every)) == 0
+        )
+        n = vectors.count()
+        if n == 0:
+            raise ValueError("kmeans_centroids: training sample is empty")
     k = min(k, n)
     stride = -(-n // k)  # ceil
     ranked = vectors.select(
