@@ -101,7 +101,9 @@ def stats_main(argv: list[str]) -> int:
                     js += 0.5 * p * math.log(p / m)
                 if q > 0:
                     js += 0.5 * q * math.log(q / m)
-            return round(100.0 * (1.0 - math.sqrt(js)), 6)
+            # mathematically js >= 0, but the signed terms can cancel to
+            # ~-1e-17 in float for near-identical distributions
+            return round(100.0 * (1.0 - math.sqrt(max(js, 0.0))), 6)
 
         splits = sorted(per_split)
         sims = {

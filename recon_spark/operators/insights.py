@@ -227,36 +227,32 @@ def hardest_examples_colocated(
         .otherwise(1.0)
         .alias("fscore"),
     )
-    # (doc_id, count, fscore) is 3 scalars/doc; persist so the upstream
-    # extraction runs once — the global max/min-max chain otherwise
-    # re-executes the whole subtree 3x (measured 2.1s -> 1.2s at sf0.1).
-    # Pinned memory is O(N_docs * 24B), not the span arrays.
+    # The three global scalars (max_count, lo, hi) are collected EAGERLY
+    # against a transiently persisted score frame, then embedded as
+    # literals: the returned plan references the subtree exactly once,
+    # and the cache is released before returning (no session-lifetime
+    # pin — callers in a loop previously accumulated one cached RDD per
+    # call). Extraction executions: 1 while cached + 1 at caller
+    # materialization, vs 3-4 for the unpersisted broadcast-agg chain.
     scored = scored.persist()
-    glob = scored.agg(F.max("count").alias("max_count"))
-    adj = scored.crossJoin(F.broadcast(glob)).select(
-        "doc_id",
-        "count",
-        (
-            F.col("fscore")
-            - F.col("count") / F.when(F.col("max_count") > 0, F.col("max_count")).otherwise(1)
-        ).alias("raw_score"),
-    )
-    rng = adj.agg(F.min("raw_score").alias("lo"), F.max("raw_score").alias("hi"))
-    return (
-        adj.crossJoin(F.broadcast(rng))
-        .select(
-            "doc_id",
-            "count",
-            F.round(
-                F.when(
-                    F.col("hi") > F.col("lo"),
-                    (F.col("raw_score") - F.col("lo")) / (F.col("hi") - F.col("lo")),
-                ).otherwise(0.0),
-                6,
-            ).alias("score"),
+    try:
+        max_count = scored.agg(F.max("count")).collect()[0][0] or 0
+        raw_score = F.col("fscore") - F.col("count") / F.lit(
+            max_count if max_count > 0 else 1
         )
-        .orderBy("score", "count", "doc_id")
-    )
+        row = scored.agg(
+            F.min(raw_score).alias("lo"), F.max(raw_score).alias("hi")
+        ).collect()[0]
+        lo, hi = row["lo"], row["hi"]
+    finally:
+        scored.unpersist()
+    if lo is None or hi is None or not hi > lo:
+        score = F.lit(0.0)
+    else:
+        score = F.round((raw_score - F.lit(lo)) / F.lit(hi - lo), 6)
+    return scored.select(
+        "doc_id", "count", score.alias("score")
+    ).orderBy("score", "count", "doc_id")
 
 
 def hardest_examples(

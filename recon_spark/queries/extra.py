@@ -363,9 +363,12 @@ pairs AS (
 )"""
 
 
-SQL_DEDUP_CLUSTER = f"""
-WITH RECURSIVE {_sql_minhash_pairs_cte()},
-edges AS (
+def _sql_components_cte() -> str:
+    """Min-reachable-id connected components over a ``pairs`` CTE —
+    ends in ``comp(id, component)``. Shared verbatim by the
+    dedup_cluster and clean_corpus oracles so the recursion stays in
+    lockstep with the Spark connected_components semantics."""
+    return """edges AS (
   SELECT id_a AS s, id_b AS d FROM pairs
   UNION SELECT id_b, id_a FROM pairs
 ),
@@ -374,8 +377,14 @@ reach(id, r) AS (
   SELECT id, id FROM nodes
   UNION
   SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.id
-)
-SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)"""
+
+
+SQL_DEDUP_CLUSTER = f"""
+WITH RECURSIVE {_sql_minhash_pairs_cte()},
+{_sql_components_cte()}
+SELECT id, component FROM comp ORDER BY id
 """
 
 

@@ -549,28 +549,21 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_clean_corpus() -> str:
-    from recon_spark.queries.extra import _sql_minhash_pairs_cte
+    from recon_spark.queries.extra import _sql_components_cte, _sql_minhash_pairs_cte
 
     return f"""
 WITH RECURSIVE {_sql_minhash_pairs_cte()},
-edges AS (
-  SELECT id_a AS s, id_b AS d FROM pairs
-  UNION SELECT id_b, id_a FROM pairs
-),
-nodes AS (SELECT DISTINCT s AS id FROM edges),
-reach(id, r) AS (
-  SELECT id, id FROM nodes
-  UNION
-  SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.id
-),
-comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+{_sql_components_cte()},
 losers AS (SELECT id AS doc_id FROM comp WHERE id <> component),
 t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 dec AS (
   SELECT t.doc_id,
          CASE WHEN len(ws) < {_CLEAN_MIN_TOKENS} THEN 'short'
-              WHEN len(list_filter(ws, w -> w IN ({_STOP_IN})))
-                   / CAST(len(ws) AS DOUBLE) < {_CLEAN_MIN_STOPWORD} THEN 'lang'
+              -- round(...,6) mirrors the Spark side exactly: the reason
+              -- compares text_metrics' ROUNDED stopword_ratio, so the
+              -- oracle must threshold the rounded value too
+              WHEN round(len(list_filter(ws, w -> w IN ({_STOP_IN})))
+                   / CAST(len(ws) AS DOUBLE), 6) < {_CLEAN_MIN_STOPWORD} THEN 'lang'
               WHEN l.doc_id IS NOT NULL THEN 'near_dup'
               ELSE 'keep' END AS reason
   FROM t LEFT JOIN losers l USING (doc_id)

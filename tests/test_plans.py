@@ -167,7 +167,8 @@ def test_fused_extraction_single_python_stage(spark):
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
     plan = plan_of(detect_mentions_both(docs))
     # ONE fused Arrow stage for gold+model — chaining two calls costs two
-    assert plan.count("MapInArrow") == 1 or plan.count("ArrowEvalPython") <= 1
+    assert plan.count("MapInArrow") == 1
+    assert "ArrowEvalPython" not in plan
     assert "Exchange" not in plan  # per-row: zero shuffle
 
 
@@ -178,7 +179,7 @@ def test_broadcast_verify_ships_ids_only(spark):
     plan = plan_of(lsh_neardup_pairs(emb, threshold=0.45, dim=64))
     # small-table verify: candidates go to Python as (id_a, id_b) longs;
     # no per-pair join re-attaching the d-dim vector arrays
-    assert "FlatMapsInPandas" in plan or "MapInPandas" in plan
+    assert "MapInPandas" in plan
     assert plan.count("Join") <= 1  # only the band self-join remains
 
 
