@@ -576,6 +576,38 @@ FROM dec GROUP BY reason ORDER BY reason
 SQL_CLEAN_CORPUS = _sql_clean_corpus()
 
 
+def q_stream_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful-streaming twin of events_sessions: per-user
+    sessionization as an applyInPandasWithState operator
+    (recon_spark/streaming.py:stream_user_sessions) drained with
+    availableNow into a memory sink. Must match the batch window-based
+    sessionization oracle exactly."""
+    import os
+    import tempfile
+    import uuid
+
+    from recon_spark.streaming import stream_user_sessions
+
+    src_dir = tempfile.mkdtemp(prefix="recon_stream_sess_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events-000.parquet")
+    sdf = stream_user_sessions(spark, src_dir)
+    name = "stream_events_sessions_" + uuid.uuid4().hex[:8]
+    chk = tempfile.mkdtemp(prefix="recon_stream_sess_chk_")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("user_id")
+
+
+SQL_STREAM_EVENTS_SESSIONS = SQL_EVENTS_SESSIONS
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
@@ -591,6 +623,7 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "clean_corpus": q_clean_corpus,
     "stream_events_hourly": q_stream_events_hourly,
+    "stream_events_sessions": q_stream_events_sessions,
     "events_sessions": q_events_sessions,
     "revenue_topk": q_revenue_topk,
     "pricing_summary": q_pricing_summary,
@@ -611,9 +644,8 @@ ORACLES = {
     "events_hourly": SQL_EVENTS_HOURLY,
     "clean_corpus": SQL_CLEAN_CORPUS,
     "stream_events_hourly": SQL_STREAM_EVENTS_HOURLY,
+    "stream_events_sessions": SQL_STREAM_EVENTS_SESSIONS,
     "events_sessions": SQL_EVENTS_SESSIONS,
     "revenue_topk": SQL_REVENUE_TOPK,
     "pricing_summary": SQL_PRICING_SUMMARY,
 }
-
-

@@ -80,3 +80,73 @@ def stream_pages_to_triples(
 
 def triple_store(spark: SparkSession, out_dir: str) -> SnapshotStore:
     return SnapshotStore(spark, out_dir, key_col="triple_key", hash_col="content_hash")
+
+
+def stream_user_sessions(
+    spark: SparkSession,
+    source_dir: str,
+    gap_ms: int = 1_800_000,
+    schema_ddl: str = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ),
+):
+    """Custom stateful streaming operator: per-user sessionization with
+    applyInPandasWithState. State = the user's open session (start, last
+    event ms, length) + closed-session accumulators; a new event more
+    than ``gap_ms`` after the last one closes the open session. Output
+    (on state completion) is one row per user: n_sessions, n_events,
+    longest_session — the exact batch sessionization contract
+    (queries/pipeline.py:q_events_sessions), which an availableNow drain
+    must reproduce bit-for-bit (driver-checked).
+
+    Scale shape: state is O(1) per user (4 longs); the shuffle is the
+    groupBy(user_id) Spark requires for keyed state. Watermark bounds
+    state lifetime in a continuous run."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = spark.readStream.schema(schema_ddl).parquet(source_dir)
+    events = (
+        src.withColumn("ms", F.unix_millis(F.col("ts").cast("timestamp")))
+        .withWatermark("ts", "2 hours")
+        .select("user_id", "event_id", "ms")
+    )
+
+    def _sessionize(key, pdfs, state: GroupState):
+        # state: (n_closed, longest_closed, open_len, open_last_ms, n_events)
+        if state.exists:
+            n_closed, longest, open_len, last_ms, n_events = state.get
+        else:
+            n_closed, longest, open_len, last_ms, n_events = 0, 0, 0, -1, 0
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ms", "event_id"])
+        for ms in rows["ms"]:
+            ms = int(ms)
+            if last_ms >= 0 and ms - last_ms > gap_ms:
+                n_closed += 1
+                longest = max(longest, open_len)
+                open_len = 0
+            open_len += 1
+            n_events += 1
+            last_ms = ms
+        state.update((n_closed, longest, open_len, last_ms, n_events))
+        # availableNow drain: emit the final summary including the still-
+        # open session (the batch semantics); a continuous run would emit
+        # on timeout instead
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_sessions": [n_closed + (1 if open_len > 0 else 0)],
+                "n_events": [n_events],
+                "longest_session": [max(longest, open_len)],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _sessionize,
+        outputStructType="user_id long, n_sessions long, n_events long, longest_session long",
+        stateStructType="n_closed long, longest long, open_len long, last_ms long, n_events long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
