@@ -204,3 +204,25 @@ def ops_log_df(spark: SparkSession, store: SnapshotStore) -> DataFrame:
             "commit_hash string, snapshot_id long"
         ),
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 64,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a hash-bucketed (optionally sorted) managed table —
+    the co-located-join primitive: two tables bucketed on the same key
+    with the same bucket count join WITHOUT a shuffle (each task reads
+    matching buckets from both sides; sorted buckets skip the sort too).
+    The Iceberg analog is a bucket partition transform; here it is
+    Spark's native bucketBy catalog table (plan audited in
+    tests/test_plans.py). Use for the tables every pipeline stage joins
+    on the same key — pages/mentions/triples on url or doc_id hash."""
+    w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.saveAsTable(table)

@@ -207,3 +207,26 @@ def test_prediction_errors_null_pred_label(spark):
     rows = prediction_errors_colocated(df).collect()
     assert len(rows) == 1
     assert rows[0]["true_label"] == "TECH" and rows[0]["pred_label"] is None
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Co-located bucketed join: both sides bucketed+sorted on doc_id
+    with the same bucket count -> the join plan has NO Exchange (and no
+    per-side Sort) — the pre-partitioning story the pipeline uses for
+    its repeatedly-joined tables at scale."""
+    from recon_spark.storage import write_bucketed
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    write_bucketed(docs.select("doc_id", "lang"), "t_bkt_a", "doc_id", n_buckets=8)
+    write_bucketed(docs.select("doc_id", "n_chars"), "t_bkt_b", "doc_id", n_buckets=8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("t_bkt_a").join(spark.table("t_bkt_b"), "doc_id")
+        plan = plan_of(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucket co-location: zero shuffle
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_bkt_a")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_b")
