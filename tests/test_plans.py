@@ -230,3 +230,37 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_bkt_a")
         spark.sql("DROP TABLE IF EXISTS t_bkt_b")
+
+
+def test_aqe_splits_skewed_join(spark):
+    """Runtime skew mitigation: a join where 98% of fact rows share one
+    key must be re-planned by AQE into a skew-split SortMergeJoin
+    (SortMergeJoin(skew=true) + 'AQEShuffleRead coalesced and skewed')
+    — the backstop behind the pipeline's explicit salting for
+    head-entity skew."""
+    fact = spark.range(2_000_000).select(
+        F.when(F.col("id") % 50 != 0, 0).otherwise(F.col("id")).alias("k"),
+        F.concat(F.lit("x" * 64), F.col("id")).alias("pad"),
+    )
+    dim = spark.range(100_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2MB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1MB",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        j = fact.join(dim, "k")
+        qe = j._jdf.queryExecution()
+        qe.executedPlan().execute().count()  # finalize THIS adaptive plan
+        plan = qe.executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan
+        assert "skewed" in plan  # AQEShuffleRead split the hot partition
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
