@@ -144,3 +144,99 @@ def sample_frames(
             F.expr(f"sequence(0, {meta_col}.duration_ms, {every_ms})")
         ).alias("frame_ts_ms"),
     )
+
+
+def resize_image(
+    df: DataFrame,
+    target_w: int = 4,
+    target_h: int = 4,
+    payload_col: str = "payload",
+    meta_col: str = "meta",
+    fake: bool = True,
+) -> DataFrame:
+    """Arrow-batched nearest-neighbor resize over image rows:
+    (media_id, pixels ARRAY<INT>) of exactly target_w*target_h values.
+    Source pixel for output (x, y) is (x*w // tw, y*h // th) — integer
+    arithmetic only, so the DuckDB oracle replicates the fake-decode →
+    resize pipeline exactly. Real decoding stays behind the same codec
+    stub as decode_image."""
+    import pyarrow as pa
+
+    def _gen(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            ids = batch.column("media_id").to_pylist()
+            payloads = batch.column(payload_col).to_pylist()
+            metas = batch.column(meta_col).to_pylist()
+            out = []
+            for p, m in zip(payloads, metas):
+                px = decode_image(p, m, fake=fake)
+                w = (m.get("width") or 8) % 8 + 1
+                h = (m.get("height") or 8) % 8 + 1
+                out.append(
+                    [
+                        px[(x * w // target_w) * h + (y * h // target_h)]
+                        for x in range(target_w)
+                        for y in range(target_h)
+                    ]
+                )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(out, pa.list_(pa.int32()))],
+                ["media_id", "pixels"],
+            )
+
+    images = df.where(F.col(f"{meta_col}.media_type").startswith("image/"))
+    return images.select("media_id", payload_col, meta_col).mapInArrow(
+        _gen, "media_id long, pixels array<int>"
+    )
+
+
+def decode_audio(payload: bytes, meta: dict, fake: bool = False, max_samples: int = 1024) -> list[int]:
+    """Decode an audio payload to centered samples. STUB: real decoding
+    needs an audio codec library. The fake decoder strides the first
+    ``max_samples`` of the track (sample j = digest[j % 32] - 128),
+    deterministic and SQL-replicable."""
+    if not fake:
+        raise NotImplementedError(
+            "audio decoding requires a codec library (e.g. soundfile); "
+            "run with fake=True for the deterministic test decoder"
+        )
+    sr = meta.get("sample_rate") or 16000
+    dur = meta.get("duration_ms") or 0
+    ns = min(max_samples, sr * dur // 1000)
+    digest = hashlib.sha256(payload.hex().encode()).digest()
+    return [digest[j % 32] - 128 for j in range(ns)]
+
+
+def extract_audio_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    meta_col: str = "meta",
+    fake: bool = True,
+    n_windows: int = 4,
+) -> DataFrame:
+    """Arrow-batched audio features: filters to audio media (metadata
+    predicate), decodes per batch (strided stub), emits mean-absolute
+    energy per time window — the framing/windowing plumbing a real
+    fbank/MFCC extractor slots into."""
+    import numpy as np
+    import pyarrow as pa
+
+    def _gen(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            ids = batch.column("media_id").to_pylist()
+            payloads = batch.column(payload_col).to_pylist()
+            metas = batch.column(meta_col).to_pylist()
+            feats = []
+            for p, m in zip(payloads, metas):
+                s = np.asarray(decode_audio(p, m, fake=fake), dtype=np.float64)
+                wins = np.array_split(np.abs(s), n_windows)
+                feats.append([float(w.mean()) if len(w) else 0.0 for w in wins])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(feats, pa.list_(pa.float64()))],
+                ["media_id", "features"],
+            )
+
+    audio = df.where(F.col(f"{meta_col}.media_type").startswith("audio/"))
+    return audio.select("media_id", payload_col, meta_col).mapInArrow(
+        _gen, "media_id long, features array<double>"
+    )

@@ -602,6 +602,77 @@ FROM f ORDER BY media_id, f_idx
 """
 
 
+_MEDIA_DIGEST_CTE = f"""ids AS (SELECT unnest(generate_series(0, {_MEDIA_N - 1})) AS media_id),
+dg AS (
+  SELECT media_id,
+         sha256(repeat(sha256('42:' || media_id), 8 + media_id % 8)) AS dh
+  FROM ids
+),
+db_t AS (
+  SELECT media_id,
+         list_transform(generate_series(0, 31),
+           k -> CAST(concat('0x', substr(dh, 2 * k + 1, 2)) AS INT)) AS db
+  FROM dg
+)"""
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor resize of every (fake-decoded) image to 4x4,
+    flattened to (media_id, p_idx, pixel) — integer source-index
+    arithmetic, so the oracle replays decode -> resize exactly."""
+    from recon_spark.operators.multimodal import generate_media, resize_image
+
+    media = generate_media(spark, _MEDIA_N)
+    r = resize_image(media, target_w=4, target_h=4, fake=True)
+    return (
+        r.select("media_id", F.posexplode("pixels").alias("p_idx", "pixel"))
+        .orderBy("media_id", "p_idx")
+    )
+
+
+# image rows: media_id % 3 == 0, fake dims w = h = media_id % 8 + 1;
+# resized (x, y) reads source (x*w//4, y*w//4) -> byte (xs*w + ys) % 32
+SQL_MULTIMODAL_RESIZE = f"""
+WITH {{digest}},
+img AS (SELECT media_id, media_id % 8 + 1 AS w, db FROM db_t WHERE media_id % 3 = 0),
+grid AS (SELECT x, y FROM (SELECT unnest(generate_series(0, 3)) AS x),
+                         (SELECT unnest(generate_series(0, 3)) AS y))
+SELECT media_id, CAST(x * 4 + y AS INT) AS p_idx,
+       CAST(db[(((x * w) // 4) * w + ((y * w) // 4)) % 32 + 1] AS INT) AS pixel
+FROM img, grid ORDER BY media_id, p_idx
+""".format(digest=_MEDIA_DIGEST_CTE)
+
+
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio windowed features over the strided fake decode: 1024
+    samples (digest[j % 32] - 128), 4 windows of 256, mean absolute
+    energy each, flattened to (media_id, w_idx, energy)."""
+    from recon_spark.operators.multimodal import extract_audio_features, generate_media
+
+    media = generate_media(spark, _MEDIA_N)
+    a = extract_audio_features(media, fake=True, n_windows=4)
+    return (
+        a.select("media_id", F.posexplode("features").alias("w_idx", "f"))
+        .select("media_id", "w_idx", F.round("f", 6).alias("energy"))
+        .orderBy("media_id", "w_idx")
+    )
+
+
+# audio rows: media_id % 3 == 1; sample_rate*duration/1000 >= 1024 for
+# every generated row, so the strided decode is always 1024 samples
+SQL_MULTIMODAL_AUDIO = f"""
+WITH {{digest}},
+aud AS (SELECT media_id, db FROM db_t WHERE media_id % 3 = 1),
+samp AS (
+  SELECT media_id, j // 256 AS w_idx, abs(db[(j % 32) + 1] - 128) AS a
+  FROM aud, (SELECT unnest(generate_series(0, 1023)) AS j)
+)
+SELECT media_id, CAST(w_idx AS INT) AS w_idx, round(avg(a), 6) AS energy
+FROM samp GROUP BY media_id, w_idx ORDER BY media_id, w_idx
+""".format(digest=_MEDIA_DIGEST_CTE)
+
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plan: one row per (media_id, frame_ts_ms),
     pure JVM sequence over the metadata duration — the binary column is
@@ -852,6 +923,8 @@ QUERIES = {
     "merge_corrected": q_merge_corrected,
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
+    "multimodal_resize": q_multimodal_resize,
+    "multimodal_audio": q_multimodal_audio,
     "dedup_cluster": q_dedup_cluster,
     "lsh_neardup": q_lsh_neardup,
     "ivf_neardup": q_ivf_neardup,
@@ -873,6 +946,8 @@ ORACLES = {
     "merge_corrected": SQL_MERGE_CORRECTED,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,
+    "multimodal_resize": SQL_MULTIMODAL_RESIZE,
+    "multimodal_audio": SQL_MULTIMODAL_AUDIO,
     "dedup_cluster": SQL_DEDUP_CLUSTER,
     "lsh_neardup": SQL_LSH_NEARDUP,
     "ivf_neardup": SQL_IVF_NEARDUP,

@@ -102,7 +102,14 @@ def stream_user_sessions(
 
     Scale shape: state is O(1) per user (4 longs); the shuffle is the
     groupBy(user_id) Spark requires for keyed state. Watermark bounds
-    state lifetime in a continuous run."""
+    state lifetime in a continuous run.
+
+    Ordering caveat: events are sorted by (ms, event_id) WITHIN each
+    micro-batch, so per-user event-time monotonicity ACROSS batches is
+    assumed — an availableNow single-file drain (the driver query)
+    satisfies it trivially. A continuous deployment with cross-batch
+    disorder should buffer events in state and fold them when the
+    watermark passes their window."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 

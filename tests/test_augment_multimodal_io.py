@@ -250,3 +250,16 @@ def test_prodigy_db_roundtrip(spark, tmp_path):
     # replace semantics: writing again does not duplicate
     assert to_prodigy_db(df, db, "train") == 2
     assert from_prodigy_db(spark, db, "train").count() == 2
+
+
+def test_audio_decode_gate_and_stride():
+    from recon_spark.operators.multimodal import decode_audio
+
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"\x00" * 16, {"sample_rate": 16000, "duration_ms": 1000})
+    s = decode_audio(b"\xab" * 16, {"sample_rate": 16000, "duration_ms": 1000}, fake=True)
+    assert len(s) == 1024 and all(-128 <= x <= 127 for x in s)
+    short = decode_audio(b"\xab" * 16, {"sample_rate": 8000, "duration_ms": 100}, fake=True)
+    assert len(short) == 800  # below the stride cap: full track
