@@ -120,3 +120,76 @@ def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         F.expr(ws).alias("n_ws_tokens"),
         F.expr(bpe).alias("n_bpe_tokens"),
     )
+
+
+# Char-trigram profiles per language (classic Cavnar-Trenkle shape):
+# the most characteristic function-word trigrams, embedded so Spark and
+# the DuckDB oracle score identically. Ordered dict -> deterministic
+# tie-break (first language wins ties after the score comparison).
+NGRAM_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": (" th", "the", "he ", " an", "and", "nd ", " of", "of "),
+    "es": (" el", "el ", " qu", "que", "ue ", " lo", "los", " es"),
+    "fr": (" le", "le ", " et", "et ", " la", " je", " ne", "ais"),
+    "de": ("der", " de", "die", "ie ", " un", "und", "sch", "ein"),
+}
+
+
+def language_id_ngram(
+    df: DataFrame, text_col: str = "text", out_col: str = "lang_pred", min_hits: int = 2
+) -> DataFrame:
+    """n-gram language ID: score each language by total occurrences of
+    its profile trigrams (substring counting via length difference —
+    pure JVM, zero shuffle, no regex), predict the argmax with a
+    fixed profile-order tie-break, 'und' below ``min_hits``. The
+    profiles are the model; a trained fastText slots in behind the same
+    column contract."""
+
+    def count_sql(tri: str) -> str:
+        esc = tri.replace("'", "''")
+        return f"((length({text_col}) - length(replace({text_col}, '{esc}', ''))) / 3)"
+
+    scores = {
+        lang: "(" + " + ".join(count_sql(t) for t in tris) + ")"
+        for lang, tris in NGRAM_PROFILES.items()
+    }
+    # argmax with deterministic profile-order tie-break: a language wins
+    # only if strictly greater than every EARLIER language and >= every
+    # later one
+    langs = list(scores)
+    branches = []
+    for i, lang in enumerate(langs):
+        conds = []
+        for j, other in enumerate(langs):
+            if i == j:
+                continue
+            op = ">" if j < i else ">="
+            conds.append(f"{scores[lang]} {op} {scores[other]}")
+        conds.append(f"{scores[lang]} >= {min_hits}")
+        branches.append("WHEN " + " AND ".join(conds) + f" THEN '{lang}'")
+    expr = "CASE " + " ".join(branches) + " ELSE 'und' END"
+    return df.withColumn(out_col, F.expr(expr))
+
+
+def sql_language_id_ngram(text_col: str = "text", min_hits: int = 2) -> str:
+    """The DuckDB replica of language_id_ngram's scoring expression."""
+
+    def count_sql(tri: str) -> str:
+        esc = tri.replace("'", "''")
+        return f"((length({text_col}) - length(replace({text_col}, '{esc}', ''))) / 3)"
+
+    scores = {
+        lang: "(" + " + ".join(count_sql(t) for t in tris) + ")"
+        for lang, tris in NGRAM_PROFILES.items()
+    }
+    langs = list(scores)
+    branches = []
+    for i, lang in enumerate(langs):
+        conds = []
+        for j, other in enumerate(langs):
+            if i == j:
+                continue
+            op = ">" if j < i else ">="
+            conds.append(f"{scores[lang]} {op} {scores[other]}")
+        conds.append(f"{scores[lang]} >= {min_hits}")
+        branches.append("WHEN " + " AND ".join(conds) + f" THEN '{lang}'")
+    return "CASE " + " ".join(branches) + " ELSE 'und' END"

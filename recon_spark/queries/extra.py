@@ -505,6 +505,29 @@ FROM p GROUP BY lang_pred ORDER BY lang_pred
 """
 
 
+def q_language_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram-profile language ID (Cavnar-Trenkle shape) over
+    every doc, rolled up to (lang_pred, n_docs). Pure JVM substring
+    counting; the embedded profiles are the model."""
+    from recon_spark.operators.textstats import language_id_ngram
+
+    d = language_id_ngram(_docs(spark, sf_dir))
+    return d.groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n_docs")).orderBy("lang_pred")
+
+
+def _sql_lang_ngram() -> str:
+    from recon_spark.operators.textstats import sql_language_id_ngram
+
+    return f"""
+WITH p AS (SELECT doc_id, {sql_language_id_ngram()} AS lang_pred FROM documents)
+SELECT lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+FROM p GROUP BY lang_pred ORDER BY lang_pred
+"""
+
+
+SQL_LANGUAGE_ID_NGRAM = _sql_lang_ngram()
+
+
 def q_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus.apply analog (reference recon/corpus.py:142-164): the same
     ner-stats aggregate over every split in ONE grouped job — the
@@ -917,6 +940,7 @@ QUERIES = {
     "token_stats": q_token_stats,
     "split_stats": q_split_stats,
     "language_id": q_language_id,
+    "language_id_ngram": q_language_id_ngram,
     "token_counts": q_token_counts,
     "augment_label_sub": q_augment_label_sub,
     "kb_expansion": q_kb_expansion,
@@ -940,6 +964,7 @@ ORACLES = {
     "token_stats": SQL_TOKEN_STATS,
     "split_stats": SQL_SPLIT_STATS,
     "language_id": SQL_LANGUAGE_ID,
+    "language_id_ngram": SQL_LANGUAGE_ID_NGRAM,
     "token_counts": SQL_TOKEN_COUNTS,
     "augment_label_sub": SQL_AUGMENT_LABEL_SUB,
     "kb_expansion": SQL_KB_EXPANSION,

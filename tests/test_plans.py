@@ -264,3 +264,12 @@ def test_aqe_splits_skewed_join(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_language_id_ngram_is_jvm_only(spark):
+    from recon_spark.operators.textstats import language_id_ngram
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = plan_of(language_id_ngram(docs))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Exchange" not in plan  # per-row substring counting: zero shuffle
