@@ -74,6 +74,16 @@ def generate_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     )
 
 
+def _decode_dims(meta: dict, fake: bool) -> tuple[int, int]:
+    """The (w, h) layout of decode_image's output: the fake decoder
+    collapses dims to small values; a real codec returns true metadata
+    dims. Single source of truth — resize_image must index with the
+    SAME dims the decoder laid pixels out with."""
+    if fake:
+        return (meta.get("width") or 8) % 8 + 1, (meta.get("height") or 8) % 8 + 1
+    return meta["width"], meta["height"]
+
+
 def decode_image(payload: bytes, meta: dict, fake: bool = False) -> list[int]:
     """Decode an image payload to a flat pixel list. STUB: real decoding
     needs an image codec library not present in this container."""
@@ -82,8 +92,7 @@ def decode_image(payload: bytes, meta: dict, fake: bool = False) -> list[int]:
             "image decoding requires a codec library (e.g. Pillow); "
             "run with fake=True for the deterministic test decoder"
         )
-    w = (meta.get("width") or 8) % 8 + 1
-    h = (meta.get("height") or 8) % 8 + 1
+    w, h = _decode_dims(meta, fake=True)
     # fake "pixels" are seeded by sha256 over the payload's hex form —
     # equally deterministic, and expressible in ANSI SQL (DuckDB's
     # sha256 takes VARCHAR only), so the driver oracle can replicate
@@ -170,8 +179,7 @@ def resize_image(
             out = []
             for p, m in zip(payloads, metas):
                 px = decode_image(p, m, fake=fake)
-                w = (m.get("width") or 8) % 8 + 1
-                h = (m.get("height") or 8) % 8 + 1
+                w, h = _decode_dims(m, fake=fake)  # dims the decoder used
                 out.append(
                     [
                         px[(x * w // target_w) * h + (y * h // target_h)]

@@ -134,62 +134,61 @@ NGRAM_PROFILES: dict[str, tuple[str, ...]] = {
 }
 
 
+def _langid_ngram_expr(text_col: str, min_hits: int, dialect: str) -> str:
+    """ONE generator for the n-gram language-ID expression, emitted in
+    either engine dialect — the scoring, tie-break, and threshold logic
+    exists exactly once, so Spark and the DuckDB oracle can never
+    silently diverge. Each language score is computed once into a
+    struct local (bound via a 1-element array + lambda), then the CASE
+    argmax branches over the struct fields instead of re-embedding (and
+    re-scanning) the text per comparison."""
+
+    def count_sql(tri: str) -> str:
+        esc = tri.replace("'", "''")
+        return f"((length({text_col}) - length(replace({text_col}, '{esc}', ''))) / 3)"
+
+    langs = list(NGRAM_PROFILES)
+    scores = {
+        lang: "(" + " + ".join(count_sql(t) for t in NGRAM_PROFILES[lang]) + ")"
+        for lang in langs
+    }
+    if dialect == "spark":
+        struct = "named_struct(" + ", ".join(
+            f"'{lang}', {scores[lang]}" for lang in langs
+        ) + ")"
+        wrap, idx = "transform(array({s}), s -> {body})", "[0]"
+    elif dialect == "duckdb":
+        struct = "struct_pack(" + ", ".join(
+            f"{lang} := {scores[lang]}" for lang in langs
+        ) + ")"
+        wrap, idx = "list_transform([{s}], s -> {body})", "[1]"
+    else:
+        raise ValueError(f"unknown dialect: {dialect}")
+    branches = []
+    for i, lang in enumerate(langs):
+        conds = []
+        for j, other in enumerate(langs):
+            if i == j:
+                continue
+            op = ">" if j < i else ">="
+            conds.append(f"s.{lang} {op} s.{other}")
+        conds.append(f"s.{lang} >= {min_hits}")
+        branches.append("WHEN " + " AND ".join(conds) + f" THEN '{lang}'")
+    case = "CASE " + " ".join(branches) + " ELSE 'und' END"
+    return wrap.format(s=struct, body=case) + idx
+
+
+def sql_language_id_ngram(text_col: str = "text", min_hits: int = 2) -> str:
+    """DuckDB replica of language_id_ngram — same generator, duckdb
+    dialect."""
+    return _langid_ngram_expr(text_col, min_hits, "duckdb")
+
+
 def language_id_ngram(
     df: DataFrame, text_col: str = "text", out_col: str = "lang_pred", min_hits: int = 2
 ) -> DataFrame:
     """n-gram language ID: score each language by total occurrences of
     its profile trigrams (substring counting via length difference —
-    pure JVM, zero shuffle, no regex), predict the argmax with a
-    fixed profile-order tie-break, 'und' below ``min_hits``. The
-    profiles are the model; a trained fastText slots in behind the same
-    column contract."""
-
-    def count_sql(tri: str) -> str:
-        esc = tri.replace("'", "''")
-        return f"((length({text_col}) - length(replace({text_col}, '{esc}', ''))) / 3)"
-
-    scores = {
-        lang: "(" + " + ".join(count_sql(t) for t in tris) + ")"
-        for lang, tris in NGRAM_PROFILES.items()
-    }
-    # argmax with deterministic profile-order tie-break: a language wins
-    # only if strictly greater than every EARLIER language and >= every
-    # later one
-    langs = list(scores)
-    branches = []
-    for i, lang in enumerate(langs):
-        conds = []
-        for j, other in enumerate(langs):
-            if i == j:
-                continue
-            op = ">" if j < i else ">="
-            conds.append(f"{scores[lang]} {op} {scores[other]}")
-        conds.append(f"{scores[lang]} >= {min_hits}")
-        branches.append("WHEN " + " AND ".join(conds) + f" THEN '{lang}'")
-    expr = "CASE " + " ".join(branches) + " ELSE 'und' END"
-    return df.withColumn(out_col, F.expr(expr))
-
-
-def sql_language_id_ngram(text_col: str = "text", min_hits: int = 2) -> str:
-    """The DuckDB replica of language_id_ngram's scoring expression."""
-
-    def count_sql(tri: str) -> str:
-        esc = tri.replace("'", "''")
-        return f"((length({text_col}) - length(replace({text_col}, '{esc}', ''))) / 3)"
-
-    scores = {
-        lang: "(" + " + ".join(count_sql(t) for t in tris) + ")"
-        for lang, tris in NGRAM_PROFILES.items()
-    }
-    langs = list(scores)
-    branches = []
-    for i, lang in enumerate(langs):
-        conds = []
-        for j, other in enumerate(langs):
-            if i == j:
-                continue
-            op = ">" if j < i else ">="
-            conds.append(f"{scores[lang]} {op} {scores[other]}")
-        conds.append(f"{scores[lang]} >= {min_hits}")
-        branches.append("WHEN " + " AND ".join(conds) + f" THEN '{lang}'")
-    return "CASE " + " ".join(branches) + " ELSE 'und' END"
+    pure JVM, zero shuffle, no regex), predict the argmax with a fixed
+    profile-order tie-break, 'und' below ``min_hits``."""
+    return df.withColumn(out_col, F.expr(_langid_ngram_expr(text_col, min_hits, "spark")))

@@ -45,7 +45,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config(
             "spark.sql.warehouse.dir",
-            os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/recon_spark_warehouse"),
+            # per-process default: a fixed shared path collides across
+            # concurrent runs/users and breaks reruns after a crash
+            # (managed-table location already exists)
+            os.environ.get(
+                "SPARK_WAREHOUSE_DIR",
+                f"/tmp/recon_spark_warehouse_{os.getuid()}_{os.getpid()}",
+            ),
         )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

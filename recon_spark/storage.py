@@ -217,7 +217,10 @@ def write_bucketed(
     """Materialize a hash-bucketed (optionally sorted) managed table —
     the co-located-join primitive: two tables bucketed on the same key
     with the same bucket count join WITHOUT a shuffle (each task reads
-    matching buckets from both sides; sorted buckets skip the sort too).
+    matching buckets from both sides; the SMJ sort is additionally
+    elided only when every bucket holds a single sorted file — a
+    multi-partition writer produces several files per bucket and Spark
+    re-sorts, so only the Exchange elision is load-bearing here).
     The Iceberg analog is a bucket partition transform; here it is
     Spark's native bucketBy catalog table (plan audited in
     tests/test_plans.py). Use for the tables every pipeline stage joins

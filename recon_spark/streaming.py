@@ -100,9 +100,17 @@ def stream_user_sessions(
     (queries/pipeline.py:q_events_sessions), which an availableNow drain
     must reproduce bit-for-bit (driver-checked).
 
-    Scale shape: state is O(1) per user (4 longs); the shuffle is the
-    groupBy(user_id) Spark requires for keyed state. Watermark bounds
-    state lifetime in a continuous run.
+    Scale shape: state is O(1) per user (5 longs); the shuffle is the
+    groupBy(user_id) Spark requires for keyed state.
+
+    This is the drain / batch-parity form: NoTimeout + a cumulative
+    summary emitted per batch, which is exactly right for an
+    availableNow drain (one batch, one final row per user) and verified
+    against the batch oracle. A CONTINUOUS deployment must switch to
+    EventTimeTimeout (state.setTimeoutTimestamp at last_ms + gap +
+    watermark delay, emit-and-remove on timeout) — with NoTimeout,
+    state never expires and a multi-batch run re-emits each user's
+    cumulative summary every batch.
 
     Ordering caveat: events are sorted by (ms, event_id) WITHIN each
     micro-batch, so per-user event-time monotonicity ACROSS batches is
@@ -125,12 +133,14 @@ def stream_user_sessions(
         if state.exists:
             n_closed, longest, open_len, last_ms, n_events = state.get
         else:
-            n_closed, longest, open_len, last_ms, n_events = 0, 0, 0, -1, 0
+            n_closed, longest, open_len, last_ms, n_events = 0, 0, 0, 0, 0
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values(["ms", "event_id"])
         for ms in rows["ms"]:
             ms = int(ms)
-            if last_ms >= 0 and ms - last_ms > gap_ms:
+            # n_events > 0 is the has-previous-event flag (a last_ms
+            # sentinel value would misread negative epoch timestamps)
+            if n_events > 0 and ms - last_ms > gap_ms:
                 n_closed += 1
                 longest = max(longest, open_len)
                 open_len = 0
