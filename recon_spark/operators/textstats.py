@@ -192,3 +192,125 @@ def language_id_ngram(
     pure JVM, zero shuffle, no regex), predict the argmax with a fixed
     profile-order tie-break, 'und' below ``min_hits``."""
     return df.withColumn(out_col, F.expr(_langid_ngram_expr(text_col, min_hits, "spark")))
+
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition metrics
+# --------------------------------------------------------------------------
+
+def repetition_metrics(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition quality signals (the Gopher/MassiveText
+    repetition-filter family, re-specified for whitespace tokens):
+
+      n_tokens             whitespace token count
+      dup_word_frac        fraction of token OCCURRENCES whose token
+                           appears more than once in the document
+      dup_bigram_char_frac min(1, chars covered by occurrences of
+                           duplicated word-bigrams / total chars)
+      top_bigram           most frequent word-bigram (ties: smallest)
+      top_bigram_char_frac chars covered by the top bigram / total chars
+
+    Distributed shape: explode -> groupBy(doc, gram) with map-side
+    partial aggregation. The shuffle key is (doc_id, gram) — balanced by
+    construction (no head key can exceed one document's token count), so
+    this holds at 100x without salting. Pure JVM end to end.
+    """
+    base = df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        F.split(text_col, " ").alias("ws"),
+    )
+    words = base.select(id_col, F.size("ws").alias("n_tokens"), F.explode("ws").alias("w"))
+    wc = words.groupBy(id_col, "n_tokens", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    wstats = wc.groupBy(id_col, "n_tokens").agg(
+        F.round(
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0)))
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("dup_word_frac")
+    )
+    bigrams_expr = (
+        "CASE WHEN size(ws) >= 2 THEN transform(sequence(1, size(ws) - 1), "
+        "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    bg = base.select(
+        id_col, "n_chars", F.explode(F.expr(bigrams_expr)).alias("bg")
+    )
+    bc = bg.groupBy(id_col, "n_chars", "bg").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window
+
+    br = bc.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy(id_col).orderBy(F.desc("cnt"), "bg")
+        ),
+    )
+    bstats = br.groupBy(id_col, "n_chars").agg(
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.sum(
+                    F.when(F.col("cnt") > 1, F.col("cnt") * F.length("bg")).otherwise(
+                        F.lit(0)
+                    )
+                )
+                / F.col("n_chars").cast("double"),
+            ),
+            6,
+        ).alias("dup_bigram_char_frac"),
+        F.max(F.when(F.col("rn") == 1, F.col("bg"))).alias("top_bigram"),
+        F.max(
+            F.when(
+                F.col("rn") == 1,
+                F.round(F.col("cnt") * F.length("bg") / F.col("n_chars").cast("double"), 6),
+            )
+        ).alias("top_bigram_char_frac"),
+    )
+    return (
+        wstats.join(bstats.drop("n_chars"), id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            "dup_word_frac",
+            F.coalesce("dup_bigram_char_frac", F.lit(0.0)).alias("dup_bigram_char_frac"),
+            F.coalesce("top_bigram", F.lit("")).alias("top_bigram"),
+            F.coalesce("top_bigram_char_frac", F.lit(0.0)).alias("top_bigram_char_frac"),
+        )
+        .orderBy(id_col)
+    )
+
+
+# --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+
+# Patterns constrained to the Java-regex / RE2 common subset (no
+# lookarounds, no backrefs) so Spark and the DuckDB oracle match the
+# same spans. \b is an ASCII word boundary in both engines.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+
+
+def pii_redact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """C4-style PII scrub: count and mask emails, IPv4 addresses and
+    NNN-NNN-NNNN phone numbers. Counts are measured on the ORIGINAL
+    text; masking applies email -> ip -> phone in that order (an email
+    span is never re-scanned as a phone). Pure JVM regexp — zero
+    shuffle, survives any scale-up as a map-only stage."""
+    t = F.col(text_col)
+    red = F.regexp_replace(t, F.lit(PII_EMAIL), F.lit("<EMAIL>"))
+    red = F.regexp_replace(red, F.lit(PII_IPV4), F.lit("<IP>"))
+    red = F.regexp_replace(red, F.lit(PII_PHONE), F.lit("<PHONE>"))
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_IPV4), F.lit(0))).alias("n_ips"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), F.lit(0))).alias("n_phones"),
+        red.alias("redacted"),
+    )

@@ -1,0 +1,279 @@
+"""Graph-analytics + corpus-quality query registry: PageRank entity
+salience and degree profile over the canonical triple graph, Gopher
+repetition metrics, and PII redaction.
+
+Oracle notes:
+- ``entity_pagerank`` unrolls the fixed 5-iteration damped PageRank as
+  chained CTEs (same technique as the trained k-means quantizer oracle
+  in queries/extra.py): every stored rank is rounded to 6 decimals on
+  both sides, so double summation-order differences (1e-17) cannot
+  surface in the comparison.
+- the damping constants are emitted with ``repr(float)`` so the SQL
+  literal is the exact IEEE double the Spark side computes with.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from recon_spark.gazetteer import sql_alias_values
+from recon_spark.operators.extraction import extract_triples_tokens
+from recon_spark.operators.graph import DAMPING, PR_ITERATIONS, degree_stats, pagerank
+from recon_spark.operators.linker import alias_df
+from recon_spark.operators.textstats import (
+    PII_EMAIL,
+    PII_IPV4,
+    PII_PHONE,
+    pii_redact,
+    repetition_metrics,
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+
+
+def _canonical_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst) edges of the canonical KG: triples with subj/obj
+    mapped through the top-1 alias candidate (broadcast), the same
+    derivation as the ``triples_canonical`` query."""
+    t = extract_triples_tokens(_docs(spark, sf_dir))
+    best = (
+        alias_df(spark)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("alias").orderBy(F.desc("score"), "entity_id")
+            ),
+        )
+        .where("rk = 1")
+        .select("alias", "entity_id")
+    )
+    t = (
+        t.join(
+            F.broadcast(best).withColumnRenamed("entity_id", "subj_id"),
+            t.subj == F.col("alias"),
+            "left",
+        )
+        .drop("alias")
+        .join(
+            F.broadcast(best).withColumnRenamed("entity_id", "obj_id"),
+            t.obj == F.col("alias"),
+            "left",
+        )
+        .drop("alias")
+    )
+    return t.select(
+        F.coalesce("subj_id", "subj").alias("src"),
+        F.coalesce("obj_id", "obj").alias("dst"),
+    )
+
+
+def _sql_canonical_edges() -> str:
+    """DuckDB CTE chain ending in ``e`` = distinct canonical (src, dst)
+    with self-loops dropped, plus ``nodes``/``nn``/``outd``."""
+    from recon_spark.queries.core import _sql_triples_base
+
+    return f"""{_sql_triples_base()},
+best AS (
+  SELECT alias, entity_id FROM (
+    SELECT alias, entity_id,
+           row_number() OVER (PARTITION BY alias ORDER BY score DESC, entity_id) AS rk
+    FROM {sql_alias_values()}
+  ) WHERE rk = 1
+),
+canon AS (
+  SELECT coalesce(bs.entity_id, t.subj) AS src,
+         coalesce(bo.entity_id, t.obj) AS dst
+  FROM triples t
+  LEFT JOIN best bs ON t.subj = bs.alias
+  LEFT JOIN best bo ON t.obj = bo.alias
+),
+e AS (SELECT DISTINCT src, dst FROM canon WHERE src <> dst),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+outd AS (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM e GROUP BY 1)"""
+
+
+# --------------------------------------------------------------------------
+# entity_pagerank
+# --------------------------------------------------------------------------
+
+def q_entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pagerank(_canonical_edges(spark, sf_dir))
+
+
+def _sql_pagerank() -> str:
+    one_minus_d = repr(1.0 - DAMPING)  # exact IEEE literal, matches Spark
+    d = repr(DAMPING)
+    parts = [
+        f"""r0 AS (
+  SELECT node, round(1.0 / (SELECT n FROM nn), 6) AS rank FROM nodes
+)"""
+    ]
+    prev = "r0"
+    for t in range(1, PR_ITERATIONS + 1):
+        parts.append(f"""c{t} AS (
+  SELECT e.dst, sum(r.rank / o.od) AS contrib
+  FROM e JOIN {prev} r ON e.src = r.node JOIN outd o ON e.src = o.src
+  GROUP BY 1
+),
+d{t} AS (
+  SELECT coalesce(sum(r.rank), 0.0) AS dm FROM {prev} r
+  WHERE NOT EXISTS (SELECT 1 FROM outd o WHERE o.src = r.node)
+),
+r{t} AS (
+  SELECT n.node,
+         round({one_minus_d} / (SELECT n FROM nn)
+               + {d} * (coalesce(c.contrib, 0.0)
+                        + (SELECT dm FROM d{t}) / (SELECT n FROM nn)), 6) AS rank
+  FROM nodes n LEFT JOIN c{t} c ON n.node = c.dst
+)""")
+        prev = f"r{t}"
+    return (
+        f"WITH {_sql_canonical_edges()},\n"
+        + ",\n".join(parts)
+        + f"\nSELECT node AS entity, rank FROM {prev} ORDER BY rank DESC, entity"
+    )
+
+
+SQL_ENTITY_PAGERANK = _sql_pagerank()
+
+
+# --------------------------------------------------------------------------
+# entity_degrees
+# --------------------------------------------------------------------------
+
+def q_entity_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return degree_stats(_canonical_edges(spark, sf_dir))
+
+
+SQL_ENTITY_DEGREES = f"""
+WITH {_sql_canonical_edges()},
+ends AS (SELECT src AS node FROM e UNION ALL SELECT dst FROM e),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM ends GROUP BY 1)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_entities
+FROM deg GROUP BY 1 ORDER BY degree
+"""
+
+
+# --------------------------------------------------------------------------
+# repetition_metrics
+# --------------------------------------------------------------------------
+
+def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_metrics(_docs(spark, sf_dir))
+
+
+SQL_REPETITION_METRICS = """
+WITH t AS (
+  SELECT doc_id, length(text) AS n_chars, string_split(text, ' ') AS ws
+  FROM documents
+),
+w AS (SELECT doc_id, len(ws) AS n_tokens, unnest(ws) AS w FROM t),
+wc AS (SELECT doc_id, n_tokens, w, count(*) AS cnt FROM w GROUP BY 1, 2, 3),
+wstats AS (
+  SELECT doc_id, n_tokens,
+         round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)
+               / CAST(n_tokens AS DOUBLE), 6) AS dup_word_frac
+  FROM wc GROUP BY doc_id, n_tokens
+),
+b AS (
+  SELECT doc_id, n_chars,
+         unnest(CASE WHEN len(ws) >= 2 THEN
+                  list_transform(generate_series(1, len(ws) - 1),
+                                 i -> ws[i] || ' ' || ws[i + 1])
+                ELSE [] END) AS bg
+  FROM t
+),
+bc AS (SELECT doc_id, n_chars, bg, count(*) AS cnt FROM b GROUP BY 1, 2, 3),
+br AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bg) AS rn
+  FROM bc
+),
+bstats AS (
+  SELECT doc_id,
+         round(least(CAST(1.0 AS DOUBLE),
+                     sum(CASE WHEN cnt > 1 THEN cnt * length(bg) ELSE 0 END)
+                     / CAST(n_chars AS DOUBLE)), 6) AS dup_bigram_char_frac,
+         max(CASE WHEN rn = 1 THEN bg END) AS top_bigram,
+         max(CASE WHEN rn = 1 THEN
+               round(cnt * length(bg) / CAST(n_chars AS DOUBLE), 6) END
+             ) AS top_bigram_char_frac
+  FROM br GROUP BY doc_id, n_chars
+)
+SELECT w.doc_id, w.n_tokens, w.dup_word_frac,
+       coalesce(b.dup_bigram_char_frac, 0.0) AS dup_bigram_char_frac,
+       coalesce(b.top_bigram, '') AS top_bigram,
+       coalesce(b.top_bigram_char_frac, 0.0) AS top_bigram_char_frac
+FROM wstats w LEFT JOIN bstats b ON w.doc_id = b.doc_id
+ORDER BY w.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# pii_redact
+# --------------------------------------------------------------------------
+# The synthetic documents carry no PII by construction, so the query
+# demonstrates the operator on deterministically synthesized PII: each
+# doc gets an email / IPv4 / phone derived from (source, doc_id) by
+# integer arithmetic, identically on both sides. The OPERATOR is the
+# deliverable; the synthesis is just the fixture.
+
+_PII_SUFFIX_SPARK = (
+    "concat(text, ' contact ', source, '@example.com from 10.', "
+    "CAST(doc_id % 256 AS STRING), '.0.', CAST((doc_id * 7) % 256 AS STRING), "
+    "' tel 555-', lpad(CAST(doc_id % 1000 AS STRING), 3, '0'), '-', "
+    "lpad(CAST((doc_id * 3) % 10000 AS STRING), 4, '0'))"
+)
+
+_PII_SUFFIX_DUCK = (
+    "text || ' contact ' || source || '@example.com from 10.' || "
+    "CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) || "
+    "' tel 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || "
+    "lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn("pii_text", F.expr(_PII_SUFFIX_SPARK))
+    out = pii_redact(docs, id_col="doc_id", text_col="pii_text")
+    return out.select(
+        "doc_id",
+        "n_emails",
+        "n_ips",
+        "n_phones",
+        F.md5("redacted").alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+SQL_PII_REDACT = f"""
+WITH p AS (SELECT doc_id, {_PII_SUFFIX_DUCK} AS pii_text FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(pii_text, '{PII_EMAIL}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(pii_text, '{PII_IPV4}')) AS INT) AS n_ips,
+       CAST(len(regexp_extract_all(pii_text, '{PII_PHONE}')) AS INT) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(pii_text,
+             '{PII_EMAIL}', '<EMAIL>', 'g'),
+             '{PII_IPV4}', '<IP>', 'g'),
+             '{PII_PHONE}', '<PHONE>', 'g')) AS redacted_md5
+FROM p ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "entity_pagerank": q_entity_pagerank,
+    "entity_degrees": q_entity_degrees,
+    "repetition_metrics": q_repetition_metrics,
+    "pii_redact": q_pii_redact,
+}
+
+ORACLES = {
+    "entity_pagerank": SQL_ENTITY_PAGERANK,
+    "entity_degrees": SQL_ENTITY_DEGREES,
+    "repetition_metrics": SQL_REPETITION_METRICS,
+    "pii_redact": SQL_PII_REDACT,
+}
