@@ -273,3 +273,31 @@ def test_language_id_ngram_is_jvm_only(spark):
     plan = plan_of(language_id_ngram(docs))
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "Exchange" not in plan  # per-row substring counting: zero shuffle
+
+
+def test_repetition_and_pii_are_jvm_only(spark):
+    from recon_spark.operators.textstats import pii_redact, repetition_metrics
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    for df in (repetition_metrics(docs), pii_redact(docs)):
+        plan = plan_of(df)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # pii_redact is map-only: no exchange anywhere
+    assert "Exchange" not in plan_of(pii_redact(docs))
+
+
+def test_pagerank_iteration_is_single_new_shuffle(spark):
+    """Each PageRank iteration adds exactly one aggregation over the
+    reused contribution-edge frame; the rank join is broadcast-able and
+    the dangling mass is a 1-row broadcast nested loop, so no iteration
+    re-shuffles the edge set."""
+    from recon_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")], "src string, dst string"
+    )
+    plan = plan_of(pagerank(edges, iterations=2))
+    assert "BatchEvalPython" not in plan
+    # the persisted contribution frame appears as InMemoryTableScan —
+    # the edge-side shuffle happened once at persist time, not per iteration
+    assert "InMemoryTableScan" in plan
