@@ -314,3 +314,50 @@ def pii_redact(
         F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), F.lit(0))).alias("n_phones"),
         red.alias("redacted"),
     )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# --------------------------------------------------------------------------
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf:
+    score = tf(term, doc) * ln(N / df(term)), rounded to 6 decimals,
+    ranked per doc by (score DESC, term ASC).
+
+    Distributed shape: one explode -> (doc, term) count (balanced
+    composite key, map-side combine), document frequency as a second
+    short-key aggregation of that same frame (no re-read of the
+    corpus), a term-keyed join to attach idf, and a per-doc window
+    top-k. N is a single scalar action. The term-df frame is |vocab|
+    rows — at web scale still far smaller than the corpus, and AQE
+    broadcasts it when it fits."""
+    n_docs = df.count()  # scalar
+    terms = df.select(id_col, F.explode(F.split(text_col, " ")).alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window
+
+    scored = (
+        tf.join(dfreq, "term")
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+                6,
+            ),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(F.desc("score"), "term")
+            ),
+        )
+    )
+    return (
+        scored.where(F.col("rank") <= k)
+        .select(id_col, "term", "score", "rank")
+        .orderBy(id_col, "rank")
+    )

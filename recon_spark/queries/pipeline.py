@@ -608,6 +608,100 @@ def q_stream_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_STREAM_EVENTS_SESSIONS = SQL_EVENTS_SESSIONS
 
 
+
+
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event matched to the user's most
+    recent click at or before it (operators/joins.py:asof_join — one
+    window shuffle, zero Python). The right side is deduped to one row
+    per (user, ts), keeping the max event_id, so the match is
+    deterministic; the DuckDB oracle uses the engine's NATIVE ASOF
+    JOIN — an independent merge-based implementation of the same
+    semantics."""
+    from pyspark.sql import Window as W
+
+    from recon_spark.operators.joins import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+            ),
+        )
+        .where("rn = 1")
+        .select("user_id", "ts", "event_id", "value")
+    )
+    purchases = ev.where(F.col("event_type") == 'purchase').select(
+        "event_id", "user_id", "ts", "value"
+    )
+    j = asof_join(purchases, clicks, on="ts", by="user_id",
+                  right_cols=("value", "event_id"))
+    # driver-comparison outputs are null-free by convention: unmatched
+    # left rows carry matched=false + sentinel values on BOTH engines
+    return j.select(
+        "event_id", "user_id", "ts", "value",
+        F.col("asof_ts").isNotNull().alias("matched"),
+        F.coalesce("asof_value", F.lit(-1.0)).alias("asof_value"),
+        F.coalesce("asof_event_id", F.lit(-1)).alias("asof_event_id"),
+        F.coalesce(
+            F.round(
+                F.expr("timestampdiff(MICROSECOND, asof_ts, ts)") / F.lit(1000000.0), 6
+            ),
+            F.lit(-1.0),
+        ).alias("staleness_sec"),
+    ).orderBy("event_id")
+
+
+SQL_EVENTS_ASOF = """
+WITH r AS (
+  SELECT user_id, ts, event_id, value FROM (
+    SELECT user_id, ts, event_id, value,
+           row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'click') WHERE rn = 1
+),
+l AS (SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase')
+SELECT l.event_id, l.user_id, l.ts, l.value,
+       r.ts IS NOT NULL AS matched,
+       coalesce(r.value, -1.0) AS asof_value,
+       coalesce(r.event_id, -1) AS asof_event_id,
+       coalesce(round(date_diff('microsecond', r.ts, l.ts) / 1000000.0, 6),
+                -1.0) AS staleness_sec
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id
+"""
+
+
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf-idf
+    (operators/textstats.py:tfidf_top_terms)."""
+    return TS.tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
+SQL_TFIDF_TERMS = """
+WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+s AS (
+  SELECT doc_id, term,
+         round(tf * ln((SELECT n FROM nn) / CAST(df AS DOUBLE)), 6) AS score
+  FROM tf JOIN dfq USING (term)
+),
+r AS (
+  SELECT doc_id, term, score,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, term) AS INT) AS rank
+  FROM s
+)
+SELECT doc_id, term, score, rank FROM r WHERE rank <= 3
+ORDER BY doc_id, rank
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
@@ -625,6 +719,8 @@ QUERIES = {
     "stream_events_hourly": q_stream_events_hourly,
     "stream_events_sessions": q_stream_events_sessions,
     "events_sessions": q_events_sessions,
+    "events_asof": q_events_asof,
+    "tfidf_terms": q_tfidf_terms,
     "revenue_topk": q_revenue_topk,
     "pricing_summary": q_pricing_summary,
 }
@@ -646,6 +742,8 @@ ORACLES = {
     "stream_events_hourly": SQL_STREAM_EVENTS_HOURLY,
     "stream_events_sessions": SQL_STREAM_EVENTS_SESSIONS,
     "events_sessions": SQL_EVENTS_SESSIONS,
+    "events_asof": SQL_EVENTS_ASOF,
+    "tfidf_terms": SQL_TFIDF_TERMS,
     "revenue_topk": SQL_REVENUE_TOPK,
     "pricing_summary": SQL_PRICING_SUMMARY,
 }
