@@ -74,3 +74,52 @@ def asof_join(
         F.col(f"__match.{prefix}{on}").alias(f"{prefix}{on}"),
         *[F.col(f"__match.{prefix}{c}").alias(f"{prefix}{c}") for c in right_cols],
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket: int,
+) -> DataFrame:
+    """Range join: every (point, interval) pair with
+    ``start <= point <= end`` — the interval-overlap join Spark has no
+    native operator for (a raw range predicate falls back to
+    BroadcastNestedLoopJoin, i.e. a cartesian scan).
+
+    Strategy (the classic interval-bucketing rewrite): explode each
+    interval into the ``bucket``-sized cells it covers, map each point
+    to its single cell, EQUI-join on the cell id, then apply the exact
+    range filter. Each (point, interval) pair meets in exactly one
+    cell — the point's own — so no post-join dedup is needed.
+
+    Cost model at 100 TB: shuffle volume = |points| + |intervals| x
+    avg_cells_per_interval, joined hash-partitioned on cell id. Pick
+    ``bucket`` near the typical interval length: too small explodes the
+    interval side, too large piles unrelated rows into shared cells.
+    All columns must be disjoint between the two inputs; point/start/end
+    are numeric (callers convert timestamps to epoch integers first).
+    """
+    overlap = set(points.columns) & set(intervals.columns)
+    if overlap:
+        raise ValueError(f"point/interval column names must be disjoint: {overlap}")
+    b = int(bucket)
+    # integer division (DIV), not float-divide-and-cast: at epoch-micros
+    # magnitudes a double quotient can truncate to the wrong cell
+    pts = points.withColumn("__cell", F.expr(f"{point_col} DIV {b}"))
+    ivl = intervals.withColumn(
+        "__cell",
+        F.explode(
+            F.sequence(F.expr(f"{start_col} DIV {b}"), F.expr(f"{end_col} DIV {b}"))
+        ),
+    )
+    return (
+        pts.join(ivl, "__cell")
+        .where(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) <= F.col(end_col))
+        )
+        .drop("__cell")
+    )

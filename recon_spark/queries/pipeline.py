@@ -702,6 +702,80 @@ ORDER BY doc_id, rank
 """
 
 
+
+
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join via the bucketed equi-join rewrite
+    (operators/joins.py:interval_join): purchases matched to concurrent
+    "incident windows" (error events with value > 300, lasting
+    floor(value) minutes) with NO equi key — the case where a naive
+    range predicate degenerates to a nested-loop cartesian scan. The
+    oracle runs the plain inequality join, which DuckDB executes with
+    its native range-join machinery: two different algorithms, same
+    pairs."""
+    from recon_spark.operators.joins import interval_join
+
+    ev = _read(spark, sf_dir, "events")
+    us = "timestampdiff(MICROSECOND, CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ), ts)"
+    incidents = (
+        ev.where((F.col("event_type") == "error") & (F.col("value") > 300))
+        .select(
+            F.col("event_id").alias("incident_id"),
+            F.expr(us).alias("s_us"),
+            (F.expr(us) + F.expr("CAST(floor(value) AS BIGINT)") * 60 * 1000000).alias(
+                "e_us"
+            ),
+        )
+    )
+    points = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id"), F.expr(us).alias("p_us")
+    )
+    j = interval_join(
+        points, incidents, point_col="p_us", start_col="s_us", end_col="e_us",
+        bucket=3600 * 1000000,  # 1h cells ~ incident length / 5
+    )
+    return j.select(
+        "event_id",
+        "incident_id",
+        F.expr("(p_us - s_us) DIV 1000000").alias("secs_into"),
+    ).orderBy("event_id", "incident_id")
+
+
+SQL_EVENTS_RANGE_JOIN = """
+WITH ep AS (
+  SELECT event_id, event_type, value,
+         date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS us
+  FROM events
+),
+i AS (
+  SELECT event_id AS incident_id, us AS s_us,
+         us + CAST(floor(value) AS BIGINT) * 60 * 1000000 AS e_us
+  FROM ep WHERE event_type = 'error' AND value > 300
+),
+p AS (SELECT event_id, us AS p_us FROM ep WHERE event_type = 'purchase')
+SELECT p.event_id, i.incident_id, (p_us - s_us) // 1000000 AS secs_into
+FROM p JOIN i ON p_us BETWEEN s_us AND e_us
+ORDER BY event_id, incident_id
+"""
+
+
+def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k cardinality estimate of distinct event keys
+    (operators/sketches.py) with the exact count as quality witness."""
+    from recon_spark.operators.sketches import kmv_distinct
+
+    return kmv_distinct(_read(spark, sf_dir, "events"), "event_id", k=64)
+
+
+def _sql_distinct_sketch() -> str:
+    from recon_spark.operators.sketches import sql_kmv_distinct
+
+    return sql_kmv_distinct("events", "event_id", k=64)
+
+
+SQL_DISTINCT_SKETCH = _sql_distinct_sketch()
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
@@ -720,6 +794,8 @@ QUERIES = {
     "stream_events_sessions": q_stream_events_sessions,
     "events_sessions": q_events_sessions,
     "events_asof": q_events_asof,
+    "events_range_join": q_events_range_join,
+    "distinct_sketch": q_distinct_sketch,
     "tfidf_terms": q_tfidf_terms,
     "revenue_topk": q_revenue_topk,
     "pricing_summary": q_pricing_summary,
@@ -743,6 +819,8 @@ ORACLES = {
     "stream_events_sessions": SQL_STREAM_EVENTS_SESSIONS,
     "events_sessions": SQL_EVENTS_SESSIONS,
     "events_asof": SQL_EVENTS_ASOF,
+    "events_range_join": SQL_EVENTS_RANGE_JOIN,
+    "distinct_sketch": SQL_DISTINCT_SKETCH,
     "tfidf_terms": SQL_TFIDF_TERMS,
     "revenue_topk": SQL_REVENUE_TOPK,
     "pricing_summary": SQL_PRICING_SUMMARY,

@@ -90,3 +90,60 @@ def test_tfidf_golden(spark):
 @pytest.mark.parametrize("name", ["events_asof", "tfidf_terms"])
 def test_asof_tfidf_oracles(spark, ddb, name):
     compare_query(spark, ddb, QUERIES[name], ORACLES[name], SF_SMOKE)
+
+
+def test_interval_join_golden(spark):
+    from recon_spark.operators.joins import interval_join
+
+    points = spark.createDataFrame(
+        [(1, 5), (2, 10), (3, 25), (4, 99)], "pt_id long, p long"
+    )
+    ivl = spark.createDataFrame(
+        [(100, 0, 10), (200, 9, 30), (300, 50, 60)], "ivl_id long, s long, e long"
+    )
+    got = sorted(
+        (r["pt_id"], r["ivl_id"])
+        for r in interval_join(points, ivl, "p", "s", "e", bucket=7).collect()
+    )
+    # p=5 in [0,10]; p=10 in [0,10] AND [9,30]; p=25 in [9,30]; p=99 nowhere
+    assert got == [(1, 100), (2, 100), (2, 200), (3, 200)]
+
+
+def test_interval_join_rejects_column_overlap(spark):
+    from recon_spark.operators.joins import interval_join
+
+    df = spark.createDataFrame([(1, 2)], "a long, p long")
+    with pytest.raises(ValueError, match="disjoint"):
+        interval_join(df, df, "p", "a", "p", bucket=10)
+
+
+def test_interval_join_is_equi_join_not_nested_loop(spark):
+    from recon_spark.operators.joins import interval_join
+
+    points = spark.createDataFrame([(1, 5)], "pt_id long, p long")
+    ivl = spark.createDataFrame([(100, 0, 10)], "ivl_id long, s long, e long")
+    plan = (
+        interval_join(points, ivl, "p", "s", "e", bucket=7)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the whole point: a hash join on the cell id, never a nested loop
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_kmv_distinct_accuracy(spark):
+    from recon_spark.operators.sketches import kmv_distinct
+
+    df = spark.range(0, 20000).withColumnRenamed("id", "key")
+    row = kmv_distinct(df, "key", k=64).collect()[0]
+    assert row["n_exact"] == 20000
+    # bottom-64 estimator: expect well within +-3/sqrt(k) ~ 37%
+    assert abs(row["rel_err_pct"]) < 37.0
+    # fallback branch: fewer distinct values than k -> exact
+    small = spark.range(0, 10).withColumnRenamed("id", "key")
+    srow = kmv_distinct(small, "key", k=64).collect()[0]
+    assert srow["est_distinct"] == 10.0 and srow["n_exact"] == 10
+
+
+@pytest.mark.parametrize("name", ["events_range_join", "distinct_sketch"])
+def test_range_sketch_oracles(spark, ddb, name):
+    compare_query(spark, ddb, QUERIES[name], ORACLES[name], SF_SMOKE)
