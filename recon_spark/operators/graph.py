@@ -130,3 +130,166 @@ def degree_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFr
         .agg(F.count(F.lit(1)).alias("n_entities"))
         .orderBy("degree")
     )
+
+
+def cooccurrence_pmi(
+    entity_docs: DataFrame,
+    doc_col: str = "doc_id",
+    entity_col: str = "entity",
+    min_pairs: int = 2,
+    round_to: int = PR_ROUND,
+) -> DataFrame:
+    """PMI-weighted entity co-occurrence edges: for every unordered pair
+    of canonical entities appearing in the same document, pmi =
+    round(ln(N * docs(a,b) / (docs(a) * docs(b))), 6) where N is the
+    number of documents with at least one entity.
+
+    This is the statistical-relation layer the reference's disparity
+    detection (recon/insights.py:47-110 surfaces annotated with two
+    labels) generalizes to: co-mention strength between *entities*
+    rather than label conflicts per surface form.
+
+    Scale design (100 TB corpus, 1000 executors):
+    - pair generation is PER ROW, pure JVM: collect_set per doc, sorted,
+      then an upper-triangle nested ``transform`` — no self-join, so the
+      quadratic blowup is bounded per document, not per shuffle. A doc
+      with m entities emits m*(m-1)/2 rows map-side; web pages have
+      small m (gazetteer-bounded), so this stays linear in corpus size.
+    - the pair aggregation shuffles short (a, b) string keys with full
+      map-side combine; head pairs (stopword-like entities) collapse in
+      the partial aggregate exactly like entity_coverage's salted path.
+    - marginals are |V| rows (gazetteer-bounded vocabulary) — broadcast
+      to both sides of the pair frame; no shuffle for the PMI join.
+    - N is one scalar count action (a long on the driver, not data).
+    """
+    ment = entity_docs.select(
+        F.col(doc_col).alias("doc_id"), F.col(entity_col).alias("entity")
+    ).distinct()
+    ment = ment.persist()
+    n_docs = ment.select("doc_id").distinct().count()
+    if n_docs == 0:
+        ment.unpersist()
+        schema = "a string, b string, pair_docs bigint, pmi double"
+        return entity_docs.sparkSession.createDataFrame([], schema)
+    per_doc = ment.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("entity")).alias("es")
+    )
+    # upper-triangle pairs, per row, zero Python
+    pairs_expr = """
+    flatten(transform(es, (x, i) ->
+      transform(slice(es, i + 2, size(es)), y ->
+        named_struct('a', x, 'b', y))))
+    """
+    pair_counts = (
+        per_doc.select(F.explode(F.expr(pairs_expr)).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("pair_docs"))
+    )
+    marg = ment.groupBy("entity").agg(F.count(F.lit(1)).alias("c"))
+    out = (
+        pair_counts.where(F.col("pair_docs") >= min_pairs)
+        .join(F.broadcast(marg.withColumnRenamed("entity", "a").withColumnRenamed("c", "ca")), "a")
+        .join(F.broadcast(marg.withColumnRenamed("entity", "b").withColumnRenamed("c", "cb")), "b")
+        .select(
+            "a",
+            "b",
+            "pair_docs",
+            F.round(
+                F.log(
+                    F.lit(float(n_docs))
+                    * F.col("pair_docs")
+                    / (F.col("ca") * F.col("cb"))
+                ),
+                round_to,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pair_docs"), F.desc("pmi"), "a", "b")
+    )
+    return out
+
+
+def two_hop_paths(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_fanout: int | None = None,
+) -> DataFrame:
+    """Two-hop path counts over the distinct canonical edge set:
+    (src, dst, n_paths) where n_paths = number of intermediate nodes m
+    with src -> m -> dst edges; self-loops and src == dst round trips
+    excluded. The KG link-prediction primitive: high two-hop count with
+    no direct edge is a candidate missing fact.
+
+    Scale design: the self-join shuffles both edge copies on the
+    MIDDLE node — hub entities are the skew risk, and a hub with
+    out-degree d_out and in-degree d_in emits d_in * d_out paths.
+    ``max_fanout`` bounds that quadratic term: each middle node keeps
+    only its first ``max_fanout`` in- and out-neighbors (deterministic:
+    ordered by neighbor id), turning the worst case into
+    max_fanout^2 per hub. Pass None (default) for the exact
+    oracle-checkable form; at 100-TB scale run with max_fanout ~1000
+    plus AQE skew-join splitting as the backstop.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    e_out, e_in = e, e
+    if max_fanout is not None:
+        from pyspark.sql import Window
+
+        e_out = (
+            e.withColumn(
+                "rk",
+                F.row_number().over(Window.partitionBy("src").orderBy("dst")),
+            )
+            .where(F.col("rk") <= max_fanout)
+            .drop("rk")
+        )
+        e_in = (
+            e.withColumn(
+                "rk",
+                F.row_number().over(Window.partitionBy("dst").orderBy("src")),
+            )
+            .where(F.col("rk") <= max_fanout)
+            .drop("rk")
+        )
+    a = e_in.select(F.col("src").alias("path_src"), F.col("dst").alias("mid"))
+    b = e_out.select(F.col("src").alias("mid"), F.col("dst").alias("path_dst"))
+    return (
+        a.join(b, "mid")
+        .where(F.col("path_src") != F.col("path_dst"))
+        .groupBy(F.col("path_src").alias("src"), F.col("path_dst").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "src", "dst")
+    )
+
+
+def current_facts(
+    triples: DataFrame,
+    ts_col: str = "ts",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Temporal KG materialization: the LATEST asserted object per
+    (subj, pred) — ties broken by in-document position, then object —
+    with the assertion timestamp carried as ``valid_from``.
+
+    This is the "current state" view a consumer of the triple store
+    reads; the full triples table remains the append-only history
+    (the reference's analog: ExampleStore keeps every version, the
+    Dataset view shows the latest, recon/store.py:39-47).
+
+    Scale design: ONE aggregation with full map-side combine —
+    ``max_by(struct(obj, ts), struct(ts, pos, obj))`` is a commutative
+    partial-aggregatable max, so head (subj, pred) keys collapse in
+    the partial aggregate; no window sort, no per-key row shuffle
+    beyond one combined row per partition per key.
+    """
+    key = F.struct(F.col(ts_col), F.col(pos_col), F.col("obj"))
+    picked = triples.groupBy("subj", "pred").agg(
+        F.max_by(F.struct(F.col("obj"), F.col(ts_col).alias("vf")), key).alias("w")
+    )
+    return picked.select(
+        "subj", "pred", F.col("w.obj").alias("obj"), F.col("w.vf").alias("valid_from")
+    ).orderBy("subj", "pred")

@@ -361,3 +361,57 @@ def tfidf_top_terms(
         .select(id_col, "term", "score", "rank")
         .orderBy(id_col, "rank")
     )
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_df: int = 3,
+) -> DataFrame:
+    """Global boilerplate n-gram detection (RefinedWeb/CCNet-style line
+    dedup generalized to token windows, since web boilerplate repeats
+    verbatim across pages): every whitespace ``n``-gram with document
+    frequency >= ``min_df``, returned as (ngram, df, total) where df
+    counts documents containing it and total counts occurrences.
+
+    Scale design (100 TB):
+    - n-gram generation is per-row JVM (``transform`` over the token
+      array) — no Python, no shuffle.
+    - shuffle #1 groups (doc_id, ngram): rows of one document live in
+      one input partition, so hash partial aggregation collapses
+      within-document repeats map-side before the exchange.
+    - shuffle #2 groups ngram for (df, total) — both aggregates are
+      commutative counts/sums with full map-side combine, so the
+      boilerplate head (the point of the query) collapses early
+      exactly like the salted entity-coverage path.
+    - at extreme scale, hash n-grams to int64 for the exchanges and
+      join the surviving (tiny, min_df-filtered) hash set back to
+      recover strings; kept in string form here because the df filter
+      already bounds the output and the oracle compares strings.
+    """
+    w = F.split(F.col(text_col), " ")
+    grams = F.expr(
+        f"""
+        CASE WHEN size(split({text_col}, ' ')) >= {n}
+        THEN transform(
+          sequence(1, size(split({text_col}, ' ')) - {n - 1}),
+          i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n})))
+        ELSE array() END
+        """
+    )
+    per_doc = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("ngram"))
+        .groupBy("doc_id", "ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        per_doc.groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("cnt").alias("total"),
+        )
+        .where(F.col("df") >= min_df)
+        .orderBy(F.desc("df"), F.desc("total"), "ngram")
+    )

@@ -264,11 +264,195 @@ FROM p ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# entity_cooccurrence — PMI-weighted co-mention edges
+# --------------------------------------------------------------------------
+
+def _canonical_entity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, entity) distinct pairs: every canonical entity (subj or
+    obj of an extracted triple, mapped through the top-1 alias
+    candidate) per document."""
+    from recon_spark.operators.graph import cooccurrence_pmi  # noqa: F401
+
+    t = extract_triples_tokens(_docs(spark, sf_dir))
+    best = (
+        alias_df(spark)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("alias").orderBy(F.desc("score"), "entity_id")
+            ),
+        )
+        .where("rk = 1")
+        .select("alias", "entity_id")
+    )
+    ment = t.select("doc_id", F.col("subj").alias("surface")).unionAll(
+        t.select("doc_id", F.col("obj").alias("surface"))
+    )
+    return (
+        ment.join(F.broadcast(best), ment.surface == F.col("alias"), "left")
+        .select(
+            "doc_id", F.coalesce("entity_id", "surface").alias("entity")
+        )
+        .distinct()
+    )
+
+
+def _sql_canonical_mentions() -> str:
+    """DuckDB CTE chain ending in ``ment`` = distinct canonical
+    (doc_id, entity) mentions."""
+    from recon_spark.queries.core import _sql_triples_base
+
+    return f"""{_sql_triples_base()},
+best AS (
+  SELECT alias, entity_id FROM (
+    SELECT alias, entity_id,
+           row_number() OVER (PARTITION BY alias ORDER BY score DESC, entity_id) AS rk
+    FROM {sql_alias_values()}
+  ) WHERE rk = 1
+),
+ment AS (
+  SELECT DISTINCT doc_id, entity FROM (
+    SELECT t.doc_id, coalesce(b.entity_id, t.subj) AS entity
+    FROM triples t LEFT JOIN best b ON t.subj = b.alias
+    UNION ALL
+    SELECT t.doc_id, coalesce(b.entity_id, t.obj) AS entity
+    FROM triples t LEFT JOIN best b ON t.obj = b.alias
+  )
+)"""
+
+
+_COOC_MIN_PAIRS = 2
+
+
+def q_entity_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from recon_spark.operators.graph import cooccurrence_pmi
+
+    return cooccurrence_pmi(
+        _canonical_entity_docs(spark, sf_dir), min_pairs=_COOC_MIN_PAIRS
+    )
+
+
+SQL_ENTITY_COOCCURRENCE = f"""
+WITH {_sql_canonical_mentions()},
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM ment),
+marg AS (SELECT entity, count(*) AS c FROM ment GROUP BY 1),
+pairs AS (
+  SELECT m1.entity AS a, m2.entity AS b, CAST(count(*) AS BIGINT) AS pair_docs
+  FROM ment m1 JOIN ment m2 ON m1.doc_id = m2.doc_id AND m1.entity < m2.entity
+  GROUP BY 1, 2
+)
+SELECT p.a, p.b, p.pair_docs,
+       round(ln((SELECT n FROM nd) * p.pair_docs / (ma.c * mb.c)), 6) AS pmi
+FROM pairs p JOIN marg ma ON p.a = ma.entity JOIN marg mb ON p.b = mb.entity
+WHERE p.pair_docs >= {_COOC_MIN_PAIRS}
+ORDER BY p.pair_docs DESC, pmi DESC, p.a, p.b
+"""
+
+
+# --------------------------------------------------------------------------
+# kg_two_hop — two-hop path counts (link-prediction primitive)
+# --------------------------------------------------------------------------
+
+def q_kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from recon_spark.operators.graph import two_hop_paths
+
+    return two_hop_paths(_canonical_edges(spark, sf_dir))
+
+
+SQL_KG_TWO_HOP = f"""
+WITH {_sql_canonical_edges()}
+SELECT e1.src AS src, e2.dst AS dst, CAST(count(*) AS BIGINT) AS n_paths
+FROM e e1 JOIN e e2 ON e1.dst = e2.src
+WHERE e1.src <> e2.dst
+GROUP BY 1, 2 ORDER BY n_paths DESC, src, dst
+"""
+
+
+# --------------------------------------------------------------------------
+# facts_current — temporal latest-assertion view per (subj, pred)
+# --------------------------------------------------------------------------
+
+def q_facts_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from recon_spark.operators.graph import current_facts
+
+    t = extract_triples_tokens(_docs(spark, sf_dir)).withColumn(
+        "ts",
+        F.expr("timestamp'2020-01-01 00:00:00' + make_dt_interval(0, 0, 0, doc_id)"),
+    )
+    return current_facts(t)
+
+
+def _sql_facts_current() -> str:
+    from recon_spark.queries.core import _sql_triples_base
+
+    return f"""
+WITH {_sql_triples_base()},
+ts_t AS (
+  SELECT subj, pred, obj, pos,
+         TIMESTAMP '2020-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS ts
+  FROM triples
+),
+rk AS (
+  SELECT subj, pred, obj, ts,
+         row_number() OVER (PARTITION BY subj, pred
+                            ORDER BY ts DESC, pos DESC, obj DESC) AS rn
+  FROM ts_t
+)
+SELECT subj, pred, obj, ts AS valid_from FROM rk WHERE rn = 1
+ORDER BY subj, pred
+"""
+
+
+SQL_FACTS_CURRENT = _sql_facts_current()
+
+
+# --------------------------------------------------------------------------
+# boilerplate_ngrams — global repeated n-gram (boilerplate) detection
+# --------------------------------------------------------------------------
+
+_BP_N = 5
+_BP_MIN_DF = 3
+_BP_TOP = 20
+
+
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from recon_spark.operators.textstats import boilerplate_ngrams
+
+    return boilerplate_ngrams(
+        _docs(spark, sf_dir), n=_BP_N, min_df=_BP_MIN_DF
+    ).limit(_BP_TOP)
+
+
+SQL_BOILERPLATE_NGRAMS = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(ws) >= {_BP_N} THEN
+                  list_transform(generate_series(1, len(ws) - {_BP_N - 1}),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                         || ws[i+3] || ' ' || ws[i+4])
+                ELSE [] END) AS ng
+  FROM t
+),
+dc AS (SELECT doc_id, ng, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY 1, 2),
+gl AS (SELECT ng AS ngram, CAST(count(*) AS BIGINT) AS df,
+              CAST(sum(cnt) AS BIGINT) AS total
+       FROM dc GROUP BY 1)
+SELECT ngram, df, total FROM gl WHERE df >= {_BP_MIN_DF}
+ORDER BY df DESC, total DESC, ngram LIMIT {_BP_TOP}
+"""
+
+
 QUERIES = {
     "entity_pagerank": q_entity_pagerank,
     "entity_degrees": q_entity_degrees,
     "repetition_metrics": q_repetition_metrics,
     "pii_redact": q_pii_redact,
+    "entity_cooccurrence": q_entity_cooccurrence,
+    "kg_two_hop": q_kg_two_hop,
+    "facts_current": q_facts_current,
+    "boilerplate_ngrams": q_boilerplate_ngrams,
 }
 
 ORACLES = {
@@ -276,4 +460,8 @@ ORACLES = {
     "entity_degrees": SQL_ENTITY_DEGREES,
     "repetition_metrics": SQL_REPETITION_METRICS,
     "pii_redact": SQL_PII_REDACT,
+    "entity_cooccurrence": SQL_ENTITY_COOCCURRENCE,
+    "kg_two_hop": SQL_KG_TWO_HOP,
+    "facts_current": SQL_FACTS_CURRENT,
+    "boilerplate_ngrams": SQL_BOILERPLATE_NGRAMS,
 }

@@ -1,0 +1,128 @@
+"""Unit + plan tests for the round-2 KG additions: PMI co-occurrence,
+two-hop path counts (with the hub fanout cap), temporal current-facts
+materialization, and global boilerplate n-gram detection.
+
+Reference provenance: these generalize recon's disparity/insight layer
+(recon/insights.py:47-110) and the ExampleStore latest-view semantics
+(recon/store.py:39-47) to graph-shaped outputs; oracle parity for the
+driver queries lives in tests/test_graph_quality.py.
+"""
+
+import math
+
+from pyspark.sql import functions as F
+
+from recon_spark.operators.graph import (
+    cooccurrence_pmi,
+    current_facts,
+    two_hop_paths,
+)
+from recon_spark.operators.textstats import boilerplate_ngrams
+from tests.test_plans import plan_of
+
+
+def test_cooccurrence_small_golden(spark):
+    # docs: 1:{a,b,c} 2:{a,b} 3:{a} -> N=3; c(a)=3 c(b)=2 c(c)=1
+    rows = [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"), (3, "a"), (1, "a")]
+    df = spark.createDataFrame(rows, "doc_id long, entity string")
+    out = {
+        (r.a, r.b): (r.pair_docs, r.pmi)
+        for r in cooccurrence_pmi(df, min_pairs=1).collect()
+    }
+    assert out[("a", "b")][0] == 2
+    assert out[("a", "b")][1] == round(math.log(3 * 2 / (3 * 2)), 6) == 0.0
+    assert out[("a", "c")] == (1, round(math.log(3 * 1 / (3 * 1)), 6))
+    assert out[("b", "c")] == (1, round(math.log(3 * 1 / (2 * 1)), 6))
+    # min_pairs filter drops the singletons
+    kept = cooccurrence_pmi(df, min_pairs=2).collect()
+    assert [(r.a, r.b) for r in kept] == [("a", "b")]
+
+
+def test_cooccurrence_empty_input(spark):
+    df = spark.createDataFrame([], "doc_id long, entity string")
+    out = cooccurrence_pmi(df)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["a", "b", "pair_docs", "pmi"]
+
+
+def test_two_hop_exact_and_fanout_cap(spark):
+    # hub m: {a,b} -> m -> {x,y,z}; plus direct a->x
+    edges = [(s, "m") for s in ("a", "b")] + [("m", d) for d in ("x", "y", "z")]
+    edges.append(("a", "x"))
+    e = spark.createDataFrame(edges, "src string, dst string")
+    exact = {(r.src, r.dst): r.n_paths for r in two_hop_paths(e).collect()}
+    # every (a|b) -> (x|y|z) via m, plus a->x->nothing; a->m->{x,y,z}
+    assert exact[("a", "x")] == 1 and exact[("b", "z")] == 1
+    assert len(exact) == 6
+    # generous cap == exact
+    capped_full = {
+        (r.src, r.dst): r.n_paths for r in two_hop_paths(e, max_fanout=10).collect()
+    }
+    assert capped_full == exact
+    # tight cap: hub m keeps only first out-neighbor (x) and first
+    # in-neighbor (a) -> only a->m->x survives
+    capped = {
+        (r.src, r.dst): r.n_paths for r in two_hop_paths(e, max_fanout=1).collect()
+    }
+    assert capped == {("a", "x"): 1}
+    # cap never invents paths
+    assert all(capped_full.get(k, 0) >= v for k, v in capped.items())
+
+
+def test_current_facts_tiebreak(spark):
+    rows = [
+        # same (s,p): later ts wins
+        ("s", "p", "old", 1, 0),
+        ("s", "p", "new", 2, 0),
+        # same (s,p,ts): higher pos wins
+        ("s2", "p", "first", 5, 0),
+        ("s2", "p", "second", 5, 3),
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string, ts long, pos int")
+    out = {(r.subj, r.pred): (r.obj, r.valid_from) for r in current_facts(t).collect()}
+    assert out == {("s", "p"): ("new", 2), ("s2", "p"): ("second", 5)}
+
+
+def test_current_facts_is_combinable_no_window(spark):
+    t = spark.createDataFrame(
+        [("s", "p", "o", 1, 0)], "subj string, pred string, obj string, ts long, pos int"
+    )
+    plan = plan_of(current_facts(t))
+    # max_by aggregates partially (no window sort per key)
+    assert "Window" not in plan
+    assert "partial_max_by" in plan or "ObjectHashAggregate" in plan
+
+
+def test_boilerplate_ngrams_golden(spark):
+    # "w w w w w w" has two distinct 5-grams? no — all tokens equal:
+    # 5-gram "w w w w w" occurs twice (positions 1,2).
+    docs = [
+        (1, "a b c d e f"),     # 5-grams: "a b c d e", "b c d e f"
+        (2, "a b c d e"),       # "a b c d e"
+        (3, "a b c d e x"),     # "a b c d e", "b c d e x"
+        (4, "short text"),      # none
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = [(r.ngram, r.df, r.total) for r in boilerplate_ngrams(df, min_df=2).collect()]
+    assert out == [("a b c d e", 3, 3)]
+    # within-doc repeats count in total but df counts documents
+    df2 = spark.createDataFrame(
+        [(1, "w w w w w w"), (2, "w w w w w")], "doc_id long, text string"
+    )
+    out2 = [(r.ngram, r.df, r.total) for r in boilerplate_ngrams(df2, min_df=2).collect()]
+    assert out2 == [("w w w w w", 2, 3)]
+
+
+def test_cooccurrence_plan_no_python_broadcast_marginals(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "b")], "doc_id long, entity string")
+    plan = plan_of(cooccurrence_pmi(df, min_pairs=1))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # marginal joins are broadcast; the only SortMergeJoin-free shape
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_boilerplate_plan_jvm_only(spark):
+    df = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    plan = plan_of(boilerplate_ngrams(df))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
