@@ -415,3 +415,80 @@ def boilerplate_ngrams(
         .where(F.col("df") >= min_df)
         .orderBy(F.desc("df"), F.desc("total"), "ngram")
     )
+
+
+def length_quantiles(
+    df: DataFrame,
+    group_col: str = "lang",
+    value_col: str = "n_chars",
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    approx: bool = False,
+) -> DataFrame:
+    """Per-group length-distribution profile: exact (oracle-checkable)
+    or sketch-based quantiles of ``value_col``.
+
+    The corpus-curation use: per-language length cutoffs for the
+    cleaning rules (a C4/Gopher-style pipeline derives its thresholds
+    from these distributions, not constants).
+
+    Scale design: ``approx=False`` uses ``percentile`` — exact, but it
+    buffers each group's values (sort-based) and is the ORACLE TWIN
+    only. At 100 TB run ``approx=True``: ``percentile_approx`` is a
+    mergeable KLL-style sketch with bounded memory per partition and
+    full map-side combine; tests assert the sketch lands within
+    tolerance of exact on the test corpus.
+    """
+    plist = "array(" + ", ".join(repr(p) for p in probs) + ")"
+    fn = "approx_percentile" if approx else "percentile"
+    acc = ", 10000" if approx else ""
+    q = F.expr(f"{fn}({value_col}, {plist}{acc})")
+    out = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_docs"), q.alias("qs")
+    )
+    cols = [
+        F.round(F.col("qs").getItem(i), 6).alias(f"p{int(p * 100)}")
+        for i, p in enumerate(probs)
+    ]
+    return out.select("grp", "n_docs", *cols).orderBy("grp")
+
+
+def source_quality(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    nchars_col: str = "n_chars",
+    lang_col: str = "lang",
+    short_chars: int = 200,
+) -> DataFrame:
+    """Per-source (per-domain at crawl scale) quality profile: document
+    count, mean length, short-document fraction, language diversity,
+    mean type-token ratio. The curation decision layer: a source whose
+    short_frac or repetition profile is an outlier gets down-weighted
+    or dropped wholesale — the same fence logic as detect_outliers
+    (recon/stats.py:266-283) applied one level up the hierarchy.
+
+    Scale design: ONE shuffle on the source key with full map-side
+    combine (count/sum/approx-distinct are all mergeable); the
+    type-token ratio is computed per row in JVM (array_distinct over
+    the token split) before the aggregate, so no second pass. Language
+    diversity intentionally uses exact count(distinct) over a low-card
+    column here; at crawl scale swap approx_count_distinct — same
+    plan shape, sketch merge instead of expand.
+    """
+    ttr = (
+        F.size(F.array_distinct(F.split(F.col(text_col), " ")))
+        / F.size(F.split(F.col(text_col), " "))
+    )
+    return (
+        df.groupBy(F.col(source_col).alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(nchars_col), 6).alias("avg_chars"),
+            F.round(
+                F.avg((F.col(nchars_col) < short_chars).cast("double")), 6
+            ).alias("short_frac"),
+            F.countDistinct(lang_col).alias("n_langs"),
+            F.round(F.avg(ttr), 6).alias("avg_ttr"),
+        )
+        .orderBy("source")
+    )

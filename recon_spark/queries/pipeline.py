@@ -776,7 +776,56 @@ def _sql_distinct_sketch() -> str:
 SQL_DISTINCT_SKETCH = _sql_distinct_sketch()
 
 
+# --------------------------------------------------------------------------
+# length_quantiles — per-language length distribution (exact oracle twin
+# of the percentile_approx sketch path)
+# --------------------------------------------------------------------------
+
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from recon_spark.operators.textstats import length_quantiles
+
+    return length_quantiles(_docs(spark, sf_dir), approx=False)
+
+
+SQL_LENGTH_QUANTILES = """
+SELECT lang AS grp, CAST(count(*) AS BIGINT) AS n_docs,
+       round(quantile_cont(n_chars, 0.25), 6) AS p25,
+       round(quantile_cont(n_chars, 0.5), 6) AS p50,
+       round(quantile_cont(n_chars, 0.75), 6) AS p75,
+       round(quantile_cont(n_chars, 0.95), 6) AS p95
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# source_quality — per-source (per-domain) curation profile
+# --------------------------------------------------------------------------
+
+def q_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from recon_spark.operators.textstats import source_quality
+
+    return source_quality(_docs(spark, sf_dir))
+
+
+SQL_SOURCE_QUALITY = """
+WITH t AS (
+  SELECT source, n_chars, lang,
+         len(list_distinct(string_split(text, ' ')))
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS ttr
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(n_chars), 6) AS avg_chars,
+       round(avg(CASE WHEN n_chars < 200 THEN 1.0 ELSE 0.0 END), 6) AS short_frac,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       round(avg(ttr), 6) AS avg_ttr
+FROM t GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
+    "length_quantiles": q_length_quantiles,
+    "source_quality": q_source_quality,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -802,6 +851,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "length_quantiles": SQL_LENGTH_QUANTILES,
+    "source_quality": SQL_SOURCE_QUALITY,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_jaccard": SQL_DEDUP_JACCARD,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,

@@ -126,3 +126,40 @@ def test_boilerplate_plan_jvm_only(spark):
     df = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
     plan = plan_of(boilerplate_ngrams(df))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_length_quantiles_approx_within_rank_tolerance(spark):
+    """The percentile_approx sketch path (the 100-TB path) returns
+    discrete order statistics; its guarantee is on RANK error, not
+    value error. Assert every sketch quantile sits within 3% of its
+    target rank in the group's empirical CDF (sketch ε=1e-4 at
+    accuracy=10000, plus ±1/n discretization)."""
+    from collections import defaultdict
+
+    from recon_spark.operators.textstats import length_quantiles
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    approx = {
+        r.grp: (r.p25, r.p50, r.p75, r.p95)
+        for r in length_quantiles(docs, approx=True).collect()
+    }
+    vals = defaultdict(list)
+    for r in docs.select("lang", "n_chars").collect():
+        vals[r.lang].append(r.n_chars)
+    assert set(approx) == set(vals)
+    for g, qs in approx.items():
+        xs = sorted(vals[g])
+        n = len(xs)
+        for p, a in zip((0.25, 0.5, 0.75, 0.95), qs):
+            assert a in xs, (g, p, a)  # sketch returns a real data value
+            lo = sum(1 for x in xs if x < a) / n
+            hi = sum(1 for x in xs if x <= a) / n
+            assert lo - 0.03 <= p <= hi + 0.03, (g, p, a, lo, hi)
+
+
+def test_source_quality_plan_single_shuffle_no_python(spark):
+    from recon_spark.operators.textstats import source_quality
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(source_quality(docs))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
