@@ -78,3 +78,51 @@ def link_spans(df: DataFrame, aliases: DataFrame, spans_col: str = "spans") -> D
     return df.withColumn(
         spans_col, F.expr(f"transform({spans_col}, s -> named_struct({struct}))")
     )
+
+
+def fuzzy_surface_pairs(
+    surfaces: DataFrame, col: str = "surface"
+) -> DataFrame:
+    """All surface pairs within edit distance 1, found WITHOUT an
+    all-pairs join: SymSpell-style symmetric-deletion blocking.
+
+    Every surface emits its identity plus each single-character
+    deletion as candidate keys (a string of length m emits m+1 keys,
+    pure JVM). Two strings at edit distance <= 1 are guaranteed to
+    share a key (substitution: delete the differing position from
+    both; insert/delete: the longer string's deletion hits the
+    shorter's identity), so an equi-join on the key finds every true
+    pair; a final ``levenshtein <= 1`` filter removes the small set of
+    distance-2 collisions the blocking admits (e.g. transpositions).
+
+    The alias-curation use: surfaces one typo apart that the linker
+    maps to different entities are canonicalization candidates — the
+    fuzzy analog of the reference's label-disparity detection
+    (recon/insights.py:47-71, same surface annotated two ways).
+
+    Scale design: key generation is linear (m+1 short keys per
+    surface, map-side); the equi-join shuffles on the deletion key —
+    never a cartesian or nested-loop scan. Key frequency is bounded by
+    vocabulary shape, not corpus size (this runs on DISTINCT
+    surfaces). For very long surfaces, pre-truncate to a prefix and
+    re-verify, the standard SymSpell prefix compromise.
+    """
+    s = surfaces.select(F.col(col).alias("s")).where(F.col(col).isNotNull()).distinct()
+    keys_expr = """
+    array_union(
+      array(s),
+      transform(sequence(1, length(s)),
+                i -> concat(substring(s, 1, i - 1), substring(s, i + 1))))
+    """
+    keyed = s.select("s", F.explode(F.expr(keys_expr)).alias("k"))
+    a = keyed.select(F.col("s").alias("a"), "k")
+    b = keyed.select(F.col("s").alias("b"), "k")
+    return (
+        a.join(b, "k")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .withColumn("dist", F.levenshtein("a", "b"))
+        .where(F.col("dist") <= 1)
+        .orderBy("a", "b")
+    )

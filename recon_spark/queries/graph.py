@@ -444,6 +444,39 @@ ORDER BY df DESC, total DESC, ngram LIMIT {_BP_TOP}
 """
 
 
+# --------------------------------------------------------------------------
+# fuzzy_aliases — edit-distance-1 surface pairs via symmetric-deletion
+# blocking (alias-curation candidates; no all-pairs join)
+# --------------------------------------------------------------------------
+
+def q_fuzzy_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo'd variants are synthesized in-query (drop the final char of
+    every token of length >= 4 — the corpus vocabulary has no natural
+    edit-distance-1 pairs by construction, same precedent as
+    pii_redact's synthesized PII); the operator then finds every pair
+    within edit distance 1 through deletion-key blocking."""
+    from recon_spark.operators.linker import fuzzy_surface_pairs
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(F.explode(F.split("text", " ")).alias("surface")).distinct()
+    variants = toks.where(F.length("surface") >= 4).select(
+        F.expr("substring(surface, 1, length(surface) - 1)").alias("surface")
+    )
+    vocab = toks.unionAll(variants).distinct()
+    return fuzzy_surface_pairs(vocab)
+
+
+SQL_FUZZY_ALIASES = """
+WITH toks AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS s FROM documents),
+var AS (SELECT DISTINCT substring(s, 1, length(s) - 1) AS s FROM toks WHERE length(s) >= 4),
+vocab AS (SELECT s FROM toks UNION SELECT s FROM var)
+SELECT a.s AS a, b.s AS b, CAST(levenshtein(a.s, b.s) AS INT) AS dist
+FROM vocab a JOIN vocab b ON a.s < b.s
+WHERE levenshtein(a.s, b.s) <= 1
+ORDER BY a, b
+"""
+
+
 QUERIES = {
     "entity_pagerank": q_entity_pagerank,
     "entity_degrees": q_entity_degrees,
@@ -453,6 +486,7 @@ QUERIES = {
     "kg_two_hop": q_kg_two_hop,
     "facts_current": q_facts_current,
     "boilerplate_ngrams": q_boilerplate_ngrams,
+    "fuzzy_aliases": q_fuzzy_aliases,
 }
 
 ORACLES = {
@@ -464,4 +498,5 @@ ORACLES = {
     "kg_two_hop": SQL_KG_TWO_HOP,
     "facts_current": SQL_FACTS_CURRENT,
     "boilerplate_ngrams": SQL_BOILERPLATE_NGRAMS,
+    "fuzzy_aliases": SQL_FUZZY_ALIASES,
 }

@@ -163,3 +163,45 @@ def test_source_quality_plan_single_shuffle_no_python(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = plan_of(source_quality(docs))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_fuzzy_surface_pairs_exact_vs_bruteforce(spark):
+    """Deletion-key blocking must find EXACTLY the levenshtein<=1
+    pairs a brute-force all-pairs scan finds (including transposition
+    exclusion at distance 2)."""
+    import itertools
+
+    from recon_spark.operators.linker import fuzzy_surface_pairs
+
+    vocab = [
+        "spark", "spar", "sparc", "shark", "sharks", "park",
+        "ab", "ba", "abc", "cab", "a", "b", "xyz",
+    ]
+    df = spark.createDataFrame([(v,) for v in vocab], "surface string")
+    got = {(r.a, r.b) for r in fuzzy_surface_pairs(df).collect()}
+
+    def lev(x, y):
+        d = list(range(len(y) + 1))
+        for i, cx in enumerate(x, 1):
+            prev, d[0] = d[0], i
+            for j, cy in enumerate(y, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (cx != cy))
+        return d[-1]
+
+    want = {
+        tuple(sorted((x, y)))
+        for x, y in itertools.combinations(vocab, 2)
+        if lev(x, y) <= 1
+    }
+    assert got == want
+    assert ("ab", "ba") not in got  # transposition is distance 2
+
+
+def test_fuzzy_pairs_plan_no_cartesian(spark):
+    from recon_spark.operators.linker import fuzzy_surface_pairs
+
+    df = spark.createDataFrame([("spark",), ("spar",)], "surface string")
+    plan = plan_of(fuzzy_surface_pairs(df))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
