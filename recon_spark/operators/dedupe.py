@@ -194,15 +194,12 @@ def minhash_signature(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     )
 
 
-def minhash_lsh_candidates(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """Candidate near-dup pairs from MinHash banding (4 bands × 4 rows):
-    pairs sharing at least one band signature, (id_a, id_b) distinct."""
-    # signatures are tiny (16 longs/doc); persist so the expensive
-    # shingle+perm computation runs once, not once per join side
-    sig = minhash_signature(df, id_col, text_col).persist()
-    bands = sig.select(
+def band_signatures(sig: DataFrame) -> DataFrame:
+    """Explode (id, minhash[16]) into (id, band, sig) LSH bucket keys —
+    N_BANDS rows per doc, each key a concat of ROWS_PER_BAND hash
+    values. Shared by the pairwise candidate join and the incremental
+    new-vs-old filter."""
+    return sig.select(
         "id",
         F.explode(
             F.expr(
@@ -211,6 +208,17 @@ def minhash_lsh_candidates(
             )
         ).alias("bs"),
     ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Candidate near-dup pairs from MinHash banding (4 bands × 4 rows):
+    pairs sharing at least one band signature, (id_a, id_b) distinct."""
+    # signatures are tiny (16 longs/doc); persist so the expensive
+    # shingle+perm computation runs once, not once per join side
+    sig = minhash_signature(df, id_col, text_col).persist()
+    bands = band_signatures(sig)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -447,4 +455,50 @@ def simhash_neardup_pairs(
         )
         .where(F.col("dist") <= max_dist)
         .orderBy("id_a", "id_b")
+    )
+
+
+def incremental_neardup(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental ingest gate: flag each NEW document that is a
+    MinHash-LSH near-duplicate of the EXISTING corpus. Returns
+    (id, is_dup) for every new document with a signature (< 3 tokens
+    have no shingles, same rule as the batch path), ordered by id.
+
+    The production shape behind checkpointed resume: the old side's
+    distinct (band, sig) index is materialized once per snapshot
+    (append-only, tiny — N_BANDS short rows per ingested doc) and each
+    arriving batch left-semi-joins its own band keys against it;
+    accepted docs append their keys to the index. Within-batch dedup
+    stays with the standard pairwise path (minhash_lsh_candidates).
+
+    Scale design: the only shuffle is the semi-join on the short
+    (band, sig) key; a small batch side broadcasts under AQE. No
+    pairwise join ever touches the old corpus — the candidate
+    explosion of re-running batch LSH over old ∪ new is avoided
+    entirely, which is what makes re-ingestion O(batch), not
+    O(corpus).
+    """
+    new_bands = band_signatures(minhash_signature(new_df, id_col, text_col))
+    old_index = (
+        band_signatures(minhash_signature(old_df, id_col, text_col))
+        .select("band", "sig")
+        .distinct()
+    )
+    hits = (
+        new_bands.join(old_index, ["band", "sig"], "left_semi")
+        .select("id")
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        new_bands.select("id")
+        .distinct()
+        .join(hits, "id", "left")
+        .select("id", F.coalesce("is_dup", F.lit(False)).alias("is_dup"))
+        .orderBy("id")
     )

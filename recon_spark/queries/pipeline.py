@@ -823,8 +823,39 @@ FROM t GROUP BY 1 ORDER BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# dedup_incremental — new-batch vs existing-corpus near-dup gate
+# --------------------------------------------------------------------------
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest: docs with doc_id % 5 == 0 arrive as the new
+    batch, the rest are the already-ingested corpus; each new doc is
+    flagged if it shares a MinHash band with any old doc."""
+    docs = _docs(spark, sf_dir)
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    old = docs.where(F.col("doc_id") % 5 != 0)
+    return D.incremental_neardup(new, old)
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH {SQL_SHINGLES},
+{_sql_minhash()},
+old_b AS (SELECT DISTINCT band, sig FROM bands_long WHERE doc_id % 5 <> 0),
+new_b AS (SELECT * FROM bands_long WHERE doc_id % 5 = 0),
+hits AS (
+  SELECT DISTINCT n.doc_id FROM new_b n
+  JOIN old_b o ON n.band = o.band AND n.sig = o.sig
+)
+SELECT i.doc_id AS id, (h.doc_id IS NOT NULL) AS is_dup
+FROM (SELECT DISTINCT doc_id FROM new_b) i
+LEFT JOIN hits h ON i.doc_id = h.doc_id
+ORDER BY id
+"""
+
+
 QUERIES = {
     "length_quantiles": q_length_quantiles,
+    "dedup_incremental": q_dedup_incremental,
     "source_quality": q_source_quality,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
@@ -852,6 +883,7 @@ QUERIES = {
 
 ORACLES = {
     "length_quantiles": SQL_LENGTH_QUANTILES,
+    "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "source_quality": SQL_SOURCE_QUALITY,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_jaccard": SQL_DEDUP_JACCARD,

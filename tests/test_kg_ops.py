@@ -205,3 +205,41 @@ def test_fuzzy_pairs_plan_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_incremental_neardup_matches_batch_semantics(spark):
+    """A new doc is flagged iff batch LSH over old+new links it to at
+    least one OLD doc (new-new pairs are out of scope by contract)."""
+    from recon_spark.operators.dedupe import (
+        incremental_neardup,
+        minhash_lsh_candidates,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    old = docs.where(F.col("doc_id") % 5 != 0)
+    inc = {r.id: r.is_dup for r in incremental_neardup(new, old).collect()}
+    pairs = minhash_lsh_candidates(docs).collect()
+    new_ids = set(inc)
+    flagged_by_batch = set()
+    for r in pairs:
+        a_new, b_new = r.id_a in new_ids, r.id_b in new_ids
+        if a_new and not b_new:
+            flagged_by_batch.add(r.id_a)
+        elif b_new and not a_new:
+            flagged_by_batch.add(r.id_b)
+    assert {i for i, d in inc.items() if d} == flagged_by_batch
+    assert any(inc.values())  # the corpus does contain near-dups
+
+
+def test_incremental_neardup_plan_semi_join(spark):
+    from recon_spark.operators.dedupe import incremental_neardup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(
+        incremental_neardup(
+            docs.where(F.col("doc_id") % 5 == 0), docs.where(F.col("doc_id") % 5 != 0)
+        )
+    )
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
