@@ -44,6 +44,20 @@ HEADLINE = [
     "lsh_neardup",
 ]
 
+# round-2 KG/curation additions, timed AFTER the headline set and
+# reported under separate JSON keys so "value" stays comparable with
+# earlier rounds' recorded totals
+EXTENDED = [
+    "entity_cooccurrence",
+    "kg_two_hop",
+    "facts_current",
+    "boilerplate_ngrams",
+    "fuzzy_aliases",
+    "dedup_incremental",
+    "source_quality",
+    "corpus_rollup",
+]
+
 
 def run_bench(sf_dir: str, cpus: int, queries: list[str]) -> dict:
     from recon_spark.queries import QUERIES
@@ -65,15 +79,20 @@ def run_bench(sf_dir: str, cpus: int, queries: list[str]) -> dict:
     ).repartition(cpus)
     _dm(warm).selectExpr("sum(size(spans))").collect()
 
-    timings: dict[str, float] = {}
-    for name in queries:
-        best = float("inf")
-        for _rep in range(3):  # best-of-3: the host is time-shared; report
-            spark.catalog.clearCache()  # steady state, not steal/GC noise
-            t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).count()  # count() forces full exec
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+    def time_set(names: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            best = float("inf")
+            for _rep in range(3):  # best-of-3: the host is time-shared
+                spark.catalog.clearCache()  # steady state, not steal/GC noise
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf_dir).count()  # count() forces full exec
+                best = min(best, time.perf_counter() - t0)
+            out[name] = round(best, 3)
+        return out
+
+    timings = time_set(queries)
+    extended = time_set(EXTENDED)
 
     # throughput: pages/sec through the full mention-detection hot path.
     # Replicate the corpus in-memory (x20) so the measurement amortizes
@@ -108,6 +127,9 @@ def run_bench(sf_dir: str, cpus: int, queries: list[str]) -> dict:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # round-2 additions, separate so `value` stays round-comparable
+        "queries_extended": extended,
+        "extended_total": round(sum(extended.values()), 3),
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         "pages_per_sec": round(n_docs_tp / extract_sec, 1),
         # methodology marker: pages/sec is best-of-2 over an in-memory

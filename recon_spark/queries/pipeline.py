@@ -853,9 +853,45 @@ ORDER BY id
 """
 
 
+# --------------------------------------------------------------------------
+# corpus_rollup — hierarchical (lang, source) totals via ROLLUP
+# --------------------------------------------------------------------------
+
+def q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical corpus totals in ONE pass: per (lang, source), per
+    lang, and grand total, via ROLLUP grouping sets — the dashboard
+    aggregation a curation team reads first. Spark expands grouping
+    sets inside a single hash aggregate (one shuffle, map-side
+    combine on the expanded keys); null grouping slots are rewritten
+    to 'ALL' sentinels so the output is join- and sort-stable."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            "n_docs",
+            "avg_chars",
+        )
+        .orderBy("lang", "source")
+    )
+
+
+SQL_CORPUS_ROLLUP = """
+SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+       CAST(count(*) AS BIGINT) AS n_docs, round(avg(n_chars), 6) AS avg_chars
+FROM documents GROUP BY ROLLUP(lang, source) ORDER BY lang, source
+"""
+
+
 QUERIES = {
     "length_quantiles": q_length_quantiles,
     "dedup_incremental": q_dedup_incremental,
+    "corpus_rollup": q_corpus_rollup,
     "source_quality": q_source_quality,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
@@ -884,6 +920,7 @@ QUERIES = {
 ORACLES = {
     "length_quantiles": SQL_LENGTH_QUANTILES,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+    "corpus_rollup": SQL_CORPUS_ROLLUP,
     "source_quality": SQL_SOURCE_QUALITY,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_jaccard": SQL_DEDUP_JACCARD,
