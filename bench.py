@@ -56,6 +56,9 @@ EXTENDED = [
     "dedup_incremental",
     "source_quality",
     "corpus_rollup",
+    "segment_dedup",
+    "entity_resolution",
+    "kg_conflicts",
 ]
 
 

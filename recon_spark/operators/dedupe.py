@@ -502,3 +502,71 @@ def incremental_neardup(
         .select("id", F.coalesce("is_dup", F.lit(False)).alias("is_dup"))
         .orderBy("id")
     )
+
+
+def segment_dedup(
+    docs: DataFrame,
+    delimiter: str = " the ",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Global keep-first segment-level dedup — the C4 "deduplicate at
+    the level of individual lines" pass (RefinedWeb keeps the same
+    shape). Documents are split on ``delimiter``; a segment survives
+    only at its globally-first occurrence (smallest (doc_id, pos));
+    every later occurrence — in other documents or later in the same
+    one — is dropped and the document text is rebuilt from the
+    surviving segments.
+
+    Generalizes the reference's content-addressed example dedupe
+    (recon/store.py:25-47, hash-keyed ExampleStore) from whole-example
+    granularity to intra-document segments.
+
+    Scale design: the first-occurrence owner per segment is a
+    ``min(struct(doc_id, pos))`` aggregate — map-side combinable, so a
+    boilerplate segment appearing in 10^9 documents collapses to one
+    row per map task before the shuffle; a window row_number over
+    segment would instead sort every occurrence of the hottest segment
+    in one partition. Two further doc_id-keyed aggregates rebuild the
+    per-document view; rebuild memory is bounded by single-document
+    size. No Python anywhere.
+
+    Returns (id, n_segs, n_kept, new_md5, new_len) per document:
+    segment counts before/after, and md5 + length of the rebuilt text
+    (empty string when every segment of the doc lost its race).
+    """
+    import re
+
+    # F.split takes a REGEX but array_join rebuilds with the literal —
+    # escape so both sides agree on delimiters like '|' or '. '
+    segs = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(text_col, re.escape(delimiter))).alias("pos", "seg"),
+    )
+    firsts = (
+        segs.groupBy("seg")
+        .agg(F.min(F.struct("id", "pos")).alias("f"))
+        .select(F.col("f.id").alias("id"), F.col("f.pos").alias("pos"), "seg")
+    )
+    kept = firsts.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda s: s["seg"],
+            ),
+            delimiter,
+        ).alias("new_text"),
+    )
+    totals = segs.groupBy("id").agg(F.count(F.lit(1)).alias("n_segs"))
+    return (
+        totals.join(kept, "id", "left")
+        .select(
+            "id",
+            "n_segs",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.md5(F.coalesce("new_text", F.lit(""))).alias("new_md5"),
+            F.length(F.coalesce("new_text", F.lit(""))).alias("new_len"),
+        )
+        .orderBy("id")
+    )

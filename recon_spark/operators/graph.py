@@ -293,3 +293,42 @@ def current_facts(
     return picked.select(
         "subj", "pred", F.col("w.obj").alias("obj"), F.col("w.vf").alias("valid_from")
     ).orderBy("subj", "pred")
+
+
+def functional_conflicts(triples: DataFrame) -> DataFrame:
+    """Functional-predicate conflict detection: (subj, pred) keys whose
+    extracted triples disagree on the object — the KG-level analog of
+    the reference's label-disparity insight (recon/insights.py:47-71:
+    the same surface annotated with conflicting labels). A functional
+    predicate should map each subject to ONE object; multiple distinct
+    objects flag either extraction noise or a predicate that is not
+    functional — both are curation queues.
+
+    Per conflicting (subj, pred): n_objs (distinct objects), support
+    (total triple count), and top_obj — the majority object, tie-broken
+    to the lexicographically smallest, computed as a single
+    ``min(struct(-cnt, obj))`` so the whole derivation is two map-side
+    combinable aggregates on short keys (obj-level count, then the
+    (subj, pred) rollup). No window sort, no join, no Python; the 10^12
+    -page triple stream collapses at the first partial aggregate.
+    """
+    c = triples.groupBy("subj", "pred", "obj").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        c.groupBy("subj", "pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_objs"),
+            F.sum("cnt").alias("support"),
+            F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("obj"))).alias("w"),
+        )
+        .where(F.col("n_objs") > 1)
+        .select(
+            "subj",
+            "pred",
+            "n_objs",
+            "support",
+            F.col("w.obj").alias("top_obj"),
+        )
+        .orderBy(F.desc("n_objs"), "subj", "pred")
+    )

@@ -126,3 +126,44 @@ def fuzzy_surface_pairs(
         .where(F.col("dist") <= 1)
         .orderBy("a", "b")
     )
+
+
+def resolve_surfaces(surfaces: DataFrame, col: str = "surface") -> DataFrame:
+    """Entity resolution over surface forms: cluster surfaces within
+    edit distance 1 (transitively) and assign each cluster a canonical
+    id — the missing step between fuzzy_surface_pairs (candidate
+    generation) and the alias dictionary (curated output). This is the
+    distributed version of the reference's disparity-driven
+    canonicalization loop (recon/insights.py:47-71 finds the
+    conflicting surfaces; a human picks the canonical form) — here the
+    canonical form is the lexicographically-smallest reachable surface,
+    so the assignment is deterministic and recomputable at any scale.
+
+    Composition: SymSpell deletion-key blocking (never all-pairs) ->
+    connected components (size-adaptive: driver union-find for small
+    edge sets, hash-min label propagation above the threshold) -> one
+    component-size aggregate joined back. Only surfaces that
+    participate in >= 1 fuzzy pair appear (singletons are already
+    canonical).
+
+    Returns (surface, canonical, cluster_size) ordered by
+    (canonical, surface).
+    """
+    from recon_spark.operators.dedupe import connected_components
+
+    pairs = fuzzy_surface_pairs(surfaces, col=col).select(
+        F.col("a").alias("id_a"), F.col("b").alias("id_b")
+    )
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("id").alias(col),
+            F.col("component").alias("canonical"),
+            "cluster_size",
+        )
+        .orderBy("canonical", col)
+    )

@@ -477,6 +477,125 @@ ORDER BY a, b
 """
 
 
+# --------------------------------------------------------------------------
+# entity_resolution — fuzzy pairs -> connected components -> canonical ids
+# --------------------------------------------------------------------------
+
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive edit-distance-1 clusters over the same synthesized
+    vocabulary as `fuzzy_aliases`, each surface resolved to its
+    cluster's canonical id (lexicographic min reachable)."""
+    from recon_spark.operators.linker import resolve_surfaces
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(F.explode(F.split("text", " ")).alias("surface")).distinct()
+    variants = toks.where(F.length("surface") >= 4).select(
+        F.expr("substring(surface, 1, length(surface) - 1)").alias("surface")
+    )
+    vocab = toks.unionAll(variants).distinct()
+    return resolve_surfaces(vocab)
+
+
+def _sql_entity_resolution() -> str:
+    from recon_spark.queries.extra import _sql_components_cte
+
+    return f"""
+WITH RECURSIVE
+toks AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS s FROM documents),
+var AS (SELECT DISTINCT substring(s, 1, length(s) - 1) AS s FROM toks WHERE length(s) >= 4),
+vocab AS (SELECT s FROM toks UNION SELECT s FROM var),
+pairs AS (
+  SELECT a.s AS id_a, b.s AS id_b FROM vocab a JOIN vocab b ON a.s < b.s
+  WHERE levenshtein(a.s, b.s) <= 1
+),
+{_sql_components_cte()},
+sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+          FROM comp GROUP BY 1)
+SELECT comp.id AS surface, comp.component AS canonical, sizes.cluster_size
+FROM comp JOIN sizes USING (component)
+ORDER BY canonical, surface
+"""
+
+
+# --------------------------------------------------------------------------
+# kg_conflicts — functional-predicate conflict detection over canonical
+# triples (the KG analog of label disparities)
+# --------------------------------------------------------------------------
+
+def _canonical_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped canonical (subj, pred, obj) rows — the same alias-
+    mapped derivation as triples_canonical, before its rollup."""
+    from pyspark.sql import Window
+
+    t = extract_triples_tokens(_docs(spark, sf_dir))
+    best = (
+        alias_df(spark)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("alias").orderBy(F.desc("score"), "entity_id")
+            ),
+        )
+        .where("rk = 1")
+        .select("alias", "entity_id")
+    )
+    t = (
+        t.join(
+            F.broadcast(best).withColumnRenamed("entity_id", "subj_id"),
+            t.subj == F.col("alias"),
+            "left",
+        )
+        .drop("alias")
+        .join(
+            F.broadcast(best).withColumnRenamed("entity_id", "obj_id"),
+            t.obj == F.col("alias"),
+            "left",
+        )
+        .drop("alias")
+    )
+    return t.select(
+        F.coalesce("subj_id", "subj").alias("subj"),
+        "pred",
+        F.coalesce("obj_id", "obj").alias("obj"),
+    )
+
+
+def q_kg_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from recon_spark.operators.graph import functional_conflicts
+
+    return functional_conflicts(_canonical_triples(spark, sf_dir))
+
+
+def _sql_kg_conflicts() -> str:
+    from recon_spark.queries.core import _sql_triples_base
+
+    return f"""
+WITH {_sql_triples_base()},
+best AS (
+  SELECT alias, entity_id FROM (
+    SELECT alias, entity_id,
+           row_number() OVER (PARTITION BY alias ORDER BY score DESC, entity_id) AS rk
+    FROM {sql_alias_values()}
+  ) WHERE rk = 1
+),
+canon AS (
+  SELECT coalesce(bs.entity_id, t.subj) AS subj, t.pred,
+         coalesce(bo.entity_id, t.obj) AS obj
+  FROM triples t
+  LEFT JOIN best bs ON t.subj = bs.alias
+  LEFT JOIN best bo ON t.obj = bo.alias
+),
+c AS (SELECT subj, pred, obj, count(*) AS cnt FROM canon GROUP BY 1, 2, 3),
+g AS (SELECT subj, pred, CAST(count(*) AS BIGINT) AS n_objs,
+             CAST(sum(cnt) AS BIGINT) AS support, max(cnt) AS mx
+      FROM c GROUP BY 1, 2 HAVING count(*) > 1)
+SELECT g.subj, g.pred, g.n_objs, g.support, min(c.obj) AS top_obj
+FROM g JOIN c ON c.subj = g.subj AND c.pred = g.pred AND c.cnt = g.mx
+GROUP BY g.subj, g.pred, g.n_objs, g.support
+ORDER BY g.n_objs DESC, g.subj, g.pred
+"""
+
+
 QUERIES = {
     "entity_pagerank": q_entity_pagerank,
     "entity_degrees": q_entity_degrees,
@@ -487,6 +606,8 @@ QUERIES = {
     "facts_current": q_facts_current,
     "boilerplate_ngrams": q_boilerplate_ngrams,
     "fuzzy_aliases": q_fuzzy_aliases,
+    "entity_resolution": q_entity_resolution,
+    "kg_conflicts": q_kg_conflicts,
 }
 
 ORACLES = {
@@ -499,4 +620,6 @@ ORACLES = {
     "facts_current": SQL_FACTS_CURRENT,
     "boilerplate_ngrams": SQL_BOILERPLATE_NGRAMS,
     "fuzzy_aliases": SQL_FUZZY_ALIASES,
+    "entity_resolution": _sql_entity_resolution(),
+    "kg_conflicts": _sql_kg_conflicts(),
 }

@@ -888,8 +888,51 @@ FROM documents GROUP BY ROLLUP(lang, source) ORDER BY lang, source
 """
 
 
+# --------------------------------------------------------------------------
+# segment_dedup — C4-style global keep-first segment dedup
+# --------------------------------------------------------------------------
+
+_SEG_DELIM = " the "
+
+
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level (here: ' the '-delimited segment) global dedup with
+    keep-first semantics and per-document text rebuild; the kept-text
+    md5 pins the rebuilt bytes against the oracle."""
+    from recon_spark.operators.dedupe import segment_dedup
+
+    return segment_dedup(_docs(spark, sf_dir), delimiter=_SEG_DELIM)
+
+
+SQL_SEGMENT_DEDUP = f"""
+WITH segs AS (
+  SELECT doc_id,
+         unnest(string_split(text, '{_SEG_DELIM}')) AS seg,
+         unnest(generate_series(1, len(string_split(text, '{_SEG_DELIM}')))) - 1 AS pos
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, pos, seg,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rk
+  FROM segs
+),
+k AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(seg, '{_SEG_DELIM}' ORDER BY pos) AS new_text
+  FROM ranked WHERE rk = 1 GROUP BY doc_id
+),
+t AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs FROM segs GROUP BY doc_id)
+SELECT t.doc_id AS id, t.n_segs,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       md5(coalesce(k.new_text, '')) AS new_md5,
+       CAST(length(coalesce(k.new_text, '')) AS INT) AS new_len
+FROM t LEFT JOIN k USING (doc_id) ORDER BY id
+"""
+
+
 QUERIES = {
     "length_quantiles": q_length_quantiles,
+    "segment_dedup": q_segment_dedup,
     "dedup_incremental": q_dedup_incremental,
     "corpus_rollup": q_corpus_rollup,
     "source_quality": q_source_quality,
@@ -919,6 +962,7 @@ QUERIES = {
 
 ORACLES = {
     "length_quantiles": SQL_LENGTH_QUANTILES,
+    "segment_dedup": SQL_SEGMENT_DEDUP,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "corpus_rollup": SQL_CORPUS_ROLLUP,
     "source_quality": SQL_SOURCE_QUALITY,

@@ -243,3 +243,85 @@ def test_incremental_neardup_plan_semi_join(spark):
     )
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_segment_dedup_golden(spark):
+    """Keep-first at global (doc_id, pos) order; within-doc repeats
+    drop too; a doc whose every segment lost keeps md5('')."""
+    from recon_spark.operators.dedupe import segment_dedup
+
+    rows = [
+        (1, "a|b|a"),   # 'a' kept at (1,0); repeat at (1,2) drops
+        (2, "b|c"),     # 'b' lost to doc 1; 'c' kept
+        (3, "a|b"),     # everything lost -> empty rebuild
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r for r in segment_dedup(docs, delimiter="|").collect()}
+    assert (out[1].n_segs, out[1].n_kept) == (3, 2)
+    assert (out[2].n_segs, out[2].n_kept) == (2, 1)
+    assert (out[3].n_segs, out[3].n_kept) == (2, 0)
+    import hashlib
+
+    assert out[1].new_md5 == hashlib.md5(b"a|b").hexdigest()
+    assert out[2].new_md5 == hashlib.md5(b"c").hexdigest()
+    assert out[3].new_md5 == hashlib.md5(b"").hexdigest()
+    assert out[3].new_len == 0
+
+
+def test_segment_dedup_plan_no_window_no_python(spark):
+    """The first-occurrence owner must be a combinable partial
+    aggregate, not a per-segment window sort, and stay JVM-side."""
+    from recon_spark.operators.dedupe import segment_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(segment_dedup(docs))
+    assert "Window" not in plan
+    assert "partial_min" in plan  # map-side combine on the hot segment key
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_resolve_surfaces_transitive_cluster(spark):
+    """ab—abc—abcd chain is one cluster (transitive closure over
+    ED-1 edges) with the lexicographic min as canonical; 'zzz' is a
+    singleton and does not appear."""
+    from recon_spark.operators.linker import resolve_surfaces
+
+    surfaces = spark.createDataFrame(
+        [("ab",), ("abc",), ("abcd",), ("zzz",)], "surface string"
+    )
+    out = resolve_surfaces(surfaces).collect()
+    assert {(r.surface, r.canonical, r.cluster_size) for r in out} == {
+        ("ab", "ab", 3),
+        ("abc", "ab", 3),
+        ("abcd", "ab", 3),
+    }
+
+
+def test_functional_conflicts_golden(spark):
+    from recon_spark.operators.graph import functional_conflicts
+
+    rows = [
+        # s1/p1: obj x twice, y once -> conflict, top=x
+        ("s1", "p1", "x"), ("s1", "p1", "x"), ("s1", "p1", "y"),
+        # s1/p2: single object -> not a conflict
+        ("s1", "p2", "x"),
+        # s2/p1: tie at cnt=1 -> top is lexicographic min
+        ("s2", "p1", "b"), ("s2", "p1", "a"),
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    out = {(r.subj, r.pred): r for r in functional_conflicts(t).collect()}
+    assert set(out) == {("s1", "p1"), ("s2", "p1")}
+    assert (out[("s1", "p1")].n_objs, out[("s1", "p1")].support) == (2, 3)
+    assert out[("s1", "p1")].top_obj == "x"
+    assert out[("s2", "p1")].top_obj == "a"
+
+
+def test_functional_conflicts_plan_two_aggs_no_join(spark):
+    from recon_spark.operators.graph import functional_conflicts
+
+    t = spark.createDataFrame(
+        [("s", "p", "o")], "subj string, pred string, obj string"
+    )
+    plan = plan_of(functional_conflicts(t))
+    assert "Join" not in plan  # two stacked aggregates only
+    assert "partial_count" in plan or "partial_min" in plan
