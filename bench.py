@@ -59,6 +59,9 @@ EXTENDED = [
     "segment_dedup",
     "entity_resolution",
     "kg_conflicts",
+    "kg_triangles",
+    "kg_snapshot_diff",
+    "kg_merge_candidates",
 ]
 
 

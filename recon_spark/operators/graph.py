@@ -332,3 +332,168 @@ def functional_conflicts(triples: DataFrame) -> DataFrame:
         )
         .orderBy(F.desc("n_objs"), "subj", "pred")
     )
+
+
+def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global triangle census over the undirected canonical graph:
+    one row (n_nodes, n_edges, n_wedges, n_triangles, clustering) —
+    the KG-health profile that tells a curation team whether the
+    extracted graph has real community structure or is extraction
+    noise (noise graphs are wedge-rich and triangle-poor).
+
+    Scale design — the degree-orientation trick: every undirected edge
+    is oriented from its lower-(degree, id) endpoint to the higher, so
+    each triangle is counted exactly once at its lowest-degree corner
+    and the wedge join fans out from LOW-degree vertices only (a
+    celebrity node with 10^6 neighbors generates no wedges from
+    itself; the naive per-node wedge join would emit 10^12 rows for
+    it). The closing-edge check is one more equi-join against the
+    oriented edge set. Wedge totals come from the degree aggregate in
+    closed form, not from materializing wedges.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n")).unionAll(e.select("v"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient by (degree, id): lower endpoint -> higher endpoint
+    ed = (
+        e.join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
+    )
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(lower_first, F.col("du")).otherwise(F.col("dv")).alias("da"),
+        F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    )
+    # wedges from the low corner, canonicalized so the closing edge is
+    # checked in its own oriented direction ((deg, id) order)
+    o1 = oriented.select(F.col("a").alias("s"), F.col("b").alias("x"),
+                         F.col("db").alias("dx"))
+    o2 = oriented.select(F.col("a").alias("s"), F.col("b").alias("y"),
+                         F.col("db").alias("dy"))
+    wedges = o1.join(o2, "s").where(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    closing = oriented.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    tri = wedges.join(closing, ["x", "y"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum("d") / F.lit(2)).cast("long").alias("n_edges"),
+        F.sum(F.expr("d * (d - 1) / 2")).cast("long").alias("n_wedges"),
+    )
+    return stats.crossJoin(tri).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.round(
+            F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+        ).alias("clustering"),
+    )
+
+
+def kg_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Snapshot delta between two (subj, pred, obj, n) triple rollups:
+    per-status counts for added / removed / count_changed / unchanged
+    — the KG materialization analog of the reference's per-operation
+    lineage counts (recon/types.py transformation tracking: examples
+    added/removed/changed per apply_), computed with one full-outer
+    join on the triple key. The CI gate for incremental rebuilds: a
+    re-extract over an unchanged corpus must show added=removed=
+    count_changed=0.
+    """
+    j = old.withColumnRenamed("n", "n_old").join(
+        new.withColumnRenamed("n", "n_new"),
+        ["subj", "pred", "obj"],
+        "full_outer",
+    )
+    status = (
+        F.when(F.col("n_old").isNull(), F.lit("added"))
+        .when(F.col("n_new").isNull(), F.lit("removed"))
+        .when(F.col("n_old") != F.col("n_new"), F.lit("count_changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_triples"))
+        .orderBy("status")
+    )
+
+
+def neighbor_merge_candidates(
+    edges: DataFrame,
+    threshold: float = 0.25,
+    src: str = "src",
+    dst: str = "dst",
+    max_posting: int | None = None,
+) -> DataFrame:
+    """Structural entity dedup: canonical entities whose OUT-neighbor
+    sets overlap (Jaccard >= threshold) are merge candidates — two ids
+    that the alias dictionary failed to unify but that the graph says
+    are the same thing. The structural complement of resolve_surfaces
+    (which only sees the surface string).
+
+    Scale design: pairs come from an inverted index on the shared
+    neighbor (one shuffle on dst, pair counts map-side combinable),
+    never an all-pairs join. |A ∪ B| is closed-form from the two
+    degrees, so no set materialization. A hub neighbor pointed at by
+    k entities emits k^2/2 candidate rows — ``max_posting`` keeps the
+    first max_posting sources per neighbor (deterministic, ordered by
+    id) to bound that; default None is the exact oracle-checkable
+    form, at crawl scale run with max_posting ~10^3 (hub neighbors
+    like 'wikipedia.org' carry no merge signal anyway).
+    """
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .where(F.col("s") != F.col("t"))
+        .distinct()
+    )
+    if max_posting is not None:
+        from pyspark.sql import Window
+
+        e = (
+            e.withColumn(
+                "rk", F.row_number().over(Window.partitionBy("t").orderBy("s"))
+            )
+            .where(F.col("rk") <= max_posting)
+            .drop("rk")
+        )
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    a = e.select(F.col("s").alias("a"), "t")
+    b = e.select(F.col("s").alias("b"), "t")
+    shared = (
+        a.join(b, "t")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(deg.withColumnRenamed("s", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("s", "b").withColumnRenamed("d", "db"), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared") / (F.col("da") + F.col("db") - F.col("shared")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "shared", "jaccard")
+        .orderBy(F.desc("jaccard"), "a", "b")
+    )

@@ -522,12 +522,19 @@ ORDER BY canonical, surface
 # triples (the KG analog of label disparities)
 # --------------------------------------------------------------------------
 
-def _canonical_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _canonical_triples(
+    spark: SparkSession, sf_dir: str, doc_filter: str | None = None
+) -> DataFrame:
     """Ungrouped canonical (subj, pred, obj) rows — the same alias-
-    mapped derivation as triples_canonical, before its rollup."""
+    mapped derivation as triples_canonical, before its rollup.
+    ``doc_filter`` (SQL over documents columns) restricts the source
+    corpus — the snapshot lever for kg_snapshot_diff."""
     from pyspark.sql import Window
 
-    t = extract_triples_tokens(_docs(spark, sf_dir))
+    docs = _docs(spark, sf_dir)
+    if doc_filter is not None:
+        docs = docs.where(doc_filter)
+    t = extract_triples_tokens(docs)
     best = (
         alias_df(spark)
         .withColumn(
@@ -596,6 +603,132 @@ ORDER BY g.n_objs DESC, g.subj, g.pred
 """
 
 
+# --------------------------------------------------------------------------
+# kg_triangles — triangle census (degree-oriented wedge join)
+# --------------------------------------------------------------------------
+
+def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from recon_spark.operators.graph import triangle_stats
+
+    return triangle_stats(_canonical_edges(spark, sf_dir))
+
+
+def _sql_kg_triangles() -> str:
+    """Independent oracle: brute-force u<v<w triple join — no
+    degree-orientation, so the two derivations share nothing."""
+    return f"""
+WITH {_sql_canonical_edges()},
+und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e),
+degs AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT u AS n FROM und UNION ALL SELECT v FROM und) GROUP BY n
+),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(d) / 2 AS BIGINT) AS n_edges,
+         CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+  FROM degs
+)
+SELECT st.n_nodes, st.n_edges, st.n_wedges, tri.n_triangles,
+       round(3.0 * tri.n_triangles / st.n_wedges, 6) AS clustering
+FROM st, tri
+"""
+
+
+# --------------------------------------------------------------------------
+# kg_snapshot_diff — triple-set delta between two corpus snapshots
+# --------------------------------------------------------------------------
+
+def q_kg_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta of the canonical triple rollup when the corpus grows from
+    the even-doc_id half to the full corpus: status counts for the
+    incremental-rebuild gate (removed=0 here by construction — a
+    grow-only corpus can only add or raise counts)."""
+    from recon_spark.operators.graph import kg_diff
+
+    def rollup(t: DataFrame) -> DataFrame:
+        return t.groupBy("subj", "pred", "obj").agg(F.count(F.lit(1)).alias("n"))
+
+    old = rollup(_canonical_triples(spark, sf_dir, doc_filter="doc_id % 2 = 0"))
+    new = rollup(_canonical_triples(spark, sf_dir))
+    return kg_diff(old, new)
+
+
+def _sql_kg_snapshot_diff() -> str:
+    from recon_spark.queries.core import _sql_triples_base
+
+    return f"""
+WITH {_sql_triples_base()},
+best AS (
+  SELECT alias, entity_id FROM (
+    SELECT alias, entity_id,
+           row_number() OVER (PARTITION BY alias ORDER BY score DESC, entity_id) AS rk
+    FROM {sql_alias_values()}
+  ) WHERE rk = 1
+),
+canon AS (
+  SELECT t.doc_id, coalesce(bs.entity_id, t.subj) AS subj, t.pred,
+         coalesce(bo.entity_id, t.obj) AS obj
+  FROM triples t
+  LEFT JOIN best bs ON t.subj = bs.alias
+  LEFT JOIN best bo ON t.obj = bo.alias
+),
+old AS (SELECT subj, pred, obj, count(*) AS n FROM canon
+        WHERE doc_id % 2 = 0 GROUP BY 1, 2, 3),
+new AS (SELECT subj, pred, obj, count(*) AS n FROM canon GROUP BY 1, 2, 3),
+j AS (
+  SELECT CASE WHEN o.n IS NULL THEN 'added'
+              WHEN nw.n IS NULL THEN 'removed'
+              WHEN o.n <> nw.n THEN 'count_changed'
+              ELSE 'unchanged' END AS status
+  FROM old o FULL OUTER JOIN new nw
+    ON o.subj = nw.subj AND o.pred = nw.pred AND o.obj = nw.obj
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n_triples
+FROM j GROUP BY status ORDER BY status
+"""
+
+
+# --------------------------------------------------------------------------
+# kg_merge_candidates — structural entity dedup via neighbor Jaccard
+# --------------------------------------------------------------------------
+
+_MERGE_THRESHOLD = 0.25
+
+
+def q_kg_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from recon_spark.operators.graph import neighbor_merge_candidates
+
+    return neighbor_merge_candidates(
+        _canonical_edges(spark, sf_dir), threshold=_MERGE_THRESHOLD
+    )
+
+
+def _sql_kg_merge_candidates() -> str:
+    return f"""
+WITH {_sql_canonical_edges()},
+deg AS (SELECT src AS s, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
+shared AS (
+  SELECT a.src AS a, b.src AS b, CAST(count(*) AS BIGINT) AS shared
+  FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT s.a, s.b, s.shared,
+       round(CAST(s.shared AS DOUBLE) / (da.d + db.d - s.shared), 6) AS jaccard
+FROM shared s
+JOIN deg da ON da.s = s.a
+JOIN deg db ON db.s = s.b
+WHERE CAST(s.shared AS DOUBLE) / (da.d + db.d - s.shared) >= {_MERGE_THRESHOLD}
+ORDER BY jaccard DESC, a, b
+"""
+
+
 QUERIES = {
     "entity_pagerank": q_entity_pagerank,
     "entity_degrees": q_entity_degrees,
@@ -608,6 +741,9 @@ QUERIES = {
     "fuzzy_aliases": q_fuzzy_aliases,
     "entity_resolution": q_entity_resolution,
     "kg_conflicts": q_kg_conflicts,
+    "kg_triangles": q_kg_triangles,
+    "kg_snapshot_diff": q_kg_snapshot_diff,
+    "kg_merge_candidates": q_kg_merge_candidates,
 }
 
 ORACLES = {
@@ -622,4 +758,7 @@ ORACLES = {
     "fuzzy_aliases": SQL_FUZZY_ALIASES,
     "entity_resolution": _sql_entity_resolution(),
     "kg_conflicts": _sql_kg_conflicts(),
+    "kg_triangles": _sql_kg_triangles(),
+    "kg_snapshot_diff": _sql_kg_snapshot_diff(),
+    "kg_merge_candidates": _sql_kg_merge_candidates(),
 }

@@ -325,3 +325,112 @@ def test_functional_conflicts_plan_two_aggs_no_join(spark):
     plan = plan_of(functional_conflicts(t))
     assert "Join" not in plan  # two stacked aggregates only
     assert "partial_count" in plan or "partial_min" in plan
+
+
+def test_triangle_stats_golden(spark):
+    """Triangle + pendant: nodes a-b-c closed, d hangs off a.
+    4 nodes, 4 edges, wedges = 3*1 + C(3,2) (a has deg 3) = 3 + 3... """
+    from recon_spark.operators.graph import triangle_stats
+
+    edges = spark.createDataFrame(
+        # direction + duplicates + self-loop must not matter
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("a", "d"), ("d", "d")],
+        "src string, dst string",
+    )
+    r = triangle_stats(edges).collect()[0]
+    # degrees: a=3, b=2, c=2, d=1 -> wedges = 3 + 1 + 1 + 0 = 5
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (4, 4, 5, 1)
+    assert r.clustering == 0.6  # 3*1/5
+
+
+def test_triangle_stats_triangle_free(spark):
+    from recon_spark.operators.graph import triangle_stats
+
+    # star graph: wedge-rich, triangle-free
+    edges = spark.createDataFrame(
+        [("hub", x) for x in ("a", "b", "c", "d")], "src string, dst string"
+    )
+    r = triangle_stats(edges).collect()[0]
+    assert r.n_triangles == 0 and r.n_wedges == 6
+
+
+def test_kg_diff_golden(spark):
+    from recon_spark.operators.graph import kg_diff
+
+    old = spark.createDataFrame(
+        [("s", "p", "o", 2), ("s", "p", "q", 1), ("x", "p", "y", 3)],
+        "subj string, pred string, obj string, n long",
+    )
+    new = spark.createDataFrame(
+        [("s", "p", "o", 2), ("s", "p", "q", 5), ("a", "p", "b", 1)],
+        "subj string, pred string, obj string, n long",
+    )
+    out = {r.status: r.n_triples for r in kg_diff(old, new).collect()}
+    assert out == {"added": 1, "removed": 1, "count_changed": 1, "unchanged": 1}
+
+
+def test_kg_diff_identity_is_all_unchanged(spark):
+    """The incremental-rebuild gate: same input -> zero churn."""
+    from recon_spark.operators.graph import kg_diff
+
+    t = spark.createDataFrame(
+        [("s", "p", "o", 2), ("x", "p", "y", 3)],
+        "subj string, pred string, obj string, n long",
+    )
+    out = {r.status: r.n_triples for r in kg_diff(t, t).collect()}
+    assert out == {"unchanged": 2}
+
+
+def test_neighbor_merge_candidates_golden(spark):
+    from recon_spark.operators.graph import neighbor_merge_candidates
+
+    edges = spark.createDataFrame(
+        # a -> {x, y, z}; b -> {x, y}; c -> {q}
+        [("a", "x"), ("a", "y"), ("a", "z"), ("b", "x"), ("b", "y"), ("c", "q")],
+        "src string, dst string",
+    )
+    out = neighbor_merge_candidates(edges, threshold=0.5).collect()
+    assert [(r.a, r.b, r.shared, r.jaccard) for r in out] == [
+        ("a", "b", 2, round(2 / 3, 6))
+    ]
+    # raise the threshold past 2/3 -> empty
+    assert neighbor_merge_candidates(edges, threshold=0.7).count() == 0
+
+
+def test_neighbor_merge_candidates_posting_cap(spark):
+    """max_posting truncates each neighbor's posting list by source id:
+    with cap 2 the 'x' posting keeps {a, b} and drops c, so the (a, c)
+    and (b, c) overlaps via x disappear."""
+    from recon_spark.operators.graph import neighbor_merge_candidates
+
+    edges = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("c", "x")], "src string, dst string"
+    )
+    full = {(r.a, r.b) for r in neighbor_merge_candidates(edges, 0.5).collect()}
+    capped = {
+        (r.a, r.b)
+        for r in neighbor_merge_candidates(edges, 0.5, max_posting=2).collect()
+    }
+    assert full == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert capped == {("a", "b")}
+
+
+def test_triangle_and_merge_plans_no_cartesian(spark):
+    from recon_spark.operators.graph import (
+        neighbor_merge_candidates,
+        triangle_stats,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    for df in (triangle_stats(edges), neighbor_merge_candidates(edges)):
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # triangle_stats' only nested-loop join is the final 1x1 stats cross;
+    # the wedge work must all be equi-joins
+    tri_plan = plan_of(triangle_stats(edges))
+    assert tri_plan.count("BroadcastNestedLoopJoin") <= 1
+    merge_plan = plan_of(neighbor_merge_candidates(edges))
+    assert "BroadcastNestedLoopJoin" not in merge_plan
