@@ -492,3 +492,57 @@ def source_quality(
         )
         .orderBy("source")
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_size: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-window chunking: split each document into token chunks
+    of ``chunk_size`` with a sliding ``stride`` (overlap = chunk_size -
+    stride) — the packing step between a curated corpus and a training
+    run. Chunk i covers tokens [i*stride, i*stride + chunk_size); the
+    last chunk starts at index ceil(max(n - chunk_size, 0) / stride) so
+    every token is covered and a short document yields exactly one
+    chunk.
+
+    Pure JVM map-only plan: whitespace tokenize, explode a
+    sequence of chunk ids, slice — no shuffle, no Python, pipelines
+    into whatever shuffle follows. Returns (id, chunk_id, start_tok,
+    n_toks, chunk_md5) — md5 pins the chunk bytes without shipping
+    them.
+    """
+    c, s = int(chunk_size), int(stride)
+    if not (0 < s <= c):
+        raise ValueError("chunk_documents: need 0 < stride <= chunk_size")
+    toked = docs.select(
+        F.col(id_col).alias("id"), F.split(text_col, " ").alias("toks")
+    )
+    return (
+        toked.select(
+            "id",
+            "toks",
+            F.posexplode(
+                F.expr(
+                    f"sequence(0, (greatest(size(toks) - {c}, 0) + {s} - 1) div {s})"
+                )
+            ).alias("_p", "chunk_id"),
+        )
+        .select(
+            "id",
+            "chunk_id",
+            (F.col("chunk_id") * s).alias("start_tok"),
+            F.expr(f"slice(toks, chunk_id * {s} + 1, {c})").alias("piece"),
+        )
+        .select(
+            "id",
+            "chunk_id",
+            "start_tok",
+            F.size("piece").alias("n_toks"),
+            F.md5(F.array_join("piece", " ")).alias("chunk_md5"),
+        )
+        .orderBy("id", "chunk_id")
+    )

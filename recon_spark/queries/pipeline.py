@@ -930,9 +930,117 @@ FROM t LEFT JOIN k USING (doc_id) ORDER BY id
 """
 
 
+# --------------------------------------------------------------------------
+# doc_chunks — context-window chunking (map-only, zero shuffle)
+# --------------------------------------------------------------------------
+
+_CHUNK, _STRIDE = 64, 48
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from recon_spark.operators.textstats import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), chunk_size=_CHUNK, stride=_STRIDE
+    )
+
+
+SQL_DOC_CHUNKS = f"""
+WITH tt AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+ch AS (
+  SELECT doc_id, toks, n,
+         unnest(generate_series(0,
+             CAST((greatest(n - {_CHUNK}, 0) + {_STRIDE} - 1) // {_STRIDE} AS INT)
+         )) AS chunk_id
+  FROM tt
+)
+SELECT doc_id AS id, CAST(chunk_id AS INT) AS chunk_id,
+       CAST(chunk_id * {_STRIDE} AS INT) AS start_tok,
+       CAST(len(toks[chunk_id * {_STRIDE} + 1 : chunk_id * {_STRIDE} + {_CHUNK}]) AS INT)
+         AS n_toks,
+       md5(array_to_string(toks[chunk_id * {_STRIDE} + 1 : chunk_id * {_STRIDE} + {_CHUNK}], ' '))
+         AS chunk_md5
+FROM ch ORDER BY id, chunk_id
+"""
+
+
+# --------------------------------------------------------------------------
+# split_leakage — near-dup pairs crossing deterministic train/val/test
+# splits (the contamination audit)
+# --------------------------------------------------------------------------
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document a deterministic content-hash split
+    (train 12/16, val 2/16, test 2/16 by the last md5 hex digit), then
+    count MinHash-LSH near-dup candidate pairs per split combination —
+    cross-split rows are train/test contamination that survives naive
+    random splitting precisely because near-dups are distinct rows.
+    The split hashes CONTENT, so a doc and its near-dup can land on
+    different sides; the audit quantifies how often."""
+    from recon_spark.operators.dedupe import minhash_lsh_candidates
+
+    docs = _docs(spark, sf_dir)
+    hexd = F.substring(F.md5("text"), 32, 1)
+    assign = docs.select(
+        F.col("doc_id").alias("id"),
+        F.when(hexd <= "b", "train")
+        .when(hexd <= "d", "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    pairs = minhash_lsh_candidates(docs)
+    return (
+        pairs.join(
+            assign.select(F.col("id").alias("id_a"), F.col("split").alias("sa")),
+            "id_a",
+        )
+        .join(
+            assign.select(F.col("id").alias("id_b"), F.col("split").alias("sb")),
+            "id_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn("leak", F.col("split_a") != F.col("split_b"))
+        .orderBy("split_a", "split_b")
+    )
+
+
+def _sql_split_leakage() -> str:
+    from recon_spark.queries.extra import _sql_minhash_pairs_cte
+
+    return f"""
+WITH {_sql_minhash_pairs_cte()},
+assign AS (
+  SELECT doc_id AS id,
+         CASE WHEN substring(md5(text), 32, 1) <= 'b' THEN 'train'
+              WHEN substring(md5(text), 32, 1) <= 'd' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT least(a.split, b.split) AS split_a,
+       greatest(a.split, b.split) AS split_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       least(a.split, b.split) <> greatest(a.split, b.split) AS leak
+FROM pairs p
+JOIN assign a ON p.id_a = a.id
+JOIN assign b ON p.id_b = b.id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "length_quantiles": q_length_quantiles,
     "segment_dedup": q_segment_dedup,
+    "doc_chunks": q_doc_chunks,
+    "split_leakage": q_split_leakage,
     "dedup_incremental": q_dedup_incremental,
     "corpus_rollup": q_corpus_rollup,
     "source_quality": q_source_quality,
@@ -963,6 +1071,8 @@ QUERIES = {
 ORACLES = {
     "length_quantiles": SQL_LENGTH_QUANTILES,
     "segment_dedup": SQL_SEGMENT_DEDUP,
+    "doc_chunks": SQL_DOC_CHUNKS,
+    "split_leakage": _sql_split_leakage(),
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "corpus_rollup": SQL_CORPUS_ROLLUP,
     "source_quality": SQL_SOURCE_QUALITY,

@@ -1,5 +1,6 @@
 """Scale spot-check + N->4N scaling evidence for the round-2 additions:
-PageRank, repetition metrics, as-of join, interval join.
+PageRank, repetition metrics, as-of join, interval join, segment dedup,
+triangle census, structural merge candidates.
 
 Inputs are synthesized deterministically with spark.range (no external
 data, any scale). Each operator runs at two parallelism levels
@@ -136,34 +137,114 @@ def run_ops(spark, scale: dict) -> dict:
         "rows": n,
         "input": f"{npts} pts x {nivl} ivls",
     }
+
+    # --- segment dedup ------------------------------------------------------
+    # xN replication = the adversarial all-dups regime (every segment
+    # of every replica loses to the first copy), same convention as the
+    # clean_corpus spot-check
+    from recon_spark.operators.dedupe import segment_dedup
+
+    segx = scale["seg_x"]
+    segbig = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("r", F.explode(F.sequence(F.lit(1), F.lit(segx))))
+        .select((F.col("doc_id") * segx + F.col("r")).alias("doc_id"), "text")
+    )
+    t0 = time.monotonic()
+    n = force(segment_dedup(segbig))
+    out["segment_dedup"] = {
+        "sec": round(time.monotonic() - t0, 2),
+        "rows": n,
+        "input": f"sf0.1 docs x{segx}, all-dup regime",
+    }
+
+    # --- triangle census ----------------------------------------------------
+    from recon_spark.operators.graph import triangle_stats
+
+    tedges = gen_edges(spark, scale["tri_nodes"], scale["tri_deg"])
+    t0 = time.monotonic()
+    n = force(triangle_stats(tedges))
+    out["triangle_stats"] = {
+        "sec": round(time.monotonic() - t0, 2),
+        "rows": n,
+        "input": f"{scale['tri_nodes']}x{scale['tri_deg']} edges",
+    }
+
+    # --- structural merge candidates -----------------------------------------
+    # dst space << src space so postings are dense; max_posting=64 is
+    # the designed hub cap (the scale path, not the oracle-exact path)
+    from recon_spark.operators.graph import neighbor_merge_candidates
+
+    mn, md, mdst = scale["mc_nodes"], scale["mc_deg"], scale["mc_dst"]
+    medges = (
+        spark.range(mn)
+        .select(
+            F.col("id").alias("src"),
+            F.explode(F.sequence(F.lit(1), F.lit(md))).alias("j"),
+        )
+        .select(
+            "src",
+            ((F.col("src") * KNUTH + F.col("j") * 40503) % mdst).alias("dst"),
+        )
+    )
+    t0 = time.monotonic()
+    n = force(neighbor_merge_candidates(medges, threshold=0.2, max_posting=64))
+    out["merge_candidates"] = {
+        "sec": round(time.monotonic() - t0, 2),
+        "rows": n,
+        "input": f"{mn}x{md} edges into {mdst} dsts, cap 64",
+    }
+    return out
+
+
+def _scale(small: bool) -> dict:
+    return (
+        dict(pr_nodes=20000, pr_deg=4, rep_x=2, asof_events=100000,
+             rj_points=100000, rj_intervals=1000, seg_x=2,
+             tri_nodes=20000, tri_deg=4, mc_nodes=20000, mc_deg=8, mc_dst=2000)
+        if small
+        else dict(pr_nodes=2000000, pr_deg=10, rep_x=400, asof_events=50000000,
+                  rj_points=20000000, rj_intervals=100000, seg_x=100,
+                  tri_nodes=1000000, tri_deg=10,
+                  mc_nodes=1000000, mc_deg=8, mc_dst=200000)
+    )
+
+
+def run_one_level(cores: int, scale: dict) -> dict:
+    spark = get_spark(
+        app_name=f"scale_new_ops_{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=64,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(2000000).agg(F.sum("id")).collect()
+    out = run_ops(spark, scale)
+    spark.stop()
     return out
 
 
 def main():
     small = "--small" in sys.argv
-    scale = (
-        dict(pr_nodes=20000, pr_deg=4, rep_x=2, asof_events=100000,
-             rj_points=100000, rj_intervals=1000)
-        if small
-        else dict(pr_nodes=2000000, pr_deg=10, rep_x=400, asof_events=50000000,
-                  rj_points=20000000, rj_intervals=100000)
-    )
+    # --cores N: run ONE parallelism level and print its raw timings —
+    # lets a wrapper run 8 and 32 as separate processes when the
+    # combined run exceeds an external wall-clock budget
+    if "--cores" in sys.argv:
+        cores = int(sys.argv[sys.argv.index("--cores") + 1])
+        scale = _scale(small)
+        print(json.dumps({
+            "cores": cores,
+            "loadavg_1m": round(os.getloadavg()[0], 2),
+            "ops": run_one_level(cores, scale),
+        }))
+        return
+    scale = _scale(small)
     results = {}
+    # NOTE: shuffle partitions are sized for the DATA (64) and held
+    # identical at both levels inside run_one_level: tying them to the
+    # core count under-partitions the 8-core run (330M-row partitions
+    # on the billion-pair join -> spill), inflating apparent scaling
     for cores in (8, 32):
-        # shuffle partitions sized for the DATA, identical at both
-        # levels: tying them to the core count under-partitions the
-        # 8-core run (330M-row partitions on the billion-pair join ->
-        # spill), which would inflate apparent scaling
-        spark = get_spark(
-            app_name=f"scale_new_ops_{cores}",
-            master=f"local[{cores}]",
-            shuffle_partitions=64,
-        )
-        spark.sparkContext.setLogLevel("ERROR")
-        # JVM/codegen warmup so the first timed op doesn't pay it
-        spark.range(2000000).agg(F.sum("id")).collect()
-        results[cores] = run_ops(spark, scale)
-        spark.stop()
+        results[cores] = run_one_level(cores, scale)
     report = {"loadavg_1m": round(os.getloadavg()[0], 2), "scale": scale}
     for op in results[8]:
         t8, t32 = results[8][op]["sec"], results[32][op]["sec"]

@@ -434,3 +434,34 @@ def test_triangle_and_merge_plans_no_cartesian(spark):
     assert tri_plan.count("BroadcastNestedLoopJoin") <= 1
     merge_plan = plan_of(neighbor_merge_candidates(edges))
     assert "BroadcastNestedLoopJoin" not in merge_plan
+
+
+def test_chunk_documents_golden(spark):
+    from recon_spark.operators.textstats import chunk_documents
+
+    # 10 tokens, chunk 4 / stride 3 -> starts 0,3,6 and the last start
+    # ceil((10-4)/3)=2 -> 0,3,6; chunk at 6 gets tokens 7..10
+    docs = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2, "a b")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_size=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.id, []).append((r.chunk_id, r.start_tok, r.n_toks))
+    assert by_doc[1] == [(0, 0, 4), (1, 3, 4), (2, 6, 4)]
+    assert by_doc[2] == [(0, 0, 2)]  # short doc -> exactly one chunk
+    # full coverage: last chunk reaches the final token
+    assert max(s + n for _, s, n in by_doc[1]) == 10
+
+
+def test_chunk_documents_plan_map_only(spark):
+    from recon_spark.operators.textstats import chunk_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    body = plan_of(chunk_documents(docs))
+    # the chunking itself must stay JVM-side; the ONLY exchange allowed
+    # is the final presentation orderBy's range partitioning
+    assert "BatchEvalPython" not in body and "ArrowEvalPython" not in body
+    assert body.count("Exchange") <= 1
+    assert "rangepartitioning" in body.lower() or body.count("Exchange") == 0
