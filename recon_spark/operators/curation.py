@@ -1,0 +1,145 @@
+"""Training-corpus curation operators: benchmark decontamination via
+n-gram overlap and deterministic weighted source mixing.
+
+Reference context: recon curates NER corpora by hashing examples and
+filtering on per-example predicates (recon/dataset.py Dataset.search,
+recon/store.py content-addressed dedupe); a web-scale pretraining
+pipeline needs the same two moves at corpus level — (1) drop documents
+that leak evaluation benchmarks into the training set (the GPT-3
+appendix-C n-gram collision method) and (2) resample sources to a
+target mixture deterministically, so a re-run (or a resumed run) makes
+byte-identical keep/drop decisions.
+
+Scale design (1000 executors, 100 TB corpus):
+- n-gram generation is a map-only JVM transform (split + slice +
+  array_join inside whole-stage codegen) — no Python, no shuffle.
+- the benchmark side is SMALL by construction (eval suites are MBs,
+  the corpus is TBs): its distinct n-gram digest set broadcasts, so
+  contamination detection is a broadcast semi/inner join against the
+  corpus's streamed n-grams — zero shuffle of corpus data; only the
+  per-doc hit aggregation shuffles (doc_id, 1) pairs, map-side
+  combined. Joining on the fixed-width md5 digest instead of the raw
+  n-gram string keeps broadcast + shuffle rows at 32 bytes regardless
+  of n.
+- source mixing is a stateless per-row Bernoulli keyed by
+  md5(doc_id|source) against a per-source hex threshold: shuffle-free,
+  engine-reproducible (any SQL engine with md5 makes identical
+  decisions), and stable under resume — the same doc always draws the
+  same uniform, the defining property recon's content-addressed store
+  relies on for idempotent merges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def doc_ngrams(
+    docs: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, ngram) for every whitespace-token n-gram of every document.
+    Documents shorter than n tokens contribute nothing. Map-only JVM
+    plan — explode(transform(sequence)) inside codegen, no shuffle."""
+    n = int(n)
+    if n < 1:
+        raise ValueError("doc_ngrams: n must be >= 1")
+    toked = docs.select(
+        F.col(id_col).alias("id"), F.split(text_col, " ").alias("toks")
+    )
+    grams = (
+        f"CASE WHEN size(toks) < {n} THEN array() "
+        f"ELSE transform(sequence(1, size(toks) - {n} + 1), "
+        f"i -> array_join(slice(toks, i, {n}), ' ')) END"
+    )
+    return toked.select("id", F.explode(F.expr(grams)).alias("ngram"))
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Per-document benchmark contamination: for each corpus document,
+    how many of its n-grams (total and distinct) collide with ANY
+    n-gram of the benchmark set. Returns only contaminated documents:
+    (doc_id, n_hits, n_distinct_hits), ordered by doc_id.
+
+    The GPT-3/PaLM decontamination primitive: a training document that
+    shares a long n-gram with an eval benchmark is presumed to leak it.
+    The benchmark's distinct n-gram digest set is broadcast (eval
+    suites are small relative to any training corpus); corpus n-grams
+    stream through the broadcast hash join and only (doc_id) hit pairs
+    shuffle for the final count — corpus text never shuffles.
+    """
+    bench = (
+        doc_ngrams(benchmark, n, id_col=id_col, text_col=bench_text_col)
+        .select(F.md5("ngram").alias("g"))
+        .distinct()
+    )
+    hits = (
+        doc_ngrams(corpus, n, id_col=id_col, text_col=text_col)
+        .select("id", F.md5("ngram").alias("g"))
+        .join(F.broadcast(bench), "g")
+    )
+    return (
+        hits.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.countDistinct("g").alias("n_distinct_hits"),
+        )
+        .select(F.col("id").alias("doc_id"), "n_hits", "n_distinct_hits")
+        .orderBy("doc_id")
+    )
+
+
+def _rate_threshold_hex(rate: float) -> str:
+    """A rate in [0, 1] as an 8-hex-digit cutoff string: keep iff the
+    first 8 md5 hex chars of the row key compare lexicographically
+    below it. rate=1.0 maps to 'g' (> every hex digit), so it keeps
+    everything including the all-f draw."""
+    if not (0.0 <= rate <= 1.0):
+        raise ValueError(f"source rate out of [0,1]: {rate}")
+    if rate >= 1.0:
+        return "g"  # lexicographically above any hex string
+    return format(int(rate * (1 << 32)), "08x")
+
+
+def source_mix_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Deterministic weighted source mixing: keep each document with
+    per-source probability ``rates[source]`` (``default_rate`` for
+    unlisted sources), decided by whether the first 8 hex chars of
+    md5(doc_id|source) fall below the source's rate threshold.
+
+    Returns the kept rows (all input columns + ``u_hex`` the draw),
+    exactly reproducible across runs, engines, partitionings, and
+    resumes — no RNG state, no shuffle; a pure map-side filter that
+    composes with whatever scan it sits on (predicate stays in
+    whole-stage codegen). This is the corpus analog of recon's
+    content-addressed example identity (recon/store.py:39-47): the
+    decision is a function of the row, not of execution order —
+    re-running a failed partition keeps exactly the same documents.
+    """
+    u = F.substring(
+        F.md5(F.concat_ws("|", F.col(id_col).cast("string"), F.col(source_col))),
+        1,
+        8,
+    )
+    thr = F.lit(_rate_threshold_hex(default_rate))
+    for s, r in sorted(rates.items()):
+        thr = F.when(F.col(source_col) == s, F.lit(_rate_threshold_hex(r))).otherwise(
+            thr
+        )
+    return docs.withColumn("u_hex", u).where(F.col("u_hex") < thr)

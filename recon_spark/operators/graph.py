@@ -497,3 +497,177 @@ def neighbor_merge_candidates(
         .select("a", "b", "shared", "jaccard")
         .orderBy(F.desc("jaccard"), "a", "b")
     )
+
+
+# --------------------------------------------------------------------------
+# deterministic random walks (node2vec/DeepWalk corpus generation)
+# --------------------------------------------------------------------------
+
+WALK_LEN = 3
+WALKS_PER_NODE = 2
+
+# md5-hex draw shared with the DuckDB oracle: the first two hex chars of
+# md5(node|walk|step) as an integer 0..255, reduced mod out-degree
+_HEXDIGITS = "0123456789abcdef"
+
+
+def _md5_draw(key_col, size_col):
+    """Deterministic neighbor index in [0, size): two hex chars of the
+    md5 draw -> 0..255 -> mod out-degree. Pure JVM string ops, exactly
+    reproducible in any engine with md5 (the oracle replays it)."""
+    h = F.md5(key_col)
+    v = (
+        (F.instr(F.lit(_HEXDIGITS), F.substring(h, 1, 1)) - 1) * 16
+        + (F.instr(F.lit(_HEXDIGITS), F.substring(h, 2, 1)) - 1)
+    )
+    return F.pmod(v, size_col)
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_len: int = WALK_LEN,
+    walks_per_node: int = WALKS_PER_NODE,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """DeepWalk-style truncated random walks over the directed graph,
+    fully deterministic: from every node with out-edges, start
+    ``walks_per_node`` walks; at step t the walk at ``node`` moves to
+    ``nbrs[md5_draw(node|walk|t) % out_deg]`` over the SORTED neighbor
+    list. Walks stop early at a sink node. Returns
+    (start, walk, step, node) — the token stream a skip-gram KG
+    embedding trains on.
+
+    The KG-embedding prep step recon has no analog for: after
+    canonicalization (triples_canonical), entity embeddings for linker
+    candidate scoring come from exactly this corpus.
+
+    Scale shape: the adjacency (node -> sorted neighbor array) is built
+    once with one shuffle and persisted; each of the ``walk_len`` steps
+    is ONE hash join of the frontier (|V|*walks rows of 3 short
+    columns) against it, reusing the adjacency's partitioning — no
+    Python, no RNG state, no driver loops over data. Early-stopped
+    walks leave the frontier, so join input shrinks monotonically.
+    Determinism makes the walk corpus resumable and oracle-checkable:
+    the draw is a function of (node, walk, step) only, not of
+    execution order — the same property the content-addressed store
+    relies on (recon/store.py:39-47).
+    """
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .where(F.col("s") != F.col("t"))
+        .distinct()
+    )
+    adj = (
+        e.groupBy("s")
+        .agg(F.sort_array(F.collect_list("t")).alias("nbrs"))
+        .persist()
+    )
+    frontier = adj.select(
+        F.col("s").alias("start"),
+        F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1))).alias("walk"),
+    ).select("start", "walk", F.lit(0).alias("step"), F.col("start").alias("node"))
+    out = [frontier]
+    for t in range(1, walk_len + 1):
+        prev = out[-1]
+        stepped = (
+            prev.join(adj, prev.node == adj.s)
+            .withColumn(
+                "nxt",
+                F.element_at(
+                    "nbrs",
+                    (
+                        _md5_draw(
+                            F.concat_ws(
+                                "|",
+                                F.col("node"),
+                                F.col("walk").cast("string"),
+                                F.lit(str(t)),
+                            ),
+                            F.size("nbrs"),
+                        )
+                        + 1
+                    ).cast("int"),
+                ),
+            )
+            .select("start", "walk", F.lit(t).alias("step"), F.col("nxt").alias("node"))
+        )
+        out.append(stepped)
+    res = out[0]
+    for part in out[1:]:
+        res = res.unionByName(part)
+    return res.orderBy("start", "walk", "step")
+
+
+# --------------------------------------------------------------------------
+# k-core decomposition (iterative degree pruning)
+# --------------------------------------------------------------------------
+
+KCORE_K = 2
+KCORE_ITERS = 4
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = KCORE_K,
+    iters: int = KCORE_ITERS,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Nodes surviving ``iters`` rounds of k-core pruning on the
+    UNDIRECTED simple graph: each round drops every node with degree
+    < k and the edges touching it. Returns (node, degree) with the
+    degree in the surviving subgraph, ordered by (degree desc, node).
+
+    The graph-quality gate for a crawled KG: the k-core is the densely
+    corroborated nucleus; peeled nodes are entities held in the graph
+    by fewer than k distinct relations — extraction-noise candidates,
+    the structural analog of recon's low-count label disparities
+    (recon/insights.py get_label_disparities).
+
+    Fixed iteration count is part of the spec (the DuckDB oracle
+    unrolls the same rounds; once the core stabilizes further rounds
+    are no-ops, so both engines agree at any iters >= convergence).
+    Scale shape per round: one map-side-combinable degree aggregation
+    + two semi-joins of the edge list against the surviving node set —
+    the node set shrinks monotonically and is broadcast-able long
+    before the edge list is; AQE picks that up at runtime. For deep
+    peeling (k-core numbers, not one fixed k), localCheckpoint every
+    few rounds exactly as dedupe.connected_components does.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(iters):
+        ends = und.select(F.col("a").alias("node")).unionAll(
+            und.select(F.col("b").alias("node"))
+        )
+        deg = ends.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.where(F.col("d") >= k).select("node")
+        # lazy localCheckpoint each round: the surviving edge set feeds
+        # BOTH the next round's degree branch and its semi-joins — left
+        # unbroken, the doubled lineage re-executes the upstream
+        # extraction 2^iters times, and plain persist() still pays a
+        # recursive broadcast-materialization job per semi-join (measured
+        # 75s -> 2.6s on the sf0.01 canonical graph). Same pattern as
+        # dedupe.connected_components' per-round checkpoint.
+        und = (
+            und.join(keep, und.a == keep.node, "left_semi")
+            .join(keep, und.b == keep.node, "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    ends = und.select(F.col("a").alias("node")).unionAll(
+        und.select(F.col("b").alias("node"))
+    )
+    return (
+        ends.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .where(F.col("degree") >= k)
+        .orderBy(F.desc("degree"), "node")
+    )

@@ -729,8 +729,97 @@ ORDER BY jaccard DESC, a, b
 """
 
 
+# --------------------------------------------------------------------------
+# kg_random_walks — deterministic DeepWalk corpus over the canonical KG
+# --------------------------------------------------------------------------
+
+def q_kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from recon_spark.operators.graph import random_walks
+
+    return random_walks(_canonical_edges(spark, sf_dir))
+
+
+def _sql_kg_random_walks() -> str:
+    from recon_spark.operators.graph import WALK_LEN, WALKS_PER_NODE
+
+    hexd = "0123456789abcdef"
+    wids = ", ".join(f"({w})" for w in range(WALKS_PER_NODE))
+    parts = [
+        f"""adj AS (SELECT src AS s, list(dst ORDER BY dst) AS nbrs FROM e GROUP BY 1),
+w0 AS (
+  SELECT s AS start, CAST(wid AS INTEGER) AS walk, CAST(0 AS INTEGER) AS step,
+         s AS node
+  FROM adj CROSS JOIN (VALUES {wids}) t(wid)
+)"""
+    ]
+    for t in range(1, WALK_LEN + 1):
+        key = f"w.node || '|' || CAST(w.walk AS VARCHAR) || '|' || '{t}'"
+        idx = (
+            f"((strpos('{hexd}', substring(md5({key}), 1, 1)) - 1) * 16"
+            f" + strpos('{hexd}', substring(md5({key}), 2, 1)) - 1) % len(a.nbrs)"
+        )
+        parts.append(f"""w{t} AS (
+  SELECT w.start, w.walk, CAST({t} AS INTEGER) AS step, a.nbrs[{idx} + 1] AS node
+  FROM w{t - 1} w JOIN adj a ON w.node = a.s
+)""")
+    union = " UNION ALL ".join(
+        f"SELECT * FROM w{t}" for t in range(WALK_LEN + 1)
+    )
+    return (
+        f"WITH {_sql_canonical_edges()},\n"
+        + ",\n".join(parts)
+        + f"\nSELECT start, walk, step, node FROM ({union}) ORDER BY start, walk, step"
+    )
+
+
+# --------------------------------------------------------------------------
+# kg_kcore — k-core nucleus of the canonical KG (iterative peeling)
+# --------------------------------------------------------------------------
+
+def q_kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from recon_spark.operators.graph import kcore
+
+    return kcore(_canonical_edges(spark, sf_dir))
+
+
+def _sql_kg_kcore() -> str:
+    from recon_spark.operators.graph import KCORE_ITERS, KCORE_K
+
+    # MATERIALIZED: every u{t} is referenced twice (degree branch +
+    # next round's join); inlined CTEs re-expand the whole chain
+    # 2^iters times (measured 67s -> sub-second in DuckDB)
+    parts = [
+        """u0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e WHERE src <> dst
+)"""
+    ]
+    for t in range(1, KCORE_ITERS + 1):
+        parts.append(f"""d{t} AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT a AS node FROM u{t - 1} UNION ALL SELECT b FROM u{t - 1}
+  ) GROUP BY 1
+),
+k{t} AS (SELECT node FROM d{t} WHERE d >= {KCORE_K}),
+u{t} AS MATERIALIZED (
+  SELECT u.a, u.b FROM u{t - 1} u
+  JOIN k{t} ka ON u.a = ka.node JOIN k{t} kb ON u.b = kb.node
+)""")
+    return (
+        f"WITH {_sql_canonical_edges()},\n"
+        + ",\n".join(parts)
+        + f"""
+SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+  SELECT a AS node FROM u{KCORE_ITERS} UNION ALL SELECT b FROM u{KCORE_ITERS}
+) GROUP BY 1 HAVING count(*) >= {KCORE_K}
+ORDER BY degree DESC, node"""
+    )
+
+
 QUERIES = {
     "entity_pagerank": q_entity_pagerank,
+    "kg_random_walks": q_kg_random_walks,
+    "kg_kcore": q_kg_kcore,
     "entity_degrees": q_entity_degrees,
     "repetition_metrics": q_repetition_metrics,
     "pii_redact": q_pii_redact,
@@ -748,6 +837,8 @@ QUERIES = {
 
 ORACLES = {
     "entity_pagerank": SQL_ENTITY_PAGERANK,
+    "kg_random_walks": _sql_kg_random_walks(),
+    "kg_kcore": _sql_kg_kcore(),
     "entity_degrees": SQL_ENTITY_DEGREES,
     "repetition_metrics": SQL_REPETITION_METRICS,
     "pii_redact": SQL_PII_REDACT,

@@ -1036,8 +1036,113 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# ngram_contamination — benchmark decontamination (GPT-3 appendix-C style)
+# --------------------------------------------------------------------------
+
+_CONTAM_N = 8          # n-gram length
+_BENCH_MOD = 29        # every 29th doc seeds the synthetic benchmark
+_BENCH_OFF, _BENCH_W = 5, 12  # benchmark text = tokens [5, 16] of the doc
+
+
+def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: a synthetic eval set is carved from
+    the corpus itself (every 29th document's tokens 5..16 — eval
+    benchmarks really are drawn from web text, which is why
+    decontamination exists), and every corpus document is scored by
+    how many of its 8-grams collide with the benchmark's 8-gram set.
+    The benchmark digest set is broadcast; corpus text never
+    shuffles."""
+    from recon_spark.operators.curation import ngram_contamination
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % _BENCH_MOD == 0).select(
+        "doc_id",
+        F.array_join(
+            F.slice(F.split("text", " "), _BENCH_OFF, _BENCH_W), " "
+        ).alias("text"),
+    )
+    return ngram_contamination(docs, bench, n=_CONTAM_N)
+
+
+SQL_NGRAM_CONTAMINATION = f"""
+WITH bt AS (
+  SELECT doc_id,
+         string_split(text, ' ')[{_BENCH_OFF}:{_BENCH_OFF + _BENCH_W - 1}] AS toks
+  FROM documents WHERE doc_id % {_BENCH_MOD} = 0
+),
+bg AS (
+  SELECT DISTINCT md5(array_to_string(toks[i:i+{_CONTAM_N - 1}], ' ')) AS g
+  FROM bt, LATERAL unnest(generate_series(1, greatest(len(toks) - {_CONTAM_N - 1}, 0))) AS t(i)
+),
+ct AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+cg AS (
+  SELECT doc_id, md5(array_to_string(toks[i:i+{_CONTAM_N - 1}], ' ')) AS g
+  FROM ct, LATERAL unnest(generate_series(1, greatest(len(toks) - {_CONTAM_N - 1}, 0))) AS t(i)
+)
+SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+       CAST(count(DISTINCT c.g) AS BIGINT) AS n_distinct_hits
+FROM cg c JOIN bg ON c.g = bg.g
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# source_mix_sample — deterministic weighted source mixing
+# --------------------------------------------------------------------------
+
+_MIX_RATES = {"src0": 0.1, "src1": 0.9, "src2": 0.5}
+_MIX_DEFAULT = 0.6
+
+
+def q_source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source mixing audit: per source, how many documents
+    the deterministic md5-threshold Bernoulli keeps at the target
+    rates. The keep decision is a pure map-side filter — this query
+    aggregates it so the oracle pins every per-row draw (min/max kept
+    draw + count + first kept doc)."""
+    from recon_spark.operators.curation import source_mix_sample
+
+    kept = source_mix_sample(
+        _docs(spark, sf_dir), rates=_MIX_RATES, default_rate=_MIX_DEFAULT
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("doc_id").alias("first_doc"),
+            F.min("u_hex").alias("min_u"),
+            F.max("u_hex").alias("max_u"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_source_mix_sample() -> str:
+    from recon_spark.operators.curation import _rate_threshold_hex
+
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN '{_rate_threshold_hex(r)}'"
+        for s, r in sorted(_MIX_RATES.items())
+    )
+    return f"""
+WITH drawn AS (
+  SELECT source, doc_id,
+         substring(md5(CAST(doc_id AS VARCHAR) || '|' || source), 1, 8) AS u_hex,
+         CASE {cases} ELSE '{_rate_threshold_hex(_MIX_DEFAULT)}' END AS thr
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       min(doc_id) AS first_doc, min(u_hex) AS min_u, max(u_hex) AS max_u
+FROM drawn WHERE u_hex < thr
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "length_quantiles": q_length_quantiles,
+    "ngram_contamination": q_ngram_contamination,
+    "source_mix_sample": q_source_mix_sample,
     "segment_dedup": q_segment_dedup,
     "doc_chunks": q_doc_chunks,
     "split_leakage": q_split_leakage,
@@ -1070,6 +1175,8 @@ QUERIES = {
 
 ORACLES = {
     "length_quantiles": SQL_LENGTH_QUANTILES,
+    "ngram_contamination": SQL_NGRAM_CONTAMINATION,
+    "source_mix_sample": _sql_source_mix_sample(),
     "segment_dedup": SQL_SEGMENT_DEDUP,
     "doc_chunks": SQL_DOC_CHUNKS,
     "split_leakage": _sql_split_leakage(),

@@ -1,0 +1,188 @@
+"""Round-2 curation + graph additions: n-gram benchmark
+decontamination, deterministic source mixing, random walks, k-core.
+Hand-computed goldens + plan shape; oracle parity runs via the
+registry-parametrized test_oracles_pipeline / test_graph_quality."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from recon_spark.operators.curation import (
+    _rate_threshold_hex,
+    doc_ngrams,
+    ngram_contamination,
+    source_mix_sample,
+)
+from recon_spark.operators.graph import kcore, random_walks
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# --------------------------------------------------------------------------
+# doc_ngrams / ngram_contamination
+# --------------------------------------------------------------------------
+
+def test_doc_ngrams_golden(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x y"), (3, "p q r")],
+        "doc_id long, text string",
+    )
+    out = sorted((r.id, r.ngram) for r in doc_ngrams(docs, 3).collect())
+    # doc 2 is shorter than n -> contributes nothing
+    assert out == [(1, "a b c"), (1, "b c d"), (3, "p q r")]
+
+
+def test_ngram_contamination_golden(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),   # contains bench 3-grams
+            (2, "the quick brown fox sleeps"),  # shares 2 of them
+            (3, "totally unrelated text here"),
+            (4, "quick brown fox quick brown fox jumps"),  # repeat hits
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in ngram_contamination(corpus, bench, n=3).collect()}
+    # bench 3-grams: {the quick brown, quick brown fox, brown fox jumps}
+    assert set(rows) == {1, 2, 4}
+    assert (rows[1].n_hits, rows[1].n_distinct_hits) == (3, 3)
+    assert (rows[2].n_hits, rows[2].n_distinct_hits) == (2, 2)
+    # doc 4: 'quick brown fox' x2, 'brown fox quick' no, 'fox quick brown'
+    # no, 'brown fox jumps' x1 -> 3 hits over 2 distinct grams
+    assert (rows[4].n_hits, rows[4].n_distinct_hits) == (3, 2)
+
+
+def test_ngram_contamination_plan_broadcast(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 29 == 0)
+    body = plan_of(ngram_contamination(docs, bench, n=8))
+    # benchmark digest set must broadcast; corpus n-grams stay JVM-side
+    assert "BroadcastHashJoin" in body
+    assert "BatchEvalPython" not in body and "ArrowEvalPython" not in body
+
+
+# --------------------------------------------------------------------------
+# source_mix_sample
+# --------------------------------------------------------------------------
+
+def test_rate_threshold_hex():
+    assert _rate_threshold_hex(0.0) == "00000000"
+    assert _rate_threshold_hex(1.0) == "g"  # above every hex draw
+    assert _rate_threshold_hex(0.5) == "80000000"
+    with pytest.raises(ValueError):
+        _rate_threshold_hex(1.5)
+
+
+def test_source_mix_sample_deterministic_and_correct(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}", "a" if i % 2 == 0 else "b") for i in range(200)],
+        "doc_id long, text string, source string",
+    )
+    kept = source_mix_sample(docs, {"a": 0.3, "b": 1.0}).collect()
+    # python replica of the exact decision rule
+    def keep(i, s, rate):
+        u = hashlib.md5(f"{i}|{s}".encode()).hexdigest()[:8]
+        return u < _rate_threshold_hex(rate)
+
+    expect = {
+        (i, "a" if i % 2 == 0 else "b")
+        for i in range(200)
+        if keep(i, "a" if i % 2 == 0 else "b", 0.3 if i % 2 == 0 else 1.0)
+    }
+    assert {(r.doc_id, r.source) for r in kept} == expect
+    # rate 1.0 keeps every doc of source b
+    assert sum(1 for r in kept if r.source == "b") == 100
+    # repeated run -> identical keep set (pure function of the row)
+    again = source_mix_sample(docs, {"a": 0.3, "b": 1.0}).collect()
+    assert {(r.doc_id,) for r in again} == {(r.doc_id,) for r in kept}
+
+
+def test_source_mix_sample_plan_map_only(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    body = plan_of(source_mix_sample(docs, {"src0": 0.5}))
+    assert "Exchange" not in body  # pure map-side filter
+    assert "BatchEvalPython" not in body and "ArrowEvalPython" not in body
+
+
+# --------------------------------------------------------------------------
+# random_walks
+# --------------------------------------------------------------------------
+
+def test_random_walks_golden(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    out = random_walks(edges, walk_len=2, walks_per_node=1).collect()
+    # python replica of the deterministic draw
+    adj = {"a": ["b", "c"], "b": ["c"], "c": ["a"]}
+
+    def draw(node, walk, step, size):
+        h = hashlib.md5(f"{node}|{walk}|{step}".encode()).hexdigest()
+        return (int(h[0], 16) * 16 + int(h[1], 16)) % size
+
+    expect = []
+    for start in adj:
+        cur = start
+        expect.append((start, 0, 0, cur))
+        for t in (1, 2):
+            nbrs = adj.get(cur)
+            if not nbrs:
+                break
+            cur = nbrs[draw(cur, 0, t, len(nbrs))]
+            expect.append((start, 0, t, cur))
+    assert sorted((r.start, r.walk, r.step, r.node) for r in out) == sorted(expect)
+
+
+def test_random_walks_every_step_follows_an_edge(spark):
+    from recon_spark.queries.graph import _canonical_edges
+
+    e = _canonical_edges(spark, "/root/testdata/sf0.001").persist()
+    walks = random_walks(e).collect()
+    edge_set = {(r.src, r.dst) for r in e.collect()}
+    by_walk: dict = {}
+    for r in walks:
+        by_walk.setdefault((r.start, r.walk), []).append((r.step, r.node))
+    for (start, _), steps in by_walk.items():
+        steps.sort()
+        assert steps[0] == (0, start)
+        # consecutive steps traverse real edges, with no step skipped
+        for (s0, n0), (s1, n1) in zip(steps, steps[1:]):
+            assert s1 == s0 + 1
+            assert (n0, n1) in edge_set
+
+
+# --------------------------------------------------------------------------
+# kcore
+# --------------------------------------------------------------------------
+
+def test_kcore_golden_triangle_with_tail(spark):
+    # triangle a-b-c plus a pendant chain c-d-e: 2-core = the triangle
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")],
+        "src string, dst string",
+    )
+    rows = sorted((r.node, r.degree) for r in kcore(edges, k=2, iters=3).collect())
+    assert rows == [("a", 2), ("b", 2), ("c", 2)]
+
+
+def test_kcore_converged_iters_stable(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e"), ("x", "y")],
+        "src string, dst string",
+    )
+    r3 = sorted(map(tuple, kcore(edges, k=2, iters=3).collect()))
+    r5 = sorted(map(tuple, kcore(edges, k=2, iters=5).collect()))
+    assert r3 == r5  # extra rounds past convergence are no-ops
+
+
+def test_kcore_empty_core(spark):
+    edges = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    assert kcore(edges, k=3, iters=2).count() == 0
