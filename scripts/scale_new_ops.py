@@ -194,6 +194,51 @@ def run_ops(spark, scale: dict) -> dict:
         "rows": n,
         "input": f"{mn}x{md} edges into {mdst} dsts, cap 64",
     }
+
+    # --- random walks --------------------------------------------------------
+    from recon_spark.operators.graph import kcore, random_walks
+
+    wedges = gen_edges(spark, scale["rw_nodes"], scale["rw_deg"])
+    t0 = time.monotonic()
+    n = force(random_walks(wedges.select(F.col("src").cast("string").alias("src"),
+                                         F.col("dst").cast("string").alias("dst"))))
+    out["random_walks"] = {
+        "sec": round(time.monotonic() - t0, 2),
+        "rows": n,
+        "input": f"{scale['rw_nodes']}x{scale['rw_deg']} edges, 2 walks x 3 steps",
+    }
+
+    # --- k-core --------------------------------------------------------------
+    t0 = time.monotonic()
+    n = force(kcore(gen_edges(spark, scale["kc_nodes"], scale["kc_deg"]), k=3))
+    out["kcore"] = {
+        "sec": round(time.monotonic() - t0, 2),
+        "rows": n,
+        "input": f"{scale['kc_nodes']}x{scale['kc_deg']} edges, k=3, 4 rounds",
+    }
+
+    # --- n-gram decontamination ----------------------------------------------
+    # benchmark = 12-token windows of every 29th base doc; corpus = xN
+    # replicated docs, so every replica of a benchmark-source doc hits
+    from recon_spark.operators.curation import ngram_contamination
+
+    cx = scale["contam_x"]
+    corpus = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("r", F.explode(F.sequence(F.lit(1), F.lit(cx))))
+        .select((F.col("doc_id") * cx + F.col("r")).alias("doc_id"), "text")
+    )
+    bench = docs.where(F.col("doc_id") % 29 == 0).select(
+        "doc_id",
+        F.array_join(F.slice(F.split("text", " "), 5, 12), " ").alias("text"),
+    )
+    t0 = time.monotonic()
+    n = force(ngram_contamination(corpus, bench, n=8))
+    out["ngram_contamination"] = {
+        "sec": round(time.monotonic() - t0, 2),
+        "rows": n,
+        "input": f"sf0.1 docs x{cx} vs {bench.count()}-doc benchmark",
+    }
     return out
 
 
@@ -201,12 +246,15 @@ def _scale(small: bool) -> dict:
     return (
         dict(pr_nodes=20000, pr_deg=4, rep_x=2, asof_events=100000,
              rj_points=100000, rj_intervals=1000, seg_x=2,
-             tri_nodes=20000, tri_deg=4, mc_nodes=20000, mc_deg=8, mc_dst=2000)
+             tri_nodes=20000, tri_deg=4, mc_nodes=20000, mc_deg=8, mc_dst=2000,
+             rw_nodes=20000, rw_deg=4, kc_nodes=20000, kc_deg=4, contam_x=2)
         if small
         else dict(pr_nodes=2000000, pr_deg=10, rep_x=400, asof_events=50000000,
                   rj_points=20000000, rj_intervals=100000, seg_x=100,
                   tri_nodes=1000000, tri_deg=10,
-                  mc_nodes=1000000, mc_deg=8, mc_dst=200000)
+                  mc_nodes=1000000, mc_deg=8, mc_dst=200000,
+                  rw_nodes=2000000, rw_deg=10, kc_nodes=2000000, kc_deg=6,
+                  contam_x=100)
     )
 
 
