@@ -62,6 +62,15 @@ EXTENDED = [
     "kg_triangles",
     "kg_snapshot_diff",
     "kg_merge_candidates",
+    "doc_chunks",
+    "split_leakage",
+    "ngram_contamination",
+    "source_mix_sample",
+    "term_spectrum",
+    "kg_random_walks",
+    "kg_kcore",
+    "facts_history",
+    "kg_negative_samples",
 ]
 
 

@@ -30,7 +30,7 @@ K rounds (same pattern as dedupe.connected_components).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DAMPING = 0.85
@@ -81,17 +81,24 @@ def pagerank(
 
     ranks = nodes.withColumn("rank", F.lit(round(1.0 / n, PR_ROUND)))
     base = (1.0 - damping) / n
+    # |V|-sized frames (ranks, contribs) are NOT broadcast: at a few
+    # million nodes they compress under the autoBroadcast threshold but
+    # the hash-relation build is GBs (measured OOM at 2M nodes), and at
+    # KG scale |V| never fits. shuffle_hash keeps every per-iteration
+    # join a co-partitioned hash join — one edge-frame exchange per
+    # iteration, the canonical distributed-PageRank cost — while
+    # avoiding sort-merge's per-iteration edge sort.
     for _ in range(iterations):
         contribs = (
-            contrib_e.join(ranks, contrib_e.src == ranks.node)
+            contrib_e.join(ranks.hint("shuffle_hash"), contrib_e.src == ranks.node)
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("od")).alias("contrib"))
         )
-        dm = dangling_nodes.join(ranks, "node").agg(
+        dm = dangling_nodes.join(ranks.hint("shuffle_hash"), "node").agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
         )
         ranks = (
-            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            nodes.join(contribs.hint("shuffle_hash"), nodes.node == contribs.dst, "left")
             .crossJoin(dm)  # 1-row broadcast, not a driver collect
             .select(
                 "node",
@@ -670,4 +677,140 @@ def kcore(
         .agg(F.count(F.lit(1)).alias("degree"))
         .where(F.col("degree") >= k)
         .orderBy(F.desc("degree"), "node")
+    )
+
+
+# --------------------------------------------------------------------------
+# temporal fact history (SCD-2 validity intervals)
+# --------------------------------------------------------------------------
+
+def fact_history(
+    triples: DataFrame,
+    ts_col: str = "ts",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Slowly-changing-dimension view of the triple stream: per
+    (subj, pred), the sequence of DISTINCT consecutive objects with
+    their validity windows — (subj, pred, obj, valid_from, valid_to),
+    valid_to NULL for the currently-asserted object. ``current_facts``
+    is exactly the valid_to-IS-NULL slice of this view.
+
+    Ordering is total — (ts, pos, obj) — so re-assertions of the same
+    object collapse into one interval and simultaneous conflicting
+    assertions resolve deterministically.
+
+    Scale shape: ONE shuffle on (subj, pred) serves both window passes
+    (change-point lag + valid_to lead share the same partitioning);
+    per-key groups are assertion counts per fact key — small and
+    bounded by document count, not corpus size. Head keys (popular
+    subjects) sort a few thousand rows, not millions; no join, no
+    Python.
+    """
+    w = Window.partitionBy("subj", "pred").orderBy(ts_col, pos_col, "obj")
+    changed = triples.withColumn(
+        "__prev", F.lag("obj").over(w)
+    ).where(F.col("__prev").isNull() | (F.col("__prev") != F.col("obj")))
+    w2 = Window.partitionBy("subj", "pred").orderBy(ts_col, pos_col, "obj")
+    return (
+        changed.withColumn("valid_to", F.lead(ts_col).over(w2))
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            F.col(ts_col).alias("valid_from"),
+            "valid_to",
+        )
+        .orderBy("subj", "pred", "valid_from", "obj")
+    )
+
+
+# --------------------------------------------------------------------------
+# deterministic negative sampling for KG-embedding training
+# --------------------------------------------------------------------------
+
+NEG_PER_TRIPLE = 4
+
+
+def negative_samples(
+    triples: DataFrame,
+    k: int = NEG_PER_TRIPLE,
+) -> DataFrame:
+    """TransE-style corrupted triples: for each true (subj, pred, obj)
+    and j in 1..k, replace the head (j even) or tail (j odd) with an
+    entity drawn deterministically from the ranked entity vocabulary
+    by an md5 draw on (subj|pred|obj|j). Corruptions that reproduce
+    the original entity or collide with ANY true triple are dropped
+    (filtered negatives — the quality step naive samplers skip).
+    Returns (subj, pred, obj, neg_j, side), ordered.
+
+    Scale shape: the vocabulary is distinct entities ranked by a
+    row_number — |V| rows, orders of magnitude smaller than |E|; the
+    rank join is an int-key equi-join AQE will broadcast while the
+    vocab fits (at 10^9 entities it degrades to one hash shuffle of
+    8-byte keys). The false-negative filter is a left-anti join on the
+    triple key. Every draw is a pure function of the triple, so
+    regenerating the training set after a resume yields byte-identical
+    negatives (the property recon's content-addressed store gives
+    examples, recon/store.py:39-47).
+    """
+    t = triples.select("subj", "pred", "obj").distinct().persist()
+    ents = (
+        t.select(F.col("subj").alias("e"))
+        .unionAll(t.select(F.col("obj").alias("e")))
+        .distinct()
+    )
+    vocab = ents.select(
+        F.col("e"),
+        (F.row_number().over(Window.orderBy("e")) - 1).alias("rk"),
+    ).persist()
+    nv = vocab.count()
+    if nv == 0:
+        return t.sparkSession.createDataFrame(
+            [], "subj string, pred string, obj string, neg_j int, side string"
+        )
+    key = F.concat_ws(
+        "|", "subj", "pred", "obj", F.col("neg_j").cast("string")
+    )
+    draw = F.expr(
+        f"CAST(conv(substring(md5(concat_ws('|', subj, pred, obj, "
+        f"CAST(neg_j AS STRING))), 1, 8), 16, 10) AS BIGINT) % {nv}"
+    )
+    cand = (
+        t.select(
+            "subj",
+            "pred",
+            "obj",
+            F.explode(F.sequence(F.lit(1), F.lit(k))).alias("neg_j"),
+        )
+        .withColumn("side", F.when(F.col("neg_j") % 2 == 1, "obj").otherwise("subj"))
+        .withColumn("rk", draw)
+        .join(vocab, "rk")
+        .withColumn(
+            "new_subj",
+            F.when(F.col("side") == "subj", F.col("e")).otherwise(F.col("subj")),
+        )
+        .withColumn(
+            "new_obj",
+            F.when(F.col("side") == "obj", F.col("e")).otherwise(F.col("obj")),
+        )
+        # corruption must actually change the triple, and must not
+        # degenerate into a self-loop (subj == obj)
+        .where(
+            (
+                ((F.col("side") == "subj") & (F.col("e") != F.col("subj")))
+                | ((F.col("side") == "obj") & (F.col("e") != F.col("obj")))
+            )
+            & (F.col("new_subj") != F.col("new_obj"))
+        )
+        .select(
+            F.col("new_subj").alias("subj"),
+            "pred",
+            F.col("new_obj").alias("obj"),
+            "neg_j",
+            "side",
+        )
+    )
+    _ = key  # documented spec; the draw expr embeds the same key
+    return cand.join(t, ["subj", "pred", "obj"], "left_anti").orderBy(
+        "subj", "pred", "obj", "neg_j"
     )

@@ -546,3 +546,40 @@ def chunk_documents(
         )
         .orderBy("id", "chunk_id")
     )
+
+
+def term_spectrum(
+    docs: DataFrame,
+    max_freq: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Frequency-of-frequencies spectrum of the corpus vocabulary: for
+    each term frequency f (1..max_freq, then one 'max_freq+' bucket),
+    how many distinct terms occur exactly f times (hapax legomena at
+    f=1), plus that bucket's share of total token mass. The input
+    Good-Turing smoothing and vocabulary-pruning decisions read.
+
+    Scale shape: two aggregations, both map-side combinable — tokens
+    shuffle once on the term (head terms collapse in partial
+    aggregates), then per-term counts shuffle once on the tiny
+    frequency-bucket key. No window, no join, no Python.
+    """
+    terms = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("term")
+    ).where(F.col("term") != "")
+    per_term = terms.groupBy("term").agg(F.count(F.lit(1)).alias("f"))
+    bucket = F.when(F.col("f") >= max_freq + 1, F.lit(f"{max_freq + 1}+")).otherwise(
+        F.col("f").cast("string")
+    )
+    ordkey = F.least(F.col("f"), F.lit(max_freq + 1))
+    return (
+        per_term.select(bucket.alias("freq"), ordkey.alias("ord"), "f")
+        .groupBy("freq", "ord")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("f").alias("n_tokens"),
+        )
+        .orderBy("ord")
+        .select("freq", "n_terms", "n_tokens")
+    )

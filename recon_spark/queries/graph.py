@@ -408,6 +408,121 @@ SQL_FACTS_CURRENT = _sql_facts_current()
 
 
 # --------------------------------------------------------------------------
+# facts_history — SCD-2 validity intervals per (subj, pred)
+# --------------------------------------------------------------------------
+
+def q_facts_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver surface note: the operator leaves valid_to NULL for the
+    open-ended current interval; the query coalesces it to the
+    far-future sentinel so the cross-engine value-hash never compares
+    engine-specific NULL-timestamp encodings (pandas NaT vs None)."""
+    from recon_spark.operators.graph import fact_history
+
+    t = extract_triples_tokens(_docs(spark, sf_dir)).withColumn(
+        "ts",
+        F.expr("timestamp'2020-01-01 00:00:00' + make_dt_interval(0, 0, 0, doc_id)"),
+    )
+    return fact_history(t).withColumn(
+        "valid_to",
+        F.coalesce("valid_to", F.lit("9999-12-31 00:00:00").cast("timestamp")),
+    )
+
+
+def _sql_facts_history() -> str:
+    from recon_spark.queries.core import _sql_triples_base
+
+    return f"""
+WITH {_sql_triples_base()},
+ts_t AS (
+  SELECT subj, pred, obj, pos,
+         TIMESTAMP '2020-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS ts
+  FROM triples
+),
+chg AS (
+  SELECT subj, pred, obj, ts, pos,
+         lag(obj) OVER (PARTITION BY subj, pred ORDER BY ts, pos, obj) AS prev
+  FROM ts_t
+),
+kept AS (
+  SELECT subj, pred, obj, ts, pos FROM chg WHERE prev IS NULL OR prev <> obj
+)
+SELECT subj, pred, obj, ts AS valid_from,
+       coalesce(lead(ts) OVER (PARTITION BY subj, pred ORDER BY ts, pos, obj),
+                TIMESTAMP '9999-12-31 00:00:00') AS valid_to
+FROM kept ORDER BY subj, pred, valid_from, obj
+"""
+
+
+# --------------------------------------------------------------------------
+# kg_negative_samples — deterministic corrupted triples (TransE prep)
+# --------------------------------------------------------------------------
+
+def q_kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from recon_spark.operators.graph import negative_samples
+
+    return negative_samples(_canonical_triples(spark, sf_dir))
+
+
+def _sql_kg_negative_samples() -> str:
+    from recon_spark.operators.graph import NEG_PER_TRIPLE
+    from recon_spark.queries.core import _sql_triples_base
+
+    key = (
+        "t.subj || '|' || t.pred || '|' || t.obj || '|' || CAST(j AS VARCHAR)"
+    )
+    return f"""
+WITH {_sql_triples_base()},
+best AS (
+  SELECT alias, entity_id FROM (
+    SELECT alias, entity_id,
+           row_number() OVER (PARTITION BY alias ORDER BY score DESC, entity_id) AS rk
+    FROM {sql_alias_values()}
+  ) WHERE rk = 1
+),
+canon AS (
+  SELECT coalesce(bs.entity_id, t.subj) AS subj, t.pred,
+         coalesce(bo.entity_id, t.obj) AS obj
+  FROM triples t
+  LEFT JOIN best bs ON t.subj = bs.alias
+  LEFT JOIN best bo ON t.obj = bo.alias
+),
+t AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM canon),
+vocab AS MATERIALIZED (
+  SELECT e, row_number() OVER (ORDER BY e) - 1 AS rk FROM (
+    SELECT DISTINCT e FROM (
+      SELECT subj AS e FROM t UNION ALL SELECT obj AS e FROM t
+    )
+  )
+),
+nv AS (SELECT count(*) AS n FROM vocab),
+cand AS (
+  SELECT t.subj, t.pred, t.obj, CAST(j AS INTEGER) AS neg_j,
+         CASE WHEN j % 2 = 1 THEN 'obj' ELSE 'subj' END AS side,
+         CAST(('0x' || substring(md5({key}), 1, 8)) AS BIGINT)
+           % (SELECT n FROM nv) AS rk
+  FROM t, LATERAL unnest(generate_series(1, {NEG_PER_TRIPLE})) AS s(j)
+),
+rep AS (
+  SELECT CASE WHEN c.side = 'subj' THEN v.e ELSE c.subj END AS subj,
+         c.pred,
+         CASE WHEN c.side = 'obj' THEN v.e ELSE c.obj END AS obj,
+         c.neg_j, c.side
+  FROM cand c JOIN vocab v ON c.rk = v.rk
+  WHERE ((c.side = 'subj' AND v.e <> c.subj)
+      OR (c.side = 'obj' AND v.e <> c.obj))
+    AND (CASE WHEN c.side = 'subj' THEN v.e ELSE c.subj END)
+     <> (CASE WHEN c.side = 'obj' THEN v.e ELSE c.obj END)
+)
+SELECT r.subj, r.pred, r.obj, r.neg_j, r.side
+FROM rep r
+WHERE NOT EXISTS (
+  SELECT 1 FROM t WHERE t.subj = r.subj AND t.pred = r.pred AND t.obj = r.obj
+)
+ORDER BY r.subj, r.pred, r.obj, r.neg_j
+"""
+
+
+# --------------------------------------------------------------------------
 # boilerplate_ngrams — global repeated n-gram (boilerplate) detection
 # --------------------------------------------------------------------------
 
@@ -820,6 +935,8 @@ QUERIES = {
     "entity_pagerank": q_entity_pagerank,
     "kg_random_walks": q_kg_random_walks,
     "kg_kcore": q_kg_kcore,
+    "facts_history": q_facts_history,
+    "kg_negative_samples": q_kg_negative_samples,
     "entity_degrees": q_entity_degrees,
     "repetition_metrics": q_repetition_metrics,
     "pii_redact": q_pii_redact,
@@ -839,6 +956,8 @@ ORACLES = {
     "entity_pagerank": SQL_ENTITY_PAGERANK,
     "kg_random_walks": _sql_kg_random_walks(),
     "kg_kcore": _sql_kg_kcore(),
+    "facts_history": _sql_facts_history(),
+    "kg_negative_samples": _sql_kg_negative_samples(),
     "entity_degrees": SQL_ENTITY_DEGREES,
     "repetition_metrics": SQL_REPETITION_METRICS,
     "pii_redact": SQL_PII_REDACT,

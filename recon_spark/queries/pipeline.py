@@ -1139,10 +1139,36 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# term_spectrum — frequency-of-frequencies (Good-Turing input)
+# --------------------------------------------------------------------------
+
+def q_term_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from recon_spark.operators.textstats import term_spectrum
+
+    return term_spectrum(_docs(spark, sf_dir))
+
+
+SQL_TERM_SPECTRUM = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+),
+per AS (SELECT term, count(*) AS f FROM toks WHERE term <> '' GROUP BY 1),
+b AS (
+  SELECT CASE WHEN f >= 11 THEN '11+' ELSE CAST(f AS VARCHAR) END AS freq,
+         least(f, 11) AS ord, f
+  FROM per
+)
+SELECT freq, CAST(count(*) AS BIGINT) AS n_terms, CAST(sum(f) AS BIGINT) AS n_tokens
+FROM b GROUP BY freq, ord ORDER BY ord
+"""
+
+
 QUERIES = {
     "length_quantiles": q_length_quantiles,
     "ngram_contamination": q_ngram_contamination,
     "source_mix_sample": q_source_mix_sample,
+    "term_spectrum": q_term_spectrum,
     "segment_dedup": q_segment_dedup,
     "doc_chunks": q_doc_chunks,
     "split_leakage": q_split_leakage,
@@ -1177,6 +1203,7 @@ ORACLES = {
     "length_quantiles": SQL_LENGTH_QUANTILES,
     "ngram_contamination": SQL_NGRAM_CONTAMINATION,
     "source_mix_sample": _sql_source_mix_sample(),
+    "term_spectrum": SQL_TERM_SPECTRUM,
     "segment_dedup": SQL_SEGMENT_DEDUP,
     "doc_chunks": SQL_DOC_CHUNKS,
     "split_leakage": _sql_split_leakage(),

@@ -70,42 +70,58 @@ def force(df) -> int:
     return row["n"]
 
 
+def _timed(out: dict, name: str, fn, input_desc: str):
+    """Per-op isolation: one op OOMing must not void the whole level's
+    evidence; failures are recorded in-band."""
+    t0 = time.monotonic()
+    try:
+        n = force(fn())
+        out[name] = {
+            "sec": round(time.monotonic() - t0, 2),
+            "rows": n,
+            "input": input_desc,
+        }
+    except Exception as e:  # noqa: BLE001 - record and continue
+        msg = str(e).replace("\n", " ")[:300] or repr(e)[:300]
+        out[name] = {"sec": None, "rows": None, "input": input_desc,
+                     "err": msg}
+
+
 def run_ops(spark, scale: dict) -> dict:
-    from recon_spark.operators.graph import pagerank
+    from recon_spark.operators.curation import ngram_contamination
+    from recon_spark.operators.dedupe import segment_dedup
+    from recon_spark.operators.graph import (
+        kcore,
+        neighbor_merge_candidates,
+        pagerank,
+        random_walks,
+        triangle_stats,
+    )
     from recon_spark.operators.joins import asof_join, interval_join
     from recon_spark.operators.textstats import repetition_metrics
 
     out = {}
+    par = spark.sparkContext.defaultParallelism
 
-    # --- pagerank ---------------------------------------------------------
     edges = gen_edges(spark, scale["pr_nodes"], scale["pr_deg"])
-    t0 = time.monotonic()
-    n = force(pagerank(edges))
-    out["pagerank"] = {
-        "sec": round(time.monotonic() - t0, 2),
-        "rows": n,
-        "input": f"{scale['pr_nodes']}x{scale['pr_deg']} edges, 5 iters",
-    }
+    _timed(out, "pagerank", lambda: pagerank(edges),
+           f"{scale['pr_nodes']}x{scale['pr_deg']} edges, 5 iters")
 
-    # --- repetition metrics ----------------------------------------------
     docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-    rep = scale["rep_x"]
-    big = (
-        # repartition BEFORE the explode: the source parquet is one
-        # split, so exploding first would serialize the x400 blow-up
-        docs.repartition(spark.sparkContext.defaultParallelism)
-        .withColumn("r", F.explode(F.sequence(F.lit(1), F.lit(rep))))
-        .select((F.col("doc_id") * rep + F.col("r")).alias("doc_id"), "text")
-    )
-    t0 = time.monotonic()
-    n = force(repetition_metrics(big))
-    out["repetition_metrics"] = {
-        "sec": round(time.monotonic() - t0, 2),
-        "rows": n,
-        "input": f"sf0.1 docs x{rep}",
-    }
 
-    # --- as-of join -------------------------------------------------------
+    def replicated(x):
+        # repartition BEFORE the explode: the source parquet is one
+        # split, so exploding first would serialize the blow-up
+        return (
+            docs.repartition(par)
+            .withColumn("r", F.explode(F.sequence(F.lit(1), F.lit(x))))
+            .select((F.col("doc_id") * x + F.col("r")).alias("doc_id"), "text")
+        )
+
+    _timed(out, "repetition_metrics",
+           lambda: repetition_metrics(replicated(scale["rep_x"])),
+           f"sf0.1 docs x{scale['rep_x']}")
+
     ev = gen_events(spark, scale["asof_events"])
     clicks = ev.where("event_type = 'click'").select(
         "user_id", F.col("ts_s").alias("ts"), "event_id", "value"
@@ -113,15 +129,10 @@ def run_ops(spark, scale: dict) -> dict:
     purchases = ev.where("event_type = 'purchase'").select(
         "event_id", "user_id", F.col("ts_s").alias("ts"), "value"
     )
-    t0 = time.monotonic()
-    n = force(asof_join(purchases, clicks, on="ts", by="user_id"))
-    out["asof_join"] = {
-        "sec": round(time.monotonic() - t0, 2),
-        "rows": n,
-        "input": f"{scale['asof_events']} events",
-    }
+    _timed(out, "asof_join",
+           lambda: asof_join(purchases, clicks, on="ts", by="user_id"),
+           f"{scale['asof_events']} events")
 
-    # --- interval join ----------------------------------------------------
     npts, nivl = scale["rj_points"], scale["rj_intervals"]
     points = spark.range(npts).select(
         F.col("id").alias("pt_id"), ((F.col("id") * KNUTH) % 2592000).alias("p")
@@ -130,51 +141,22 @@ def run_ops(spark, scale: dict) -> dict:
         F.col("id").alias("ivl_id"),
         ((F.col("id") * 7919) % 2592000).alias("s"),
     ).withColumn("e", F.col("s") + 1800 + (F.col("ivl_id") * 37) % 3600)
-    t0 = time.monotonic()
-    n = force(interval_join(points, ivl, "p", "s", "e", bucket=3600))
-    out["interval_join"] = {
-        "sec": round(time.monotonic() - t0, 2),
-        "rows": n,
-        "input": f"{npts} pts x {nivl} ivls",
-    }
+    _timed(out, "interval_join",
+           lambda: interval_join(points, ivl, "p", "s", "e", bucket=3600),
+           f"{npts} pts x {nivl} ivls")
 
-    # --- segment dedup ------------------------------------------------------
     # xN replication = the adversarial all-dups regime (every segment
-    # of every replica loses to the first copy), same convention as the
-    # clean_corpus spot-check
-    from recon_spark.operators.dedupe import segment_dedup
+    # of every replica loses to the first copy)
+    _timed(out, "segment_dedup",
+           lambda: segment_dedup(replicated(scale["seg_x"])),
+           f"sf0.1 docs x{scale['seg_x']}, all-dup regime")
 
-    segx = scale["seg_x"]
-    segbig = (
-        docs.repartition(spark.sparkContext.defaultParallelism)
-        .withColumn("r", F.explode(F.sequence(F.lit(1), F.lit(segx))))
-        .select((F.col("doc_id") * segx + F.col("r")).alias("doc_id"), "text")
-    )
-    t0 = time.monotonic()
-    n = force(segment_dedup(segbig))
-    out["segment_dedup"] = {
-        "sec": round(time.monotonic() - t0, 2),
-        "rows": n,
-        "input": f"sf0.1 docs x{segx}, all-dup regime",
-    }
+    _timed(out, "triangle_stats",
+           lambda: triangle_stats(gen_edges(spark, scale["tri_nodes"], scale["tri_deg"])),
+           f"{scale['tri_nodes']}x{scale['tri_deg']} edges")
 
-    # --- triangle census ----------------------------------------------------
-    from recon_spark.operators.graph import triangle_stats
-
-    tedges = gen_edges(spark, scale["tri_nodes"], scale["tri_deg"])
-    t0 = time.monotonic()
-    n = force(triangle_stats(tedges))
-    out["triangle_stats"] = {
-        "sec": round(time.monotonic() - t0, 2),
-        "rows": n,
-        "input": f"{scale['tri_nodes']}x{scale['tri_deg']} edges",
-    }
-
-    # --- structural merge candidates -----------------------------------------
     # dst space << src space so postings are dense; max_posting=64 is
     # the designed hub cap (the scale path, not the oracle-exact path)
-    from recon_spark.operators.graph import neighbor_merge_candidates
-
     mn, md, mdst = scale["mc_nodes"], scale["mc_deg"], scale["mc_dst"]
     medges = (
         spark.range(mn)
@@ -187,58 +169,30 @@ def run_ops(spark, scale: dict) -> dict:
             ((F.col("src") * KNUTH + F.col("j") * 40503) % mdst).alias("dst"),
         )
     )
-    t0 = time.monotonic()
-    n = force(neighbor_merge_candidates(medges, threshold=0.2, max_posting=64))
-    out["merge_candidates"] = {
-        "sec": round(time.monotonic() - t0, 2),
-        "rows": n,
-        "input": f"{mn}x{md} edges into {mdst} dsts, cap 64",
-    }
+    _timed(out, "merge_candidates",
+           lambda: neighbor_merge_candidates(medges, threshold=0.2, max_posting=64),
+           f"{mn}x{md} edges into {mdst} dsts, cap 64")
 
-    # --- random walks --------------------------------------------------------
-    from recon_spark.operators.graph import kcore, random_walks
+    wedges = gen_edges(spark, scale["rw_nodes"], scale["rw_deg"]).select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+    )
+    _timed(out, "random_walks", lambda: random_walks(wedges),
+           f"{scale['rw_nodes']}x{scale['rw_deg']} edges, 2 walks x 3 steps")
 
-    wedges = gen_edges(spark, scale["rw_nodes"], scale["rw_deg"])
-    t0 = time.monotonic()
-    n = force(random_walks(wedges.select(F.col("src").cast("string").alias("src"),
-                                         F.col("dst").cast("string").alias("dst"))))
-    out["random_walks"] = {
-        "sec": round(time.monotonic() - t0, 2),
-        "rows": n,
-        "input": f"{scale['rw_nodes']}x{scale['rw_deg']} edges, 2 walks x 3 steps",
-    }
+    _timed(out, "kcore",
+           lambda: kcore(gen_edges(spark, scale["kc_nodes"], scale["kc_deg"]), k=3),
+           f"{scale['kc_nodes']}x{scale['kc_deg']} edges, k=3, 4 rounds")
 
-    # --- k-core --------------------------------------------------------------
-    t0 = time.monotonic()
-    n = force(kcore(gen_edges(spark, scale["kc_nodes"], scale["kc_deg"]), k=3))
-    out["kcore"] = {
-        "sec": round(time.monotonic() - t0, 2),
-        "rows": n,
-        "input": f"{scale['kc_nodes']}x{scale['kc_deg']} edges, k=3, 4 rounds",
-    }
-
-    # --- n-gram decontamination ----------------------------------------------
     # benchmark = 12-token windows of every 29th base doc; corpus = xN
     # replicated docs, so every replica of a benchmark-source doc hits
-    from recon_spark.operators.curation import ngram_contamination
-
-    cx = scale["contam_x"]
-    corpus = (
-        docs.repartition(spark.sparkContext.defaultParallelism)
-        .withColumn("r", F.explode(F.sequence(F.lit(1), F.lit(cx))))
-        .select((F.col("doc_id") * cx + F.col("r")).alias("doc_id"), "text")
-    )
     bench = docs.where(F.col("doc_id") % 29 == 0).select(
         "doc_id",
         F.array_join(F.slice(F.split("text", " "), 5, 12), " ").alias("text"),
     )
-    t0 = time.monotonic()
-    n = force(ngram_contamination(corpus, bench, n=8))
-    out["ngram_contamination"] = {
-        "sec": round(time.monotonic() - t0, 2),
-        "rows": n,
-        "input": f"sf0.1 docs x{cx} vs {bench.count()}-doc benchmark",
-    }
+    _timed(out, "ngram_contamination",
+           lambda: ngram_contamination(replicated(scale["contam_x"]), bench, n=8),
+           f"sf0.1 docs x{scale['contam_x']} vs every-29th benchmark")
     return out
 
 
@@ -296,6 +250,11 @@ def main():
     report = {"loadavg_1m": round(os.getloadavg()[0], 2), "scale": scale}
     for op in results[8]:
         t8, t32 = results[8][op]["sec"], results[32][op]["sec"]
+        if t8 is None or t32 is None:
+            report[op] = {
+                "err": results[8][op].get("err") or results[32][op].get("err")
+            }
+            continue
         report[op] = {
             "sec_8": t8,
             "sec_32": t32,

@@ -43,6 +43,8 @@ def normalize(rows, ndigits: int = 6):
                 v = round(v, ndigits)
                 if v == -0.0:
                     v = 0.0
+            if v is not None and repr(v) == "NaT":  # pandas NULL timestamp
+                v = None
             vals.append(v)
         out.append(tuple(vals))
     out.sort(key=lambda r: tuple(str(x) for x in r))

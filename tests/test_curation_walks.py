@@ -186,3 +186,125 @@ def test_kcore_converged_iters_stable(spark):
 def test_kcore_empty_core(spark):
     edges = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
     assert kcore(edges, k=3, iters=2).count() == 0
+
+
+# --------------------------------------------------------------------------
+# fact_history
+# --------------------------------------------------------------------------
+
+def test_fact_history_golden(spark):
+    from datetime import datetime
+
+    from recon_spark.operators.graph import fact_history
+
+    rows = [
+        # s1/p: a @1, a @2 (re-assert, collapses), b @3, a @5
+        ("s1", "p", "a", datetime(2020, 1, 1, 0, 0, 1), 0),
+        ("s1", "p", "a", datetime(2020, 1, 1, 0, 0, 2), 0),
+        ("s1", "p", "b", datetime(2020, 1, 1, 0, 0, 3), 0),
+        ("s1", "p", "a", datetime(2020, 1, 1, 0, 0, 5), 0),
+        # s2/q: single assertion, open-ended
+        ("s2", "q", "x", datetime(2020, 1, 1, 0, 0, 9), 0),
+    ]
+    t = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, ts timestamp, pos int"
+    )
+    out = [
+        (r.subj, r.pred, r.obj, r.valid_from.second,
+         r.valid_to.second if r.valid_to else None)
+        for r in fact_history(t).collect()
+    ]
+    assert out == [
+        ("s1", "p", "a", 1, 3),
+        ("s1", "p", "b", 3, 5),
+        ("s1", "p", "a", 5, None),
+        ("s2", "q", "x", 9, None),
+    ]
+
+
+def test_fact_history_current_slice_matches_current_facts(spark):
+    from recon_spark.operators.extraction import extract_triples_tokens
+    from recon_spark.operators.graph import current_facts, fact_history
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    t = extract_triples_tokens(docs).withColumn(
+        "ts",
+        F.expr("timestamp'2020-01-01 00:00:00' + make_dt_interval(0, 0, 0, doc_id)"),
+    )
+    hist = {
+        (r.subj, r.pred, r.obj)
+        for r in fact_history(t).where("valid_to IS NULL").collect()
+    }
+    cur = {(r.subj, r.pred, r.obj) for r in current_facts(t).collect()}
+    assert hist == cur
+
+
+# --------------------------------------------------------------------------
+# negative_samples
+# --------------------------------------------------------------------------
+
+def test_negative_samples_properties(spark):
+    from recon_spark.operators.graph import negative_samples
+
+    t = spark.createDataFrame(
+        [("a", "likes", "b"), ("b", "likes", "c"), ("c", "knows", "a"),
+         ("d", "knows", "b")],
+        "subj string, pred string, obj string",
+    )
+    out = negative_samples(t, k=4).collect()
+    true = {("a", "likes", "b"), ("b", "likes", "c"), ("c", "knows", "a"),
+            ("d", "knows", "b")}
+    vocab = {"a", "b", "c", "d"}
+    assert out, "expected some negatives from 4 triples x 4 draws"
+    for r in out:
+        assert (r.subj, r.pred, r.obj) not in true  # filtered negatives
+        assert r.subj != r.obj  # no degenerate self-loops
+        assert r.subj in vocab and r.obj in vocab
+        assert r.side in ("subj", "obj")
+        assert 1 <= r.neg_j <= 4
+    # deterministic: second run byte-identical
+    again = negative_samples(t, k=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_negative_samples_draw_matches_python_replica(spark):
+    import hashlib
+
+    from recon_spark.operators.graph import negative_samples
+
+    t = spark.createDataFrame(
+        [("a", "r", "b"), ("b", "r", "c")], "subj string, pred string, obj string"
+    )
+    vocab = sorted({"a", "b", "c"})
+    expect = set()
+    for s, p, o in [("a", "r", "b"), ("b", "r", "c")]:
+        for j in (1, 2, 3, 4):
+            side = "obj" if j % 2 == 1 else "subj"
+            h = hashlib.md5(f"{s}|{p}|{o}|{j}".encode()).hexdigest()
+            e = vocab[int(h[:8], 16) % len(vocab)]
+            ns, no = (e, o) if side == "subj" else (s, e)
+            orig = s if side == "subj" else o
+            if e == orig or ns == no or (ns, p, no) in {("a", "r", "b"), ("b", "r", "c")}:
+                continue
+            expect.add((ns, p, no, j, side))
+    got = {tuple(r) for r in negative_samples(t, k=4).collect()}
+    assert got == expect
+
+
+# --------------------------------------------------------------------------
+# term_spectrum
+# --------------------------------------------------------------------------
+
+def test_term_spectrum_golden(spark):
+    from recon_spark.operators.textstats import term_spectrum
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c c"), (3, "c")], "doc_id long, text string"
+    )
+    # freqs: a=3, b=1, c=3
+    rows = [(r.freq, r.n_terms, r.n_tokens)
+            for r in term_spectrum(docs, max_freq=2).collect()]
+    assert rows == [("1", 1, 1), ("3+", 2, 6)]
+    # token mass check: buckets partition all tokens
+    assert sum(r[2] for r in rows) == 7
