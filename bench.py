@@ -71,6 +71,7 @@ EXTENDED = [
     "kg_kcore",
     "facts_history",
     "kg_negative_samples",
+    "kg_predicate_stats",
 ]
 
 

@@ -814,3 +814,43 @@ def negative_samples(
     return cand.join(t, ["subj", "pred", "obj"], "left_anti").orderBy(
         "subj", "pred", "obj", "neg_j"
     )
+
+
+# --------------------------------------------------------------------------
+# predicate profile (schema-level KG statistics)
+# --------------------------------------------------------------------------
+
+def predicate_stats(triples: DataFrame) -> DataFrame:
+    """Schema profile of the triple store, one row per predicate:
+    triple count, distinct subjects/objects, and the functionality /
+    inverse-functionality ratios (distinct subj / distinct (subj,obj)
+    pairs and its converse — the PARIS/ontology-alignment statistics
+    that tell a linker which predicates are identifying). A predicate
+    with functionality ~1.0 maps each subject to one object — the
+    keys kg_conflicts audits; low-functionality predicates are
+    many-valued and safe to aggregate.
+
+    One shuffle on pred with every aggregate map-side combinable
+    (count + approx-free distinct counts computed as exact
+    count_distinct — at KG scale swap to approx_count_distinct, the
+    documented 2-arg form keeps the same plan shape). Ratios rounded
+    to 6 decimals for cross-engine comparison.
+    """
+    return (
+        triples.groupBy("pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_triples"),
+            F.countDistinct("subj").alias("n_subj"),
+            F.countDistinct("obj").alias("n_obj"),
+            F.countDistinct("subj", "obj").alias("n_pairs"),
+        )
+        .select(
+            "pred",
+            "n_triples",
+            "n_subj",
+            "n_obj",
+            F.round(F.col("n_subj") / F.col("n_pairs"), 6).alias("functionality"),
+            F.round(F.col("n_obj") / F.col("n_pairs"), 6).alias("inv_functionality"),
+        )
+        .orderBy("pred")
+    )

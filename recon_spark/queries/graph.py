@@ -931,10 +931,54 @@ ORDER BY degree DESC, node"""
     )
 
 
+# --------------------------------------------------------------------------
+# kg_predicate_stats — schema-level predicate profile
+# --------------------------------------------------------------------------
+
+def q_kg_predicate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from recon_spark.operators.graph import predicate_stats
+
+    return predicate_stats(_canonical_triples(spark, sf_dir))
+
+
+def _sql_kg_predicate_stats() -> str:
+    from recon_spark.queries.core import _sql_triples_base
+
+    return f"""
+WITH {_sql_triples_base()},
+best AS (
+  SELECT alias, entity_id FROM (
+    SELECT alias, entity_id,
+           row_number() OVER (PARTITION BY alias ORDER BY score DESC, entity_id) AS rk
+    FROM {sql_alias_values()}
+  ) WHERE rk = 1
+),
+canon AS (
+  SELECT coalesce(bs.entity_id, t.subj) AS subj, t.pred,
+         coalesce(bo.entity_id, t.obj) AS obj
+  FROM triples t
+  LEFT JOIN best bs ON t.subj = bs.alias
+  LEFT JOIN best bo ON t.obj = bo.alias
+),
+g AS (
+  SELECT pred, CAST(count(*) AS BIGINT) AS n_triples,
+         CAST(count(DISTINCT subj) AS BIGINT) AS n_subj,
+         CAST(count(DISTINCT obj) AS BIGINT) AS n_obj,
+         CAST(count(DISTINCT subj || chr(0) || obj) AS BIGINT) AS n_pairs
+  FROM canon GROUP BY 1
+)
+SELECT pred, n_triples, n_subj, n_obj,
+       round(CAST(n_subj AS DOUBLE) / n_pairs, 6) AS functionality,
+       round(CAST(n_obj AS DOUBLE) / n_pairs, 6) AS inv_functionality
+FROM g ORDER BY pred
+"""
+
+
 QUERIES = {
     "entity_pagerank": q_entity_pagerank,
     "kg_random_walks": q_kg_random_walks,
     "kg_kcore": q_kg_kcore,
+    "kg_predicate_stats": q_kg_predicate_stats,
     "facts_history": q_facts_history,
     "kg_negative_samples": q_kg_negative_samples,
     "entity_degrees": q_entity_degrees,
@@ -958,6 +1002,7 @@ ORACLES = {
     "kg_kcore": _sql_kg_kcore(),
     "facts_history": _sql_facts_history(),
     "kg_negative_samples": _sql_kg_negative_samples(),
+    "kg_predicate_stats": _sql_kg_predicate_stats(),
     "entity_degrees": SQL_ENTITY_DEGREES,
     "repetition_metrics": SQL_REPETITION_METRICS,
     "pii_redact": SQL_PII_REDACT,

@@ -308,3 +308,29 @@ def test_term_spectrum_golden(spark):
     assert rows == [("1", 1, 1), ("3+", 2, 6)]
     # token mass check: buckets partition all tokens
     assert sum(r[2] for r in rows) == 7
+
+
+# --------------------------------------------------------------------------
+# predicate_stats
+# --------------------------------------------------------------------------
+
+def test_predicate_stats_golden(spark):
+    from recon_spark.operators.graph import predicate_stats
+
+    t = spark.createDataFrame(
+        [
+            ("a", "born_in", "x"), ("a", "born_in", "x"),  # duplicate assertion
+            ("b", "born_in", "y"), ("c", "born_in", "y"),
+            ("a", "likes", "p"), ("a", "likes", "q"), ("b", "likes", "p"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    rows = {r.pred: r for r in predicate_stats(t).collect()}
+    b = rows["born_in"]
+    # pairs: (a,x) (b,y) (c,y); subj a,b,c; obj x,y
+    assert (b.n_triples, b.n_subj, b.n_obj) == (4, 3, 2)
+    assert b.functionality == 1.0          # 3 subj / 3 pairs
+    assert round(b.inv_functionality, 6) == round(2 / 3, 6)
+    l = rows["likes"]
+    assert (l.n_triples, l.n_subj, l.n_obj) == (3, 2, 2)
+    assert round(l.functionality, 6) == round(2 / 3, 6)  # 2 subj / 3 pairs
