@@ -72,6 +72,7 @@ EXTENDED = [
     "facts_history",
     "kg_negative_samples",
     "kg_predicate_stats",
+    "quality_score",
 ]
 
 

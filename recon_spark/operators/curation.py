@@ -143,3 +143,48 @@ def source_mix_sample(
             thr
         )
     return docs.withColumn("u_hex", u).where(F.col("u_hex") < thr)
+
+
+def hashed_linear_score(
+    docs: DataFrame,
+    bias: float = 0.0,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Model-based quality scoring plumbing (the CCNet/fastText filter
+    stage): score = sigmoid(bias + sum_t w(t)) over the document's
+    tokens, with per-token weights drawn deterministically from the
+    token's md5 digest — w(t) = hex16(md5(t))/65535 - 0.5 in
+    [-0.5, 0.5]. Returns (doc_id, n_terms, score, keep).
+
+    The weights are an honestly-synthetic stand-in for a trained
+    model's embedding table (no pretrained weights ship in this
+    sandbox); the *plumbing* is the real thing: per-token weight
+    lookup, additive pooling, sigmoid, threshold — and it runs as a
+    pure map-only JVM fold (aggregate over the token array inside
+    whole-stage codegen): zero shuffle, zero Python, composes with the
+    scan it sits on. Swapping in trained weights = replacing the hash
+    expression with a broadcast map lookup, same plan shape.
+
+    Score is rounded to 6 decimals; the DuckDB oracle reproduces the
+    same weights from the same md5 arithmetic (summation-order
+    differences are absorbed by the rounding).
+    """
+    w = (
+        "CAST(conv(substring(md5(t), 1, 4), 16, 10) AS DOUBLE) / 65535.0D - 0.5D"
+    )
+    fold = (
+        f"aggregate(filter(split({text_col}, ' '), t -> t <> ''), "
+        f"0.0D, (acc, t) -> acc + ({w}))"
+    )
+    raw = F.lit(float(bias)) + F.expr(fold)
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-raw)), 6)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.expr(f"filter(split({text_col}, ' '), t -> t <> '')")).alias(
+            "n_terms"
+        ),
+        score.alias("score"),
+        (score >= threshold).alias("keep"),
+    ).orderBy("doc_id")

@@ -1164,11 +1164,41 @@ FROM b GROUP BY freq, ord ORDER BY ord
 """
 
 
+# --------------------------------------------------------------------------
+# quality_score — hashed-linear model-based quality filter plumbing
+# --------------------------------------------------------------------------
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from recon_spark.operators.curation import hashed_linear_score
+
+    return hashed_linear_score(_docs(spark, sf_dir))
+
+
+SQL_QUALITY_SCORE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+w AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substring(md5(t), 1, 4)) AS INTEGER) AS DOUBLE)
+           / 65535.0 - 0.5 AS wt
+  FROM toks WHERE t <> ''
+),
+s AS (
+  SELECT doc_id, CAST(count(*) AS INTEGER) AS n_terms,
+         round(1.0 / (1.0 + exp(-(0.0 + sum(wt)))), 6) AS score
+  FROM w GROUP BY 1
+)
+SELECT doc_id, n_terms, score, score >= 0.5 AS keep FROM s ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "length_quantiles": q_length_quantiles,
     "ngram_contamination": q_ngram_contamination,
     "source_mix_sample": q_source_mix_sample,
     "term_spectrum": q_term_spectrum,
+    "quality_score": q_quality_score,
     "segment_dedup": q_segment_dedup,
     "doc_chunks": q_doc_chunks,
     "split_leakage": q_split_leakage,
@@ -1204,6 +1234,7 @@ ORACLES = {
     "ngram_contamination": SQL_NGRAM_CONTAMINATION,
     "source_mix_sample": _sql_source_mix_sample(),
     "term_spectrum": SQL_TERM_SPECTRUM,
+    "quality_score": SQL_QUALITY_SCORE,
     "segment_dedup": SQL_SEGMENT_DEDUP,
     "doc_chunks": SQL_DOC_CHUNKS,
     "split_leakage": _sql_split_leakage(),

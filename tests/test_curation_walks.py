@@ -334,3 +334,39 @@ def test_predicate_stats_golden(spark):
     l = rows["likes"]
     assert (l.n_triples, l.n_subj, l.n_obj) == (3, 2, 2)
     assert round(l.functionality, 6) == round(2 / 3, 6)  # 2 subj / 3 pairs
+
+
+# --------------------------------------------------------------------------
+# hashed_linear_score
+# --------------------------------------------------------------------------
+
+def test_hashed_linear_score_python_replica(spark):
+    import math
+
+    from recon_spark.operators.curation import hashed_linear_score
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha alpha"), (3, "zz")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in hashed_linear_score(docs).collect()}
+
+    def w(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:4], 16) / 65535.0 - 0.5
+
+    for did, text in [(1, "alpha beta gamma"), (2, "alpha alpha"), (3, "zz")]:
+        toks = text.split()
+        exp = 1.0 / (1.0 + math.exp(-sum(w(t) for t in toks)))
+        assert rows[did].n_terms == len(toks)
+        assert abs(rows[did].score - exp) < 1e-6
+        assert rows[did].keep == (rows[did].score >= 0.5)
+
+
+def test_hashed_linear_score_plan_map_only(spark):
+    from recon_spark.operators.curation import hashed_linear_score
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    body = plan_of(hashed_linear_score(docs))
+    assert "BatchEvalPython" not in body and "ArrowEvalPython" not in body
+    # only the presentation orderBy's range partitioning may exchange
+    assert body.count("Exchange") <= 1
