@@ -73,6 +73,7 @@ EXTENDED = [
     "kg_negative_samples",
     "kg_predicate_stats",
     "quality_score",
+    "stream_contamination",
 ]
 
 

@@ -33,6 +33,13 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+# decontamination spec shared by the batch + streaming gates and their
+# oracles: every 29th doc's tokens [5, 16] seed the synthetic benchmark
+_CONTAM_N = 8          # n-gram length
+_BENCH_MOD = 29        # every 29th doc seeds the synthetic benchmark
+_BENCH_OFF, _BENCH_W = 5, 12  # benchmark text = tokens [5, 16] of the doc
+
+
 # --- shared oracle fragments -------------------------------------------------
 
 SQL_SHINGLES = f"""
@@ -374,6 +381,62 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_STREAM_EVENTS_HOURLY = SQL_EVENTS_HOURLY
+
+
+def q_stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the decontamination gate: the documents table
+    arrives as a stream, the benchmark digest set is static+broadcast,
+    and the availableNow drain must reproduce the batch oracle's
+    per-doc distinct-hit counts exactly."""
+    import os
+    import tempfile
+    import uuid
+
+    from recon_spark.streaming import stream_contamination
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % _BENCH_MOD == 0).select(
+        "doc_id",
+        F.array_join(
+            F.slice(F.split("text", " "), _BENCH_OFF, _BENCH_W), " "
+        ).alias("text"),
+    )
+    src_dir = tempfile.mkdtemp(prefix="recon_stream_contam_")
+    os.symlink(f"{sf_dir}/documents.parquet", f"{src_dir}/documents-000.parquet")
+    sdf = stream_contamination(spark, src_dir, bench, n=_CONTAM_N)
+    name = "stream_contamination_" + uuid.uuid4().hex[:8]
+    chk = tempfile.mkdtemp(prefix="recon_stream_chk_")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("doc_id")
+
+
+SQL_STREAM_CONTAMINATION = f"""
+WITH bt AS (
+  SELECT doc_id,
+         string_split(text, ' ')[{_BENCH_OFF}:{_BENCH_OFF + _BENCH_W - 1}] AS toks
+  FROM documents WHERE doc_id % {_BENCH_MOD} = 0
+),
+bg AS (
+  SELECT DISTINCT md5(array_to_string(toks[i:i+{_CONTAM_N - 1}], ' ')) AS g
+  FROM bt, LATERAL unnest(generate_series(1, greatest(len(toks) - {_CONTAM_N - 1}, 0))) AS t(i)
+),
+ct AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+cg AS (
+  SELECT doc_id, md5(array_to_string(toks[i:i+{_CONTAM_N - 1}], ' ')) AS g
+  FROM ct, LATERAL unnest(generate_series(1, greatest(len(toks) - {_CONTAM_N - 1}, 0))) AS t(i)
+)
+SELECT c.doc_id, CAST(count(DISTINCT c.g) AS BIGINT) AS n_distinct_hits
+FROM cg c JOIN bg ON c.g = bg.g
+GROUP BY 1 ORDER BY 1
+"""
 
 
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1040,11 +1103,6 @@ GROUP BY 1, 2 ORDER BY 1, 2
 # ngram_contamination — benchmark decontamination (GPT-3 appendix-C style)
 # --------------------------------------------------------------------------
 
-_CONTAM_N = 8          # n-gram length
-_BENCH_MOD = 29        # every 29th doc seeds the synthetic benchmark
-_BENCH_OFF, _BENCH_W = 5, 12  # benchmark text = tokens [5, 16] of the doc
-
-
 def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: a synthetic eval set is carved from
     the corpus itself (every 29th document's tokens 5..16 — eval
@@ -1220,6 +1278,7 @@ QUERIES = {
     "clean_corpus": q_clean_corpus,
     "stream_events_hourly": q_stream_events_hourly,
     "stream_events_sessions": q_stream_events_sessions,
+    "stream_contamination": q_stream_contamination,
     "events_sessions": q_events_sessions,
     "events_asof": q_events_asof,
     "events_range_join": q_events_range_join,
@@ -1256,6 +1315,7 @@ ORACLES = {
     "clean_corpus": SQL_CLEAN_CORPUS,
     "stream_events_hourly": SQL_STREAM_EVENTS_HOURLY,
     "stream_events_sessions": SQL_STREAM_EVENTS_SESSIONS,
+    "stream_contamination": SQL_STREAM_CONTAMINATION,
     "events_sessions": SQL_EVENTS_SESSIONS,
     "events_asof": SQL_EVENTS_ASOF,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,

@@ -167,3 +167,50 @@ def stream_user_sessions(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_contamination(
+    spark: SparkSession,
+    source_dir: str,
+    benchmark: DataFrame,
+    n: int = 8,
+    schema_ddl: str = (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ),
+):
+    """Streaming decontamination gate: documents arriving on the stream
+    are checked against the STATIC benchmark's broadcast n-gram digest
+    set (stream-static broadcast join — the supported, shuffle-free
+    shape); per document the count of DISTINCT colliding n-grams is
+    maintained. Returns the streaming aggregate DataFrame (complete
+    output mode — one row per contaminated doc so far; tests and the
+    driver query drain with availableNow into a memory sink and compare
+    against the batch oracle).
+
+    Distinctness comes from a stateful dropDuplicates on (id, digest)
+    BEFORE the single aggregation — streaming disallows count(distinct)
+    and chained aggregations; the dedupe-then-count rewrite is the
+    standard equivalent. At production scale the gate runs continuously
+    over the ingest stream and quarantines hits before they reach the
+    training store (the streaming twin of
+    operators/curation.py:ngram_contamination).
+    """
+    from recon_spark.operators.curation import doc_ngrams
+
+    src = spark.readStream.schema(schema_ddl).parquet(source_dir)
+    bench = (
+        doc_ngrams(benchmark, n)
+        .select(F.md5("ngram").alias("g"))
+        .distinct()
+    )
+    hits = (
+        doc_ngrams(src, n)
+        .select("id", F.md5("ngram").alias("g"))
+        .join(F.broadcast(bench), "g")
+        .dropDuplicates(["id", "g"])
+    )
+    return (
+        hits.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_distinct_hits"))
+        .select(F.col("id").alias("doc_id"), "n_distinct_hits")
+    )
