@@ -131,17 +131,23 @@ def source_mix_sample(
     content-addressed example identity (recon/store.py:39-47): the
     decision is a function of the row, not of execution order —
     re-running a failed partition keeps exactly the same documents.
+
+    A NULL source coalesces to '' on BOTH the key and the rate lookup
+    (so such docs draw at default_rate) — without the sentinel,
+    concat_ws silently skips the NULL (key degrades to doc_id alone)
+    while a SQL oracle's ``||`` yields a NULL md5 and drops the row:
+    divergent keep decisions. The oracle twin applies the same
+    coalesce.
     """
+    src = F.coalesce(F.col(source_col), F.lit(""))
     u = F.substring(
-        F.md5(F.concat_ws("|", F.col(id_col).cast("string"), F.col(source_col))),
+        F.md5(F.concat_ws("|", F.col(id_col).cast("string"), src)),
         1,
         8,
     )
     thr = F.lit(_rate_threshold_hex(default_rate))
     for s, r in sorted(rates.items()):
-        thr = F.when(F.col(source_col) == s, F.lit(_rate_threshold_hex(r))).otherwise(
-            thr
-        )
+        thr = F.when(src == s, F.lit(_rate_threshold_hex(r))).otherwise(thr)
     return docs.withColumn("u_hex", u).where(F.col("u_hex") < thr)
 
 
@@ -170,6 +176,12 @@ def hashed_linear_score(
     Score is rounded to 6 decimals; the DuckDB oracle reproduces the
     same weights from the same md5 arithmetic (summation-order
     differences are absorbed by the rounding).
+
+    Documents with no non-empty tokens are DROPPED (not scored): a
+    zero-token document has no evidence either way and sigmoid(bias)
+    would rubber-stamp it keep=true at the default bias — the same rows
+    the oracle's unnest+WHERE t<>'' eliminates before GROUP BY, so both
+    engines agree on empty/whitespace-only text.
     """
     w = (
         "CAST(conv(substring(md5(t), 1, 4), 16, 10) AS DOUBLE) / 65535.0D - 0.5D"
@@ -180,11 +192,15 @@ def hashed_linear_score(
     )
     raw = F.lit(float(bias)) + F.expr(fold)
     score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-raw)), 6)
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(F.expr(f"filter(split({text_col}, ' '), t -> t <> '')")).alias(
-            "n_terms"
-        ),
-        score.alias("score"),
-        (score >= threshold).alias("keep"),
-    ).orderBy("doc_id")
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(F.expr(f"filter(split({text_col}, ' '), t -> t <> '')")).alias(
+                "n_terms"
+            ),
+            score.alias("score"),
+            (score >= threshold).alias("keep"),
+        )
+        .where(F.col("n_terms") > 0)
+        .orderBy("doc_id")
+    )

@@ -61,11 +61,14 @@ def pagerank(
         .where(F.col("src") != F.col("dst"))
         .distinct()
     )
+    # localCheckpoint (GC-released) instead of persist: these frames are
+    # referenced every iteration in the returned lazy plan, and a
+    # persist would pin executor blocks for the session lifetime
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=False)
     )
     n = nodes.count()  # single scalar action; |V| is a long, not data
     if n == 0:
@@ -74,10 +77,10 @@ def pagerank(
         )
     outd = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("od"))
     # pre-join contribution weights once; every iteration reuses this frame
-    contrib_e = e.join(outd, "src").persist()
+    contrib_e = e.join(outd, "src").localCheckpoint(eager=False)
     dangling_nodes = nodes.join(
         outd, nodes.node == outd.src, "left_anti"
-    ).persist()
+    ).localCheckpoint(eager=False)
 
     ranks = nodes.withColumn("rank", F.lit(round(1.0 / n, PR_ROUND)))
     base = (1.0 - damping) / n
@@ -169,13 +172,18 @@ def cooccurrence_pmi(
       to both sides of the pair frame; no shuffle for the PMI join.
     - N is one scalar count action (a long on the driver, not data).
     """
-    ment = entity_docs.select(
-        F.col(doc_col).alias("doc_id"), F.col(entity_col).alias("entity")
-    ).distinct()
-    ment = ment.persist()
+    # localCheckpoint, not persist: blocks release when the DataFrame is
+    # GC'd (ContextCleaner), so long-lived sessions running many queries
+    # don't accumulate cached partitions the caller can never unpersist
+    ment = (
+        entity_docs.select(
+            F.col(doc_col).alias("doc_id"), F.col(entity_col).alias("entity")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     n_docs = ment.select("doc_id").distinct().count()
     if n_docs == 0:
-        ment.unpersist()
         schema = "a string, b string, pair_docs bigint, pmi double"
         return entity_docs.sparkSession.createDataFrame([], schema)
     per_doc = ment.groupBy("doc_id").agg(
@@ -565,10 +573,14 @@ def random_walks(
         .where(F.col("s") != F.col("t"))
         .distinct()
     )
+    # localCheckpoint (GC-released) instead of persist: the adjacency is
+    # referenced walk_len times in the returned plan, but a persist here
+    # would pin executor blocks until someone unpersists — which no
+    # caller of a lazy return value can do at the right moment
     adj = (
         e.groupBy("s")
         .agg(F.sort_array(F.collect_list("t")).alias("nbrs"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     frontier = adj.select(
         F.col("s").alias("start"),
@@ -753,7 +765,12 @@ def negative_samples(
     negatives (the property recon's content-addressed store gives
     examples, recon/store.py:39-47).
     """
-    t = triples.select("subj", "pred", "obj").distinct().persist()
+    # localCheckpoint (GC-released) instead of persist — see random_walks
+    t = (
+        triples.select("subj", "pred", "obj")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     ents = (
         t.select(F.col("subj").alias("e"))
         .unionAll(t.select(F.col("obj").alias("e")))
@@ -762,7 +779,7 @@ def negative_samples(
     vocab = ents.select(
         F.col("e"),
         (F.row_number().over(Window.orderBy("e")) - 1).alias("rk"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     nv = vocab.count()
     if nv == 0:
         return t.sparkSession.createDataFrame(

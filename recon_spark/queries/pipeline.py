@@ -33,6 +33,37 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+# Streaming-twin staging: FileStreamSource wants a directory of arriving
+# files, so each stream query symlinks the batch table into a drop-box.
+# The drop-box is created ONCE per (sf_dir, table) and reused (bench.py
+# times best-of-3 — an uncached mkdtemp leaked three temp trees per run);
+# checkpoints are fresh subdirs per start (re-using a checkpoint would
+# replay remembered offsets and drain zero rows), all removed at exit.
+_STREAM_STAGING: dict[tuple[str, str], tuple[str, str]] = {}
+
+
+def _stage_stream(sf_dir: str, table: str, tag: str) -> tuple[str, str]:
+    """Returns (source_dir, fresh_checkpoint_dir) for a file-stream twin
+    of ``{sf_dir}/{table}.parquet``. sf_dir is abspath'd first — a
+    relative symlink target breaks once the stream reads from a
+    different cwd."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    key = (os.path.abspath(sf_dir), table)
+    if key not in _STREAM_STAGING:
+        src_dir = tempfile.mkdtemp(prefix=f"recon_stream_{tag}_src_")
+        os.symlink(f"{key[0]}/{table}.parquet", f"{src_dir}/{table}-000.parquet")
+        chk_root = tempfile.mkdtemp(prefix=f"recon_stream_{tag}_chk_")
+        atexit.register(shutil.rmtree, src_dir, ignore_errors=True)
+        atexit.register(shutil.rmtree, chk_root, ignore_errors=True)
+        _STREAM_STAGING[key] = (src_dir, chk_root)
+    src_dir, chk_root = _STREAM_STAGING[key]
+    return src_dir, tempfile.mkdtemp(dir=chk_root)
+
+
 # decontamination spec shared by the batch + streaming gates and their
 # oracles: every 29th doc's tokens [5, 16] seed the synthetic benchmark
 _CONTAM_N = 8          # n-gram length
@@ -347,16 +378,11 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same answer as the batch one. Complete output mode because the
     sink is the final aggregate (watermarked append would withhold the
     last windows of a finite drain)."""
-    import os
-    import tempfile
     import uuid
 
     from recon_spark.streaming import stream_events_hourly
 
-    # FileStreamSource wants a directory of arriving files; stage the
-    # batch table as a one-file drop-box (symlink — no data copied)
-    src_dir = tempfile.mkdtemp(prefix="recon_stream_src_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events-000.parquet")
+    src_dir, chk = _stage_stream(sf_dir, "events", "hourly")
     sdf = stream_events_hourly(spark, src_dir)
     agg = sdf.select(
         (F.unix_millis(F.col("window_start")) / 3_600_000)
@@ -367,7 +393,6 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_value",
     )
     name = "stream_events_hourly_" + uuid.uuid4().hex[:8]
-    chk = tempfile.mkdtemp(prefix="recon_stream_chk_")
     q = (
         agg.writeStream.format("memory")
         .queryName(name)
@@ -388,8 +413,6 @@ def q_stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrives as a stream, the benchmark digest set is static+broadcast,
     and the availableNow drain must reproduce the batch oracle's
     per-doc distinct-hit counts exactly."""
-    import os
-    import tempfile
     import uuid
 
     from recon_spark.streaming import stream_contamination
@@ -401,11 +424,9 @@ def q_stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.split("text", " "), _BENCH_OFF, _BENCH_W), " "
         ).alias("text"),
     )
-    src_dir = tempfile.mkdtemp(prefix="recon_stream_contam_")
-    os.symlink(f"{sf_dir}/documents.parquet", f"{src_dir}/documents-000.parquet")
+    src_dir, chk = _stage_stream(sf_dir, "documents", "contam")
     sdf = stream_contamination(spark, src_dir, bench, n=_CONTAM_N)
     name = "stream_contamination_" + uuid.uuid4().hex[:8]
-    chk = tempfile.mkdtemp(prefix="recon_stream_chk_")
     q = (
         sdf.writeStream.format("memory")
         .queryName(name)
@@ -645,17 +666,13 @@ def q_stream_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     (recon_spark/streaming.py:stream_user_sessions) drained with
     availableNow into a memory sink. Must match the batch window-based
     sessionization oracle exactly."""
-    import os
-    import tempfile
     import uuid
 
     from recon_spark.streaming import stream_user_sessions
 
-    src_dir = tempfile.mkdtemp(prefix="recon_stream_sess_src_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events-000.parquet")
+    src_dir, chk = _stage_stream(sf_dir, "events", "sess")
     sdf = stream_user_sessions(spark, src_dir)
     name = "stream_events_sessions_" + uuid.uuid4().hex[:8]
-    chk = tempfile.mkdtemp(prefix="recon_stream_sess_chk_")
     q = (
         sdf.writeStream.format("memory")
         .queryName(name)
@@ -1180,13 +1197,13 @@ def _sql_source_mix_sample() -> str:
     from recon_spark.operators.curation import _rate_threshold_hex
 
     cases = " ".join(
-        f"WHEN source = '{s}' THEN '{_rate_threshold_hex(r)}'"
+        f"WHEN coalesce(source, '') = '{s}' THEN '{_rate_threshold_hex(r)}'"
         for s, r in sorted(_MIX_RATES.items())
     )
     return f"""
 WITH drawn AS (
   SELECT source, doc_id,
-         substring(md5(CAST(doc_id AS VARCHAR) || '|' || source), 1, 8) AS u_hex,
+         substring(md5(CAST(doc_id AS VARCHAR) || '|' || coalesce(source, '')), 1, 8) AS u_hex,
          CASE {cases} ELSE '{_rate_threshold_hex(_MIX_DEFAULT)}' END AS thr
   FROM documents
 )

@@ -190,10 +190,20 @@ def stream_contamination(
     Distinctness comes from a stateful dropDuplicates on (id, digest)
     BEFORE the single aggregation — streaming disallows count(distinct)
     and chained aggregations; the dedupe-then-count rewrite is the
-    standard equivalent. At production scale the gate runs continuously
-    over the ingest stream and quarantines hits before they reach the
-    training store (the streaming twin of
-    operators/curation.py:ngram_contamination).
+    standard equivalent.
+
+    Validity bound: this shape is for BOUNDED drains (availableNow /
+    one-shot backfill) only. There is no event-time watermark, so the
+    dropDuplicates state and the complete-mode aggregation state grow
+    with the number of distinct (doc, digest) hits seen, and complete
+    mode re-emits the full result every trigger. An unbounded
+    continuous deployment must instead (a) carry an ingest-timestamp
+    column, (b) `withWatermark` on it and use
+    `dropDuplicatesWithinWatermark` so dedup state expires, and
+    (c) emit per-batch increments (update/append) into an idempotent
+    MERGE sink keyed on doc_id — the same sink contract
+    stream_pages_to_triples uses. The streaming twin of
+    operators/curation.py:ngram_contamination.
     """
     from recon_spark.operators.curation import doc_ngrams
 

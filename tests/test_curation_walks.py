@@ -370,3 +370,33 @@ def test_hashed_linear_score_plan_map_only(spark):
     assert "BatchEvalPython" not in body and "ArrowEvalPython" not in body
     # only the presentation orderBy's range partitioning may exchange
     assert body.count("Exchange") <= 1
+
+
+def test_hashed_linear_score_drops_zero_token_docs(spark):
+    # empty/whitespace-only text has no evidence either way; the operator
+    # drops it exactly like the oracle's unnest + WHERE t <> '' does
+    from recon_spark.operators.curation import hashed_linear_score
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, ""), (3, "   "), (4, "ok")],
+        "doc_id long, text string",
+    )
+    ids = sorted(r.doc_id for r in hashed_linear_score(docs).collect())
+    assert ids == [1, 4]
+
+
+def test_source_mix_sample_null_source_draws_at_default(spark):
+    # NULL source coalesces to '' on both the md5 key and the rate
+    # lookup, so the doc draws at default_rate with key doc_id|''
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, "src0"), (4, None)],
+        "doc_id long, source string",
+    )
+    kept = source_mix_sample(
+        docs, rates={"src0": 0.0}, default_rate=1.0
+    ).collect()
+    # default_rate=1.0 keeps every NULL-source doc; src0 at 0.0 drops
+    assert sorted(r.doc_id for r in kept) == [1, 2, 4]
+    for r in kept:
+        exp = hashlib.md5(f"{r.doc_id}|".encode()).hexdigest()[:8]
+        assert r.u_hex == exp
