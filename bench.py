@@ -74,6 +74,9 @@ EXTENDED = [
     "kg_predicate_stats",
     "quality_score",
     "stream_contamination",
+    # round-3 additions
+    "dedup_minhash_production",
+    "simhash_production",
 ]
 
 

@@ -13,6 +13,24 @@ Hash spec (shared with oracles):
   minhash_i  = min over shingles of (a_i*h + b_i) % P      (16 perms)
   g32(w)     = (wcode(w) * 2654435761) % 2^32               (simhash bits)
 
+Two token-hash modes, selected by ``hash_mode``:
+  "wcode"      — the toy spec above: engine-portable, oracle-pinned,
+                 but injective ONLY on the synthetic test vocabulary.
+                 On real text every word pair sharing (first 2 chars,
+                 length) collides ("running"/"rulings"), inflating
+                 candidate sets and corrupting Jaccard estimates.
+  "production" — tcode(w) = int64(first 15 hex chars of md5(w)) % P:
+                 a full-token 60-bit digest (collision probability
+                 ~n^2/2^60), STILL engine-portable — Spark computes it
+                 as conv(substring(md5(w),1,15),16,10) and DuckDB as
+                 ('0x' || substring(md5(w),1,15))::BIGINT, bit-equal —
+                 so production-mode queries keep full oracle parity.
+                 All downstream arithmetic (shingle mix, minhash perms,
+                 g32) is unchanged: tcode < P keeps every product
+                 within int64 exactly like wcode.
+Use "production" on real corpora; "wcode" remains the spec the original
+golden queries pin.
+
 Scale design:
 - exact: groupBy(md5(text)) — map-side combine, one shuffle on a short key.
 - jaccard: inverted index on shingle hash → pair-count join. At CC scale,
@@ -45,11 +63,58 @@ PERM_A = [_rng.randrange(1, P) for _ in range(N_PERM)]
 PERM_B = [_rng.randrange(0, P) for _ in range(N_PERM)]
 
 WCODE_SQL = "(ascii({w}) * 100000 + ascii(substring({w}, 2, 1)) * 100 + length({w}))"
+TCODE_SQL = (
+    "(CAST(conv(substring(md5({w}), 1, 15), 16, 10) AS BIGINT) % " + str(P) + ")"
+)
+HASH_MODES = ("wcode", "production")
 
 
-def _wcodes_expr(text_col: str) -> str:
-    w = WCODE_SQL.format(w="x")
+def _token_code_sql(hash_mode: str) -> str:
+    if hash_mode not in HASH_MODES:
+        raise ValueError(f"hash_mode must be one of {HASH_MODES}, got {hash_mode!r}")
+    return TCODE_SQL if hash_mode == "production" else WCODE_SQL
+
+
+def _wcodes_expr(text_col: str, hash_mode: str = "wcode") -> str:
+    w = _token_code_sql(hash_mode).format(w="x")
     return f"transform(split({text_col}, ' '), x -> CAST({w} AS BIGINT))"
+
+
+def _py_token_codes(hash_mode: str):
+    """The numpy kernels' replica of _token_code_sql: ws -> int64 array.
+    Asserted bit-equal to the JVM expression in tests."""
+    import numpy as np
+
+    if hash_mode not in HASH_MODES:
+        raise ValueError(f"hash_mode must be one of {HASH_MODES}, got {hash_mode!r}")
+    if hash_mode == "production":
+        import hashlib
+
+        def codes(ws):
+            return np.fromiter(
+                (
+                    int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16) % P
+                    for w in ws
+                ),
+                dtype=np.int64,
+                count=len(ws),
+            )
+
+    else:
+
+        def codes(ws):
+            return np.fromiter(
+                (
+                    (ord(w[0]) if w else 0) * 100000
+                    + (ord(w[1]) if len(w) > 1 else 0) * 100
+                    + len(w)
+                    for w in ws
+                ),
+                dtype=np.int64,
+                count=len(ws),
+            )
+
+    return codes
 
 
 def _shingles_expr(wcodes: str) -> str:
@@ -66,11 +131,16 @@ def _shingles_expr(wcodes: str) -> str:
     """
 
 
-def with_shingles(df: DataFrame, text_col: str = "text", out_col: str = "shingles") -> DataFrame:
+def with_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "shingles",
+    hash_mode: str = "wcode",
+) -> DataFrame:
     # two-step Project: the optimizer keeps multi-use non-cheap aliases
     # un-inlined, so the wcode array is evaluated once per row
     return (
-        df.withColumn("__wc", F.expr(_wcodes_expr(text_col)))
+        df.withColumn("__wc", F.expr(_wcodes_expr(text_col, hash_mode)))
         .withColumn(out_col, F.expr(_shingles_expr("__wc")))
         .drop("__wc")
     )
@@ -93,6 +163,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_postings: int | None = None,
+    hash_mode: str = "wcode",
 ) -> DataFrame:
     """Shingle-set Jaccard near-duplicate pairs via inverted index:
     (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
@@ -101,7 +172,7 @@ def jaccard_pairs(
     (candidate-pair blowup guard at scale; None = exact, used for the
     oracle-checked query at test SFs)."""
     sh = (
-        with_shingles(df, text_col)
+        with_shingles(df, text_col, hash_mode=hash_mode)
         .select(
             F.col(id_col).alias("id"),
             F.explode(F.array_distinct("shingles")).alias("sh"),
@@ -137,12 +208,15 @@ def jaccard_pairs(
 
 
 def minhash_signature_jvm(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_mode: str = "wcode",
 ) -> DataFrame:
     """(id, minhash ARRAY<BIGINT>[16]) — pure JVM reference implementation
     (16 interpreted HOF passes per row; kept for cross-checking the
     vectorized path in tests)."""
-    sh = with_shingles(df, text_col)
+    sh = with_shingles(df, text_col, hash_mode=hash_mode)
     mins = ", ".join(
         f"array_min(transform(shingles, h -> ({a}L * h + {b}L) % {P}))"
         for a, b in zip(PERM_A, PERM_B)
@@ -152,7 +226,12 @@ def minhash_signature_jvm(
     )
 
 
-def minhash_signature(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def minhash_signature(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_mode: str = "wcode",
+) -> DataFrame:
     """(id, minhash ARRAY<BIGINT>[16]) — Arrow-vectorized numpy kernel
     (exact same integer arithmetic as the JVM/oracle spec; int64-safe
     since all operands < 2^31 and products < 2^62). Per-row, shuffle-free;
@@ -162,26 +241,20 @@ def minhash_signature(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     a_perm = PERM_A
     b_perm = PERM_B
     p = P
+    mode = hash_mode
+    _token_code_sql(mode)  # validate eagerly, not inside the executor
 
     @F.pandas_udf("array<bigint>")
     def _minhash(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         A = np.asarray(a_perm, dtype=np.int64)[:, None]
         B = np.asarray(b_perm, dtype=np.int64)[:, None]
+        codes = _py_token_codes(mode)
 
         def one(text: str):
             ws = text.split(" ")
             if len(ws) < 3:
                 return None
-            wc = np.fromiter(
-                (
-                    (ord(w[0]) if w else 0) * 100000
-                    + (ord(w[1]) if len(w) > 1 else 0) * 100
-                    + len(w)
-                    for w in ws
-                ),
-                dtype=np.int64,
-                count=len(ws),
-            )
+            wc = codes(ws)
             h = ((wc[:-2] * 31 + wc[1:-1]) % p * 31 + wc[2:]) % p
             return list(np.min((A * h[None, :] + B) % p, axis=1))
 
@@ -211,13 +284,16 @@ def band_signatures(sig: DataFrame) -> DataFrame:
 
 
 def minhash_lsh_candidates(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_mode: str = "wcode",
 ) -> DataFrame:
     """Candidate near-dup pairs from MinHash banding (4 bands × 4 rows):
     pairs sharing at least one band signature, (id_a, id_b) distinct."""
     # signatures are tiny (16 longs/doc); persist so the expensive
     # shingle+perm computation runs once, not once per join side
-    sig = minhash_signature(df, id_col, text_col).persist()
+    sig = minhash_signature(df, id_col, text_col, hash_mode=hash_mode).persist()
     bands = band_signatures(sig)
     a = bands.alias("a")
     b = bands.alias("b")
@@ -350,7 +426,12 @@ def dedupe_corpus(
     return df.join(losers, id_col, "left_anti")
 
 
-def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def simhash32(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_mode: str = "wcode",
+) -> DataFrame:
     """(id, simhash BIGINT): 32-bit SimHash over shingle multiset.
     Bit j is 1 iff sum over shingles of (2*bit_j(g32) - 1) > 0, where
     g32 = (h * 2654435761) % 2^32. Per-row, shuffle-free, pure JVM.
@@ -358,7 +439,7 @@ def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     Default path: measured at parity with the numpy variant at sf0.1
     (interpreted-fold cost ~ per-row numpy overhead) and bit-identical
     to the DuckDB oracle by construction."""
-    sh = with_shingles(df, text_col).withColumn(
+    sh = with_shingles(df, text_col, hash_mode=hash_mode).withColumn(
         "__g", F.expr("transform(shingles, h -> (h * 2654435761L) % 4294967296L)")
     )
     bits = " + ".join(
@@ -368,7 +449,12 @@ def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     return sh.select(F.col(id_col).alias("id"), F.expr(f"({bits})").alias("simhash"))
 
 
-def simhash32_vectorized(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def simhash32_vectorized(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_mode: str = "wcode",
+) -> DataFrame:
     """simhash32 — Arrow-vectorized numpy kernel: per row, unpack each
     shingle's 32 g32 bits into a (n_shingles x 32) 0/1 matrix, column
     sums vs n/2 give the bit votes. Exact same integer spec as
@@ -378,26 +464,20 @@ def simhash32_vectorized(df: DataFrame, id_col: str = "doc_id", text_col: str = 
     import numpy as np
 
     p = P
+    mode = hash_mode
+    _token_code_sql(mode)  # validate eagerly
 
     @F.pandas_udf("long")
     def _simhash(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         jbits = np.arange(32, dtype=np.uint64)
         weights = (np.int64(1) << np.arange(32, dtype=np.int64))
+        codes = _py_token_codes(mode)
 
         def one(text: str):
             ws = text.split(" ")
             if len(ws) < 3:
                 return 0  # empty shingle set: every vote sum is 0, no bit set
-            wc = np.fromiter(
-                (
-                    (ord(w[0]) if w else 0) * 100000
-                    + (ord(w[1]) if len(w) > 1 else 0) * 100
-                    + len(w)
-                    for w in ws
-                ),
-                dtype=np.int64,
-                count=len(ws),
-            )
+            wc = codes(ws)
             h = ((wc[:-2] * 31 + wc[1:-1]) % p * 31 + wc[2:]) % p
             g = (h.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
             ones = ((g[:, None] >> jbits) & np.uint64(1)).astype(np.int64)
@@ -414,12 +494,16 @@ def simhash32_vectorized(df: DataFrame, id_col: str = "doc_id", text_col: str = 
 
 
 def simhash_neardup_pairs(
-    df: DataFrame, max_dist: int = 3, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    max_dist: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_mode: str = "wcode",
 ) -> DataFrame:
     """(id_a, id_b, dist): pairs with SimHash Hamming distance <= max_dist,
     candidate-blocked on the four 8-bit pieces (exact for max_dist <= 3 by
     pigeonhole: at most 3 differing bits touch at most 3 of 4 pieces)."""
-    sig = simhash32(df, id_col, text_col).persist()
+    sig = simhash32(df, id_col, text_col, hash_mode=hash_mode).persist()
     pieces = sig.select(
         "id",
         "simhash",
@@ -463,6 +547,7 @@ def incremental_neardup(
     old_df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_mode: str = "wcode",
 ) -> DataFrame:
     """Incremental ingest gate: flag each NEW document that is a
     MinHash-LSH near-duplicate of the EXISTING corpus. Returns
@@ -483,9 +568,11 @@ def incremental_neardup(
     entirely, which is what makes re-ingestion O(batch), not
     O(corpus).
     """
-    new_bands = band_signatures(minhash_signature(new_df, id_col, text_col))
+    new_bands = band_signatures(
+        minhash_signature(new_df, id_col, text_col, hash_mode=hash_mode)
+    )
     old_index = (
-        band_signatures(minhash_signature(old_df, id_col, text_col))
+        band_signatures(minhash_signature(old_df, id_col, text_col, hash_mode=hash_mode))
         .select("band", "sig")
         .distinct()
     )

@@ -90,6 +90,27 @@ sh_t AS (
 )"""
 
 
+# production token-hash twin of SQL_SHINGLES: full-token 60-bit md5
+# digest mod P instead of the toy wcode (first-2-chars + length) — the
+# hash that survives a real crawl vocabulary. Same downstream shingle
+# arithmetic; DuckDB's 0x-cast reproduces Spark's conv() bit-exactly.
+SQL_SHINGLES_PROD = f"""
+wc_t AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+           w -> CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT) % {P}) AS wc
+  FROM documents
+),
+sh_t AS (
+  SELECT doc_id,
+         CASE WHEN len(wc) >= 3 THEN
+           list_transform(generate_series(1, len(wc) - 2),
+             i -> ((wc[i] * 31 + wc[i + 1]) % {P} * 31 + wc[i + 2]) % {P})
+         ELSE [] END AS sh
+  FROM wc_t
+)"""
+
+
 # --------------------------------------------------------------------------
 # Dedup family
 # --------------------------------------------------------------------------
@@ -167,6 +188,27 @@ ORDER BY id_a, id_b
 """
 
 
+SQL_DEDUP_MINHASH_PRODUCTION = f"""
+WITH {SQL_SHINGLES_PROD},
+{_sql_minhash()}
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands_long a
+JOIN bands_long b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+"""
+
+
+def q_dedup_minhash_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates under the PRODUCTION token hash (full-token
+    md5-60bit) — the mode a real crawl runs; same plan as
+    dedup_minhash_lsh, only the per-token code expression differs."""
+    return D.minhash_lsh_candidates(_docs(spark, sf_dir), hash_mode="production")
+
+
+def q_simhash_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash32(_docs(spark, sf_dir), hash_mode="production").orderBy("id")
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash32(_docs(spark, sf_dir)).orderBy("id")
 
@@ -182,6 +224,17 @@ def _sql_simhash_bits() -> str:
 
 SQL_SIMHASH = f"""
 WITH {SQL_SHINGLES},
+g_t AS (
+  SELECT doc_id, unnest(list_transform(sh, h -> (h * 2654435761) % 4294967296)) AS g
+  FROM sh_t
+)
+SELECT doc_id AS id, {_sql_simhash_bits()} AS simhash
+FROM g_t GROUP BY doc_id ORDER BY id
+"""
+
+
+SQL_SIMHASH_PRODUCTION = f"""
+WITH {SQL_SHINGLES_PROD},
 g_t AS (
   SELECT doc_id, unnest(list_transform(sh, h -> (h * 2654435761) % 4294967296)) AS g
   FROM sh_t
@@ -1283,7 +1336,9 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_minhash_production": q_dedup_minhash_production,
     "simhash": q_simhash,
+    "simhash_production": q_simhash_production,
     "simhash_neardup": q_simhash_neardup,
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_neardup": q_embedding_neardup,
@@ -1320,7 +1375,9 @@ ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_jaccard": SQL_DEDUP_JACCARD,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+    "dedup_minhash_production": SQL_DEDUP_MINHASH_PRODUCTION,
     "simhash": SQL_SIMHASH,
+    "simhash_production": SQL_SIMHASH_PRODUCTION,
     "simhash_neardup": SQL_SIMHASH_NEARDUP,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
