@@ -77,6 +77,7 @@ EXTENDED = [
     # round-3 additions
     "dedup_minhash_production",
     "simhash_production",
+    "quality_score_trained",
 ]
 
 

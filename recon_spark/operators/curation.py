@@ -31,8 +31,16 @@ Scale design (1000 executors, 100 TB corpus):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import os
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+QUALITY_WEIGHTS_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data",
+    "quality_weights.parquet",
+)
 
 
 def doc_ngrams(
@@ -204,3 +212,69 @@ def hashed_linear_score(
         .where(F.col("n_terms") > 0)
         .orderBy("doc_id")
     )
+
+
+def load_quality_weights(spark: SparkSession, path: str | None = None) -> DataFrame:
+    """The trained quality-filter weights table
+    (scripts/train_quality_weights.py): (term, weight, weight_micro),
+    plus a '__bias__' pseudo-term row. Dimension-table sized (vocab
+    rows); on a real cluster this lives on shared storage next to the
+    model registry — here it ships inside the package."""
+    return spark.read.parquet(path or QUALITY_WEIGHTS_PATH)
+
+
+def trained_quality_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Model-based quality filter with TRAINED weights — the broadcast
+    variant hashed_linear_score's docstring promises: per-token weight
+    lookup against a real (toy-trained, deterministic) fastText-style
+    table, additive pooling, sigmoid, threshold. Returns
+    (doc_id, n_terms, score, keep); zero-token docs are dropped
+    (hashed_linear_score semantics).
+
+    Scale shape: tokens explode map-side and BROADCAST-hash-join the
+    weights table (vocab rows — a dimension table even for a 2M-bucket
+    fastText model at ~32 MB), so corpus text never shuffles; the only
+    exchange is the (doc_id, micro) pair aggregation, 16-byte rows with
+    full map-side combine. No Python anywhere.
+
+    Exactness: the sum accumulates integer micro-weights
+    (weight_micro = round(w * 1e6)), so the fold is order-independent
+    and bit-equal across engines; floats appear only in the final
+    sigmoid, rounded to 6. OOV tokens weigh 0 (left join + coalesce),
+    the standard linear-model convention.
+    """
+    bias_micro = (
+        weights.where(F.col("term") == "__bias__")
+        .select("weight_micro")
+        .head()
+    )
+    bias_micro = int(bias_micro[0]) if bias_micro is not None else 0
+    w = weights.where(F.col("term") != "__bias__").select("term", "weight_micro")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.expr(f"filter(split({text_col}, ' '), t -> t <> '')")).alias(
+            "term"
+        ),
+    )
+    agg = (
+        toks.join(F.broadcast(w), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum(F.coalesce("weight_micro", F.lit(0))).alias("sum_micro"),
+        )
+    )
+    raw = (F.lit(bias_micro) + F.col("sum_micro")) / F.lit(1_000_000.0)
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-raw)), 6)
+    return agg.select(
+        "doc_id",
+        "n_terms",
+        score.alias("score"),
+        (score >= threshold).alias("keep"),
+    ).orderBy("doc_id")

@@ -1302,6 +1302,53 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed_linear_score(_docs(spark, sf_dir))
 
 
+def q_quality_score_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter with the TRAINED weights table
+    (scripts/train_quality_weights.py, shipped as parquet inside the
+    package): broadcast weight join, integer-micro accumulation, one
+    map-side-combined aggregation."""
+    from recon_spark.operators.curation import (
+        load_quality_weights,
+        trained_quality_score,
+    )
+
+    return trained_quality_score(
+        _docs(spark, sf_dir), load_quality_weights(spark)
+    )
+
+
+def _sql_quality_score_trained() -> str:
+    """Oracle twin: the SAME weight rows the parquet ships, embedded as
+    a VALUES CTE (the driver's DuckDB session only has the ten standard
+    views). Integer micro sums keep both engines bit-equal."""
+    import pyarrow.parquet as pq
+
+    from recon_spark.operators.curation import QUALITY_WEIGHTS_PATH
+
+    tbl = pq.read_table(QUALITY_WEIGHTS_PATH, columns=["term", "weight_micro"])
+    rows = list(zip(tbl.column("term").to_pylist(), tbl.column("weight_micro").to_pylist()))
+    bias_micro = next(m for t, m in rows if t == "__bias__")
+    values = ", ".join(f"('{t}', {m})" for t, m in rows if t != "__bias__")
+    return f"""
+WITH w(term, weight_micro) AS (VALUES {values}),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+s AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(sum(coalesce(w.weight_micro, 0)) AS BIGINT) AS sum_micro
+  FROM t2 LEFT JOIN w USING (term) GROUP BY 1
+),
+sc AS (
+  SELECT doc_id, n_terms,
+         round(1.0 / (1.0 + exp(-(({bias_micro} + sum_micro) / 1000000.0))), 6) AS score
+  FROM s
+)
+SELECT doc_id, n_terms, score, score >= 0.5 AS keep FROM sc ORDER BY doc_id
+"""
+
+
 SQL_QUALITY_SCORE = """
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
@@ -1327,6 +1374,7 @@ QUERIES = {
     "source_mix_sample": q_source_mix_sample,
     "term_spectrum": q_term_spectrum,
     "quality_score": q_quality_score,
+    "quality_score_trained": q_quality_score_trained,
     "segment_dedup": q_segment_dedup,
     "doc_chunks": q_doc_chunks,
     "split_leakage": q_split_leakage,
@@ -1366,6 +1414,7 @@ ORACLES = {
     "source_mix_sample": _sql_source_mix_sample(),
     "term_spectrum": SQL_TERM_SPECTRUM,
     "quality_score": SQL_QUALITY_SCORE,
+    "quality_score_trained": _sql_quality_score_trained(),
     "segment_dedup": SQL_SEGMENT_DEDUP,
     "doc_chunks": SQL_DOC_CHUNKS,
     "split_leakage": _sql_split_leakage(),

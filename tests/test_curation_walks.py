@@ -400,3 +400,53 @@ def test_source_mix_sample_null_source_draws_at_default(spark):
     for r in kept:
         exp = hashlib.md5(f"{r.doc_id}|".encode()).hexdigest()[:8]
         assert r.u_hex == exp
+
+
+def test_trained_quality_score_weights_are_trained(spark):
+    # the committed table must actually reflect the training signal:
+    # noise tokens get the most negative weights
+    from recon_spark.operators.curation import load_quality_weights
+
+    w = {r.term: r.weight for r in load_quality_weights(spark).collect()}
+    assert "__bias__" in w and len(w) >= 30
+    noise = sorted(w, key=w.get)[:2]
+    assert set(noise) == {"slow", "small"}
+
+
+def test_trained_quality_score_python_replica(spark):
+    import math
+
+    from recon_spark.operators.curation import (
+        load_quality_weights,
+        trained_quality_score,
+    )
+
+    wdf = load_quality_weights(spark)
+    w = {r.term: r.weight_micro for r in wdf.collect()}
+    bias = w.pop("__bias__")
+    docs = spark.createDataFrame(
+        [(1, "slow slow small dup"), (2, "fast data spark table"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in trained_quality_score(docs, wdf).collect()}
+    assert 3 not in rows  # zero-token doc dropped
+    for did, text in [(1, "slow slow small dup"), (2, "fast data spark table")]:
+        toks = text.split()
+        s = 1.0 / (1.0 + math.exp(-((bias + sum(w.get(t, 0) for t in toks)) / 1e6)))
+        assert rows[did].n_terms == len(toks)
+        assert abs(rows[did].score - s) < 1e-6
+    # the noise doc must score lower than the clean doc
+    assert rows[1].score < rows[2].score
+
+
+def test_trained_quality_score_plan_broadcast_map_side(spark):
+    from recon_spark.operators.curation import (
+        load_quality_weights,
+        trained_quality_score,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    body = plan_of(trained_quality_score(docs, load_quality_weights(spark)))
+    assert "BroadcastHashJoin" in body  # weights are a broadcast dim
+    assert "BatchEvalPython" not in body and "ArrowEvalPython" not in body
+    assert "SortMergeJoin" not in body  # corpus text never shuffles for the join
