@@ -402,6 +402,38 @@ KMEANS_ITERS = 3
 KMEANS_ROUND = 6
 
 
+def kmeans_init_frame(
+    vectors: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The hash-strided init selection as a DataFrame (plan-auditable):
+    the k vectors with the smallest (md5(cast(id as string)), id) keys.
+    orderBy + limit compiles to TakeOrderedAndProject — a per-partition
+    top-k merged on the driver — NOT a single-partition global sort /
+    rank window; md5 is engine-portable so the DuckDB replica picks the
+    identical k seeds."""
+    return (
+        vectors.select(
+            F.md5(F.col(id_col).cast("string")).alias("__mk"),
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+        )
+        .orderBy("__mk", "id")
+        .limit(k)
+    )
+
+
+def scaled_k(n: int, k_floor: int = KMEANS_K) -> int:
+    """IVF cell count: k = min(n, max(k_floor, isqrt(n))) — the standard
+    sqrt(N) sizing (cells and cell population both ~sqrt(N)), floored so
+    tiny tables keep enough cells for multi-probe to mean something."""
+    import math
+
+    return min(n, max(k_floor, math.isqrt(n)))
+
+
 def kmeans_centroids(
     vectors: DataFrame,
     k: int = KMEANS_K,
@@ -411,12 +443,16 @@ def kmeans_centroids(
     max_train_rows: int = 1_000_000,
 ) -> list[tuple[int, list[float]]]:
     """Deterministic Lloyd's k-means over a DataFrame of vectors.
-    Returns [(cent_id, centroid)] with cent_id = 0..k-1.
+    Returns [(cent_id, centroid)] with cent_id = 0..k_eff-1 where
+    k_eff = scaled_k(n, k) — the passed k is a FLOOR; cell count grows
+    as sqrt(N) (the standard IVF sizing).
 
     Spec (mirrored exactly by the oracle's unrolled-CTE replica):
-    - init: rank vectors by id; centroid i = the vector at rank
-      i * stride, stride = ceil(N / k) (rank-based, so sparse or hashed
-      ids can never produce an empty centroid set).
+    - init: the k_eff vectors with the smallest (md5(id), id) keys,
+      cent_id = ascending rank among them. A deterministic
+      pseudo-random draw with NO global sort anywhere: orderBy+limit is
+      a per-partition top-k (TakeOrderedAndProject), and md5 is
+      reproducible in any engine.
     - assignment: argmax cosine, ties broken by lower cent_id.
     - update: per-dimension mean of assigned vectors, rounded to
       KMEANS_ROUND decimals (rounding absorbs summation-order
@@ -429,10 +465,9 @@ def kmeans_centroids(
     iterations (k*d floats). Past ``max_train_rows`` the quantizer
     trains on a deterministic hash-strided sample of about that size
     (the standard IVF practice — centroid quality saturates long before
-    the full table; assignment still covers every vector), so the
-    init's global rank window only ever sees the bounded sample. At the
-    test SFs the table is below the bound, so the sample IS the table
-    and the oracle replica is unaffected."""
+    the full table; assignment still covers every vector). At the test
+    SFs the table is below the bound, so the sample IS the table and
+    the oracle replica is unaffected."""
     n = vectors.count()
     if n == 0:
         raise ValueError("kmeans_centroids: empty vector table")
@@ -448,21 +483,16 @@ def kmeans_centroids(
         n = vectors.count()
         if n == 0:
             raise ValueError("kmeans_centroids: training sample is empty")
-    k = min(k, n)
-    stride = -(-n // k)  # ceil
-    ranked = vectors.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        (F.row_number().over(Window.orderBy(id_col)) - 1).alias("rn"),
-    )
+    k = scaled_k(n, k)
     init = (
-        ranked.where((F.col("rn") % stride == 0) & (F.col("rn") / stride < k))
-        .select((F.col("rn") / stride).cast("int").alias("cent_id"), "v")
+        kmeans_init_frame(vectors, k, id_col, vec_col)
+        .select("__mk", "id", "v")
         .collect()
     )
-    cents: list[tuple[int, list[float]]] = sorted(
-        (r["cent_id"], [float(x) for x in r["v"]]) for r in init
-    )
+    cents: list[tuple[int, list[float]]] = [
+        (i, [float(x) for x in r["v"]])
+        for i, r in enumerate(sorted(init, key=lambda r: (r["__mk"], r["id"])))
+    ]
     spark = vectors.sparkSession
     for _ in range(iters):
         cdf = spark.createDataFrame(

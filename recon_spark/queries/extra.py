@@ -729,11 +729,13 @@ def q_ivf_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_ivf_parts() -> list[str]:
     """Unrolled deterministic Lloyd's k-means (the DuckDB replica of
-    recon_spark.operators.similarity.kmeans_centroids): rank-based init,
-    argmax-cosine assignment with lower-cent_id tie-break, per-dim means
-    rounded to KMEANS_ROUND so the iterations stay bit-comparable across
-    engines, empty cells keep their previous centroid. Returns the CTE
-    parts ending in ``ivf_pairs`` (id_a, id_b, cos >= threshold)."""
+    recon_spark.operators.similarity.kmeans_centroids): md5-keyed
+    top-k init (same seeds Spark's TakeOrderedAndProject picks),
+    k = min(n, max(KMEANS_K, floor(sqrt(n)))), argmax-cosine assignment
+    with lower-cent_id tie-break, per-dim means rounded to KMEANS_ROUND
+    so the iterations stay bit-comparable across engines, empty cells
+    keep their previous centroid. Returns the CTE parts ending in
+    ``ivf_pairs`` (id_a, id_b, cos >= threshold)."""
     from recon_spark.operators.similarity import KMEANS_ITERS, KMEANS_K, KMEANS_ROUND
 
     cos = (
@@ -742,12 +744,15 @@ def _sql_ivf_parts() -> list[str]:
     )
     parts = [
         "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
-        f"""p AS (SELECT count(*) AS n, least({KMEANS_K}, count(*)) AS k,
-       CAST(ceil(count(*) / CAST(least({KMEANS_K}, count(*)) AS DOUBLE)) AS BIGINT) AS stride
+        f"""p AS (SELECT count(*) AS n,
+       least(count(*), greatest({KMEANS_K},
+             CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT))) AS k
   FROM v)""",
-        """ranked AS (SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) - 1 AS rn FROM v)""",
-        """c0 AS (SELECT CAST(rn // p.stride AS INT) AS cent_id, e AS cv
-  FROM ranked, p WHERE rn % p.stride = 0 AND rn // p.stride < p.k)""",
+        """ranked AS (SELECT vec_id, e,
+       row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS rn
+  FROM v)""",
+        """c0 AS (SELECT CAST(rn AS INT) AS cent_id, e AS cv
+  FROM ranked, p WHERE rn < p.k)""",
     ]
     prev = "c0"
     for i in range(1, KMEANS_ITERS + 1):

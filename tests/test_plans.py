@@ -301,3 +301,16 @@ def test_pagerank_iteration_is_single_new_shuffle(spark):
     # the persisted contribution frame appears as InMemoryTableScan —
     # the edge-side shuffle happened once at persist time, not per iteration
     assert "InMemoryTableScan" in plan
+
+
+def test_kmeans_init_has_no_global_sort(spark):
+    """R3: the IVF quantizer init must compile to a per-partition top-k
+    (TakeOrderedAndProject), never a single-partition rank window — the
+    one global sort the r2 design had in the family."""
+    from recon_spark.operators.similarity import kmeans_init_frame
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    body = plan_of(kmeans_init_frame(emb, 32))
+    assert "TakeOrderedAndProject" in body
+    assert "Window" not in body
+    assert "Exchange SinglePartition" not in body
