@@ -78,6 +78,7 @@ EXTENDED = [
     "dedup_minhash_production",
     "simhash_production",
     "quality_score_trained",
+    "stream_sessions_continuous",
 ]
 
 

@@ -741,6 +741,64 @@ def q_stream_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_STREAM_EVENTS_SESSIONS = SQL_EVENTS_SESSIONS
 
 
+_SESS_GAP_MS = 1_800_000
+_SESS_WM_MS = 7_200_000  # "2 hours" watermark delay
+
+
+def q_stream_sessions_continuous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EventTimeTimeout continuous sessionizer drained over the
+    events table: emits each CLOSED session (per-session rows, not
+    per-user summaries) exactly once, a session being closed when the
+    final watermark (max event time - 2h) passes its end + gap. For a
+    single-batch drain that sealed set is closed-form, so this stateful
+    streaming operator gets a FULL DuckDB oracle: batch gap-split
+    sessionization filtered to end + gap <= max(ts) - delay."""
+    import uuid
+
+    from recon_spark.streaming import stream_user_sessions_continuous
+
+    src_dir, chk = _stage_stream(sf_dir, "events", "sesscont")
+    sdf = stream_user_sessions_continuous(
+        spark, src_dir, gap_ms=_SESS_GAP_MS, watermark="2 hours"
+    )
+    name = "stream_sessions_cont_" + uuid.uuid4().hex[:8]
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("user_id", "session_start_ms")
+
+
+SQL_STREAM_SESSIONS_CONTINUOUS = f"""
+WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id FROM events),
+o AS (
+  SELECT user_id, ms, event_id,
+         CASE WHEN ms - lag(ms) OVER w > {_SESS_GAP_MS} THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+),
+s AS (
+  SELECT user_id, ms,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+),
+g AS (
+  SELECT user_id, sid, min(ms) AS session_start_ms, max(ms) AS session_end_ms,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM s GROUP BY 1, 2
+),
+wm AS (SELECT max(epoch_ms(ts)) - {_SESS_WM_MS} AS w FROM events)
+SELECT user_id, session_start_ms, session_end_ms, n_events
+FROM g, wm WHERE session_end_ms + {_SESS_GAP_MS} <= w
+ORDER BY user_id, session_start_ms
+"""
+
+
 
 
 def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1398,6 +1456,7 @@ QUERIES = {
     "clean_corpus": q_clean_corpus,
     "stream_events_hourly": q_stream_events_hourly,
     "stream_events_sessions": q_stream_events_sessions,
+    "stream_sessions_continuous": q_stream_sessions_continuous,
     "stream_contamination": q_stream_contamination,
     "events_sessions": q_events_sessions,
     "events_asof": q_events_asof,
@@ -1438,6 +1497,7 @@ ORACLES = {
     "clean_corpus": SQL_CLEAN_CORPUS,
     "stream_events_hourly": SQL_STREAM_EVENTS_HOURLY,
     "stream_events_sessions": SQL_STREAM_EVENTS_SESSIONS,
+    "stream_sessions_continuous": SQL_STREAM_SESSIONS_CONTINUOUS,
     "stream_contamination": SQL_STREAM_CONTAMINATION,
     "events_sessions": SQL_EVENTS_SESSIONS,
     "events_asof": SQL_EVENTS_ASOF,

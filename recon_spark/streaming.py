@@ -106,18 +106,17 @@ def stream_user_sessions(
     This is the drain / batch-parity form: NoTimeout + a cumulative
     summary emitted per batch, which is exactly right for an
     availableNow drain (one batch, one final row per user) and verified
-    against the batch oracle. A CONTINUOUS deployment must switch to
-    EventTimeTimeout (state.setTimeoutTimestamp at last_ms + gap +
-    watermark delay, emit-and-remove on timeout) — with NoTimeout,
-    state never expires and a multi-batch run re-emits each user's
-    cumulative summary every batch.
+    against the batch oracle. With NoTimeout, state never expires and a
+    multi-batch run re-emits each user's cumulative summary every batch
+    — a CONTINUOUS deployment uses stream_user_sessions_continuous
+    (below): EventTimeTimeout, in-state event buffering for cross-batch
+    disorder, emit-closed-sessions-and-trim on timeout.
 
     Ordering caveat: events are sorted by (ms, event_id) WITHIN each
     micro-batch, so per-user event-time monotonicity ACROSS batches is
     assumed — an availableNow single-file drain (the driver query)
-    satisfies it trivially. A continuous deployment with cross-batch
-    disorder should buffer events in state and fold them when the
-    watermark passes their window."""
+    satisfies it trivially; the continuous variant drops the assumption
+    by buffering."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -223,4 +222,117 @@ def stream_contamination(
         hits.groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_distinct_hits"))
         .select(F.col("id").alias("doc_id"), "n_distinct_hits")
+    )
+
+
+def stream_user_sessions_continuous(
+    spark: SparkSession,
+    source_dir: str,
+    gap_ms: int = 1_800_000,
+    watermark: str = "2 hours",
+    schema_ddl: str = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ),
+):
+    """CONTINUOUS per-user sessionization — the EventTimeTimeout variant
+    stream_user_sessions' docstring specifies for unbounded deployments.
+    Emits one row per CLOSED session (user_id, session_start_ms,
+    session_end_ms, n_events); a session closes when the event-time
+    watermark passes its last event + gap, i.e. when no still-admissible
+    event can possibly extend it.
+
+    Cross-batch disorder: events are BUFFERED in state (not folded
+    eagerly), so an event that arrives a batch late but within the
+    watermark slots into the right session — each (data or timeout)
+    invocation re-sorts the buffer, splits it into gap-separated
+    sessions, emits every session whose end + gap <= watermark, and
+    keeps the still-open tail buffered. State per user is therefore
+    bounded by the events of sessions the watermark has not yet sealed
+    (≈ one gap window of traffic), not by history: emitted sessions
+    leave state, and state.remove() fires when the buffer drains.
+
+    Timeout discipline: after each invocation with a non-empty buffer,
+    setTimeoutTimestamp(max(last_ms + gap, wm + 1)) — the earliest
+    instant the open session could seal (clamped above the current
+    watermark, which Spark requires). Spark's no-data micro-batches
+    (noDataMicroBatches, on by default) advance the watermark and fire
+    these timeouts even when no new files arrive, so a drained
+    availableNow run still seals every session the final watermark
+    covers.
+
+    Exactly-once: downstream should MERGE on (user_id, session_start_ms)
+    — deterministic, so replayed micro-batches upsert identically (the
+    SnapshotStore contract stream_pages_to_triples uses).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = spark.readStream.schema(schema_ddl).parquet(source_dir)
+    events = (
+        src.withWatermark("ts", watermark)
+        .select("user_id", "ts", "event_id")
+    )
+
+    def _sessions_of(ms_sorted: list[int]) -> list[tuple[int, int, int]]:
+        out = []
+        start = last = ms_sorted[0]
+        n = 1
+        for ms in ms_sorted[1:]:
+            if ms - last > gap_ms:
+                out.append((start, last, n))
+                start, n = ms, 0
+            n += 1
+            last = ms
+        out.append((start, last, n))
+        return out
+
+    def _sessionize(key, pdfs, state: GroupState):
+        buf = list(state.get[0]) if state.exists else []
+        for pdf in pdfs:
+            if len(pdf):
+                # force ns resolution before the int cast: pandas 2.x may
+                # hand Arrow timestamps over as datetime64[us], and a raw
+                # astype(int64) would then be off by 1000x
+                buf.extend(
+                    int(v) // 1_000_000
+                    for v in pdf["ts"].astype("datetime64[ns]").astype("int64").tolist()
+                )
+        wm = state.getCurrentWatermarkMs()
+        rows = []
+        next_seal = None
+        if buf:
+            buf.sort()
+            keep: list[int] = []
+            consumed = 0
+            for start, last, n in _sessions_of(buf):
+                if last + gap_ms <= wm:
+                    rows.append((key[0], start, last, n))
+                    consumed += n
+                else:
+                    # earliest still-open session seals first: wake up
+                    # then, not at the whole buffer's horizon
+                    next_seal = last + gap_ms
+                    keep = buf[consumed:]
+                    break
+            buf = keep
+        if buf:
+            state.update((buf,))
+            state.setTimeoutTimestamp(max(next_seal, wm + 1))
+        elif state.exists:
+            state.remove()
+        yield pd.DataFrame(
+            rows,
+            columns=["user_id", "session_start_ms", "session_end_ms", "n_events"],
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _sessionize,
+        outputStructType=(
+            "user_id long, session_start_ms long, session_end_ms long, "
+            "n_events long"
+        ),
+        stateStructType="evs array<bigint>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
