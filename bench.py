@@ -79,6 +79,7 @@ EXTENDED = [
     "simhash_production",
     "quality_score_trained",
     "stream_sessions_continuous",
+    "hf_ingest_spans",
 ]
 
 

@@ -312,3 +312,97 @@ def to_prodigy_db(df: DataFrame, db_path: str, dataset_name: str) -> int:
     finally:
         con.close()
     return n
+
+
+# --- HF token-classification connector --------------------------------------
+
+
+def from_hf_dataset(
+    spark: SparkSession,
+    data,
+    tokens_col: str = "tokens",
+    tags_col: str = "ner_tags",
+    labels: list[str] | None = None,
+) -> DataFrame:
+    """Load a Hugging-Face-style token-classification table into the
+    examples shape (reference Dataset.from_hf_dataset,
+    recon/dataset.py:494-526): rows of (tokens array<string>,
+    tags array<string> IOB2 — or array<int> + a ClassLabel ``labels``
+    list, the HF datasets convention) become (text, tokens, spans)
+    with character offsets re-derived from the tokens and spans
+    reconstructed by the pure-JVM IOB fold
+    (operators/preprocess.py:iob_to_spans).
+
+    ``data`` may be a Spark DataFrame, a pyarrow Table, a pandas
+    DataFrame, or a parquet path (what ``datasets.Dataset.to_parquet``
+    emits — the zero-copy interchange route for a large HF dataset;
+    arrow/pandas inputs go through createDataFrame and are for
+    annotation-tool-sized data).
+
+    Everything after the read is JVM column expressions — the offset
+    accumulation is one aggregate fold per row, the tag->span
+    reconstruction another; no Python runs per row, so the same call
+    ingests a 10^9-row HF export if ``data`` is a parquet path on
+    shared storage.
+    """
+    if isinstance(data, DataFrame):
+        df = data
+    elif isinstance(data, str):
+        df = spark.read.parquet(data)
+    else:
+        import pandas as pd
+        import pyarrow as pa
+
+        if isinstance(data, pa.Table):
+            data = data.to_pandas()
+        if not isinstance(data, pd.DataFrame):
+            raise TypeError(
+                "from_hf_dataset: expected Spark DataFrame, pyarrow Table, "
+                f"pandas DataFrame, or parquet path; got {type(data).__name__}"
+            )
+        df = spark.createDataFrame(data)
+
+    toks = F.col(tokens_col)
+    if labels is not None:
+        # HF ClassLabel ints -> IOB tag strings via a literal array
+        # (label vocabularies are tiny); element_at is 1-based
+        lab_arr = F.array(*[F.lit(x) for x in labels])
+        tags = F.transform(
+            F.col(tags_col), lambda t: F.element_at(lab_arr, t.cast("int") + 1)
+        )
+    else:
+        tags = F.col(tags_col)
+
+    # char offsets re-derived from the tokens (single-space joined text,
+    # the reference's convention): one JVM fold, no Python
+    offsets = """
+    aggregate({toks}, named_struct('pos', 0,
+        'out', CAST(array() AS ARRAY<STRUCT<text: STRING, start: INT, end: INT, id: INT>>)),
+      (acc, t) -> named_struct(
+        'pos', acc.pos + length(t) + 1,
+        'out', array_append(acc.out, named_struct(
+          'text', t, 'start', acc.pos,
+          'end', acc.pos + length(t), 'id', size(acc.out)))),
+      acc -> acc.out)
+    """
+    from recon_spark.operators.preprocess import iob_to_spans
+
+    out = (
+        df.withColumn("__tags", tags)
+        .withColumn("text", F.array_join(toks, " "))
+        .withColumn("tokens", F.expr(offsets.format(toks=tokens_col)))
+        .withColumn("spans", iob_to_spans("__tags", "tokens"))
+    )
+    # materialize span surfaces from the offsets (the span-text
+    # validator, same fill as read_jsonl)
+    fill = """
+    transform(spans, s -> named_struct(
+        'text', coalesce(s.text, substring(text, s.start + 1, s.end - s.start)),
+        'start', s.start, 'end', s.end, 'label', s.label,
+        'token_start', s.token_start, 'token_end', s.token_end,
+        'kb_id', s.kb_id, 'source', s.source))
+    """
+    keep = [c for c in df.columns if c not in (tokens_col, tags_col)]
+    return out.withColumn("spans", F.expr(fill)).select(
+        *keep, "text", "tokens", "spans"
+    )

@@ -33,7 +33,7 @@ ORACLES = {**CORE_ORACLES, **PIPELINE_ORACLES, **EXTRA_ORACLES, **GRAPH_ORACLES}
 # changes; contents and oracles are identical.
 _NEVER_DRIVER_SAMPLED = [
     "dedup_minhash_production", "simhash_production", "quality_score_trained",
-    "stream_sessions_continuous",
+    "stream_sessions_continuous", "hf_ingest_spans",
     "events_asof", "events_range_join", "distinct_sketch", "tfidf_terms",
     "language_id_ngram", "multimodal_resize", "multimodal_audio",
     "lsh_neardup", "ivf_neardup", "neardup_recall", "mask_1d",

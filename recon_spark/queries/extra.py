@@ -938,7 +938,94 @@ GROUP BY lang ORDER BY lang
 """
 
 
+# --------------------------------------------------------------------------
+# hf_ingest_spans — from_hf_dataset end-to-end (IOB tags -> spans)
+# --------------------------------------------------------------------------
+
+_HF_OP = "('join','sort','merge','filter','scan','agg')"
+_HF_OBJ = "('table','row','column','line','key','value')"
+
+
+def _hf_cat(e: str) -> str:
+    return (
+        f"(CASE WHEN {e} IN {_HF_OP} THEN 'OP' "
+        f"WHEN {e} IN {_HF_OBJ} THEN 'OBJ' END)"
+    )
+
+
+def q_hf_ingest_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_hf_dataset end-to-end (reference recon/dataset.py:494-526):
+    a deterministic HF-style token-classification table is synthesized
+    FROM the documents table (tokens = whitespace split; IOB2 tags mark
+    maximal runs of two vocab categories), ingested through the full
+    reader — offset fold + IOB->span kernel + span-text fill — and the
+    reconstructed spans are profiled per (label, token length):
+    span count and total SURFACE characters, which pins the char
+    offsets, the token bounds, and the B/I run logic all at once. The
+    oracle re-derives the runs independently with window functions."""
+    from recon_spark.io import from_hf_dataset
+
+    docs = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("toks"))
+    tags = f"""
+    transform(toks, (t, i) -> CASE
+      WHEN {_hf_cat('t')} IS NULL THEN 'O'
+      WHEN i = 0 OR NOT ({_hf_cat('element_at(toks, i)')} <=> {_hf_cat('t')})
+        THEN concat('B-', {_hf_cat('t')})
+      ELSE concat('I-', {_hf_cat('t')}) END)
+    """
+    hf = docs.withColumn("tags", F.expr(tags))
+    ex = from_hf_dataset(spark, hf, tokens_col="toks", tags_col="tags")
+    sp = ex.select(F.explode("spans").alias("s"))
+    return (
+        sp.groupBy(
+            F.col("s.label").alias("label"),
+            (F.col("s.token_end") - F.col("s.token_start") + 1)
+            .cast("int")
+            .alias("n_toks"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.length("s.text")).alias("total_chars"),
+        )
+        .orderBy("label", "n_toks")
+    )
+
+
+SQL_HF_INGEST_SPANS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(ts) AS tok,
+         unnest(generate_series(1, len(ts))) AS pos
+  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+),
+c AS (
+  SELECT doc_id, pos, length(tok) AS ln,
+         CASE WHEN tok IN {_HF_OP} THEN 'OP'
+              WHEN tok IN {_HF_OBJ} THEN 'OBJ' END AS cat
+  FROM toks
+),
+o AS (
+  SELECT *, CASE WHEN cat IS NOT NULL
+                  AND (lag(cat) OVER w IS DISTINCT FROM cat) THEN 1 ELSE 0 END AS brk
+  FROM c WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS rid
+  FROM o
+),
+g AS (
+  SELECT doc_id, rid, cat, count(*) AS n_toks, sum(ln) AS chars_tok
+  FROM s WHERE cat IS NOT NULL GROUP BY 1, 2, 3
+)
+SELECT cat AS label, CAST(n_toks AS INT) AS n_toks,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(chars_tok + n_toks - 1) AS BIGINT) AS total_chars
+FROM g GROUP BY cat, n_toks ORDER BY label, n_toks
+"""
+
+
 QUERIES = {
+    "hf_ingest_spans": q_hf_ingest_spans,
     "filter_overlaps": q_filter_overlaps,
     "split_sentences": q_split_sentences,
     "strip_annotations": q_strip_annotations,
@@ -963,6 +1050,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "hf_ingest_spans": SQL_HF_INGEST_SPANS,
     "filter_overlaps": SQL_FILTER_OVERLAPS,
     "split_sentences": SQL_SPLIT_SENTENCES,
     "strip_annotations": SQL_STRIP_ANNOTATIONS,

@@ -92,3 +92,76 @@ def test_bpe_token_counts_on_punctuation(spark):
     )
     rows = {r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_tokens"]) for r in token_counts(df).collect()}
     assert rows == {0: (4, 8), 1: (2, 2), 2: (3, 9)}
+
+
+def test_from_hf_dataset_roundtrip_arrow_table(spark):
+    """HF-style (tokens, int ClassLabel tags) -> examples shape: text,
+    char offsets, and spans reconstructed by the IOB fold
+    (reference Dataset.from_hf_dataset, recon/dataset.py:494-526)."""
+    import pyarrow as pa
+
+    from recon_spark.io import from_hf_dataset
+
+    tbl = pa.table(
+        {
+            "id": [0, 1, 2],
+            "tokens": [
+                ["John", "Smith", "visited", "New", "York"],
+                ["nothing", "here"],
+                ["Acme", "Corp", "hired", "Jane"],  # B-ORG I-ORG O B-PER
+            ],
+            "ner_tags": [[1, 2, 0, 3, 4], [0, 0], [5, 6, 0, 1]],
+        }
+    )
+    labels = ["O", "B-PER", "I-PER", "B-LOC", "I-LOC", "B-ORG", "I-ORG"]
+    rows = {
+        r.id: r
+        for r in from_hf_dataset(spark, tbl, labels=labels).collect()
+    }
+    assert rows[0].text == "John Smith visited New York"
+    assert [
+        (s.text, s.start, s.end, s.label, s.token_start, s.token_end)
+        for s in rows[0].spans
+    ] == [
+        ("John Smith", 0, 10, "PER", 0, 1),
+        ("New York", 19, 27, "LOC", 3, 4),
+    ]
+    assert rows[1].spans == []
+    assert [(s.text, s.label) for s in rows[2].spans] == [
+        ("Acme Corp", "ORG"),
+        ("Jane", "PER"),
+    ]
+    # token offsets: end - start == token length, ids sequential
+    for r in rows.values():
+        for i, t in enumerate(r.tokens):
+            assert t.end - t.start == len(t.text) and t.id == i
+
+
+def test_from_hf_dataset_string_tags_and_parquet_path(spark, tmp_path):
+    from recon_spark.io import from_hf_dataset
+
+    src = spark.createDataFrame(
+        [(0, ["a", "bb", "ccc"], ["B-X", "I-X", "O"])],
+        "id long, tokens array<string>, ner_tags array<string>",
+    )
+    p = str(tmp_path / "hf.parquet")
+    src.write.parquet(p)
+    rows = from_hf_dataset(spark, p).collect()
+    assert rows[0].text == "a bb ccc"
+    assert [(s.text, s.start, s.end) for s in rows[0].spans] == [("a bb", 0, 4)]
+
+
+def test_from_hf_dataset_is_jvm_only(spark):
+    from recon_spark.io import from_hf_dataset
+
+    docs = spark.createDataFrame(
+        [(0, ["x", "y"], [0, 0])],
+        "id long, tokens array<string>, ner_tags array<int>",
+    )
+    body = (
+        from_hf_dataset(spark, docs, labels=["O"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in body and "ArrowEvalPython" not in body
