@@ -80,10 +80,20 @@ EXTENDED = [
     "quality_score_trained",
     "stream_sessions_continuous",
     "hf_ingest_spans",
+    "url_normalize",
+    "url_latest_capture",
+    "domain_stats",
+    "dsir_resample",
+    "stream_contamination_continuous",
 ]
 
 
 def run_bench(sf_dir: str, cpus: int, queries: list[str]) -> dict:
+    # window load BEFORE we load the box ourselves: getloadavg() after a
+    # local[32] run mostly measures the bench itself (r2 recorded 15.9
+    # that way), not the external contention the tag is meant to expose
+    loadavg_start = os.getloadavg()[0]
+
     from recon_spark.queries import QUERIES
     from recon_spark.session import get_spark
 
@@ -162,7 +172,10 @@ def run_bench(sf_dir: str, cpus: int, queries: list[str]) -> dict:
         # other runs carrying the same mode tag
         "throughput_mode": "replicated-x20-hot",
         # window context: the sandbox host is time-shared; absolute
-        # numbers are only comparable between runs at similar load
+        # numbers are only comparable between runs at similar load.
+        # loadavg_1m_start is the comparable tag (pre-run external
+        # load); loadavg_1m is post-run and includes the bench itself
+        "loadavg_1m_start": loadavg_start,
         "loadavg_1m": os.getloadavg()[0],
         "n_docs": n_docs,
         "cpus": cpus,

@@ -48,22 +48,29 @@ def doc_ngrams(
     n: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, ngram) for every whitespace-token n-gram of every document.
-    Documents shorter than n tokens contribute nothing. Map-only JVM
-    plan — explode(transform(sequence)) inside codegen, no shuffle."""
+    """(id, ngram[, *carry_cols]) for every whitespace-token n-gram of
+    every document. Documents shorter than n tokens contribute nothing.
+    Map-only JVM plan — explode(transform(sequence)) inside codegen, no
+    shuffle. ``carry_cols`` are passed through unchanged (e.g. an
+    event-time column a streaming caller needs to keep its watermark)."""
     n = int(n)
     if n < 1:
         raise ValueError("doc_ngrams: n must be >= 1")
     toked = docs.select(
-        F.col(id_col).alias("id"), F.split(text_col, " ").alias("toks")
+        F.col(id_col).alias("id"),
+        F.split(text_col, " ").alias("toks"),
+        *[F.col(c) for c in carry_cols],
     )
     grams = (
         f"CASE WHEN size(toks) < {n} THEN array() "
         f"ELSE transform(sequence(1, size(toks) - {n} + 1), "
         f"i -> array_join(slice(toks, i, {n}), ' ')) END"
     )
-    return toked.select("id", F.explode(F.expr(grams)).alias("ngram"))
+    return toked.select(
+        "id", F.explode(F.expr(grams)).alias("ngram"), *carry_cols
+    )
 
 
 def ngram_contamination(
@@ -278,3 +285,151 @@ def trained_quality_score(
         score.alias("score"),
         (score >= threshold).alias("keep"),
     ).orderBy("doc_id")
+
+
+def dsir_grams(
+    docs: DataFrame,
+    n_buckets: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """(doc_id, source, bucket) for every unigram+bigram occurrence of
+    every document, hashed into `n_buckets` buckets (the DSIR feature
+    space — Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling", which scores docs by hashed-n-gram
+    importance weights). Map-only JVM plan: split + transform +
+    explode + md5 inside codegen; no Python, no shuffle. The md5
+    bucket (first 15 hex chars mod B) is the same cross-engine-exact
+    idiom the production dedup hash uses (dedupe.py tcode)."""
+    b = int(n_buckets)
+    if b < 2:
+        raise ValueError("dsir_grams: n_buckets must be >= 2")
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        F.expr(f"filter(split({text_col}, ' '), t -> t <> '')").alias("toks"),
+    )
+    grams = toked.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "concat(toks, CASE WHEN size(toks) >= 2 THEN "
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) "
+                "ELSE array() END)"
+            )
+        ).alias("g"),
+    )
+    return grams.select(
+        "doc_id",
+        "source",
+        (
+            F.expr("CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT)") % b
+        ).alias("bucket"),
+    )
+
+
+def dsir_bucket_weights(
+    grams: DataFrame, target_sources: list[str], n_buckets: int
+) -> DataFrame:
+    """Per-bucket DSIR importance weight: w(b) = ln(p_target(b) /
+    q_raw(b)) with add-0.5 Laplace smoothing, quantized to integer
+    micro-nats (round(w * 1e6)) so downstream per-document sums are
+    order-independent integer folds — bit-equal across engines and
+    partitionings, the same exactness trick trained_quality_score uses.
+
+    Returns (bucket, w_micro), one row per bucket observed in the
+    corpus (<= n_buckets rows — a broadcast dimension by construction).
+
+    Scale shape: two aggregations over short (bucket) keys with full
+    map-side combine — the shuffle carries at most n_buckets rows per
+    map partition regardless of corpus size; totals are a 1-row frame
+    cross-joined (broadcast) back in. At 10^12 docs the target side is
+    typically a curated sample, so its pass is cheap; the raw pass is
+    one map-only scan + a B-row agg.
+
+    Float caveat (documented, not hidden): ln() is evaluated on the
+    same double ratio in both engines; the micro quantization makes a
+    cross-libm 1-ulp difference visible only if the true value sits
+    within ~1e-16 of a 0.5e-6 rounding boundary — measure-zero in
+    practice and pinned by the oracle-parity tests."""
+    b = int(n_buckets)
+    raw = grams.groupBy("bucket").agg(F.count(F.lit(1)).alias("q_cnt"))
+    tgt = (
+        grams.where(F.col("source").isin(*target_sources))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("p_cnt"))
+    )
+    totals = grams.agg(
+        F.count(F.lit(1)).alias("q_tot"),
+        F.sum(
+            F.when(F.col("source").isin(*target_sources), 1).otherwise(0)
+        ).alias("p_tot"),
+    )
+    joined = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce("p_cnt", F.lit(0)) + 0.5)
+                        / (F.col("p_tot") + 0.5 * b)
+                    )
+                    / ((F.col("q_cnt") + 0.5) / (F.col("q_tot") + 0.5 * b))
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("w_micro"),
+        )
+    )
+    return joined
+
+
+def dsir_resample(
+    docs: DataFrame,
+    target_sources: list[str],
+    k: int = 100,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """DSIR importance resampling: score every document by the sum of
+    its hashed-n-gram bucket importance weights (micro-nat integers),
+    keep the top k. Returns (doc_id, source, n_grams, dsir_score)
+    ordered by (dsir_score DESC, doc_id).
+
+    Plan: the corpus is scanned twice (weights pass, scoring pass) —
+    both map-only explodes feeding combinable aggs; the exploded gram
+    frame is deliberately NOT materialized (it is ~2x token count —
+    recomputing a codegen'd split/explode is far cheaper at 10^12 docs
+    than shuffling or caching it). The <= n_buckets weight rows
+    broadcast back onto the scoring pass, so corpus text never
+    shuffles; the only wide exchange is the (doc_id, micro) pair agg,
+    map-side combined. Top-k compiles to TakeOrderedAndProject
+    (per-partition heaps + driver merge of k rows), never a global
+    sort. Deterministic end-to-end: same corpus -> same kept set on
+    any cluster size, the resume-stability property source_mix_sample
+    establishes for rate sampling."""
+    grams = dsir_grams(docs, n_buckets, id_col, text_col, source_col)
+    weights = dsir_bucket_weights(grams, target_sources, n_buckets)
+    scored = (
+        grams.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("w_micro").alias("sum_micro"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_grams",
+            F.round(F.col("sum_micro") / 1_000_000.0, 6).alias("dsir_score"),
+        )
+    )
+    return scored.orderBy(F.desc("dsir_score"), F.asc("doc_id")).limit(int(k))

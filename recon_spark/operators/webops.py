@@ -1,0 +1,209 @@
+"""URL / domain curation operators for Common-Crawl-style web corpora.
+
+Reference context: recon's content-addressed ExampleStore dedupes
+examples by hashed identity (recon/store.py:45-47) and its corrections
+registry canonicalizes label variants to one surface (recon/corrections.py).
+A web-scale pretraining pipeline needs the same two moves at the URL
+level before any text-level dedup runs: canonicalize the URL (so
+`HTTPS://WWW.X.COM:443/a/?utm_source=f&b=2&a=1#frag` and
+`https://x.com/a?a=1&b=2` are one identity) and keep exactly one capture
+per canonical URL (Common Crawl re-crawls pages across WARC snapshots;
+the newest capture wins). Both are the standard first stage of C4 /
+RefinedWeb / CCNet-style corpus builds.
+
+Scale design (1000 executors, 10^12 pages):
+- `normalize_url` is a map-only pure-JVM transform — regexp extracts +
+  higher-order array ops inside whole-stage codegen. No Python, no
+  shuffle, no UDF: at 10^12 rows the normalizer runs at scan speed and
+  Catalyst pushes column pruning into the parquet/Iceberg read.
+- `registered_domain` is the same shape (split + slice + array_join);
+  the public-suffix decision is a bounded IN-list, not a join.
+- `latest_capture` aggregates `max(struct(ts, id))` per canonical URL —
+  a combinable agg (partial max on the map side), so the shuffle
+  carries one row per (partition, url) not per capture. No window
+  sort: `row_number() over (partition by url order by ts desc)` would
+  shuffle every capture and sort per group; max(struct) is the
+  associative form of the same decision.
+- `domain_stats` groups by registered domain. Domains are Zipf-skewed
+  (a head domain can hold 1-10% of a crawl); every aggregate used here
+  (count, approx distinct, avg) is partially aggregable so the hot
+  domain collapses map-side exactly like entity_coverage's salted path.
+  Distinct-URL counts use HLL (`approx_count_distinct`) by default —
+  an exact count-distinct per domain would re-shuffle every URL string
+  to the domain's reducer; the sketch keeps the shuffle at one row per
+  (partition, domain). Exact mode exists for oracle parity at test SF.
+
+Cross-engine determinism: every step is reproducible in ANSI SQL /
+DuckDB (regexp_extract, list_filter + lambda, list_sort, array_to_string)
+so the DuckDB oracle replicates byte-identical normalized URLs — the
+same property the md5-keyed sampling and dedup hashing rely on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tracking params dropped by normalization: the common ad/analytics
+# click-id family. Anchored prefix match on "name=" so a legitimate
+# `reference=` param survives while `ref=` is dropped.
+TRACKING_PARAM_RE = r"^(utm_[a-z]+|gclid|fbclid|msclkid|ref)="
+
+# Simplified public-suffix decision: a 2-letter ccTLD preceded by one of
+# these second-level labels forms a compound suffix (example.co.uk).
+# The real PSL is a ~9k-entry broadcast table; the bounded IN-list keeps
+# the demo dependency-free while exercising the same 2-vs-3-label logic.
+CC_SLD = ("ac", "co", "com", "edu", "gov", "net", "org")
+
+
+def _registered_domain(host: Column) -> Column:
+    """Registered domain (site owner granularity) from a lowercase host:
+    last 2 labels, or last 3 when the host ends in a compound suffix
+    like .co.uk. Pure JVM: split + slice from the end + array_join."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    # element_at(-1/-2) is safe under ANSI only when in bounds; hosts with
+    # a single label (intranet names) take the n<=2 branch untouched.
+    is_cc = (
+        (n >= 3)
+        & (F.length(F.element_at(labels, -1)) == 2)
+        & F.element_at(labels, -2).isin(*CC_SLD)
+    )
+    k = F.when(is_cc, F.lit(3)).otherwise(F.lit(2))
+    return F.when(n <= 2, host).otherwise(
+        F.array_join(F.slice(labels, n - k + 1, k), ".")
+    )
+
+
+def normalize_url(
+    df: DataFrame, url_col: str = "url", out_col: str = "url_norm"
+) -> DataFrame:
+    """Canonicalize a URL column; adds `out_col`, `host`, `reg_domain`.
+
+    Rules (the C4/Common-Crawl-style canonical identity):
+    - strip the #fragment
+    - lowercase scheme and host; strip leading `www.` labels (all of
+      them — strip-one would make the normalizer non-idempotent on the
+      pathological `www.www.` hosts a crawl does contain)
+    - drop the port when it is the scheme default (http:80 / https:443);
+      keep non-default ports
+    - drop tracking query params (TRACKING_PARAM_RE), sort the rest
+      byte-wise, rejoin with '&' (param order never changes identity)
+    - strip one trailing slash from the path; empty path becomes '/'
+
+    http vs https stay distinct identities (a crawl may legitimately
+    hold different content per scheme). Map-only, zero Python — see
+    module docstring for the 10^12-row rationale.
+    """
+    # temp columns, dropped below — Catalyst collapses the projections
+    # so the executed plan is one codegen'd map stage
+    df = df.withColumn(
+        "_rest",
+        F.regexp_replace(
+            F.regexp_replace(F.col(url_col), "#.*$", ""),
+            "^[A-Za-z][A-Za-z0-9+.-]*://",
+            "",
+        ),
+    )
+    scheme = F.lower(
+        F.regexp_extract(F.col(url_col), "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    df = df.withColumn("_hostport", F.regexp_extract("_rest", "^([^/?]*)", 1))
+    hostport = F.col("_hostport")
+    tail = F.expr("substring(_rest, length(_hostport) + 1)")
+    port = F.regexp_extract(hostport, ":([0-9]+)$", 1)
+    host = F.lower(F.regexp_extract(hostport, "^([^:]*)", 1))
+    host_n = F.regexp_replace(host, r"^(www\.)+", "")
+    default_port = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    port_part = F.when(
+        (port == "") | default_port, F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+
+    path = F.regexp_extract(tail, "^([^?]*)", 1)
+    query = F.regexp_extract(tail, r"^[^?]*\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda x: (x != "") & ~x.rlike(TRACKING_PARAM_RE),
+    )
+    q_norm = F.array_join(F.array_sort(params), "&")
+    path_n = F.when(path.isin("", "/"), F.lit("/")).otherwise(
+        F.regexp_replace(path, "/$", "")
+    )
+    url_norm = F.concat(
+        scheme,
+        F.lit("://"),
+        host_n,
+        port_part,
+        path_n,
+        F.when(q_norm == "", F.lit("")).otherwise(F.concat(F.lit("?"), q_norm)),
+    )
+    return df.withColumns(
+        {
+            out_col: url_norm,
+            "host": host_n,
+            "reg_domain": _registered_domain(host_n),
+        }
+    ).drop("_rest", "_hostport")
+
+
+def latest_capture(
+    df: DataFrame,
+    url_col: str = "url_norm",
+    ts_col: str = "warc_ts",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per canonical URL: the newest capture wins, ties broken
+    by the larger id. Returns (url_col, n_captures, keep_ts, keep_id).
+
+    max(struct(ts, id)) is the associative/combinable form — partial max
+    on the map side means the shuffle carries one candidate per
+    (input partition, url), not every capture; a row_number window over
+    10^12 captures would shuffle and sort them all. Physical form:
+    struct aggregation buffers aren't hash-aggregable, so this compiles
+    to a partial/final SortAggregate pair — each map task sorts its own
+    slice by url (the same work the sort-based shuffle writer does)
+    and the exchange still moves only the combined candidates."""
+    best = F.max(F.struct(F.col(ts_col), F.col(id_col))).alias("best")
+    return (
+        df.groupBy(url_col)
+        .agg(F.count(F.lit(1)).alias("n_captures"), best)
+        .select(
+            url_col,
+            "n_captures",
+            F.col(f"best.{ts_col}").alias("keep_ts"),
+            F.col(f"best.{id_col}").alias("keep_id"),
+        )
+    )
+
+
+def domain_stats(
+    df: DataFrame,
+    domain_col: str = "reg_domain",
+    url_col: str = "url_norm",
+    lang_col: str = "lang",
+    chars_col: str = "n_chars",
+    exact_distinct: bool = False,
+) -> DataFrame:
+    """Per-registered-domain corpus profile: (reg_domain, n_docs,
+    n_urls, n_langs, avg_chars). The crawl-health dashboard aggregate —
+    a sudden n_urls/n_docs drop on a head domain is the canonical
+    symptom of a canonicalization bug.
+
+    Default mode sketches distinct counts with HLL (shuffle stays one
+    row per partition×domain regardless of domain size — the only shape
+    that survives a head domain holding 10% of the crawl). Exact mode
+    (count_distinct) exists for oracle parity at test SF and is honest
+    about its cost: it re-shuffles every distinct member string."""
+    nd = F.count_distinct if exact_distinct else F.approx_count_distinct
+    return (
+        df.groupBy(F.col(domain_col).alias("reg_domain"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            nd(F.col(url_col)).alias("n_urls"),
+            nd(F.col(lang_col)).alias("n_langs"),
+            F.round(F.avg(chars_col), 6).alias("avg_chars"),
+        )
+        .orderBy("reg_domain")
+    )

@@ -32,6 +32,8 @@ ORACLES = {**CORE_ORACLES, **PIPELINE_ORACLES, **EXTRA_ORACLES, **GRAPH_ORACLES}
 # rounds 1-2), so front them — iteration order is the only thing this
 # changes; contents and oracles are identical.
 _NEVER_DRIVER_SAMPLED = [
+    "url_normalize", "url_latest_capture", "domain_stats", "dsir_resample",
+    "stream_contamination_continuous",
     "dedup_minhash_production", "simhash_production", "quality_score_trained",
     "stream_sessions_continuous", "hf_ingest_spans",
     "events_asof", "events_range_join", "distinct_sketch", "tfidf_terms",

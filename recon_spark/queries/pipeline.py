@@ -492,6 +492,87 @@ def q_stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).orderBy("doc_id")
 
 
+# Continuous-gate staging: documents (+ deterministic ingest_ts) as
+# micro-batch file 0, a watermark-advancing sentinel (too short to emit
+# any n-gram, ingest 90 days later) as file 1 with a later mtime —
+# the stream_user_sessions_continuous test protocol. Cached per sf_dir;
+# checkpoints fresh per start; all removed at exit.
+_CONTIN_STAGING: dict[str, tuple[str, str]] = {}
+
+_INGEST_EPOCH = 1_767_225_600  # 2026-01-01T00:00:00Z, hour-aligned
+
+
+def _stage_contam_continuous(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    key = os.path.abspath(sf_dir)
+    if key not in _CONTIN_STAGING:
+        src_dir = tempfile.mkdtemp(prefix="recon_stream_contc_src_")
+        chk_root = tempfile.mkdtemp(prefix="recon_stream_contc_chk_")
+        atexit.register(shutil.rmtree, src_dir, ignore_errors=True)
+        atexit.register(shutil.rmtree, chk_root, ignore_errors=True)
+        docs = spark.read.parquet(f"{key}/documents.parquet").withColumn(
+            "ingest_ts",
+            F.timestamp_seconds(F.lit(_INGEST_EPOCH) + F.col("doc_id")),
+        )
+        sentinel = spark.createDataFrame(
+            [(10**9, "zz", "en", "sentinel", 2)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).withColumn(
+            "ingest_ts",
+            F.timestamp_seconds(F.lit(_INGEST_EPOCH + 90 * 86400)),
+        )
+        for i, df in enumerate((docs, sentinel)):
+            stage = tempfile.mkdtemp(prefix="recon_stream_contc_stage_")
+            df.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+            dst = f"{src_dir}/batch-{i}.parquet"
+            os.rename(f"{stage}/{part}", dst)
+            os.utime(dst, (time.time() + i, time.time() + i))
+            shutil.rmtree(stage, ignore_errors=True)
+        _CONTIN_STAGING[key] = (src_dir, chk_root)
+    src_dir, chk_root = _CONTIN_STAGING[key]
+    return src_dir, tempfile.mkdtemp(dir=chk_root)
+
+
+def q_stream_contamination_continuous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNBOUNDED-deployment decontamination gate: watermarked ingest
+    time, dropDuplicatesWithinWatermark dedup state, append-mode
+    (window, doc) hit counts — state bounded by the watermark horizon,
+    not stream lifetime (streaming.stream_contamination_continuous).
+    A two-file drain (documents, then a watermark-advancing sentinel)
+    must reproduce the batch oracle exactly, with every window sealed."""
+    import uuid
+
+    from recon_spark.streaming import stream_contamination_continuous
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % _BENCH_MOD == 0).select(
+        "doc_id",
+        F.array_join(
+            F.slice(F.split("text", " "), _BENCH_OFF, _BENCH_W), " "
+        ).alias("text"),
+    )
+    src_dir, chk = _stage_contam_continuous(spark, sf_dir)
+    sdf = stream_contamination_continuous(spark, src_dir, bench, n=_CONTAM_N)
+    name = "stream_contam_cont_" + uuid.uuid4().hex[:8]
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("maxFilesPerTrigger", 1)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("doc_id")
+
+
 SQL_STREAM_CONTAMINATION = f"""
 WITH bt AS (
   SELECT doc_id,
@@ -511,6 +592,18 @@ SELECT c.doc_id, CAST(count(DISTINCT c.g) AS BIGINT) AS n_distinct_hits
 FROM cg c JOIN bg ON c.g = bg.g
 GROUP BY 1 ORDER BY 1
 """
+
+
+# the continuous gate adds the sealed ingest-hour window; ingest_ts is
+# the deterministic epoch + doc_id seconds the staging synthesizes
+SQL_STREAM_CONTAMINATION_CONTINUOUS = (
+    SQL_STREAM_CONTAMINATION.rsplit("SELECT", 1)[0]
+    + f"""SELECT ({_INGEST_EPOCH} + c.doc_id) // 3600 * 3600 AS window_start_s,
+       c.doc_id, CAST(count(DISTINCT c.g) AS BIGINT) AS n_distinct_hits
+FROM cg c JOIN bg ON c.g = bg.g
+GROUP BY 1, 2 ORDER BY 2
+"""
+)
 
 
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1426,6 +1519,246 @@ SELECT doc_id, n_terms, score, score >= 0.5 AS keep FROM s ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# URL / domain curation (operators/webops.py) — Common-Crawl-style URL
+# canonicalization, latest-capture dedup, per-domain crawl profile.
+# The documents table has no url column, so both engines synthesize the
+# SAME urls deterministically from doc_id (4 shape variants exercising
+# case, www, default ports, tracking params, param order, fragments,
+# trailing slashes, and a compound .co.uk suffix; variants 0 and 1
+# canonicalize identically so latest-capture has real dup groups) and a
+# strictly increasing warc_ts_s epoch (injective: 1767225600 + 37*doc_id).
+# --------------------------------------------------------------------------
+
+_URL_EXPR = """
+CASE doc_id % 4
+  WHEN 0 THEN concat('HTTPS://WWW.Site', CAST((doc_id DIV 4) % 13 AS STRING),
+    '.Example.COM:443/a/', CAST(doc_id DIV 4 AS STRING),
+    '/?utm_source=feed&b=2&a=1#frag')
+  WHEN 1 THEN concat('https://Site', CAST((doc_id DIV 4) % 13 AS STRING),
+    '.example.com:443/a/', CAST(doc_id DIV 4 AS STRING), '?a=1&b=2&gclid=x')
+  WHEN 2 THEN concat('http://www.site', CAST((doc_id DIV 4) % 13 AS STRING),
+    '.example.com:80/a/', CAST(doc_id DIV 4 AS STRING), '/')
+  ELSE concat('https://blog.site', CAST((doc_id DIV 4) % 13 AS STRING),
+    '.example.co.uk/p/', CAST(doc_id % 50 AS STRING), '?utm_campaign=z&ref=rss')
+END
+"""
+
+# DuckDB twin of _URL_EXPR (// for DIV, || for concat, VARCHAR casts)
+_SQL_URL_EXPR = """
+CASE doc_id % 4
+  WHEN 0 THEN 'HTTPS://WWW.Site' || CAST((doc_id // 4) % 13 AS VARCHAR)
+    || '.Example.COM:443/a/' || CAST(doc_id // 4 AS VARCHAR)
+    || '/?utm_source=feed&b=2&a=1#frag'
+  WHEN 1 THEN 'https://Site' || CAST((doc_id // 4) % 13 AS VARCHAR)
+    || '.example.com:443/a/' || CAST(doc_id // 4 AS VARCHAR) || '?a=1&b=2&gclid=x'
+  WHEN 2 THEN 'http://www.site' || CAST((doc_id // 4) % 13 AS VARCHAR)
+    || '.example.com:80/a/' || CAST(doc_id // 4 AS VARCHAR) || '/'
+  ELSE 'https://blog.site' || CAST((doc_id // 4) % 13 AS VARCHAR)
+    || '.example.co.uk/p/' || CAST(doc_id % 50 AS VARCHAR) || '?utm_campaign=z&ref=rss'
+END
+"""
+
+# DuckDB replica of webops.normalize_url + _registered_domain, as a CTE
+# chain ending in `norm(doc_id, lang, n_chars, warc_ts_s, host, url_norm,
+# reg_domain)` — shared by the three URL oracles.
+_SQL_URL_NORM_CTES = f"""
+WITH u AS (
+  SELECT doc_id, lang, n_chars,
+         {_SQL_URL_EXPR} AS url,
+         1767225600 + 37 * doc_id AS warc_ts_s
+  FROM documents
+),
+parts AS (
+  SELECT *,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    regexp_replace(regexp_replace(url, '#.*$', ''),
+                   '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+  FROM u
+),
+hp AS (
+  SELECT *,
+    regexp_extract(rest, '^([^/?]*)', 1) AS hostport,
+    substring(rest, length(regexp_extract(rest, '^([^/?]*)', 1)) + 1) AS tail
+  FROM parts
+),
+comp AS (
+  SELECT *,
+    lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host0,
+    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+    regexp_extract(tail, '^([^?]*)', 1) AS path0,
+    regexp_extract(tail, '^[^?]*\\?(.*)$', 1) AS q0
+  FROM hp
+),
+comp2 AS (
+  SELECT *,
+    regexp_replace(host0, '^(www\\.)+', '') AS host,
+    -- coalesce: DuckDB array_to_string([]) is NULL, Spark array_join is ''
+    coalesce(array_to_string(list_sort(list_filter(string_split(q0, '&'),
+      x -> x <> '' AND NOT regexp_matches(x,
+        '^(utm_[a-z]+|gclid|fbclid|msclkid|ref)='))), '&'), '') AS qn
+  FROM comp
+),
+normed AS (
+  SELECT doc_id, lang, n_chars, warc_ts_s, host,
+    scheme || '://' || host
+      || CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                OR (scheme = 'https' AND port = '443')
+         THEN '' ELSE ':' || port END
+      || CASE WHEN path0 IN ('', '/') THEN '/'
+         ELSE regexp_replace(path0, '/$', '') END
+      || CASE WHEN qn = '' THEN '' ELSE '?' || qn END AS url_norm,
+    (SELECT CASE
+        WHEN len(labels) <= 2 THEN host
+        WHEN length(labels[len(labels)]) = 2 AND labels[len(labels) - 1] IN
+             ('ac', 'co', 'com', 'edu', 'gov', 'net', 'org')
+          THEN array_to_string(labels[len(labels) - 2 : len(labels)], '.')
+        ELSE array_to_string(labels[len(labels) - 1 : len(labels)], '.')
+      END FROM (SELECT string_split(host, '.') AS labels)) AS reg_domain
+  FROM comp2
+)
+"""
+
+
+def _docs_with_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from recon_spark.operators.webops import normalize_url
+
+    docs = _docs(spark, sf_dir).withColumns(
+        {
+            "url": F.expr(_URL_EXPR),
+            "warc_ts_s": (F.lit(1767225600) + 37 * F.col("doc_id")).cast("long"),
+        }
+    )
+    return normalize_url(docs)
+
+
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization audit: every synthesized URL with its
+    canonical form, normalized host, and registered domain. Map-only
+    pure-JVM plan (webops.normalize_url docstring has the 10^12-row
+    rationale); the oracle replays the full rule set in DuckDB, so any
+    divergence in scheme/host/port/param/path handling hash-fails."""
+    return _docs_with_urls(spark, sf_dir).select(
+        "doc_id", "url_norm", "host", "reg_domain"
+    ).orderBy("doc_id")
+
+
+SQL_URL_NORMALIZE = (
+    _SQL_URL_NORM_CTES
+    + "SELECT doc_id, url_norm, host, reg_domain FROM normed ORDER BY doc_id"
+)
+
+
+def q_url_latest_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-capture dedup over canonical URLs (Common Crawl re-crawl
+    collapse): newest warc_ts wins per url_norm. max(struct) combinable
+    agg — no per-group window sort; see webops.latest_capture."""
+    from recon_spark.operators.webops import latest_capture
+
+    return latest_capture(
+        _docs_with_urls(spark, sf_dir), ts_col="warc_ts_s"
+    ).orderBy("url_norm")
+
+
+SQL_URL_LATEST_CAPTURE = (
+    _SQL_URL_NORM_CTES
+    + """
+SELECT url_norm, count(*) AS n_captures, max(warc_ts_s) AS keep_ts,
+       arg_max(doc_id, warc_ts_s) AS keep_id
+FROM normed GROUP BY url_norm ORDER BY url_norm
+"""
+)
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain crawl profile (docs, distinct canonical
+    urls, langs, mean length). Exact-distinct mode for oracle parity;
+    the default HLL mode is the 10^12-row shape (webops.domain_stats)."""
+    from recon_spark.operators.webops import domain_stats
+
+    return domain_stats(_docs_with_urls(spark, sf_dir), exact_distinct=True)
+
+
+SQL_DOMAIN_STATS = (
+    _SQL_URL_NORM_CTES
+    + """
+SELECT reg_domain, count(*) AS n_docs, count(DISTINCT url_norm) AS n_urls,
+       count(DISTINCT lang) AS n_langs, round(avg(n_chars), 6) AS avg_chars
+FROM normed GROUP BY reg_domain ORDER BY reg_domain
+"""
+)
+
+
+# --------------------------------------------------------------------------
+# DSIR importance resampling (operators/curation.py:dsir_resample)
+# --------------------------------------------------------------------------
+
+_DSIR_TARGETS = ["src0", "src1"]
+_DSIR_BUCKETS = 64
+_DSIR_K = 100
+
+
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection: hashed unigram+bigram bucket importance
+    weights w(b)=ln(p_target/q_raw) (micro-nat integers), per-doc sums,
+    top-k kept. Target distribution = sources src0+src1. Corpus text
+    never shuffles; see curation.dsir_resample for the plan shape."""
+    from recon_spark.operators.curation import dsir_resample
+
+    return dsir_resample(
+        _docs(spark, sf_dir),
+        target_sources=_DSIR_TARGETS,
+        k=_DSIR_K,
+        n_buckets=_DSIR_BUCKETS,
+    )
+
+
+SQL_DSIR_RESAMPLE = f"""
+WITH toks_t AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source, unnest(toks) AS g FROM toks_t
+  UNION ALL
+  SELECT doc_id, source,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS g
+  FROM toks_t WHERE len(toks) >= 2
+),
+bucketed AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) % {_DSIR_BUCKETS}
+           AS bucket
+  FROM grams
+),
+tot AS (
+  SELECT count(*) AS q_tot,
+         sum(CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END) AS p_tot
+  FROM bucketed
+),
+wb AS (
+  SELECT bucket,
+    CAST(round(ln(
+      ((sum(CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END) + 0.5)
+         / (tot.p_tot + 0.5 * {_DSIR_BUCKETS}))
+      / ((count(*) + 0.5) / (tot.q_tot + 0.5 * {_DSIR_BUCKETS}))
+    ) * 1000000) AS BIGINT) AS w_micro
+  FROM bucketed, tot
+  GROUP BY bucket, tot.p_tot, tot.q_tot
+),
+scored AS (
+  SELECT b.doc_id, b.source, count(*) AS n_grams,
+         round(sum(w.w_micro) / 1000000.0, 6) AS dsir_score
+  FROM bucketed b JOIN wb w USING (bucket)
+  GROUP BY b.doc_id, b.source
+)
+SELECT doc_id, source, CAST(n_grams AS BIGINT) AS n_grams, dsir_score
+FROM scored ORDER BY dsir_score DESC, doc_id LIMIT {_DSIR_K}
+"""
+
+
 QUERIES = {
     "length_quantiles": q_length_quantiles,
     "ngram_contamination": q_ngram_contamination,
@@ -1458,6 +1791,7 @@ QUERIES = {
     "stream_events_sessions": q_stream_events_sessions,
     "stream_sessions_continuous": q_stream_sessions_continuous,
     "stream_contamination": q_stream_contamination,
+    "stream_contamination_continuous": q_stream_contamination_continuous,
     "events_sessions": q_events_sessions,
     "events_asof": q_events_asof,
     "events_range_join": q_events_range_join,
@@ -1465,6 +1799,10 @@ QUERIES = {
     "tfidf_terms": q_tfidf_terms,
     "revenue_topk": q_revenue_topk,
     "pricing_summary": q_pricing_summary,
+    "url_normalize": q_url_normalize,
+    "url_latest_capture": q_url_latest_capture,
+    "domain_stats": q_domain_stats,
+    "dsir_resample": q_dsir_resample,
 }
 
 ORACLES = {
@@ -1499,6 +1837,7 @@ ORACLES = {
     "stream_events_sessions": SQL_STREAM_EVENTS_SESSIONS,
     "stream_sessions_continuous": SQL_STREAM_SESSIONS_CONTINUOUS,
     "stream_contamination": SQL_STREAM_CONTAMINATION,
+    "stream_contamination_continuous": SQL_STREAM_CONTAMINATION_CONTINUOUS,
     "events_sessions": SQL_EVENTS_SESSIONS,
     "events_asof": SQL_EVENTS_ASOF,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
@@ -1506,4 +1845,8 @@ ORACLES = {
     "tfidf_terms": SQL_TFIDF_TERMS,
     "revenue_topk": SQL_REVENUE_TOPK,
     "pricing_summary": SQL_PRICING_SUMMARY,
+    "url_normalize": SQL_URL_NORMALIZE,
+    "url_latest_capture": SQL_URL_LATEST_CAPTURE,
+    "domain_stats": SQL_DOMAIN_STATS,
+    "dsir_resample": SQL_DSIR_RESAMPLE,
 }

@@ -225,6 +225,73 @@ def stream_contamination(
     )
 
 
+def stream_contamination_continuous(
+    spark: SparkSession,
+    source_dir: str,
+    benchmark: DataFrame,
+    n: int = 8,
+    watermark: str = "2 hours",
+    window: str = "1 hour",
+    schema_ddl: str = (
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long, ingest_ts timestamp"
+    ),
+) -> DataFrame:
+    """UNBOUNDED-stream decontamination gate — the continuous shape
+    stream_contamination's docstring says a real deployment needs:
+
+    - the arriving documents carry an ingest event-time column, and the
+      watermark is set at the SOURCE (before the n-gram explode and the
+      benchmark join), so every arriving row advances it — including
+      clean documents that never survive the inner digest join;
+    - per-(doc, digest) distinctness uses ``dropDuplicatesWithinWatermark``,
+      so dedup state EXPIRES once the watermark passes instead of
+      growing with every (doc, digest) pair ever seen;
+    - the per-doc hit count aggregates by (ingest window, doc) in
+      APPEND mode: each group seals and emits exactly once when the
+      watermark passes its window end, and its aggregation state is
+      dropped — both state stores are bounded by (watermark horizon x
+      arrival rate), never by stream lifetime.
+
+    Returns the streaming DataFrame (window_start_s BIGINT epoch
+    seconds, doc_id, n_distinct_hits); caller picks sink + trigger.
+    The batch twin is operators/curation.py:ngram_contamination — a
+    drain of this stream equals the batch result for docs whose windows
+    the final watermark has passed (tests push it with a sentinel file,
+    the stream_user_sessions_continuous protocol).
+
+    The benchmark digest set stays static + broadcast (stream-static
+    broadcast join, shuffle-free): eval suites are MBs; re-deploy the
+    gate to rotate benchmarks."""
+    from recon_spark.operators.curation import doc_ngrams
+
+    src = (
+        spark.readStream.schema(schema_ddl)
+        .parquet(source_dir)
+        .withWatermark("ingest_ts", watermark)
+    )
+    bench = (
+        doc_ngrams(benchmark, n)
+        .select(F.md5("ngram").alias("g"))
+        .distinct()
+    )
+    hits = (
+        doc_ngrams(src, n, carry_cols=("ingest_ts",))
+        .select("id", F.md5("ngram").alias("g"), "ingest_ts")
+        .join(F.broadcast(bench), "g")
+        .dropDuplicatesWithinWatermark(["id", "g"])
+    )
+    return (
+        hits.groupBy(F.window("ingest_ts", window).alias("w"), "id")
+        .agg(F.count(F.lit(1)).alias("n_distinct_hits"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            F.col("id").alias("doc_id"),
+            "n_distinct_hits",
+        )
+    )
+
+
 def stream_user_sessions_continuous(
     spark: SparkSession,
     source_dir: str,

@@ -298,9 +298,11 @@ def test_pagerank_iteration_is_single_new_shuffle(spark):
     )
     plan = plan_of(pagerank(edges, iterations=2))
     assert "BatchEvalPython" not in plan
-    # the persisted contribution frame appears as InMemoryTableScan —
-    # the edge-side shuffle happened once at persist time, not per iteration
-    assert "InMemoryTableScan" in plan
+    # the materialized contribution frame appears as a checkpoint-RDD scan
+    # (localCheckpoint — GC-released, unlike persist) or, under a plain
+    # persist, InMemoryTableScan — either way the edge-side shuffle
+    # happened once at materialization time, not per iteration
+    assert "Scan ExistingRDD" in plan or "InMemoryTableScan" in plan
 
 
 def test_kmeans_init_has_no_global_sort(spark):

@@ -1,0 +1,230 @@
+"""Unit tests for URL/domain curation (operators/webops.py) and DSIR
+importance resampling (operators/curation.py) — edge cases the
+oracle-backed driver queries don't reach, plus physical-plan audits.
+Registry-level oracle parity for the four driver queries lives in
+test_oracles_pipeline.py (parametrized over the registry)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from recon_spark.operators.curation import (
+    dsir_bucket_weights,
+    dsir_grams,
+    dsir_resample,
+)
+from recon_spark.operators.webops import domain_stats, latest_capture, normalize_url
+
+
+def _norm_one(spark, url: str) -> dict:
+    df = normalize_url(spark.createDataFrame([(url,)], "url string"))
+    return df.select("url_norm", "host", "reg_domain").head().asDict()
+
+
+# --------------------------------------------------------------------------
+# normalize_url rule-by-rule
+# --------------------------------------------------------------------------
+
+CASES = [
+    # case folding + www strip + default https port + tracking param drop
+    # + param sort + fragment strip + trailing slash strip
+    (
+        "HTTPS://WWW.Example.COM:443/A/b/?utm_source=f&b=2&a=1#frag",
+        "https://example.com/A/b?a=1&b=2",
+    ),
+    # path case is PRESERVED (only scheme/host fold)
+    ("http://Ex.org/CaseSensitivePath", "http://ex.org/CaseSensitivePath"),
+    # default http port stripped; non-default kept
+    ("http://ex.org:80/a", "http://ex.org/a"),
+    ("http://ex.org:8080/a", "http://ex.org:8080/a"),
+    # https on port 80 is non-default -> kept
+    ("https://ex.org:80/a", "https://ex.org:80/a"),
+    # empty path -> '/', query-only URL
+    ("https://ex.org?b=2&a=1", "https://ex.org/?a=1&b=2"),
+    ("https://ex.org", "https://ex.org/"),
+    ("https://ex.org/", "https://ex.org/"),
+    # all params tracking -> no query at all
+    ("https://ex.org/p?utm_campaign=z&gclid=1&fbclid=2&msclkid=3&ref=r", "https://ex.org/p"),
+    # ref= dropped but reference= kept (anchored name match)
+    ("https://ex.org/p?reference=x&ref=y", "https://ex.org/p?reference=x"),
+    # empty params from '&&' collapse
+    ("https://ex.org/p?a=1&&b=2", "https://ex.org/p?a=1&b=2"),
+    # ALL leading www. labels stripped (idempotency)
+    ("https://www.www.ex.org/p", "https://ex.org/p"),
+]
+
+
+@pytest.mark.parametrize("url,expected", CASES)
+def test_normalize_url_cases(spark, url, expected):
+    assert _norm_one(spark, url)["url_norm"] == expected
+
+
+@pytest.mark.parametrize(
+    "host,expected",
+    [
+        ("a.b.example.com", "example.com"),
+        ("example.com", "example.com"),
+        ("blog.example.co.uk", "example.co.uk"),
+        ("example.co.uk", "example.co.uk"),
+        # 2-letter TLD without a compound second level -> 2 labels
+        ("a.example.de", "example.de"),
+        # bare intranet host passes through
+        ("localhost", "localhost"),
+        # co.uk itself (n=2) passes through untouched
+        ("co.uk", "co.uk"),
+    ],
+)
+def test_registered_domain(spark, host, expected):
+    got = _norm_one(spark, f"https://{host}/x")["reg_domain"]
+    assert got == expected
+
+
+def test_normalize_url_is_idempotent(spark):
+    urls = [(u,) for u, _ in CASES]
+    df = spark.createDataFrame(urls, "url string")
+    once = normalize_url(df).select(F.col("url_norm").alias("url"))
+    twice = normalize_url(once).select("url_norm")
+    assert [r.url_norm for r in twice.collect()] == [
+        r.url for r in once.collect()
+    ]
+
+
+def test_normalize_url_plan_is_jvm_only_map(spark):
+    """The normalizer must stay inside whole-stage codegen: no Python
+    stage, no exchange — at 10^12 rows it runs at scan speed or not at
+    all."""
+    df = spark.range(100).select(
+        F.concat(F.lit("https://www.ex.org/p/"), F.col("id")).alias("url")
+    )
+    plan = (
+        normalize_url(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+# --------------------------------------------------------------------------
+# latest_capture / domain_stats
+# --------------------------------------------------------------------------
+
+
+def test_latest_capture_ties_break_on_id(spark):
+    df = spark.createDataFrame(
+        [("u", 5, 1), ("u", 5, 9), ("u", 3, 99), ("v", 1, 7)],
+        "url_norm string, warc_ts int, doc_id int",
+    )
+    rows = {r.url_norm: r for r in latest_capture(df, ts_col="warc_ts").collect()}
+    assert rows["u"].n_captures == 3
+    assert rows["u"].keep_ts == 5 and rows["u"].keep_id == 9  # tie -> max id
+    assert rows["v"].keep_id == 7
+
+
+def test_latest_capture_plan_is_partial_agg_not_window(spark):
+    """No per-group row_number window; the struct-max compiles to a
+    partial-then-final aggregate pair (SortAggregate — struct buffers
+    aren't hash-aggregable) around a single group-key exchange, so the
+    shuffle still carries one candidate per (map partition, url)."""
+    df = spark.createDataFrame(
+        [("u", 5, 1)], "url_norm string, warc_ts int, doc_id int"
+    )
+    plan = (
+        latest_capture(df, ts_col="warc_ts")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    # map-side combine: partial + final aggregate nodes
+    assert plan.count("SortAggregate") + plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") == 1
+
+
+def test_domain_stats_sketch_vs_exact_mode(spark):
+    df = normalize_url(
+        spark.createDataFrame(
+            [
+                (f"https://{d}.ex{i % 3}.com/p/{i}", "en", 100 + i)
+                for i, d in enumerate(["a", "b", "a", "c"] * 5)
+            ],
+            "url string, lang string, n_chars int",
+        )
+    )
+    exact = {r.reg_domain: r for r in domain_stats(df, exact_distinct=True).collect()}
+    approx = {r.reg_domain: r for r in domain_stats(df).collect()}
+    assert set(exact) == set(approx)
+    for d, r in exact.items():
+        assert r.n_docs == approx[d].n_docs
+        assert r.avg_chars == approx[d].avg_chars
+        # HLL default rsd 5% — exact equality expected at these counts
+        assert abs(r.n_urls - approx[d].n_urls) <= max(1, int(0.1 * r.n_urls))
+
+
+# --------------------------------------------------------------------------
+# DSIR
+# --------------------------------------------------------------------------
+
+
+def _toy_docs(spark):
+    # target sources love 'alpha', raw corpus is 'beta'-heavy
+    rows = [
+        (0, "alpha alpha gamma", "t0"),
+        (1, "alpha gamma alpha", "t0"),
+        (2, "beta beta beta", "r0"),
+        (3, "beta gamma beta", "r0"),
+        (4, "alpha beta", "r1"),
+        (5, "", "r1"),  # empty text contributes nothing
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_dsir_scores_rank_target_like_docs_first(spark):
+    out = dsir_resample(
+        _toy_docs(spark), target_sources=["t0"], k=10, n_buckets=32
+    ).collect()
+    # empty doc emits no grams -> absent
+    assert [r.doc_id for r in out if r.doc_id == 5] == []
+    by_id = {r.doc_id: r.dsir_score for r in out}
+    # alpha-heavy docs outscore beta-heavy docs
+    assert min(by_id[0], by_id[1]) > max(by_id[2], by_id[3])
+    # mixed doc sits between
+    assert by_id[2] < by_id[4] < by_id[0]
+    # deterministic ordering: score desc, id asc
+    assert [r.doc_id for r in out] == [
+        r.doc_id
+        for r in sorted(out, key=lambda r: (-r.dsir_score, r.doc_id))
+    ]
+
+
+def test_dsir_gram_counts(spark):
+    g = dsir_grams(_toy_docs(spark), 32).groupBy("doc_id").count().collect()
+    got = {r.doc_id: r["count"] for r in g}
+    # n tokens -> n unigrams + (n-1) bigrams
+    assert got == {0: 5, 1: 5, 2: 5, 3: 5, 4: 3}
+
+
+def test_dsir_weights_are_bounded_broadcast_dimension(spark):
+    grams = dsir_grams(_toy_docs(spark), 8)
+    w = dsir_bucket_weights(grams, ["t0"], 8)
+    assert w.count() <= 8
+    # scoring join must broadcast the weight side
+    plan = (
+        dsir_resample(_toy_docs(spark), ["t0"], k=3, n_buckets=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # top-k compiles to TakeOrderedAndProject, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dsir_partition_invariance(spark):
+    docs = _toy_docs(spark)
+    a = dsir_resample(docs.repartition(1), ["t0"], k=10, n_buckets=32).collect()
+    b = dsir_resample(docs.repartition(7), ["t0"], k=10, n_buckets=32).collect()
+    assert [(r.doc_id, r.dsir_score) for r in a] == [
+        (r.doc_id, r.dsir_score) for r in b
+    ]
