@@ -151,7 +151,7 @@ def test_from_hf_dataset_string_tags_and_parquet_path(spark, tmp_path):
     assert [(s.text, s.start, s.end) for s in rows[0].spans] == [("a bb", 0, 4)]
 
 
-def test_from_hf_dataset_is_jvm_only(spark):
+def test_from_hf_dataset_jvm_engine_is_jvm_only(spark):
     from recon_spark.io import from_hf_dataset
 
     docs = spark.createDataFrame(
@@ -159,9 +159,38 @@ def test_from_hf_dataset_is_jvm_only(spark):
         "id long, tokens array<string>, ner_tags array<int>",
     )
     body = (
-        from_hf_dataset(spark, docs, labels=["O"])
+        from_hf_dataset(spark, docs, labels=["O"], engine="jvm")
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
     assert "BatchEvalPython" not in body and "ArrowEvalPython" not in body
+    assert "MapInArrow" not in body
+
+
+def test_from_hf_dataset_engines_agree(spark):
+    """The Arrow hot path and the JVM fold spec must produce identical
+    rows — the extraction-operator parity pattern — including on the
+    IOB2-repair and malformed-tag edges."""
+    from recon_spark.io import from_hf_dataset
+
+    src = spark.createDataFrame(
+        [
+            (0, ["John", "Smith", "visited", "New", "York"],
+             ["B-PER", "I-PER", "O", "B-LOC", "I-LOC"]),
+            (1, ["a"], ["O"]),
+            (2, [], []),
+            # IOB2 repair: I- with a new label starts fresh; I- after O too
+            (3, ["x", "y", "z", "w"], ["B-A", "I-B", "O", "I-C"]),
+            # back-to-back B-, trailing open span at sequence end
+            (4, ["p", "q", "r"], ["B-A", "B-A", "I-A"]),
+            # malformed tag treated as O
+            (5, ["m", "n"], ["B-A", "WAT"]),
+        ],
+        "id long, tokens array<string>, ner_tags array<string>",
+    )
+    a = from_hf_dataset(spark, src, engine="arrow").orderBy("id").collect()
+    j = from_hf_dataset(spark, src, engine="jvm").orderBy("id").collect()
+    assert [r.asDict(recursive=True) for r in a] == [
+        r.asDict(recursive=True) for r in j
+    ]
