@@ -85,6 +85,8 @@ EXTENDED = [
     "domain_stats",
     "dsir_resample",
     "stream_contamination_continuous",
+    "domain_blocklist",
+    "clean_text_audit",
 ]
 
 

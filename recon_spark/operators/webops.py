@@ -207,3 +207,99 @@ def domain_stats(
         )
         .orderBy("reg_domain")
     )
+
+
+def domain_ancestors(host: Column, min_labels: int = 2) -> Column:
+    """All suffix domains of a host with >= min_labels labels:
+    'a.b.example.com' -> ['a.b.example.com', 'b.example.com',
+    'example.com']. Pure JVM (transform over a sequence + slice);
+    at most ~5 entries per host, the fan-out of the blocklist match."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    return F.when(
+        n < min_labels, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(min_labels) + 1),
+            lambda i: F.array_join(F.slice(labels, i, n), "."),
+        )
+    )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocklist,
+    host_col: str = "host",
+    block_col: str = "domain",
+    id_col: str = "doc_id",
+    mode: str = "block",
+) -> DataFrame:
+    """Drop (mode='block') or keep (mode='allow') documents whose host
+    matches a blocklist domain by SUFFIX: an entry 'example.co.uk'
+    blocks 'blog.example.co.uk' and 'example.co.uk' itself — the
+    standard crawl-curation semantics (a listed domain covers its
+    subdomains), which plain equality joins get wrong.
+
+    Two scale shapes, picked by the blocklist's type:
+    - ``blocklist`` as list[str] (a blocklist that fits the driver —
+      typical curated lists are 10^3..10^5 domains): a pure map-side
+      ``exists(ancestors, a -> array_contains(<literal array>, a))``
+      filter. ZERO joins, zero shuffles — the corpus is filtered at
+      scan speed, the list ships once inside the serialized plan.
+    - ``blocklist`` as DataFrame (a list too big for a literal): the
+      host explodes into its <= ~5 ancestor suffixes, one broadcast
+      LEFT SEMI join marks matched ids, and an id-keyed anti/semi join
+      applies the decision. The join carries (id, suffix) pairs only —
+      corpus text never shuffles.
+    """
+    if mode not in ("block", "allow"):
+        raise ValueError(f"blocklist_filter: mode must be block|allow, got {mode!r}")
+    anc = domain_ancestors(F.col(host_col))
+    if isinstance(blocklist, (list, tuple, set)):
+        lit = F.array(*[F.lit(d) for d in sorted(set(blocklist))])
+        hit = F.exists(anc, lambda a: F.array_contains(lit, a))
+        return df.where(~hit if mode == "block" else hit)
+    bl = F.broadcast(blocklist.select(F.col(block_col).alias("__bl")).distinct())
+    pairs = df.select(F.col(id_col).alias("__id"), F.explode(anc).alias("__anc"))
+    matched = (
+        pairs.join(bl, pairs["__anc"] == F.col("__bl"), "left_semi")
+        .select("__id")
+        .distinct()
+    )
+    how = "left_anti" if mode == "block" else "left_semi"
+    return df.join(matched, df[id_col] == matched["__id"], how)
+
+
+# Control chars (C0 + DEL), the Unicode replacement char, zero-width
+# (ZWSP/ZWNJ/ZWJ) and the BOM — the junk a crawl actually contains.
+_CTRL_RE = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\uFFFD\\u200B\\u200C\\u200D\\uFEFF]"
+
+
+def clean_text(
+    df: DataFrame, text_col: str = "text", out_col: str = "clean_text"
+) -> DataFrame:
+    """Deterministic crawl-text cleanup: strip control characters, the
+    replacement char, and zero-width/BOM code points; collapse
+    whitespace runs (space/tab/CR/LF) to single spaces; trim. Adds
+    `out_col` plus n_chars_before/n_chars_after/changed audit columns.
+
+    Map-only pure-JVM regexp chain (two regexp_replace + trim inside
+    whole-stage codegen) — runs at scan speed at any corpus size, and
+    every rule is reproducible in DuckDB for the oracle. Tabs and
+    newlines are treated as whitespace (collapsed), not stripped as
+    control chars, so line-structured text degrades to the same
+    single-space convention html_to_text established."""
+    t = F.col(text_col)
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(t, _CTRL_RE, ""), "[ \\t\\r\\n]+", " "
+        )
+    )
+    return df.withColumns(
+        {
+            out_col: cleaned,
+            "n_chars_before": F.length(t),
+            "n_chars_after": F.length(cleaned),
+            "changed": cleaned != t,  # length can survive a rewrite ('a\tb')
+        }
+    )

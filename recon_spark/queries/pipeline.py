@@ -1689,6 +1689,96 @@ FROM normed GROUP BY reg_domain ORDER BY reg_domain
 )
 
 
+# domains blocked by the driver query: one exact host, one suffix entry
+# covering a subdomain (the semantics equality joins get wrong), one
+# never-matching entry
+_BLOCKLIST = ["site3.example.com", "site4.example.co.uk", "example.org"]
+
+
+def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-matching domain blocklist over canonicalized hosts
+    (webops.blocklist_filter, list mode = zero-join map-side filter):
+    per surviving host, how many docs remain. The oracle re-derives the
+    suffix semantics independently with equality-or-LIKE predicates."""
+    from recon_spark.operators.webops import blocklist_filter
+
+    kept = blocklist_filter(_docs_with_urls(spark, sf_dir), _BLOCKLIST)
+    return (
+        kept.groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("first_doc"))
+        .orderBy("host")
+    )
+
+
+def _sql_domain_blocklist() -> str:
+    preds = " OR ".join(
+        f"host = '{d}' OR host LIKE '%.{d}'" for d in _BLOCKLIST
+    )
+    return (
+        _SQL_URL_NORM_CTES
+        + f"""
+SELECT host, count(*) AS n_kept, min(doc_id) AS first_doc
+FROM normed WHERE NOT ({preds})
+GROUP BY host ORDER BY host
+"""
+    )
+
+
+def q_clean_text_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-text cleanup audit (webops.clean_text): deterministic junk
+    (tab/bell/BOM/zero-width + stray double spaces, keyed on doc_id%4
+    with variant 3 left clean) is injected into the documents and the
+    cleaner must strip control/zero-width chars, collapse whitespace,
+    and trim — pinned by before/after lengths, the changed flag, and
+    the md5 of every cleaned text."""
+    from recon_spark.operators.webops import clean_text
+
+    v = F.col("doc_id") % 4
+    dirty = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.when(v == 0, F.concat(F.lit("\t"), F.col("text"), F.lit("  ")))
+        .when(v == 1, F.concat(F.col("text"), F.lit("\x07x")))
+        .when(
+            v == 2,
+            F.concat(F.lit("\ufeff"), F.replace(F.col("text"), F.lit(" "), F.lit("  "))),
+        )
+        .otherwise(F.col("text")),
+    )
+    return clean_text(dirty).select(
+        "doc_id",
+        "n_chars_before",
+        "n_chars_after",
+        "changed",
+        F.md5("clean_text").alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+# DuckDB twin: chr() for the injected junk; regexp_replace NEEDS the 'g'
+# flag (DuckDB replaces first match by default; Spark replaces all)
+SQL_CLEAN_TEXT_AUDIT = r"""
+WITH dirty AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN chr(9) || text || '  '
+      WHEN 1 THEN text || chr(7) || 'x'
+      WHEN 2 THEN chr(65279) || replace(text, ' ', '  ')
+      ELSE text END AS text
+  FROM documents
+),
+cleaned AS (
+  SELECT doc_id, text,
+    trim(regexp_replace(regexp_replace(text,
+      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{FFFD}\x{200B}\x{200C}\x{200D}\x{FEFF}]',
+      '', 'g'), '[ \t\r\n]+', ' ', 'g')) AS ct
+  FROM dirty
+)
+SELECT doc_id, CAST(length(text) AS INT) AS n_chars_before,
+       CAST(length(ct) AS INT) AS n_chars_after,
+       ct <> text AS changed, md5(ct) AS clean_md5
+FROM cleaned ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # DSIR importance resampling (operators/curation.py:dsir_resample)
 # --------------------------------------------------------------------------
@@ -1803,6 +1893,8 @@ QUERIES = {
     "url_latest_capture": q_url_latest_capture,
     "domain_stats": q_domain_stats,
     "dsir_resample": q_dsir_resample,
+    "domain_blocklist": q_domain_blocklist,
+    "clean_text_audit": q_clean_text_audit,
 }
 
 ORACLES = {
@@ -1849,4 +1941,6 @@ ORACLES = {
     "url_latest_capture": SQL_URL_LATEST_CAPTURE,
     "domain_stats": SQL_DOMAIN_STATS,
     "dsir_resample": SQL_DSIR_RESAMPLE,
+    "domain_blocklist": _sql_domain_blocklist(),
+    "clean_text_audit": SQL_CLEAN_TEXT_AUDIT,
 }

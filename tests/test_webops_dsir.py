@@ -228,3 +228,76 @@ def test_dsir_partition_invariance(spark):
     assert [(r.doc_id, r.dsir_score) for r in a] == [
         (r.doc_id, r.dsir_score) for r in b
     ]
+
+
+# --------------------------------------------------------------------------
+# blocklist_filter / clean_text
+# --------------------------------------------------------------------------
+
+
+def _bl_docs(spark):
+    return spark.createDataFrame(
+        [
+            (0, "bad.example.com"),
+            (1, "sub.bad.example.com"),     # suffix match
+            (2, "notbad.example.com"),      # NOT a suffix match ('.bad...')
+            (3, "good.example.org"),
+            (4, "bad.example.com.evil.io"), # prefix, not suffix -> kept
+        ],
+        "doc_id long, host string",
+    )
+
+
+def test_blocklist_suffix_semantics_list_mode(spark):
+    from recon_spark.operators.webops import blocklist_filter
+
+    kept = blocklist_filter(_bl_docs(spark), ["bad.example.com"])
+    assert sorted(r.doc_id for r in kept.collect()) == [2, 3, 4]
+    allowed = blocklist_filter(_bl_docs(spark), ["bad.example.com"], mode="allow")
+    assert sorted(r.doc_id for r in allowed.collect()) == [0, 1]
+
+
+def test_blocklist_dataframe_mode_matches_list_mode(spark):
+    from recon_spark.operators.webops import blocklist_filter
+
+    bl_df = spark.createDataFrame([("bad.example.com",)], "domain string")
+    a = sorted(r.doc_id for r in blocklist_filter(_bl_docs(spark), ["bad.example.com"]).collect())
+    b = sorted(r.doc_id for r in blocklist_filter(_bl_docs(spark), bl_df).collect())
+    assert a == b == [2, 3, 4]
+
+
+def test_blocklist_list_mode_is_zero_join_map_filter(spark):
+    from recon_spark.operators.webops import blocklist_filter
+
+    plan = (
+        blocklist_filter(_bl_docs(spark), ["bad.example.com"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan and "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_clean_text_rules(spark):
+    from recon_spark.operators.webops import clean_text
+
+    rows = {
+        r.doc_id: r
+        for r in clean_text(
+            spark.createDataFrame(
+                [
+                    (0, "\thello \x07wor​ld  x "),  # ctrl+zw stripped, ws collapsed
+                    (1, "already clean"),
+                    (2, "a\tb"),  # same length after rewrite -> still changed
+                    (3, "﻿bom"),
+                ],
+                "doc_id long, text string",
+            )
+        ).collect()
+    }
+    assert rows[0].clean_text == "hello world x" and rows[0].changed
+    assert rows[1].clean_text == "already clean" and not rows[1].changed
+    assert rows[2].clean_text == "a b" and rows[2].changed
+    assert rows[2].n_chars_before == rows[2].n_chars_after  # the length trap
+    assert rows[3].clean_text == "bom" and rows[3].changed
