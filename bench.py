@@ -346,6 +346,18 @@ def scaling_report_run(sf_dir: str, n_lo: int | None = None, n_hi: int | None = 
     f_fit = max(t2 - w_fit / n_lo, 0.0)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # BASELINE.md accretes measured-evidence sections across rounds
+    # (measurement history, skew tables, bench windows). A re-run must
+    # replace ONLY the headline scaling section at the top and keep
+    # everything from "## Measurement history" on — a plain overwrite
+    # here once destroyed the whole evidence document (restored from
+    # git; this guard is the fix).
+    tail = ""
+    if os.path.exists(path):
+        prev = open(path).read()
+        marker = "## Measurement history"
+        if marker in prev:
+            tail = "\n" + prev[prev.index(marker):]
     with open(path, "w") as f:
         f.write(
             f"""# BENCH/BASELINE — measured numbers (sandbox)
@@ -400,6 +412,7 @@ Raw JSON:
 Headline per-query numbers at sf0.1 are in the driver-recorded
 BENCH_r*.json (python bench.py).
 """
+            + tail
         )
     print(f"wrote {path}: eff_hot={eff_hot} eff_slice={eff_slice} hw_ceiling={ceiling}")
 

@@ -195,14 +195,11 @@ def stream_contamination(
     one-shot backfill) only. There is no event-time watermark, so the
     dropDuplicates state and the complete-mode aggregation state grow
     with the number of distinct (doc, digest) hits seen, and complete
-    mode re-emits the full result every trigger. An unbounded
-    continuous deployment must instead (a) carry an ingest-timestamp
-    column, (b) `withWatermark` on it and use
-    `dropDuplicatesWithinWatermark` so dedup state expires, and
-    (c) emit per-batch increments (update/append) into an idempotent
-    MERGE sink keyed on doc_id — the same sink contract
-    stream_pages_to_triples uses. The streaming twin of
-    operators/curation.py:ngram_contamination.
+    mode re-emits the full result every trigger. For unbounded
+    continuous deployment use ``stream_contamination_continuous``
+    below: watermarked ingest time + dropDuplicatesWithinWatermark +
+    append-mode sealed windows, state bounded by the watermark horizon.
+    The streaming twin of operators/curation.py:ngram_contamination.
     """
     from recon_spark.operators.curation import doc_ngrams
 
