@@ -1,0 +1,95 @@
+"""Property-based tests (hypothesis) for webops.normalize_url: the
+Spark column expression must agree with an independent pure-Python
+reference on arbitrary component-built URLs, and be idempotent.
+
+Strategy: build URLs from generated components (scheme/host/port/path/
+params/fragment) rather than fuzzing raw strings — every generated URL
+is structurally valid, which is the operator's documented domain (a
+crawler's url field), while still covering the rule interactions
+(tracking params x sorting x empty params, default x non-default ports,
+www stacking, trailing slashes, fragments)."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from recon_spark.operators.webops import TRACKING_PARAM_RE, normalize_url
+
+_TRACK = re.compile(TRACKING_PARAM_RE)
+
+label = st.text(alphabet="abcdefgxyzABC019-", min_size=1, max_size=6).filter(
+    lambda s: "." not in s
+)
+param = st.one_of(
+    st.just(""),
+    st.just("utm_source=f"),
+    st.just("gclid=1"),
+    st.just("ref=r"),
+    st.just("reference=keep"),
+    st.tuples(
+        st.text(alphabet="abkz91", min_size=1, max_size=4),
+        st.text(alphabet="ab=%2F", min_size=0, max_size=4),
+    ).map(lambda kv: f"{kv[0]}={kv[1]}"),
+)
+
+
+@st.composite
+def urls(draw):
+    scheme = draw(st.sampled_from(["http", "https", "HTTP", "HTTPS", "Ftp"]))
+    www = draw(st.sampled_from(["", "www.", "WWW.", "www.www."]))
+    host = ".".join(draw(st.lists(label, min_size=1, max_size=4)))
+    port = draw(st.sampled_from(["", ":80", ":443", ":8080"]))
+    path = draw(
+        st.sampled_from(["", "/", "/a", "/A/b/", "/p/q/r", "/a//b", "/x/"])
+    )
+    params = draw(st.lists(param, max_size=5))
+    query = "?" + "&".join(params) if draw(st.booleans()) and params else ""
+    frag = draw(st.sampled_from(["", "#f", "#a/b?c=1"]))
+    return f"{scheme}://{www}{host}{port}{path}{query}{frag}"
+
+
+def _py_normalize(url: str) -> str:
+    """Independent reference implementation of the documented rules."""
+    u = url.split("#", 1)[0]
+    scheme, rest = u.split("://", 1)
+    scheme = scheme.lower()
+    m = re.match(r"^([^/?]*)", rest)
+    hostport = m.group(1)
+    tail = rest[len(hostport):]
+    pm = re.search(r":([0-9]+)$", hostport)
+    port = pm.group(1) if pm else ""
+    host = re.match(r"^([^:]*)", hostport).group(1).lower()
+    host = re.sub(r"^(www\.)+", "", host)
+    default = (scheme == "http" and port == "80") or (
+        scheme == "https" and port == "443"
+    )
+    port_part = "" if (port == "" or default) else f":{port}"
+    path = tail.split("?", 1)[0]
+    query = tail.split("?", 1)[1] if "?" in tail else ""
+    params = sorted(
+        p for p in query.split("&") if p != "" and not _TRACK.match(p)
+    )
+    qn = "&".join(params)
+    path_n = "/" if path in ("", "/") else re.sub(r"/$", "", path)
+    return scheme + "://" + host + port_part + path_n + (f"?{qn}" if qn else "")
+
+
+@given(st.lists(urls(), min_size=1, max_size=40))
+@settings(max_examples=30, deadline=None)
+def test_normalize_matches_python_reference_and_is_idempotent(spark, batch):
+    df = spark.createDataFrame([(u,) for u in batch], "url string")
+    got = [r.url_norm for r in normalize_url(df).collect()]
+    assert got == [_py_normalize(u) for u in batch]
+    # idempotency: normalizing the normal form is a fixed point
+    df2 = spark.createDataFrame([(g,) for g in got], "url string")
+    assert [r.url_norm for r in normalize_url(df2).collect()] == got
+
+
+@given(urls())
+@settings(max_examples=50, deadline=None)
+def test_python_reference_is_idempotent(url):
+    once = _py_normalize(url)
+    assert _py_normalize(once) == once
