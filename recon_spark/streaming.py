@@ -55,6 +55,7 @@ def stream_pages_to_triples(
     out_dir: str,
     checkpoint_dir: str,
     n_parts: int = 8,
+    max_files_per_trigger: int | None = None,
 ):
     """Incremental triple factory: each arriving page file becomes a
     micro-batch through the full extraction pipeline, merged
@@ -63,7 +64,13 @@ def stream_pages_to_triples(
     from recon_spark.pages import PAGES_DDL
     from recon_spark.triples import build_triples
 
-    src = spark.readStream.schema(PAGES_DDL).parquet(pages_dir)
+    reader = spark.readStream.schema(PAGES_DDL)
+    if max_files_per_trigger is not None:
+        # bound micro-batch size: availableNow respects this as a rate
+        # limit, so a backfill drains in several checkpointed batches
+        # (resumable mid-backfill) instead of one giant one
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    src = reader.parquet(pages_dir)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
