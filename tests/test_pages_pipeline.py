@@ -111,3 +111,57 @@ def test_incremental_merge_counts(spark, pages, tmp_path):
     m2 = build_triples(spark, second, out_dir, n_parts=4)
     assert m1["added"] + m2["added"] == m2["total_triples"]
     assert m2["removed"] == 0 and m2["changed"] == 0
+
+
+def test_stream_checkpoint_resume_mid_backfill(spark, pages, tmp_path):
+    """Checkpoint-level resume (the north-rule contract, above the
+    store-level idempotence test_merge_idempotent_resume covers):
+    drain half the backfill, then restart a NEW streaming query against
+    the SAME checkpoint after more files arrive — only the new files
+    process (lineage proves it), and the final store is identical to a
+    one-shot batch run. A third restart with nothing new adds 0."""
+    import os
+
+    from recon_spark.streaming import stream_pages_to_triples
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def stage(tag, df):
+        p = str(tmp_path / f"stage_{tag}")
+        df.coalesce(1).write.mode("overwrite").parquet(p)
+        part = [f for f in os.listdir(p) if f.endswith(".parquet")][0]
+        os.rename(f"{p}/{part}", f"{src}/{tag}.parquet")
+
+    first, second = pages.where("page_id < 150"), pages.where("page_id >= 150")
+    chk, out = str(tmp_path / "chk"), str(tmp_path / "out")
+
+    stage("b0", first)
+    q1 = stream_pages_to_triples(spark, src, out, chk, n_parts=4)
+    q1.awaitTermination()
+    store = SnapshotStore(spark, out, "triple_key", "content_hash")
+    n_half = store.read().count()
+    assert n_half > 0
+
+    stage("b1", second)  # late-arriving remainder of the backfill
+    q2 = stream_pages_to_triples(spark, src, out, chk, n_parts=4)
+    q2.awaitTermination()
+    n_full = store.read().count()
+    hist = store.history()
+    # the resumed query merged ONLY the new file's triples
+    assert hist[-1]["added"] == n_full - n_half
+
+    # restart with nothing new: offsets already committed -> no batch,
+    # or an empty batch the sink skips — either way the store is unchanged
+    q3 = stream_pages_to_triples(spark, src, out, chk, n_parts=4)
+    q3.awaitTermination()
+    assert store.read().count() == n_full
+    assert len(store.history()) == len(hist)
+
+    # equivalence with the one-shot batch run over the same pages
+    batch_out = str(tmp_path / "batch_out")
+    build_triples(spark, pages, batch_out, n_parts=4)
+    batch_store = SnapshotStore(spark, batch_out, "triple_key", "content_hash")
+    stream_keys = {r.triple_key for r in store.read().select("triple_key").collect()}
+    batch_keys = {r.triple_key for r in batch_store.read().select("triple_key").collect()}
+    assert stream_keys == batch_keys
