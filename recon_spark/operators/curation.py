@@ -394,7 +394,7 @@ def dsir_resample(
     docs: DataFrame,
     target_sources: list[str],
     k: int = 100,
-    n_buckets: int = 64,
+    n_buckets: int = 8192,
     id_col: str = "doc_id",
     text_col: str = "text",
     source_col: str = "source",
@@ -403,6 +403,12 @@ def dsir_resample(
     its hashed-n-gram bucket importance weights (micro-nat integers),
     keep the top k. Returns (doc_id, source, n_grams, dsir_score)
     ordered by (dsir_score DESC, doc_id).
+
+    n_buckets defaults to 8192 (the paper-scale hashed feature space —
+    Xie et al. use 10^4; bucket count changes neither the plan shape
+    nor the hashing cost, only the broadcast dimension's row count).
+    The driver query pins n_buckets=64 explicitly so its DuckDB oracle
+    stays readable.
 
     Plan: the corpus is scanned twice (weights pass, scoring pass) —
     both map-only explodes feeding combinable aggs; the exploded gram

@@ -139,11 +139,18 @@ def normalize_url(
         path_n,
         F.when(q_norm == "", F.lit("")).otherwise(F.concat(F.lit("?"), q_norm)),
     )
+    # domain guard: rows without a scheme (relative links, data: noise a
+    # crawler should never emit into its url field) pass through
+    # unchanged with empty host/reg_domain rather than acquiring a
+    # garbage '://…' identity that could merge unrelated rows downstream
+    has_scheme = scheme != ""
     return df.withColumns(
         {
-            out_col: url_norm,
-            "host": host_n,
-            "reg_domain": _registered_domain(host_n),
+            out_col: F.when(has_scheme, url_norm).otherwise(F.col(url_col)),
+            "host": F.when(has_scheme, host_n).otherwise(F.lit("")),
+            "reg_domain": F.when(
+                has_scheme, _registered_domain(host_n)
+            ).otherwise(F.lit("")),
         }
     ).drop("_rest", "_hostport")
 

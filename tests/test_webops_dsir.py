@@ -301,3 +301,24 @@ def test_clean_text_rules(spark):
     assert rows[2].clean_text == "a b" and rows[2].changed
     assert rows[2].n_chars_before == rows[2].n_chars_after  # the length trap
     assert rows[3].clean_text == "bom" and rows[3].changed
+
+
+def test_normalize_url_schemeless_passthrough(spark):
+    """Rows without a scheme keep their original string and get empty
+    host/reg_domain — never a garbage '://...' identity."""
+    from recon_spark.operators.webops import normalize_url
+
+    rows = {
+        r.url: r
+        for r in normalize_url(
+            spark.createDataFrame(
+                [("example.com/x?b=1",), ("/relative/path",), ("HTTPS://Ex.org/p",)],
+                "url string",
+            )
+        ).collect()
+    }
+    assert rows["example.com/x?b=1"].url_norm == "example.com/x?b=1"
+    assert rows["example.com/x?b=1"].host == ""
+    assert rows["/relative/path"].url_norm == "/relative/path"
+    assert rows["/relative/path"].reg_domain == ""
+    assert rows["HTTPS://Ex.org/p"].url_norm == "https://ex.org/p"
