@@ -87,6 +87,7 @@ EXTENDED = [
     "stream_contamination_continuous",
     "domain_blocklist",
     "clean_text_audit",
+    "gopher_filter",
 ]
 
 

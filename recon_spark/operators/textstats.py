@@ -583,3 +583,83 @@ def term_spectrum(
         .orderBy("ord")
         .select("freq", "n_terms", "n_tokens")
     )
+
+
+# Gopher rule-set stopword probe (Rae et al. 2021, appendix A): a real
+# deployment uses the paper's full stopword list; the bounded tuple keeps
+# the demo oracle-exact while exercising the same membership logic.
+GOPHER_STOPWORDS = ("the", "and", "with", "of")
+
+
+def gopher_quality_filter(
+    docs: DataFrame,
+    min_words: int = 40,
+    max_words: int = 90,
+    min_word_len: float = 4.0,
+    max_word_len: float = 5.0,
+    min_stopwords: int = 1,
+    min_alpha_frac: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style composite quality GATE (Rae et al. 2021 appendix A):
+    the production filter stage that text_metrics only measures. Every
+    rule failure is named in a deterministic ``reasons`` string (fixed
+    rule order, comma-joined, '' = keep) — the audit trail a curation
+    pipeline needs to answer "why did this document drop", and the thing
+    a bare boolean filter loses. Returns (doc_id, n_words,
+    mean_word_len, n_stopwords, keep, reasons).
+
+    Rules: word count in [min_words, max_words]; mean word length in
+    [min_word_len, max_word_len]; >= min_stopwords distinct stopwords
+    present; fraction of words containing an alphabetic char >=
+    min_alpha_frac. Thresholds are corpus-tunable parameters; the
+    driver query pins values that exercise every rule on the test
+    corpus.
+
+    Scale shape: map-only pure JVM — split + higher-order folds inside
+    whole-stage codegen, zero shuffle, zero Python; composes with the
+    scan like source_mix_sample does. Division guards keep empty texts
+    well-defined under ANSI mode (they fail the word-count floor)."""
+    toks = F.expr(f"filter(split({text_col}, ' '), t -> t <> '')")
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_words"),
+        F.expr(
+            f"aggregate(filter(split({text_col}, ' '), t -> t <> ''), 0L, "
+            "(a, t) -> a + length(t))"
+        ).alias("sum_len"),
+        F.size(
+            F.filter(stop_arr, lambda s: F.array_contains(toks, s))
+        ).alias("n_stopwords"),
+        F.size(F.expr(
+            f"filter(filter(split({text_col}, ' '), t -> t <> ''), "
+            "t -> t rlike '[A-Za-z]')"
+        )).alias("n_alpha"),
+    )
+    mean_wl = F.when(F.col("n_words") == 0, F.lit(0.0)).otherwise(
+        F.col("sum_len") / F.col("n_words")
+    )
+    alpha_frac = F.when(F.col("n_words") == 0, F.lit(0.0)).otherwise(
+        F.col("n_alpha") / F.col("n_words")
+    )
+    fails = F.filter(
+        F.array(
+            F.when(F.col("n_words") < min_words, F.lit("words_low")),
+            F.when(F.col("n_words") > max_words, F.lit("words_high")),
+            F.when(mean_wl < min_word_len, F.lit("word_len_low")),
+            F.when(mean_wl > max_word_len, F.lit("word_len_high")),
+            F.when(F.col("n_stopwords") < min_stopwords, F.lit("stopwords")),
+            F.when(alpha_frac < min_alpha_frac, F.lit("alpha_frac")),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return d.select(
+        "doc_id",
+        "n_words",
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        "n_stopwords",
+        (F.size(fails) == 0).alias("keep"),
+        F.array_join(fails, ",").alias("reasons"),
+    ).orderBy("doc_id")

@@ -1779,6 +1779,55 @@ FROM cleaned ORDER BY doc_id
 """
 
 
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite quality gate with named failure reasons
+    (textstats.gopher_quality_filter). Thresholds pinned so every rule
+    fires on the test corpus: word count [40, 90], mean word length
+    [4.0, 5.0], >= 1 distinct stopword."""
+    from recon_spark.operators.textstats import gopher_quality_filter
+
+    return gopher_quality_filter(_docs(spark, sf_dir))
+
+
+SQL_GOPHER_FILTER = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INT) AS n_words,
+         list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS sum_len,
+         CAST(len(list_filter(['the', 'and', 'with', 'of'],
+                              s -> list_contains(toks, s))) AS INT) AS n_stopwords,
+         len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha
+  FROM t
+),
+r AS (
+  SELECT doc_id, n_words, n_stopwords,
+         CASE WHEN n_words = 0 THEN 0.0 ELSE sum_len * 1.0 / n_words END AS mwl,
+         CASE WHEN n_words = 0 THEN 0.0 ELSE n_alpha * 1.0 / n_words END AS af
+  FROM m
+),
+f AS (
+  SELECT doc_id, n_words, n_stopwords, mwl,
+    list_filter([
+      CASE WHEN n_words < 40 THEN 'words_low' END,
+      CASE WHEN n_words > 90 THEN 'words_high' END,
+      CASE WHEN mwl < 4.0 THEN 'word_len_low' END,
+      CASE WHEN mwl > 5.0 THEN 'word_len_high' END,
+      CASE WHEN n_stopwords < 1 THEN 'stopwords' END,
+      CASE WHEN af < 0.8 THEN 'alpha_frac' END
+    ], x -> x IS NOT NULL) AS fails
+  FROM r
+)
+SELECT doc_id, n_words, round(mwl, 6) AS mean_word_len, n_stopwords,
+       len(fails) = 0 AS keep,
+       coalesce(array_to_string(fails, ','), '') AS reasons
+FROM f ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # DSIR importance resampling (operators/curation.py:dsir_resample)
 # --------------------------------------------------------------------------
@@ -1895,6 +1944,7 @@ QUERIES = {
     "dsir_resample": q_dsir_resample,
     "domain_blocklist": q_domain_blocklist,
     "clean_text_audit": q_clean_text_audit,
+    "gopher_filter": q_gopher_filter,
 }
 
 ORACLES = {
@@ -1943,4 +1993,5 @@ ORACLES = {
     "dsir_resample": SQL_DSIR_RESAMPLE,
     "domain_blocklist": _sql_domain_blocklist(),
     "clean_text_audit": SQL_CLEAN_TEXT_AUDIT,
+    "gopher_filter": SQL_GOPHER_FILTER,
 }

@@ -322,3 +322,48 @@ def test_normalize_url_schemeless_passthrough(spark):
     assert rows["/relative/path"].url_norm == "/relative/path"
     assert rows["/relative/path"].reg_domain == ""
     assert rows["HTTPS://Ex.org/p"].url_norm == "https://ex.org/p"
+
+
+def test_gopher_filter_reasons_and_empty_guard(spark):
+    from recon_spark.operators.textstats import gopher_quality_filter
+
+    rows = {
+        r.doc_id: r
+        for r in gopher_quality_filter(
+            spark.createDataFrame(
+                [
+                    # 3 short words, no stopwords, mean len 2.0
+                    (0, "ab cd ef"),
+                    # empty text: must not divide by zero under ANSI
+                    (1, ""),
+                    # passes every rule: 45 words incl. a stopword,
+                    # mean length inside [4.0, 5.0]
+                    (2, " ".join(["the"] + ["abcde"] * 44)),
+                    # numeric tokens fail alpha_frac
+                    (3, " ".join(["123"] * 50 + ["the"])),
+                ],
+                "doc_id long, text string",
+            ),
+            min_words=3,
+        ).collect()
+    }
+    assert rows[0].reasons == "word_len_low,stopwords"
+    assert not rows[0].keep
+    assert rows[1].n_words == 0 and not rows[1].keep
+    assert "words_low" in rows[1].reasons
+    assert rows[2].keep and rows[2].reasons == ""
+    assert "alpha_frac" in rows[3].reasons
+
+
+def test_gopher_filter_plan_is_map_only(spark):
+    from recon_spark.operators.textstats import gopher_quality_filter
+
+    df = spark.createDataFrame([(0, "the a b")], "doc_id long, text string")
+    plan = (
+        gopher_quality_filter(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan and "HashAggregate" not in plan
