@@ -88,6 +88,7 @@ EXTENDED = [
     "domain_blocklist",
     "clean_text_audit",
     "gopher_filter",
+    "curation_funnel",
 ]
 
 

@@ -33,7 +33,7 @@ ORACLES = {**CORE_ORACLES, **PIPELINE_ORACLES, **EXTRA_ORACLES, **GRAPH_ORACLES}
 # changes; contents and oracles are identical.
 _NEVER_DRIVER_SAMPLED = [
     "url_normalize", "url_latest_capture", "domain_stats", "dsir_resample",
-    "stream_contamination_continuous", "domain_blocklist", "clean_text_audit", "gopher_filter",
+    "stream_contamination_continuous", "domain_blocklist", "clean_text_audit", "gopher_filter", "curation_funnel",
     "dedup_minhash_production", "simhash_production", "quality_score_trained",
     "stream_sessions_continuous", "hf_ingest_spans",
     "events_asof", "events_range_join", "distinct_sketch", "tfidf_terms",

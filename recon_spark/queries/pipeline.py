@@ -1828,6 +1828,153 @@ FROM f ORDER BY doc_id
 """
 
 
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r3 curation-gate FUNNEL — the per-stage survivor report every
+    pretraining pipeline publishes: gopher quality gate -> domain
+    blocklist -> benchmark decontamination -> weighted source mixing,
+    applied cumulatively. Returns (stage, n_in, n_out), n_in of each
+    stage = n_out of the previous.
+
+    Plan shape: every gate's per-doc decision becomes a boolean flag
+    via doc_id-keyed left joins (AQE broadcasts the small drop/keep
+    sides), then ONE aggregation computes all four cumulative survivor
+    counts and a stack() unpivots the single row — no per-stage
+    actions, no driver loop; at 10^12 docs this is one pass plus the
+    gates' own map-side work. clean_corpus is the r1 twin of this
+    report over the text-metrics/near-dup gates."""
+    from recon_spark.operators.curation import ngram_contamination, source_mix_sample
+    from recon_spark.operators.textstats import gopher_quality_filter
+    from recon_spark.operators.webops import blocklist_filter
+
+    docs = _docs(spark, sf_dir)
+    gop = gopher_quality_filter(docs).select("doc_id", F.col("keep").alias("k1"))
+    blk = (
+        blocklist_filter(_docs_with_urls(spark, sf_dir), _BLOCKLIST)
+        .select("doc_id")
+        .withColumn("kb", F.lit(True))
+    )
+    bench = docs.where(F.col("doc_id") % _BENCH_MOD == 0).select(
+        "doc_id",
+        F.array_join(
+            F.slice(F.split("text", " "), _BENCH_OFF, _BENCH_W), " "
+        ).alias("text"),
+    )
+    contam = (
+        ngram_contamination(docs, bench, n=_CONTAM_N)
+        .select("doc_id")
+        .withColumn("ic", F.lit(True))
+    )
+    mix = (
+        source_mix_sample(docs, rates=_MIX_RATES, default_rate=_MIX_DEFAULT)
+        .select("doc_id")
+        .withColumn("km", F.lit(True))
+    )
+    # cumulative survivors in one agg (contam drops, mix keeps)
+    flags = (
+        docs.select("doc_id")
+        .join(gop, "doc_id")
+        .join(blk, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .join(mix, "doc_id", "left")
+    )
+    s1 = F.col("k1")
+    s2 = s1 & F.coalesce("kb", F.lit(False))
+    s3 = s2 & ~F.coalesce("ic", F.lit(False))
+    s4 = s3 & F.coalesce("km", F.lit(False))
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(s1.cast("int")).alias("n1"),
+        F.sum(s2.cast("int")).alias("n2"),
+        F.sum(s3.cast("int")).alias("n3"),
+        F.sum(s4.cast("int")).alias("n4"),
+    )
+    return agg.selectExpr(
+        "stack(4, '1_gopher', n0, n1, '2_blocklist', n1, n2, "
+        "'3_decontaminate', n2, n3, '4_source_mix', n3, n4) "
+        "AS (stage, n_in, n_out)"
+    ).orderBy("stage")
+
+
+def _sql_curation_funnel() -> str:
+    from recon_spark.operators.curation import _rate_threshold_hex
+
+    cases = " ".join(
+        f"WHEN coalesce(source, '') = '{s}' THEN '{_rate_threshold_hex(r)}'"
+        for s, r in sorted(_MIX_RATES.items())
+    )
+    blk_preds = " OR ".join(
+        f"host = '{d}' OR host LIKE '%.{d}'" for d in _BLOCKLIST
+    )
+    url_ctes = _SQL_URL_NORM_CTES.strip()
+    assert url_ctes.startswith("WITH ")
+    url_ctes = url_ctes[len("WITH "):]
+    return f"""
+WITH tk AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+gf AS (
+  SELECT doc_id,
+    (len(toks) BETWEEN 40 AND 90)
+    AND (CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+              * 1.0 / len(toks) END BETWEEN 4.0 AND 5.0)
+    AND len(list_filter(['the', 'and', 'with', 'of'],
+                        s -> list_contains(toks, s))) >= 1
+    AND (CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+              * 1.0 / len(toks) END) >= 0.8 AS k1
+  FROM tk
+),
+{url_ctes},
+blk AS (SELECT doc_id FROM normed WHERE NOT ({blk_preds})),
+bt AS (
+  SELECT doc_id,
+         string_split(text, ' ')[{_BENCH_OFF}:{_BENCH_OFF + _BENCH_W - 1}] AS toks
+  FROM documents WHERE doc_id % {_BENCH_MOD} = 0
+),
+bg AS (
+  SELECT DISTINCT md5(array_to_string(toks[i:i+{_CONTAM_N - 1}], ' ')) AS g
+  FROM bt, LATERAL unnest(generate_series(1, greatest(len(toks) - {_CONTAM_N - 1}, 0))) AS t(i)
+),
+ct AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+cg AS (
+  SELECT doc_id, md5(array_to_string(toks[i:i+{_CONTAM_N - 1}], ' ')) AS g
+  FROM ct, LATERAL unnest(generate_series(1, greatest(len(toks) - {_CONTAM_N - 1}, 0))) AS t(i)
+),
+contam AS (SELECT DISTINCT c.doc_id FROM cg c JOIN bg USING (g)),
+mixk AS (
+  SELECT doc_id FROM documents
+  WHERE substring(md5(CAST(doc_id AS VARCHAR) || '|' || coalesce(source, '')), 1, 8)
+        < CASE {cases} ELSE '{_rate_threshold_hex(_MIX_DEFAULT)}' END
+),
+flags AS (
+  SELECT d.doc_id, gf.k1,
+         (blk.doc_id IS NOT NULL) AS kb,
+         (contam.doc_id IS NOT NULL) AS ic,
+         (mixk.doc_id IS NOT NULL) AS km
+  FROM documents d
+  JOIN gf USING (doc_id)
+  LEFT JOIN blk USING (doc_id)
+  LEFT JOIN contam USING (doc_id)
+  LEFT JOIN mixk USING (doc_id)
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN k1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN k1 AND kb THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN k1 AND kb AND NOT ic THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+         CAST(sum(CASE WHEN k1 AND kb AND NOT ic AND km THEN 1 ELSE 0 END) AS BIGINT) AS n4
+  FROM flags
+)
+SELECT '1_gopher' AS stage, n0 AS n_in, n1 AS n_out FROM s
+UNION ALL SELECT '2_blocklist', n1, n2 FROM s
+UNION ALL SELECT '3_decontaminate', n2, n3 FROM s
+UNION ALL SELECT '4_source_mix', n3, n4 FROM s
+ORDER BY stage
+"""
+
+
 # --------------------------------------------------------------------------
 # DSIR importance resampling (operators/curation.py:dsir_resample)
 # --------------------------------------------------------------------------
@@ -1945,6 +2092,7 @@ QUERIES = {
     "domain_blocklist": q_domain_blocklist,
     "clean_text_audit": q_clean_text_audit,
     "gopher_filter": q_gopher_filter,
+    "curation_funnel": q_curation_funnel,
 }
 
 ORACLES = {
@@ -1994,4 +2142,5 @@ ORACLES = {
     "domain_blocklist": _sql_domain_blocklist(),
     "clean_text_audit": SQL_CLEAN_TEXT_AUDIT,
     "gopher_filter": SQL_GOPHER_FILTER,
+    "curation_funnel": _sql_curation_funnel(),
 }
