@@ -92,11 +92,34 @@ EXTENDED = [
 ]
 
 
+MAX_CLEAN_WAIT_SEC = 600  # wait-for-clean-window budget before giving up
+CLEAN_LOADAVG = 2.0  # r3's BENCH file was recorded at loadavg 14.8 and its
+# round-over-round deltas were pure noise; refuse to start above this
+
+
+def wait_for_clean_window() -> tuple[float, float, bool]:
+    """Block until 1-min loadavg < CLEAN_LOADAVG (external contention gone)
+    or MAX_CLEAN_WAIT_SEC elapses. Returns (loadavg_at_start, waited_sec,
+    window_dirty). Proceeding dirty is tagged, never silent — a refusal
+    would leave the driver with no artifact at all, which is worse."""
+    t0 = time.time()
+    load = os.getloadavg()[0]
+    while load >= CLEAN_LOADAVG and time.time() - t0 < MAX_CLEAN_WAIT_SEC:
+        print(
+            f"bench: loadavg {load:.1f} >= {CLEAN_LOADAVG} — waiting for a "
+            "clean window",
+            file=sys.stderr,
+        )
+        time.sleep(15)
+        load = os.getloadavg()[0]
+    return load, round(time.time() - t0, 1), load >= CLEAN_LOADAVG
+
+
 def run_bench(sf_dir: str, cpus: int, queries: list[str]) -> dict:
     # window load BEFORE we load the box ourselves: getloadavg() after a
     # local[32] run mostly measures the bench itself (r2 recorded 15.9
     # that way), not the external contention the tag is meant to expose
-    loadavg_start = os.getloadavg()[0]
+    loadavg_start, waited, dirty = wait_for_clean_window()
 
     from recon_spark.queries import QUERIES
     from recon_spark.session import get_spark
@@ -181,6 +204,12 @@ def run_bench(sf_dir: str, cpus: int, queries: list[str]) -> dict:
         # load); loadavg_1m is post-run and includes the bench itself
         "loadavg_1m_start": loadavg_start,
         "loadavg_1m": os.getloadavg()[0],
+        # clean-window guard (r3 verdict item 2): bench waits up to
+        # MAX_CLEAN_WAIT_SEC for loadavg < CLEAN_LOADAVG before starting;
+        # window_dirty=True means the wait timed out and numbers are NOT
+        # round-comparable
+        "clean_window_waited_sec": waited,
+        "window_dirty": dirty,
         "n_docs": n_docs,
         "cpus": cpus,
     }
@@ -309,6 +338,7 @@ def scaling_report_run(sf_dir: str, n_lo: int | None = None, n_hi: int | None = 
     # measurement reflects the pipeline, not the host's shared bus
     n_lo = n_lo or int(os.environ.get("SCALE_N_LO", "2"))
     n_hi = n_hi or int(os.environ.get("SCALE_N_HI", "8"))
+    wait_for_clean_window()  # scaling numbers need a quiet box even more
     prepare_scale_input(sf_dir)
     results: dict[int, dict] = {}
     # interleave levels and keep the fastest run per level: the sandbox

@@ -373,7 +373,24 @@ def from_hf_dataset(
             )
         df = spark.createDataFrame(data)
 
-    toks = F.col(tokens_col)
+    # the kernel APPENDS text/tokens/spans; an input column already using
+    # one of those names (other than the consumed tokens/tags inputs)
+    # would silently duplicate in the output schema — reject it
+    clash = [
+        c
+        for c in df.columns
+        if c in ("text", "tokens", "spans") and c not in (tokens_col, tags_col)
+    ]
+    if clash:
+        raise ValueError(
+            f"from_hf_dataset: input columns {clash} collide with the "
+            "appended output columns (text, tokens, spans) — rename them "
+            "or pass them as tokens_col/tags_col"
+        )
+    # null token ELEMENTS (HF exports contain them) become '' in both
+    # engines: a None would crash the Arrow kernel's len() and NULL-out
+    # the JVM fold's offset accumulator
+    toks = F.transform(F.col(tokens_col), lambda t: F.coalesce(t, F.lit("")))
     if labels is not None:
         # HF ClassLabel ints -> IOB tag strings via a literal array
         # (label vocabularies are tiny); element_at is 1-based
@@ -411,8 +428,9 @@ def from_hf_dataset(
 
     out = (
         df.withColumn("__tags", tags)
-        .withColumn("text", F.array_join(toks, " "))
-        .withColumn("tokens", F.expr(offsets.format(toks=tokens_col)))
+        .withColumn("__toks", toks)  # null elements already coalesced to ''
+        .withColumn("text", F.array_join(F.col("__toks"), " "))
+        .withColumn("tokens", F.expr(offsets.format(toks="__toks")))
         .withColumn("spans", iob_to_spans("__tags", "tokens"))
     )
     # materialize span surfaces from the offsets (the span-text

@@ -53,6 +53,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from recon_spark.operators.scratch import scratch
+
 P = 1_000_000_007
 N_PERM = 16
 N_BANDS = 4
@@ -171,13 +173,11 @@ def jaccard_pairs(
     max_postings drops shingles appearing in more than that many docs
     (candidate-pair blowup guard at scale; None = exact, used for the
     oracle-checked query at test SFs)."""
-    sh = (
-        with_shingles(df, text_col, hash_mode=hash_mode)
-        .select(
+    sh = scratch(  # consumed by both sides of the pair join + sizes
+        with_shingles(df, text_col, hash_mode=hash_mode).select(
             F.col(id_col).alias("id"),
             F.explode(F.array_distinct("shingles")).alias("sh"),
         )
-        .persist()  # consumed by both sides of the pair join + sizes
     )
     if max_postings is not None:
         heavy = sh.groupBy("sh").count().where(F.col("count") > max_postings).select("sh")
@@ -291,9 +291,9 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """Candidate near-dup pairs from MinHash banding (4 bands × 4 rows):
     pairs sharing at least one band signature, (id_a, id_b) distinct."""
-    # signatures are tiny (16 longs/doc); persist so the expensive
+    # signatures are tiny (16 longs/doc); pin so the expensive
     # shingle+perm computation runs once, not once per join side
-    sig = minhash_signature(df, id_col, text_col, hash_mode=hash_mode).persist()
+    sig = scratch(minhash_signature(df, id_col, text_col, hash_mode=hash_mode))
     bands = band_signatures(sig)
     a = bands.alias("a")
     b = bands.alias("b")
@@ -366,19 +366,17 @@ def connected_components(
             [StructField("id", id_type), StructField("component", id_type)]
         )
         return spark.createDataFrame(sorted(out), schema).orderBy("id")
-    edges = (
+    edges = scratch(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
         .distinct()
-        .persist()
     )
-    labels = (
+    labels = scratch(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .persist()
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -386,7 +384,7 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
+        new_labels = scratch(
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
@@ -394,7 +392,6 @@ def connected_components(
                     F.col("component"), F.coalesce("nbr_min", F.col("component"))
                 ).alias("component"),
             )
-            .persist()
         )
         changed = (
             new_labels.alias("n")
@@ -503,7 +500,7 @@ def simhash_neardup_pairs(
     """(id_a, id_b, dist): pairs with SimHash Hamming distance <= max_dist,
     candidate-blocked on the four 8-bit pieces (exact for max_dist <= 3 by
     pigeonhole: at most 3 differing bits touch at most 3 of 4 pieces)."""
-    sig = simhash32(df, id_col, text_col, hash_mode=hash_mode).persist()
+    sig = scratch(simhash32(df, id_col, text_col, hash_mode=hash_mode))
     pieces = sig.select(
         "id",
         "simhash",

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from recon_spark.operators.scratch import scratch
+
 DAMPING = 0.85
 PR_ITERATIONS = 5
 PR_ROUND = 6
@@ -68,7 +70,7 @@ def pagerank(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(scratch)
     )
     n = nodes.count()  # single scalar action; |V| is a long, not data
     if n == 0:
@@ -77,10 +79,10 @@ def pagerank(
         )
     outd = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("od"))
     # pre-join contribution weights once; every iteration reuses this frame
-    contrib_e = e.join(outd, "src").localCheckpoint(eager=False)
+    contrib_e = e.join(outd, "src").transform(scratch)
     dangling_nodes = nodes.join(
         outd, nodes.node == outd.src, "left_anti"
-    ).localCheckpoint(eager=False)
+    ).transform(scratch)
 
     ranks = nodes.withColumn("rank", F.lit(round(1.0 / n, PR_ROUND)))
     base = (1.0 - damping) / n
@@ -180,7 +182,7 @@ def cooccurrence_pmi(
             F.col(doc_col).alias("doc_id"), F.col(entity_col).alias("entity")
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(scratch)
     )
     n_docs = ment.select("doc_id").distinct().count()
     if n_docs == 0:
@@ -580,7 +582,7 @@ def random_walks(
     adj = (
         e.groupBy("s")
         .agg(F.sort_array(F.collect_list("t")).alias("nbrs"))
-        .localCheckpoint(eager=False)
+        .transform(scratch)
     )
     frontier = adj.select(
         F.col("s").alias("start"),
@@ -661,7 +663,7 @@ def kcore(
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(scratch)
     )
     for _ in range(iters):
         ends = und.select(F.col("a").alias("node")).unionAll(
@@ -679,7 +681,7 @@ def kcore(
         und = (
             und.join(keep, und.a == keep.node, "left_semi")
             .join(keep, und.b == keep.node, "left_semi")
-            .localCheckpoint(eager=False)
+            .transform(scratch)
         )
     ends = und.select(F.col("a").alias("node")).unionAll(
         und.select(F.col("b").alias("node"))
@@ -769,7 +771,7 @@ def negative_samples(
     t = (
         triples.select("subj", "pred", "obj")
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(scratch)
     )
     ents = (
         t.select(F.col("subj").alias("e"))
@@ -779,7 +781,7 @@ def negative_samples(
     vocab = ents.select(
         F.col("e"),
         (F.row_number().over(Window.orderBy("e")) - 1).alias("rk"),
-    ).localCheckpoint(eager=False)
+    ).transform(scratch)
     nv = vocab.count()
     if nv == 0:
         return t.sparkSession.createDataFrame(

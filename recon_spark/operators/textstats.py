@@ -585,44 +585,75 @@ def term_spectrum(
     )
 
 
-# Gopher rule-set stopword probe (Rae et al. 2021, appendix A): a real
-# deployment uses the paper's full stopword list; the bounded tuple keeps
-# the demo oracle-exact while exercising the same membership logic.
-GOPHER_STOPWORDS = ("the", "and", "with", "of")
+# Gopher stopword rule (Rae et al. 2021, appendix A): the paper's gate
+# requires >= 2 of exactly these eight English words. Overridable via the
+# gopher_quality_filter ``stopwords`` parameter.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+# Line-start markers treated as bullets for the bullet-line rule.
+GOPHER_BULLETS = ("•", "- ", "* ", "· ")
 
 
 def gopher_quality_filter(
     docs: DataFrame,
-    min_words: int = 40,
-    max_words: int = 90,
-    min_word_len: float = 4.0,
-    max_word_len: float = 5.0,
-    min_stopwords: int = 1,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_word_len: float = 3.0,
+    max_word_len: float = 10.0,
+    min_stopwords: int = 2,
     min_alpha_frac: float = 0.8,
+    max_symbol_word_ratio: float | None = 0.1,
+    max_bullet_line_frac: float | None = 0.9,
+    max_ellipsis_line_frac: float | None = 0.3,
+    max_dup_line_frac: float | None = 0.3,
+    stopwords=GOPHER_STOPWORDS,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Gopher-style composite quality GATE (Rae et al. 2021 appendix A):
-    the production filter stage that text_metrics only measures. Every
-    rule failure is named in a deterministic ``reasons`` string (fixed
-    rule order, comma-joined, '' = keep) — the audit trail a curation
-    pipeline needs to answer "why did this document drop", and the thing
-    a bare boolean filter loses. Returns (doc_id, n_words,
-    mean_word_len, n_stopwords, keep, reasons).
+    """Gopher composite quality GATE (Rae et al. 2021 appendix A): the
+    production filter stage that text_metrics only measures. Every rule
+    failure is named in a deterministic ``reasons`` string (fixed rule
+    order, comma-joined, '' = keep) — the audit trail a curation
+    pipeline needs to answer "why did this document drop", and the
+    thing a bare boolean filter loses. Returns (doc_id, n_words,
+    mean_word_len, n_stopwords, n_lines, keep, reasons).
 
-    Rules: word count in [min_words, max_words]; mean word length in
-    [min_word_len, max_word_len]; >= min_stopwords distinct stopwords
-    present; fraction of words containing an alphabetic char >=
-    min_alpha_frac. Thresholds are corpus-tunable parameters; the
-    driver query pins values that exercise every rule on the test
-    corpus.
+    Defaults are the paper's appendix-A thresholds:
+    - word count in [50, 100000]; mean word length in [3, 10]
+    - >= 2 of the paper's eight stopwords present (``stopwords`` is a
+      parameter — swap in a corpus-specific list without forking)
+    - >= 80% of words contain an alphabetic character
+    - symbol-to-word ratio <= 0.1 for '#' and '...' combined
+    - <= 90% of lines start with a bullet marker; <= 30% end with an
+      ellipsis
+    - duplicate-line fraction <= 30% (the paper's repetition family;
+      per-doc lines are bounded, so 1 - distinct/total via
+      array_distinct is map-only — the cross-doc explode + groupBy in
+      repetition_metrics exists for the word/bigram grams whose per-doc
+      arrays are NOT small, and is deliberately not reused here)
+
+    Any of the four line/symbol thresholds set to None disables that
+    rule (legacy word-level-only gate). Thresholds are corpus-tunable
+    parameters; the driver queries pin values that exercise every rule
+    on the test corpus.
 
     Scale shape: map-only pure JVM — split + higher-order folds inside
     whole-stage codegen, zero shuffle, zero Python; composes with the
     scan like source_mix_sample does. Division guards keep empty texts
     well-defined under ANSI mode (they fail the word-count floor)."""
     toks = F.expr(f"filter(split({text_col}, ' '), t -> t <> '')")
-    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    # lines: split on newline, blank lines dropped (a trailing '\n'
+    # would otherwise count an empty duplicate line in every doc)
+    lines = F.expr(
+        f"filter(transform(split({text_col}, '\\n'), l -> trim(l)), l -> l <> '')"
+    )
+    n_ell = (
+        F.length(text_col) - F.length(F.regexp_replace(F.col(text_col), r"\.\.\.", ""))
+    ) / 3
+    n_hash = F.length(text_col) - F.length(
+        F.regexp_replace(F.col(text_col), "#", "")
+    )
     d = docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(toks).alias("n_words"),
@@ -637,6 +668,18 @@ def gopher_quality_filter(
             f"filter(filter(split({text_col}, ' '), t -> t <> ''), "
             "t -> t rlike '[A-Za-z]')"
         )).alias("n_alpha"),
+        (n_hash + n_ell).alias("n_symbols"),
+        F.size(lines).alias("n_lines"),
+        F.size(
+            F.filter(
+                lines,
+                lambda l: reduce_or([l.startswith(b) for b in GOPHER_BULLETS]),
+            )
+        ).alias("n_bullet_lines"),
+        F.size(
+            F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
+        ).alias("n_ellipsis_lines"),
+        (F.size(lines) - F.size(F.array_distinct(lines))).alias("n_dup_lines"),
     )
     mean_wl = F.when(F.col("n_words") == 0, F.lit(0.0)).otherwise(
         F.col("sum_len") / F.col("n_words")
@@ -644,22 +687,61 @@ def gopher_quality_filter(
     alpha_frac = F.when(F.col("n_words") == 0, F.lit(0.0)).otherwise(
         F.col("n_alpha") / F.col("n_words")
     )
-    fails = F.filter(
-        F.array(
-            F.when(F.col("n_words") < min_words, F.lit("words_low")),
-            F.when(F.col("n_words") > max_words, F.lit("words_high")),
-            F.when(mean_wl < min_word_len, F.lit("word_len_low")),
-            F.when(mean_wl > max_word_len, F.lit("word_len_high")),
-            F.when(F.col("n_stopwords") < min_stopwords, F.lit("stopwords")),
-            F.when(alpha_frac < min_alpha_frac, F.lit("alpha_frac")),
-        ),
-        lambda x: x.isNotNull(),
+    symbol_ratio = F.when(F.col("n_words") == 0, F.lit(0.0)).otherwise(
+        F.col("n_symbols") / F.col("n_words")
     )
+
+    def line_frac(col: str):
+        return F.when(F.col("n_lines") == 0, F.lit(0.0)).otherwise(
+            F.col(col) / F.col("n_lines")
+        )
+
+    rules = [
+        F.when(F.col("n_words") < min_words, F.lit("words_low")),
+        F.when(F.col("n_words") > max_words, F.lit("words_high")),
+        F.when(mean_wl < min_word_len, F.lit("word_len_low")),
+        F.when(mean_wl > max_word_len, F.lit("word_len_high")),
+        F.when(F.col("n_stopwords") < min_stopwords, F.lit("stopwords")),
+        F.when(alpha_frac < min_alpha_frac, F.lit("alpha_frac")),
+    ]
+    if max_symbol_word_ratio is not None:
+        rules.append(
+            F.when(symbol_ratio > max_symbol_word_ratio, F.lit("symbol_ratio"))
+        )
+    if max_bullet_line_frac is not None:
+        rules.append(
+            F.when(
+                line_frac("n_bullet_lines") > max_bullet_line_frac,
+                F.lit("bullet_lines"),
+            )
+        )
+    if max_ellipsis_line_frac is not None:
+        rules.append(
+            F.when(
+                line_frac("n_ellipsis_lines") > max_ellipsis_line_frac,
+                F.lit("ellipsis_lines"),
+            )
+        )
+    if max_dup_line_frac is not None:
+        rules.append(
+            F.when(
+                line_frac("n_dup_lines") > max_dup_line_frac, F.lit("dup_lines")
+            )
+        )
+    fails = F.filter(F.array(*rules), lambda x: x.isNotNull())
     return d.select(
         "doc_id",
         "n_words",
         F.round(mean_wl, 6).alias("mean_word_len"),
         "n_stopwords",
+        "n_lines",
         (F.size(fails) == 0).alias("keep"),
         F.array_join(fails, ",").alias("reasons"),
     ).orderBy("doc_id")
+
+
+def reduce_or(cols):
+    out = cols[0]
+    for c in cols[1:]:
+        out = out | c
+    return out

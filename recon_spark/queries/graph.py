@@ -413,9 +413,12 @@ SQL_FACTS_CURRENT = _sql_facts_current()
 
 def q_facts_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver surface note: the operator leaves valid_to NULL for the
-    open-ended current interval; the query coalesces it to the
-    far-future sentinel so the cross-engine value-hash never compares
-    engine-specific NULL-timestamp encodings (pandas NaT vs None)."""
+    open-ended current interval. The query emits valid_to as a FORMATTED
+    STRING with a far-future sentinel for the open interval: a string
+    avoids both engine-specific NULL-timestamp encodings (pandas NaT vs
+    None) AND the pandas ns-datetime64 range limit (2262-04-11) that a
+    9999-12-31 TIMESTAMP overflows when the driver harness converts
+    results via toPandas (the r3 red row)."""
     from recon_spark.operators.graph import fact_history
 
     t = extract_triples_tokens(_docs(spark, sf_dir)).withColumn(
@@ -424,7 +427,10 @@ def q_facts_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return fact_history(t).withColumn(
         "valid_to",
-        F.coalesce("valid_to", F.lit("9999-12-31 00:00:00").cast("timestamp")),
+        F.coalesce(
+            F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss"),
+            F.lit("9999-12-31 00:00:00"),
+        ),
     )
 
 
@@ -447,8 +453,9 @@ kept AS (
   SELECT subj, pred, obj, ts, pos FROM chg WHERE prev IS NULL OR prev <> obj
 )
 SELECT subj, pred, obj, ts AS valid_from,
-       coalesce(lead(ts) OVER (PARTITION BY subj, pred ORDER BY ts, pos, obj),
-                TIMESTAMP '9999-12-31 00:00:00') AS valid_to
+       coalesce(strftime(lead(ts) OVER (PARTITION BY subj, pred ORDER BY ts, pos, obj),
+                         '%Y-%m-%d %H:%M:%S'),
+                '9999-12-31 00:00:00') AS valid_to
 FROM kept ORDER BY subj, pred, valid_from, obj
 """
 

@@ -1479,7 +1479,11 @@ def _sql_quality_score_trained() -> str:
     tbl = pq.read_table(QUALITY_WEIGHTS_PATH, columns=["term", "weight_micro"])
     rows = list(zip(tbl.column("term").to_pylist(), tbl.column("weight_micro").to_pylist()))
     bias_micro = next(m for t, m in rows if t == "__bias__")
-    values = ", ".join(f"('{t}', {m})" for t, m in rows if t != "__bias__")
+    # terms come from trained-on text: escape embedded single quotes so a
+    # vocab entry like "don't" can't break the generated VALUES clause
+    values = ", ".join(
+        f"""('{t.replace("'", "''")}', {m})""" for t, m in rows if t != "__bias__"
+    )
     return f"""
 WITH w(term, weight_micro) AS (VALUES {values}),
 toks AS (
@@ -1523,38 +1527,47 @@ SELECT doc_id, n_terms, score, score >= 0.5 AS keep FROM s ORDER BY doc_id
 # URL / domain curation (operators/webops.py) — Common-Crawl-style URL
 # canonicalization, latest-capture dedup, per-domain crawl profile.
 # The documents table has no url column, so both engines synthesize the
-# SAME urls deterministically from doc_id (4 shape variants exercising
+# SAME urls deterministically from doc_id (6 shape variants exercising
 # case, www, default ports, tracking params, param order, fragments,
-# trailing slashes, and a compound .co.uk suffix; variants 0 and 1
-# canonicalize identically so latest-capture has real dup groups) and a
-# strictly increasing warc_ts_s epoch (injective: 1767225600 + 37*doc_id).
+# trailing slashes, a compound .co.uk suffix, userinfo (user:pass@),
+# and a bracketed IPv6 host; variants 0 and 1 canonicalize identically
+# so latest-capture has real dup groups) and a strictly increasing
+# warc_ts_s epoch (injective: 1767225600 + 37*doc_id).
 # --------------------------------------------------------------------------
 
 _URL_EXPR = """
-CASE doc_id % 4
-  WHEN 0 THEN concat('HTTPS://WWW.Site', CAST((doc_id DIV 4) % 13 AS STRING),
-    '.Example.COM:443/a/', CAST(doc_id DIV 4 AS STRING),
+CASE doc_id % 6
+  WHEN 0 THEN concat('HTTPS://WWW.Site', CAST((doc_id DIV 6) % 13 AS STRING),
+    '.Example.COM:443/a/', CAST(doc_id DIV 6 AS STRING),
     '/?utm_source=feed&b=2&a=1#frag')
-  WHEN 1 THEN concat('https://Site', CAST((doc_id DIV 4) % 13 AS STRING),
-    '.example.com:443/a/', CAST(doc_id DIV 4 AS STRING), '?a=1&b=2&gclid=x')
-  WHEN 2 THEN concat('http://www.site', CAST((doc_id DIV 4) % 13 AS STRING),
-    '.example.com:80/a/', CAST(doc_id DIV 4 AS STRING), '/')
-  ELSE concat('https://blog.site', CAST((doc_id DIV 4) % 13 AS STRING),
+  WHEN 1 THEN concat('https://Site', CAST((doc_id DIV 6) % 13 AS STRING),
+    '.example.com:443/a/', CAST(doc_id DIV 6 AS STRING), '?a=1&b=2&gclid=x')
+  WHEN 2 THEN concat('http://www.site', CAST((doc_id DIV 6) % 13 AS STRING),
+    '.example.com:80/a/', CAST(doc_id DIV 6 AS STRING), '/')
+  WHEN 3 THEN concat('https://u:p@Site', CAST((doc_id DIV 6) % 13 AS STRING),
+    '.example.com/login/', CAST(doc_id DIV 6 AS STRING))
+  WHEN 4 THEN concat('http://[2001:DB8::', CAST(doc_id % 7 AS STRING),
+    ']:8080/api/', CAST(doc_id DIV 6 AS STRING))
+  ELSE concat('https://blog.site', CAST((doc_id DIV 6) % 13 AS STRING),
     '.example.co.uk/p/', CAST(doc_id % 50 AS STRING), '?utm_campaign=z&ref=rss')
 END
 """
 
 # DuckDB twin of _URL_EXPR (// for DIV, || for concat, VARCHAR casts)
 _SQL_URL_EXPR = """
-CASE doc_id % 4
-  WHEN 0 THEN 'HTTPS://WWW.Site' || CAST((doc_id // 4) % 13 AS VARCHAR)
-    || '.Example.COM:443/a/' || CAST(doc_id // 4 AS VARCHAR)
+CASE doc_id % 6
+  WHEN 0 THEN 'HTTPS://WWW.Site' || CAST((doc_id // 6) % 13 AS VARCHAR)
+    || '.Example.COM:443/a/' || CAST(doc_id // 6 AS VARCHAR)
     || '/?utm_source=feed&b=2&a=1#frag'
-  WHEN 1 THEN 'https://Site' || CAST((doc_id // 4) % 13 AS VARCHAR)
-    || '.example.com:443/a/' || CAST(doc_id // 4 AS VARCHAR) || '?a=1&b=2&gclid=x'
-  WHEN 2 THEN 'http://www.site' || CAST((doc_id // 4) % 13 AS VARCHAR)
-    || '.example.com:80/a/' || CAST(doc_id // 4 AS VARCHAR) || '/'
-  ELSE 'https://blog.site' || CAST((doc_id // 4) % 13 AS VARCHAR)
+  WHEN 1 THEN 'https://Site' || CAST((doc_id // 6) % 13 AS VARCHAR)
+    || '.example.com:443/a/' || CAST(doc_id // 6 AS VARCHAR) || '?a=1&b=2&gclid=x'
+  WHEN 2 THEN 'http://www.site' || CAST((doc_id // 6) % 13 AS VARCHAR)
+    || '.example.com:80/a/' || CAST(doc_id // 6 AS VARCHAR) || '/'
+  WHEN 3 THEN 'https://u:p@Site' || CAST((doc_id // 6) % 13 AS VARCHAR)
+    || '.example.com/login/' || CAST(doc_id // 6 AS VARCHAR)
+  WHEN 4 THEN 'http://[2001:DB8::' || CAST(doc_id % 7 AS VARCHAR)
+    || ']:8080/api/' || CAST(doc_id // 6 AS VARCHAR)
+  ELSE 'https://blog.site' || CAST((doc_id // 6) % 13 AS VARCHAR)
     || '.example.co.uk/p/' || CAST(doc_id % 50 AS VARCHAR) || '?utm_campaign=z&ref=rss'
 END
 """
@@ -1577,14 +1590,18 @@ parts AS (
   FROM u
 ),
 hp AS (
+  -- hostport: userinfo ('user:pass@') stripped; tail offset uses the
+  -- RAW authority length (mirrors webops.normalize_url)
   SELECT *,
-    regexp_extract(rest, '^([^/?]*)', 1) AS hostport,
+    regexp_replace(regexp_extract(rest, '^([^/?]*)', 1), '^[^/@]*@', '') AS hostport,
     substring(rest, length(regexp_extract(rest, '^([^/?]*)', 1)) + 1) AS tail
   FROM parts
 ),
 comp AS (
   SELECT *,
-    lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host0,
+    CASE WHEN hostport LIKE '[%'
+         THEN lower(regexp_extract(hostport, '^(\\[[^\\]]*\\])', 1))
+         ELSE lower(regexp_extract(hostport, '^([^:]*)', 1)) END AS host0,
     regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
     regexp_extract(tail, '^([^?]*)', 1) AS path0,
     regexp_extract(tail, '^[^?]*\\?(.*)$', 1) AS q0
@@ -1608,13 +1625,14 @@ normed AS (
       || CASE WHEN path0 IN ('', '/') THEN '/'
          ELSE regexp_replace(path0, '/$', '') END
       || CASE WHEN qn = '' THEN '' ELSE '?' || qn END AS url_norm,
+    CASE WHEN host LIKE '[%' THEN host ELSE
     (SELECT CASE
         WHEN len(labels) <= 2 THEN host
         WHEN length(labels[len(labels)]) = 2 AND labels[len(labels) - 1] IN
              ('ac', 'co', 'com', 'edu', 'gov', 'net', 'org')
           THEN array_to_string(labels[len(labels) - 2 : len(labels)], '.')
         ELSE array_to_string(labels[len(labels) - 1 : len(labels)], '.')
-      END FROM (SELECT string_split(host, '.') AS labels)) AS reg_domain
+      END FROM (SELECT string_split(host, '.') AS labels)) END AS reg_domain
   FROM comp2
 )
 """
@@ -1780,13 +1798,27 @@ FROM cleaned ORDER BY doc_id
 
 
 def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style composite quality gate with named failure reasons
-    (textstats.gopher_quality_filter). Thresholds pinned so every rule
-    fires on the test corpus: word count [40, 90], mean word length
-    [4.0, 5.0], >= 1 distinct stopword."""
+    """Gopher-style composite quality gate, WORD-LEVEL rules only, with
+    named failure reasons (textstats.gopher_quality_filter). Thresholds
+    pinned so every rule fires on the test corpus: word count [40, 90],
+    mean word length [4.0, 5.0], >= 1 of a 4-word stopword probe. The
+    full paper rule set (8-word stopword list, symbol/bullet/ellipsis/
+    duplicate-line rules) is gopher_filter_full."""
     from recon_spark.operators.textstats import gopher_quality_filter
 
-    return gopher_quality_filter(_docs(spark, sf_dir))
+    return gopher_quality_filter(
+        _docs(spark, sf_dir),
+        min_words=40,
+        max_words=90,
+        min_word_len=4.0,
+        max_word_len=5.0,
+        min_stopwords=1,
+        stopwords=("the", "and", "with", "of"),
+        max_symbol_word_ratio=None,
+        max_bullet_line_frac=None,
+        max_ellipsis_line_frac=None,
+        max_dup_line_frac=None,
+    ).drop("n_lines")
 
 
 SQL_GOPHER_FILTER = """
@@ -1828,6 +1860,123 @@ FROM f ORDER BY doc_id
 """
 
 
+# Structured-text synth for the FULL Gopher gate: the corpus text is
+# single-line prose with no bullets/ellipses/hash symbols, so (like
+# clean_text_audit's junk injection) both engines deterministically
+# rebuild doc texts that exercise the line/symbol rules. seg1/seg2 are
+# fixed substrings of the doc's own text.
+_GOPHER_FULL_TEXT_EXPR = r"""
+CASE doc_id % 6
+  WHEN 1 THEN concat(substring(text, 1, 60), '\n', substring(text, 1, 60),
+    '\n', substring(text, 1, 60), '\n', substring(text, 61, 60))
+  WHEN 2 THEN concat('• ', substring(text, 1, 60), '\n• ',
+    substring(text, 61, 60), '\n• ', substring(text, 1, 60))
+  WHEN 3 THEN concat(substring(text, 1, 60), '...\n',
+    substring(text, 61, 60), '...')
+  WHEN 4 THEN concat(substring(text, 1, 60), ' # # # # # #')
+  WHEN 5 THEN concat('to be of and the ', substring(text, 1, 60), '\n',
+    substring(text, 61, 60))
+  ELSE concat('that have with of ', text)
+END
+"""
+
+_SQL_GOPHER_FULL_TEXT_EXPR = """
+CASE doc_id % 6
+  WHEN 1 THEN substring(text, 1, 60) || chr(10) || substring(text, 1, 60)
+    || chr(10) || substring(text, 1, 60) || chr(10) || substring(text, 61, 60)
+  WHEN 2 THEN '• ' || substring(text, 1, 60) || chr(10) || '• '
+    || substring(text, 61, 60) || chr(10) || '• ' || substring(text, 1, 60)
+  WHEN 3 THEN substring(text, 1, 60) || '...' || chr(10)
+    || substring(text, 61, 60) || '...'
+  WHEN 4 THEN substring(text, 1, 60) || ' # # # # # #'
+  WHEN 5 THEN 'to be of and the ' || substring(text, 1, 60) || chr(10)
+    || substring(text, 61, 60)
+  ELSE 'that have with of ' || text
+END
+"""
+
+
+def q_gopher_filter_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL Gopher appendix-A gate (paper defaults: 8-word stopword
+    rule, symbol-to-word ratio, bullet/ellipsis line fractions,
+    duplicate-line fraction) over deterministically structured doc
+    texts, so every rule class fires on the test corpus. Word bounds
+    relaxed to the synth segment size; everything else is the paper's
+    thresholds. Map-only JVM plan like the word-level twin."""
+    from recon_spark.operators.textstats import gopher_quality_filter
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "text", F.expr(_GOPHER_FULL_TEXT_EXPR)
+    )
+    return gopher_quality_filter(
+        docs, min_words=8, max_words=120, min_word_len=1.0
+    )
+
+
+SQL_GOPHER_FILTER_FULL = f"""
+WITH synth AS (
+  SELECT doc_id, {_SQL_GOPHER_FULL_TEXT_EXPR} AS t2 FROM documents
+),
+t AS (
+  SELECT doc_id, t2,
+         list_filter(string_split(t2, ' '), x -> x <> '') AS toks,
+         list_filter(list_transform(string_split(t2, chr(10)), l -> trim(l)),
+                     l -> l <> '') AS lines
+  FROM synth
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INT) AS n_words,
+         list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS sum_len,
+         CAST(len(list_filter(['the', 'be', 'to', 'of', 'and', 'that', 'have',
+                               'with'],
+                              s -> list_contains(toks, s))) AS INT)
+           AS n_stopwords,
+         len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+         (length(t2) - length(replace(t2, '#', '')))
+           + (length(t2) - length(replace(t2, '...', ''))) / 3.0 AS n_symbols,
+         CAST(len(lines) AS INT) AS n_lines,
+         len(list_filter(lines, l -> starts_with(l, '•')
+             OR starts_with(l, '- ') OR starts_with(l, '* ')
+             OR starts_with(l, '· '))) AS n_bullet,
+         len(list_filter(lines, l -> ends_with(l, '...')
+             OR ends_with(l, '…'))) AS n_ellipsis,
+         len(lines) - len(list_distinct(lines)) AS n_dup
+  FROM t
+),
+r AS (
+  SELECT doc_id, n_words, n_stopwords, n_lines,
+         CASE WHEN n_words = 0 THEN 0.0 ELSE sum_len * 1.0 / n_words END AS mwl,
+         CASE WHEN n_words = 0 THEN 0.0 ELSE n_alpha * 1.0 / n_words END AS af,
+         CASE WHEN n_words = 0 THEN 0.0 ELSE n_symbols / n_words END AS sr,
+         CASE WHEN n_lines = 0 THEN 0.0 ELSE n_bullet * 1.0 / n_lines END AS bf,
+         CASE WHEN n_lines = 0 THEN 0.0 ELSE n_ellipsis * 1.0 / n_lines END AS ef,
+         CASE WHEN n_lines = 0 THEN 0.0 ELSE n_dup * 1.0 / n_lines END AS df
+  FROM m
+),
+f AS (
+  SELECT doc_id, n_words, n_stopwords, n_lines, mwl,
+    list_filter([
+      CASE WHEN n_words < 8 THEN 'words_low' END,
+      CASE WHEN n_words > 120 THEN 'words_high' END,
+      CASE WHEN mwl < 1.0 THEN 'word_len_low' END,
+      CASE WHEN mwl > 10.0 THEN 'word_len_high' END,
+      CASE WHEN n_stopwords < 2 THEN 'stopwords' END,
+      CASE WHEN af < 0.8 THEN 'alpha_frac' END,
+      CASE WHEN sr > 0.1 THEN 'symbol_ratio' END,
+      CASE WHEN bf > 0.9 THEN 'bullet_lines' END,
+      CASE WHEN ef > 0.3 THEN 'ellipsis_lines' END,
+      CASE WHEN df > 0.3 THEN 'dup_lines' END
+    ], x -> x IS NOT NULL) AS fails
+  FROM r
+)
+SELECT doc_id, n_words, round(mwl, 6) AS mean_word_len, n_stopwords, n_lines,
+       len(fails) = 0 AS keep,
+       coalesce(array_to_string(fails, ','), '') AS reasons
+FROM f ORDER BY doc_id
+"""
+
+
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The r3 curation-gate FUNNEL — the per-stage survivor report every
     pretraining pipeline publishes: gopher quality gate -> domain
@@ -1847,7 +1996,19 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from recon_spark.operators.webops import blocklist_filter
 
     docs = _docs(spark, sf_dir)
-    gop = gopher_quality_filter(docs).select("doc_id", F.col("keep").alias("k1"))
+    gop = gopher_quality_filter(
+        docs,
+        min_words=40,
+        max_words=90,
+        min_word_len=4.0,
+        max_word_len=5.0,
+        min_stopwords=1,
+        stopwords=("the", "and", "with", "of"),
+        max_symbol_word_ratio=None,
+        max_bullet_line_frac=None,
+        max_ellipsis_line_frac=None,
+        max_dup_line_frac=None,
+    ).select("doc_id", F.col("keep").alias("k1"))
     blk = (
         blocklist_filter(_docs_with_urls(spark, sf_dir), _BLOCKLIST)
         .select("doc_id")
@@ -2045,6 +2206,167 @@ FROM scored ORDER BY dsir_score DESC, doc_id LIMIT {_DSIR_K}
 """
 
 
+# --------------------------------------------------------------------------
+# Public Suffix List registered-domain (operators/webops.py PSL mode +
+# data/psl_snapshot.py). Hosts synthesized from doc_id to cover every
+# rule CLASS the round-3 heuristic mis-grouped: multi-label ccTLD
+# registries (ne.jp), private platform suffixes (github.io), wildcard
+# (*.ck), exception (!www.ck), plus plain .com/.co.uk and a single-label
+# intranet name. Both engines replay the full PSL longest-match
+# algorithm independently (Spark: literal-map lookups over the host's
+# suffixes; DuckDB: list comprehensions over the same rule snapshot).
+# --------------------------------------------------------------------------
+
+_PSL_HOST_EXPR = """
+CASE doc_id % 10
+  WHEN 0 THEN concat('sub', CAST(doc_id DIV 10 % 3 AS STRING), '.site',
+    CAST(doc_id DIV 10 % 5 AS STRING), '.ne.jp')
+  WHEN 1 THEN concat('user', CAST(doc_id DIV 10 % 7 AS STRING), '.github.io')
+  WHEN 2 THEN concat('pages.user', CAST(doc_id DIV 10 % 7 AS STRING), '.github.io')
+  WHEN 3 THEN concat('shop', CAST(doc_id DIV 10 % 5 AS STRING), '.example.co.uk')
+  WHEN 4 THEN concat('site', CAST(doc_id DIV 10 % 5 AS STRING), '.example.com')
+  WHEN 5 THEN concat('foo', CAST(doc_id DIV 10 % 4 AS STRING), '.ck')
+  WHEN 6 THEN concat('bar.foo', CAST(doc_id DIV 10 % 4 AS STRING), '.ck')
+  WHEN 7 THEN 'www.ck'
+  WHEN 8 THEN concat('x', CAST(doc_id DIV 10 % 3 AS STRING), '.www.ck')
+  ELSE 'localhost'
+END
+"""
+
+_SQL_PSL_HOST_EXPR = """
+CASE doc_id % 10
+  WHEN 0 THEN 'sub' || CAST(doc_id // 10 % 3 AS VARCHAR) || '.site'
+    || CAST(doc_id // 10 % 5 AS VARCHAR) || '.ne.jp'
+  WHEN 1 THEN 'user' || CAST(doc_id // 10 % 7 AS VARCHAR) || '.github.io'
+  WHEN 2 THEN 'pages.user' || CAST(doc_id // 10 % 7 AS VARCHAR) || '.github.io'
+  WHEN 3 THEN 'shop' || CAST(doc_id // 10 % 5 AS VARCHAR) || '.example.co.uk'
+  WHEN 4 THEN 'site' || CAST(doc_id // 10 % 5 AS VARCHAR) || '.example.com'
+  WHEN 5 THEN 'foo' || CAST(doc_id // 10 % 4 AS VARCHAR) || '.ck'
+  WHEN 6 THEN 'bar.foo' || CAST(doc_id // 10 % 4 AS VARCHAR) || '.ck'
+  WHEN 7 THEN 'www.ck'
+  WHEN 8 THEN 'x' || CAST(doc_id // 10 % 3 AS VARCHAR) || '.www.ck'
+  ELSE 'localhost'
+END
+"""
+
+
+def _docs_with_psl_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from recon_spark.data.psl_snapshot import psl_table
+    from recon_spark.operators.webops import registered_domain
+
+    docs = _docs(spark, sf_dir).withColumn("host", F.expr(_PSL_HOST_EXPR))
+    # DataFrame mode on purpose: exercises the parquet-dimension shape
+    # (bounded PSL collected once driver-side into the literal plan)
+    return registered_domain(docs, psl=psl_table(spark))
+
+
+def _sql_psl_reg_domain_ctes() -> str:
+    """DuckDB replay of the PSL longest-match algorithm over the same
+    rule snapshot, generated from parse_psl_rules so the twins cannot
+    drift. Defines CTE `psl_reg(doc_id, host, reg_domain, lang,
+    n_chars)` over documents doc_id < 500."""
+    from recon_spark.data.psl_snapshot import PSL_RULES, parse_psl_rules
+
+    exact, wild, exc = parse_psl_rules(PSL_RULES)
+
+    def lit_list(keys) -> str:
+        return "[" + ", ".join(f"'{k}'" for k in sorted(keys)) + "]"
+
+    return f"""
+WITH h AS (
+  SELECT doc_id, {_SQL_PSL_HOST_EXPR} AS host, lang, n_chars
+  FROM documents WHERE doc_id < 500
+),
+c AS (
+  SELECT *, string_split(host, '.') AS labels,
+         len(string_split(host, '.')) AS n
+  FROM h
+),
+m AS (
+  SELECT *, [array_to_string(labels[CAST(i AS INT):n], '.')
+             FOR i IN range(1, n + 1)] AS anc
+  FROM c
+),
+p AS (
+  SELECT *,
+    list_max([len(string_split(e, '.')) - 1 FOR e IN {lit_list(exc)}
+              IF list_contains(anc, e)]) AS exc_len,
+    list_max([len(string_split(r, '.')) FOR r IN {lit_list(exact)}
+              IF list_contains(anc, r)]) AS rule_len,
+    list_max([len(string_split(w, '.')) + 1 FOR w IN {lit_list(wild)}
+              IF list_contains(anc, w)
+              AND len(string_split(w, '.')) + 1 <= n]) AS wild_len
+  FROM m
+),
+s AS (
+  SELECT *, coalesce(exc_len,
+            greatest(coalesce(rule_len, 1), coalesce(wild_len, 1), 1))
+            AS ps_len
+  FROM p
+),
+psl_reg AS (
+  SELECT doc_id, host,
+    CASE WHEN host LIKE '[%' OR host = '' THEN host
+         WHEN n <= ps_len THEN host
+         ELSE array_to_string(labels[n - ps_len : n], '.') END AS reg_domain,
+    lang, n_chars
+  FROM s
+)
+"""
+
+
+def q_reg_domain_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered domain under REAL Public Suffix List semantics
+    (webops.registered_domain, DataFrame/table mode over the bundled
+    snapshot): per host, the PSL longest-match owner. Map-only literal
+    plan — the rule table never becomes a join; see
+    webops._registered_domain_psl for the 10^12-row rationale."""
+    return (
+        _docs_with_psl_hosts(spark, sf_dir)
+        .where(F.col("doc_id") < 500)
+        .select("doc_id", "host", "reg_domain")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_reg_domain_psl() -> str:
+    return (
+        _sql_psl_reg_domain_ctes()
+        + "SELECT doc_id, host, reg_domain FROM psl_reg ORDER BY doc_id"
+    )
+
+
+def q_domain_stats_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-owner crawl profile grouped by the PSL registered domain —
+    the grouping the heuristic silently corrupted (every .ne.jp site
+    merged into one 'owner'; all of GitHub Pages as one domain). Same
+    combinable-agg shape as domain_stats; exact-distinct for oracle
+    parity, HLL default at scale."""
+    from recon_spark.operators.webops import domain_stats
+
+    docs = _docs_with_psl_hosts(spark, sf_dir).where(F.col("doc_id") < 500)
+    docs = docs.withColumn(
+        "url_norm",
+        F.concat(F.lit("https://"), F.col("host"), F.lit("/p/"),
+                 (F.col("doc_id") % 40).cast("string")),
+    )
+    return domain_stats(docs, exact_distinct=True)
+
+
+def _sql_domain_stats_psl() -> str:
+    return (
+        _sql_psl_reg_domain_ctes()
+        + """
+SELECT reg_domain, count(*) AS n_docs,
+       count(DISTINCT 'https://' || host || '/p/'
+             || CAST(doc_id % 40 AS VARCHAR)) AS n_urls,
+       count(DISTINCT lang) AS n_langs,
+       round(avg(n_chars), 6) AS avg_chars
+FROM psl_reg GROUP BY reg_domain ORDER BY reg_domain
+"""
+    )
+
+
 QUERIES = {
     "length_quantiles": q_length_quantiles,
     "ngram_contamination": q_ngram_contamination,
@@ -2093,6 +2415,9 @@ QUERIES = {
     "clean_text_audit": q_clean_text_audit,
     "gopher_filter": q_gopher_filter,
     "curation_funnel": q_curation_funnel,
+    "reg_domain_psl": q_reg_domain_psl,
+    "domain_stats_psl": q_domain_stats_psl,
+    "gopher_filter_full": q_gopher_filter_full,
 }
 
 ORACLES = {
@@ -2143,4 +2468,7 @@ ORACLES = {
     "clean_text_audit": SQL_CLEAN_TEXT_AUDIT,
     "gopher_filter": SQL_GOPHER_FILTER,
     "curation_funnel": _sql_curation_funnel(),
+    "reg_domain_psl": _sql_reg_domain_psl(),
+    "domain_stats_psl": _sql_domain_stats_psl(),
+    "gopher_filter_full": SQL_GOPHER_FILTER_FULL,
 }

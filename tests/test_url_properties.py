@@ -39,8 +39,16 @@ param = st.one_of(
 @st.composite
 def urls(draw):
     scheme = draw(st.sampled_from(["http", "https", "HTTP", "HTTPS", "Ftp"]))
+    userinfo = draw(st.sampled_from(["", "u@", "user:pa-ss@"]))
     www = draw(st.sampled_from(["", "www.", "WWW.", "www.www."]))
-    host = ".".join(draw(st.lists(label, min_size=1, max_size=4)))
+    host = draw(
+        st.one_of(
+            st.lists(label, min_size=1, max_size=4).map(".".join),
+            st.sampled_from(["[::1]", "[2001:DB8::7]", "[::ffff:192.0.2.1]"]),
+        )
+    )
+    if host.startswith("["):
+        www = ""  # www labels only make sense on reg-names
     port = draw(st.sampled_from(["", ":80", ":443", ":8080"]))
     path = draw(
         st.sampled_from(["", "/", "/a", "/A/b/", "/p/q/r", "/a//b", "/x/"])
@@ -48,7 +56,7 @@ def urls(draw):
     params = draw(st.lists(param, max_size=5))
     query = "?" + "&".join(params) if draw(st.booleans()) and params else ""
     frag = draw(st.sampled_from(["", "#f", "#a/b?c=1"]))
-    return f"{scheme}://{www}{host}{port}{path}{query}{frag}"
+    return f"{scheme}://{userinfo}{www}{host}{port}{path}{query}{frag}"
 
 
 def _py_normalize(url: str) -> str:
@@ -59,9 +67,13 @@ def _py_normalize(url: str) -> str:
     m = re.match(r"^([^/?]*)", rest)
     hostport = m.group(1)
     tail = rest[len(hostport):]
+    hostport = re.sub(r"^[^/@]*@", "", hostport)  # userinfo never identity
     pm = re.search(r":([0-9]+)$", hostport)
     port = pm.group(1) if pm else ""
-    host = re.match(r"^([^:]*)", hostport).group(1).lower()
+    if hostport.startswith("["):  # bracketed IPv6 literal
+        host = re.match(r"^(\[[^\]]*\])", hostport).group(1).lower()
+    else:
+        host = re.match(r"^([^:]*)", hostport).group(1).lower()
     host = re.sub(r"^(www\.)+", "", host)
     default = (scheme == "http" and port == "80") or (
         scheme == "https" and port == "443"

@@ -345,6 +345,10 @@ def test_gopher_filter_reasons_and_empty_guard(spark):
                 "doc_id long, text string",
             ),
             min_words=3,
+            min_word_len=4.0,
+            max_word_len=5.0,
+            min_stopwords=1,
+            stopwords=("the", "and", "with", "of"),
         ).collect()
     }
     assert rows[0].reasons == "word_len_low,stopwords"
@@ -367,3 +371,151 @@ def test_gopher_filter_plan_is_map_only(spark):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Join" not in plan and "HashAggregate" not in plan
+
+
+# --------------------------------------------------------------------------
+# Public Suffix List mode (webops.registered_domain + data/psl_snapshot)
+# --------------------------------------------------------------------------
+
+PSL_CASES = [
+    # multi-label ccTLD registry: ne.jp is a public suffix — each
+    # foo.ne.jp is its own owner (the heuristic merged them all)
+    ("foo.ne.jp", "foo.ne.jp"),
+    ("sub.foo.ne.jp", "foo.ne.jp"),
+    ("ne.jp", "ne.jp"),  # is itself a public suffix -> passthrough
+    # private-section platform suffix: every GitHub Pages user is an owner
+    ("user.github.io", "user.github.io"),
+    ("a.user.github.io", "user.github.io"),
+    # classic compound ccTLD
+    ("shop.example.co.uk", "example.co.uk"),
+    ("example.co.uk", "example.co.uk"),
+    # default rule (unlisted TLD -> 1 label)
+    ("deep.a.b.example.com", "example.com"),
+    ("example.com", "example.com"),
+    # wildcard *.ck: foo.ck IS a public suffix; bar.foo.ck registers under it
+    ("foo.ck", "foo.ck"),
+    ("bar.foo.ck", "bar.foo.ck"),
+    # exception !www.ck carves www.ck back out as registrable
+    ("www.ck", "www.ck"),
+    ("x.www.ck", "www.ck"),
+    # wildcard with a 2-label base
+    ("b.sch.uk", "b.sch.uk"),
+    ("a.b.sch.uk", "a.b.sch.uk"),
+    # single-label / IP-literal / empty passthrough
+    ("localhost", "localhost"),
+    ("[2001:db8::1]", "[2001:db8::1]"),
+    ("", ""),
+]
+
+
+def test_registered_domain_psl_classes(spark):
+    from recon_spark.data.psl_snapshot import PSL_RULES
+    from recon_spark.operators.webops import registered_domain
+
+    df = spark.createDataFrame([(h,) for h, _ in PSL_CASES], "host string")
+    got = {
+        r["host"]: r["reg_domain"]
+        for r in registered_domain(df, psl=list(PSL_RULES)).collect()
+    }
+    for host, want in PSL_CASES:
+        assert got[host] == want, (host, got[host], want)
+
+
+def test_registered_domain_psl_table_mode_matches_list_mode(spark):
+    from recon_spark.data.psl_snapshot import PSL_RULES, psl_table
+    from recon_spark.operators.webops import registered_domain
+
+    df = spark.createDataFrame([(h,) for h, _ in PSL_CASES], "host string")
+    a = sorted(
+        (r["host"], r["reg_domain"])
+        for r in registered_domain(df, psl=list(PSL_RULES)).collect()
+    )
+    b = sorted(
+        (r["host"], r["reg_domain"])
+        for r in registered_domain(df, psl=psl_table(spark)).collect()
+    )
+    assert a == b
+
+
+def test_registered_domain_psl_plan_is_map_only(spark):
+    """The PSL never becomes a join: rules ship as literal maps inside
+    the plan, the whole thing is one JVM map stage (the property that
+    makes it scan-speed at 10^12 rows)."""
+    from recon_spark.data.psl_snapshot import PSL_RULES
+    from recon_spark.operators.webops import registered_domain
+
+    df = spark.createDataFrame([("a.ne.jp",)], "host string")
+    plan = (
+        registered_domain(df, psl=list(PSL_RULES))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan and "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_normalize_url_psl_mode_reg_domain(spark):
+    from recon_spark.data.psl_snapshot import PSL_RULES
+
+    df = spark.createDataFrame(
+        [("https://WWW.Sub.Foo.NE.JP:443/a?x=1",), ("http://a.user.github.io/p",)],
+        "url string",
+    )
+    rows = {r["host"]: r["reg_domain"]
+            for r in normalize_url(df, psl=list(PSL_RULES)).collect()}
+    assert rows["sub.foo.ne.jp"] == "foo.ne.jp"
+    assert rows["a.user.github.io"] == "user.github.io"
+
+
+def test_gopher_filter_full_rules(spark):
+    """Each appendix-A line/symbol rule fires on a crafted doc and the
+    paper's 8-word/min-2 stopword rule is the default."""
+    from recon_spark.operators.textstats import gopher_quality_filter
+
+    base = "to be " + " ".join(["abcd"] * 48)  # 50 words, 2 stopwords
+    docs = spark.createDataFrame(
+        [
+            (0, base),                                      # keep
+            (1, base + " # # # # # #"),                     # symbol_ratio
+            (2, base + " ... ... ... ... ... ... end"),     # symbol_ratio (ellipsis)
+            (3, "• x\n• y\n• " + base.replace(" ", "\n• ")),  # bullet_lines
+            (4, base + "...\nmore words here..."),          # ellipsis_lines
+            (5, base + "\n" + base + "\n" + base),          # dup_lines
+            (6, "the " + " ".join(["abcd"] * 49)),          # stopwords (1 of 8)
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in gopher_quality_filter(docs).collect()}
+    assert rows[0].keep and rows[0].reasons == ""
+    assert rows[1].reasons == "symbol_ratio"
+    assert rows[2].reasons == "symbol_ratio"
+    assert "bullet_lines" in rows[3].reasons
+    assert "ellipsis_lines" in rows[4].reasons
+    assert rows[5].reasons == "dup_lines"
+    assert rows[6].reasons == "stopwords"
+
+
+def test_gopher_filter_full_plan_is_map_only(spark):
+    from recon_spark.operators.textstats import gopher_quality_filter
+
+    df = spark.createDataFrame([(0, "the a b")], "doc_id long, text string")
+    plan = (
+        gopher_quality_filter(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan and "HashAggregate" not in plan
+
+
+def test_gopher_stopword_list_is_a_parameter(spark):
+    from recon_spark.operators.textstats import gopher_quality_filter
+
+    docs = spark.createDataFrame(
+        [(0, "foo bar " + " ".join(["abcd"] * 48))], "doc_id long, text string"
+    )
+    custom = gopher_quality_filter(
+        docs, stopwords=("foo", "bar"), min_stopwords=2
+    ).collect()[0]
+    assert custom.n_stopwords == 2 and "stopwords" not in custom.reasons
+    default = gopher_quality_filter(docs).collect()[0]
+    assert default.n_stopwords == 0 and "stopwords" in default.reasons
