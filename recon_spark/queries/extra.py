@@ -715,6 +715,172 @@ FROM vid ORDER BY media_id, frame_ts_ms
 """
 
 
+# --------------------------------------------------------------------------
+# REAL stdlib decode (round 4): generate_media_real emits genuine
+# BMP/PPM/WAV containers whose pixel/sample values are a pure function
+# of sha256(f"42:{media_id}"), so the oracle recomputes the EXPECTED
+# decode output relationally while Spark parses the actual container
+# bytes — any header/stride/channel-order/endianness bug hash-fails.
+# --------------------------------------------------------------------------
+
+_MEDIA_REAL_N = 300
+
+
+def q_multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BMP/PPM decode over genuine container payloads: per image,
+    the container-parsed dims (NOT the metadata — independence check)
+    plus pixel-value stats. Arrow-batched mapInArrow; the metadata-only
+    filter prunes WAV payload bytes out of the decode scan."""
+    import pyarrow as pa
+
+    from recon_spark.operators.multimodal import decode_bmp, decode_ppm, generate_media_real
+
+    def _gen(batches):
+        for batch in batches:
+            ids = batch.column("media_id").to_pylist()
+            cols = {k: [] for k in ("codec", "w", "h", "n_values", "px_sum", "px_min", "px_max")}
+            for p in batch.column("payload").to_pylist():
+                if p[:2] == b"BM":
+                    codec, (w, h, px) = "bmp", decode_bmp(p)
+                else:
+                    codec, (w, h, px) = "ppm", decode_ppm(p)
+                cols["codec"].append(codec)
+                cols["w"].append(w)
+                cols["h"].append(h)
+                cols["n_values"].append(len(px))
+                cols["px_sum"].append(sum(px))
+                cols["px_min"].append(min(px))
+                cols["px_max"].append(max(px))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(cols["codec"], pa.string()),
+                    pa.array(cols["w"], pa.int32()),
+                    pa.array(cols["h"], pa.int32()),
+                    pa.array(cols["n_values"], pa.int32()),
+                    pa.array(cols["px_sum"], pa.int64()),
+                    pa.array(cols["px_min"], pa.int32()),
+                    pa.array(cols["px_max"], pa.int32()),
+                ],
+                ["media_id", "codec", "w", "h", "n_values", "px_sum", "px_min", "px_max"],
+            )
+
+    media = generate_media_real(spark, _MEDIA_REAL_N)
+    images = media.where(F.col("meta.media_type").startswith("image/"))
+    return (
+        images.select("media_id", "payload")
+        .mapInArrow(
+            _gen,
+            "media_id long, codec string, w int, h int, n_values int, "
+            "px_sum long, px_min int, px_max int",
+        )
+        .orderBy("media_id")
+    )
+
+
+SQL_MULTIMODAL_DECODE_IMAGE = f"""
+WITH ids AS (SELECT unnest(generate_series(0, {_MEDIA_REAL_N - 1})) AS media_id),
+img AS (
+  SELECT media_id, 2 + media_id % 5 AS w, 2 + media_id % 4 AS h
+  FROM ids WHERE media_id % 3 <> 2
+),
+dg AS (SELECT media_id, w, h, sha256('42:' || media_id) AS dh FROM img),
+db_t AS (
+  SELECT media_id, w, h,
+         list_transform(generate_series(0, 31),
+           k -> CAST(concat('0x', substr(dh, 2 * k + 1, 2)) AS INT)) AS db
+  FROM dg
+),
+px AS (
+  SELECT media_id, w, h,
+         flatten(list_transform(generate_series(0, w * h - 1),
+           i -> [db[i % 32 + 1], db[(i + 7) % 32 + 1], db[(i + 13) % 32 + 1]]))
+           AS p
+  FROM db_t
+)
+SELECT media_id,
+       CASE WHEN media_id % 3 = 0 THEN 'bmp' ELSE 'ppm' END AS codec,
+       CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+       CAST(len(p) AS INT) AS n_values,
+       CAST(list_aggregate(p, 'sum') AS BIGINT) AS px_sum,
+       CAST(list_aggregate(p, 'min') AS INT) AS px_min,
+       CAST(list_aggregate(p, 'max') AS INT) AS px_max
+FROM px ORDER BY media_id
+"""
+
+
+def q_multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real WAV/PCM16 decode via the stdlib wave module: per track, the
+    container-parsed sample rate and count plus signed-sample stats
+    (endianness/width bugs flip signs and hash-fail)."""
+    import pyarrow as pa
+
+    from recon_spark.operators.multimodal import decode_wav, generate_media_real
+
+    def _gen(batches):
+        for batch in batches:
+            ids = batch.column("media_id").to_pylist()
+            cols = {k: [] for k in ("sample_rate", "n_samples", "abs_sum", "first_s", "last_s")}
+            for p in batch.column("payload").to_pylist():
+                sr, samples = decode_wav(p)
+                cols["sample_rate"].append(sr)
+                cols["n_samples"].append(len(samples))
+                cols["abs_sum"].append(sum(abs(s) for s in samples))
+                cols["first_s"].append(samples[0])
+                cols["last_s"].append(samples[-1])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(cols["sample_rate"], pa.int32()),
+                    pa.array(cols["n_samples"], pa.int32()),
+                    pa.array(cols["abs_sum"], pa.int64()),
+                    pa.array(cols["first_s"], pa.int32()),
+                    pa.array(cols["last_s"], pa.int32()),
+                ],
+                ["media_id", "sample_rate", "n_samples", "abs_sum", "first_s", "last_s"],
+            )
+
+    media = generate_media_real(spark, _MEDIA_REAL_N)
+    audio = media.where(F.col("meta.media_type").startswith("audio/"))
+    return (
+        audio.select("media_id", "payload")
+        .mapInArrow(
+            _gen,
+            "media_id long, sample_rate int, n_samples int, abs_sum long, "
+            "first_s int, last_s int",
+        )
+        .orderBy("media_id")
+    )
+
+
+SQL_MULTIMODAL_DECODE_AUDIO = f"""
+WITH ids AS (SELECT unnest(generate_series(0, {_MEDIA_REAL_N - 1})) AS media_id),
+aud AS (
+  SELECT media_id, 40 + media_id % 32 AS ns
+  FROM ids WHERE media_id % 3 = 2
+),
+dg AS (SELECT media_id, ns, sha256('42:' || media_id) AS dh FROM aud),
+db_t AS (
+  SELECT media_id, ns,
+         list_transform(generate_series(0, 31),
+           k -> CAST(concat('0x', substr(dh, 2 * k + 1, 2)) AS INT)) AS db
+  FROM dg
+),
+s AS (
+  SELECT media_id, ns,
+         list_transform(generate_series(0, ns - 1),
+           j -> (db[j % 32 + 1] - 128) * 101) AS samples
+  FROM db_t
+)
+SELECT media_id, CAST(8000 AS INT) AS sample_rate, CAST(ns AS INT) AS n_samples,
+       CAST(list_aggregate(list_transform(samples, x -> abs(x)), 'sum')
+            AS BIGINT) AS abs_sum,
+       CAST(samples[1] AS INT) AS first_s,
+       CAST(samples[ns] AS INT) AS last_s
+FROM s ORDER BY media_id
+"""
+
+
 _IVF_NPROBE = 8
 
 
@@ -1041,6 +1207,8 @@ QUERIES = {
     "multimodal_frames": q_multimodal_frames,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_audio": q_multimodal_audio,
+    "multimodal_decode_image": q_multimodal_decode_image,
+    "multimodal_decode_audio": q_multimodal_decode_audio,
     "dedup_cluster": q_dedup_cluster,
     "lsh_neardup": q_lsh_neardup,
     "ivf_neardup": q_ivf_neardup,
@@ -1066,6 +1234,8 @@ ORACLES = {
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,
     "multimodal_resize": SQL_MULTIMODAL_RESIZE,
     "multimodal_audio": SQL_MULTIMODAL_AUDIO,
+    "multimodal_decode_image": SQL_MULTIMODAL_DECODE_IMAGE,
+    "multimodal_decode_audio": SQL_MULTIMODAL_DECODE_AUDIO,
     "dedup_cluster": SQL_DEDUP_CLUSTER,
     "lsh_neardup": SQL_LSH_NEARDUP,
     "ivf_neardup": SQL_IVF_NEARDUP,
