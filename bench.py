@@ -89,6 +89,12 @@ EXTENDED = [
     "clean_text_audit",
     "gopher_filter",
     "curation_funnel",
+    # round-4 additions
+    "reg_domain_psl",
+    "domain_stats_psl",
+    "gopher_filter_full",
+    "multimodal_decode_image",
+    "multimodal_decode_audio",
 ]
 
 

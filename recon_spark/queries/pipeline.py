@@ -42,6 +42,32 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 _STREAM_STAGING: dict[tuple[str, str], tuple[str, str]] = {}
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _drain_partitions(spark: SparkSession, n: int):
+    """Pin spark.sql.shuffle.partitions for one availableNow drain.
+
+    A stateful streaming operator creates ONE state store per shuffle
+    partition, and every micro-batch commits a snapshot+delta per store
+    — at test SF that per-store commit overhead dominates the drain
+    (measured at sf0.1: the continuous decontamination gate drops
+    4.0s → 2.4s going 32 → 4 state partitions; the sessionizer is
+    data-bound and keeps 8). The setting is decided at FIRST checkpoint
+    creation, and these harnesses mint fresh checkpoints per start, so
+    a per-drain pin is safe. On a real cluster the state-partition
+    count is sized to state VOLUME (the inverse tradeoff) — this knob
+    expresses exactly that decision per deployment. Restores the
+    session value on exit; drains run sequentially, never threaded."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def _stage_stream(sf_dir: str, table: str, tag: str) -> tuple[str, str]:
     """Returns (source_dir, fresh_checkpoint_dir) for a file-stream twin
     of ``{sf_dir}/{table}.parquet``. sf_dir is abspath'd first — a
@@ -446,16 +472,17 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_value",
     )
     name = "stream_events_hourly_" + uuid.uuid4().hex[:8]
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", chk)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).orderBy("hour_bucket", "event_type")
+    with _drain_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name).orderBy("hour_bucket", "event_type")
 
 
 SQL_STREAM_EVENTS_HOURLY = SQL_EVENTS_HOURLY
@@ -480,16 +507,17 @@ def q_stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_dir, chk = _stage_stream(sf_dir, "documents", "contam")
     sdf = stream_contamination(spark, src_dir, bench, n=_CONTAM_N)
     name = "stream_contamination_" + uuid.uuid4().hex[:8]
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", chk)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).orderBy("doc_id")
+    with _drain_partitions(spark, 8):
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name).orderBy("doc_id")
 
 
 # Continuous-gate staging: documents (+ deterministic ingest_ts) as
@@ -560,17 +588,18 @@ def q_stream_contamination_continuous(spark: SparkSession, sf_dir: str) -> DataF
     src_dir, chk = _stage_contam_continuous(spark, sf_dir)
     sdf = stream_contamination_continuous(spark, src_dir, bench, n=_CONTAM_N)
     name = "stream_contam_cont_" + uuid.uuid4().hex[:8]
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("maxFilesPerTrigger", 1)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", chk)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).orderBy("doc_id")
+    with _drain_partitions(spark, 4):
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("maxFilesPerTrigger", 1)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name).orderBy("doc_id")
 
 
 SQL_STREAM_CONTAMINATION = f"""
@@ -819,16 +848,17 @@ def q_stream_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_dir, chk = _stage_stream(sf_dir, "events", "sess")
     sdf = stream_user_sessions(spark, src_dir)
     name = "stream_events_sessions_" + uuid.uuid4().hex[:8]
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", chk)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).orderBy("user_id")
+    with _drain_partitions(spark, 8):
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name).orderBy("user_id")
 
 
 SQL_STREAM_EVENTS_SESSIONS = SQL_EVENTS_SESSIONS
@@ -855,16 +885,17 @@ def q_stream_sessions_continuous(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, src_dir, gap_ms=_SESS_GAP_MS, watermark="2 hours"
     )
     name = "stream_sessions_cont_" + uuid.uuid4().hex[:8]
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", chk)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).orderBy("user_id", "session_start_ms")
+    with _drain_partitions(spark, 8):
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name).orderBy("user_id", "session_start_ms")
 
 
 SQL_STREAM_SESSIONS_CONTINUOUS = f"""
