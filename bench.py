@@ -237,14 +237,22 @@ def prepare_scale_input(sf_dir: str) -> None:
 
     from recon_spark.session import get_spark
 
-    spark = get_spark(app_name="scale_prep", master="local[32]", shuffle_partitions=64)
+    # partition count: measured r4 on this corpus — 256 files (~220KB
+    # each) LOSE to 64 (~0.9MB each) at BOTH 8 and 32 cores (hot path
+    # 43s vs 32s @8, 19.0s vs 14.0s @32): per-task scheduling + Arrow
+    # batch ramp-up dominates below ~1MB/task, while 2 waves of uniform
+    # tasks quantize fine. Tune via SCALE_PARTS if the corpus changes;
+    # the real-cluster rule of thumb stays 2-4 tasks per core with
+    # >=100MB per task.
+    n_parts = int(os.environ.get("SCALE_PARTS", "64"))
+    spark = get_spark(app_name="scale_prep", master="local[32]", shuffle_partitions=n_parts)
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     scaled = (
         docs.withColumn("rep", F.explode(F.expr(f"sequence(0, {SCALE_K - 1})")))
         .withColumn("doc_id", F.col("doc_id") * SCALE_K + F.col("rep"))
         .drop("rep")
-        .repartition(64, "doc_id")
+        .repartition(n_parts, "doc_id")
     )
     scaled.write.mode("overwrite").parquet(SCALE_INPUT)
     spark.stop()

@@ -84,3 +84,27 @@ def test_simhash_vectorized_equals_jvm(spark):
     a = {r["id"]: r["simhash"] for r in simhash32_vectorized(both).collect()}
     b = {r["id"]: r["simhash"] for r in simhash32(both).collect()}
     assert a == b and a[9001] == 0 and len(a) > 1
+
+
+def test_scratch_reliable_mode_same_results_and_releasable(spark):
+    """RECON_RELIABLE_SCRATCH=1 switches scratch() pins from
+    localCheckpoint to persist(MEMORY_AND_DISK) (lineage kept for
+    executor-loss recovery on real clusters). Same results, and the
+    caller-side release contract (clearCache) leaves nothing pinned."""
+    import os
+
+    from recon_spark.operators.dedupe import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)], "a long, b long"
+    )
+    base = sorted(map(tuple, connected_components(pairs).collect()))
+    os.environ["RECON_RELIABLE_SCRATCH"] = "1"
+    try:
+        rel = sorted(map(tuple, connected_components(pairs).collect()))
+    finally:
+        os.environ.pop("RECON_RELIABLE_SCRATCH", None)
+    assert rel == base
+    spark.catalog.clearCache()
+    stored = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert len(stored) == 0, [str(s) for s in stored]

@@ -105,3 +105,72 @@ def test_normalize_matches_python_reference_and_is_idempotent(spark, batch):
 def test_python_reference_is_idempotent(url):
     once = _py_normalize(url)
     assert _py_normalize(once) == once
+
+
+# --------------------------------------------------------------------------
+# PSL registered-domain property: the Spark literal-map longest-match
+# must agree with an independent pure-Python PSL reference on arbitrary
+# hosts built from rule-related and unrelated labels.
+# --------------------------------------------------------------------------
+
+
+def _psl_reference(host: str, rules) -> str:
+    """Pure-Python publicsuffix.org algorithm (independent of the Spark
+    expression): exception beats all; else longest of {exact matches,
+    wildcard base + 1}; default rule = 1 label; registered domain =
+    public suffix + 1 label, host itself when it IS a public suffix."""
+    labels = host.split(".")
+    n = len(labels)
+    sufs = {".".join(labels[i:]): n - i for i in range(n)}
+    exact, wild, exc = {}, {}, {}
+    for raw in rules:
+        r = raw.lower()
+        if r.startswith("!"):
+            exc[r[1:]] = len(r[1:].split(".")) - 1
+        elif r.startswith("*."):
+            wild[r[2:]] = len(r[2:].split(".")) + 1
+        else:
+            exact[r] = len(r.split("."))
+    ps = None
+    for s in sufs:
+        if s in exc:
+            ps = exc[s] if ps is None else max(ps, exc[s])
+    if ps is None:
+        cands = [1]
+        for s in sufs:
+            if s in exact:
+                cands.append(exact[s])
+            if s in wild and wild[s] <= n:
+                cands.append(wild[s])
+        ps = max(cands)
+    if n <= ps:
+        return host
+    return ".".join(labels[n - ps - 1 :])
+
+
+psl_host = st.lists(
+    st.one_of(
+        st.sampled_from(
+            ["ne", "jp", "co", "uk", "ck", "www", "github", "io", "sch",
+             "foo", "x1", "blogspot", "com", "example"]
+        ),
+        st.text(alphabet="abcz04", min_size=1, max_size=4),
+    ),
+    min_size=1,
+    max_size=6,
+).map(".".join)
+
+
+@given(st.lists(psl_host, min_size=1, max_size=25, unique=True))
+@settings(max_examples=25, deadline=None)
+def test_registered_domain_psl_matches_python_reference(spark, hosts):
+    from recon_spark.data.psl_snapshot import PSL_RULES
+    from recon_spark.operators.webops import registered_domain
+
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = {
+        r["host"]: r["reg_domain"]
+        for r in registered_domain(df, psl=list(PSL_RULES)).collect()
+    }
+    for h in hosts:
+        assert got[h] == _psl_reference(h, PSL_RULES), h
