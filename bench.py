@@ -95,6 +95,7 @@ EXTENDED = [
     "gopher_filter_full",
     "multimodal_decode_image",
     "multimodal_decode_audio",
+    "warc_ingest",
 ]
 
 

@@ -2346,6 +2346,93 @@ psl_reg AS (
 """
 
 
+# --------------------------------------------------------------------------
+# WARC round trip (recon_spark/warc.py): serialize docs as real WARC/1.0
+# .warc.gz files (distributed sink, one file per partition), read them
+# back through the binaryFile + Arrow record parser, extract text from
+# the html payload via the pages-pipeline extractor. The oracle never
+# sees WARC: it recomputes the EXPECTED output from the same html
+# string built relationally — any framing/Content-Length/gzip/date bug
+# on either side of the round trip hash-fails.
+# --------------------------------------------------------------------------
+
+_WARC_STAGING: dict[str, str] = {}
+_WARC_N = 500
+
+
+def _stage_warc(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from recon_spark.warc import write_warc_files
+
+    key = os.path.abspath(sf_dir)
+    if key not in _WARC_STAGING:
+        out_dir = tempfile.mkdtemp(prefix="recon_warc_src_")
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+        docs = (
+            _docs(spark, sf_dir)
+            .where(F.col("doc_id") < _WARC_N)
+            .select(
+                F.concat(F.lit("https://ex.org/d/"), F.col("doc_id")).alias("url"),
+                (F.lit(_INGEST_EPOCH) + F.col("doc_id")).cast("long").alias("warc_ts_s"),
+                F.encode(
+                    F.concat(
+                        F.lit("<html><body><p>"), F.col("text"), F.lit("</p></body></html>")
+                    ),
+                    "utf-8",
+                ).alias("html"),
+            )
+            .repartition(8, "url")
+        )
+        write_warc_files(docs, out_dir).count()  # executes the sink
+        _WARC_STAGING[key] = out_dir
+    return _WARC_STAGING[key]
+
+
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full WARC round trip: distributed .warc.gz sink -> binaryFile +
+    Arrow record-parse source -> html text extraction (the pages
+    pipeline's html_to_text). One task per WARC file — Common Crawl's
+    own distribution unit; see recon_spark/warc.py."""
+    from recon_spark.pages import extract_text_column
+    from recon_spark.warc import read_warc
+
+    out_dir = _stage_warc(spark, sf_dir)
+    pages = read_warc(spark, out_dir)
+    pages = extract_text_column(pages)
+    return pages.select(
+        "url",
+        "warc_ts_s",
+        F.length("html").alias("n_html_bytes"),
+        F.length("text").alias("n_text_chars"),
+        F.md5(F.encode("text", "utf-8")).alias("text_md5"),
+    ).orderBy("url")
+
+
+SQL_WARC_INGEST = f"""
+WITH d AS (
+  SELECT 'https://ex.org/d/' || CAST(doc_id AS VARCHAR) AS url,
+         {_INGEST_EPOCH} + doc_id AS warc_ts_s,
+         '<html><body><p>' || text || '</p></body></html>' AS html
+  FROM documents WHERE doc_id < {_WARC_N}
+),
+x AS (
+  SELECT url, warc_ts_s, octet_length(encode(html)) AS n_html_bytes,
+         trim(regexp_replace(regexp_replace(html, '<[^>]+>', ' ', 'g'),
+                             '[ \t\r\n]+', ' ', 'g')) AS text
+  FROM d
+)
+SELECT url, CAST(warc_ts_s AS BIGINT) AS warc_ts_s,
+       CAST(n_html_bytes AS INT) AS n_html_bytes,
+       CAST(length(text) AS INT) AS n_text_chars,
+       md5(text) AS text_md5
+FROM x ORDER BY url
+"""
+
+
 def q_reg_domain_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered domain under REAL Public Suffix List semantics
     (webops.registered_domain, DataFrame/table mode over the bundled
@@ -2449,6 +2536,7 @@ QUERIES = {
     "reg_domain_psl": q_reg_domain_psl,
     "domain_stats_psl": q_domain_stats_psl,
     "gopher_filter_full": q_gopher_filter_full,
+    "warc_ingest": q_warc_ingest,
 }
 
 ORACLES = {
@@ -2502,4 +2590,5 @@ ORACLES = {
     "reg_domain_psl": _sql_reg_domain_psl(),
     "domain_stats_psl": _sql_domain_stats_psl(),
     "gopher_filter_full": SQL_GOPHER_FILTER_FULL,
+    "warc_ingest": SQL_WARC_INGEST,
 }

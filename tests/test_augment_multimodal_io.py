@@ -76,6 +76,7 @@ class TestMultimodal:
         again = extract_image_features(generate_media(spark, 60)).collect()
         assert sorted(map(tuple, ((r["media_id"], tuple(r["features"])) for r in feats))) == \
                sorted(map(tuple, ((r["media_id"], tuple(r["features"])) for r in again)))
+        media.unpersist()  # shared session: don't leave CacheManager pins
 
     def test_frame_sampling_is_jvm_one_to_many(self, spark):
         media = generate_media(spark, 30)

@@ -95,16 +95,33 @@ def test_scratch_reliable_mode_same_results_and_releasable(spark):
 
     from recon_spark.operators.dedupe import connected_components
 
+    import gc
+    import time
+
     pairs = spark.createDataFrame(
-        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)], "a long, b long"
+        # > driver threshold would need thousands of rows; force the
+        # distributed label-propagation path via the threshold param
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)], "id_a long, id_b long"
     )
-    base = sorted(map(tuple, connected_components(pairs).collect()))
+    base = sorted(map(tuple, connected_components(pairs, driver_threshold=0).collect()))
     os.environ["RECON_RELIABLE_SCRATCH"] = "1"
     try:
-        rel = sorted(map(tuple, connected_components(pairs).collect()))
+        rel = sorted(
+            map(tuple, connected_components(pairs, driver_threshold=0).collect())
+        )
     finally:
         os.environ.pop("RECON_RELIABLE_SCRATCH", None)
-    assert rel == base
+    assert rel == base == [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10),
+                           (20, 20), (21, 20), (22, 20)]
+    # caller-side release contract: clearCache drops the CacheManager
+    # pins (reliable mode); default-mode localCheckpoint blocks release
+    # via GC — poll like the registry sweep does
     spark.catalog.clearCache()
+    deadline = time.time() + 60
     stored = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    while stored and time.time() < deadline:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(2)
+        stored = spark.sparkContext._jsc.sc().getRDDStorageInfo()
     assert len(stored) == 0, [str(s) for s in stored]

@@ -41,10 +41,15 @@ def _allowed_staging_roots() -> set:
         allowed.update((src, chk))
     for src, chk in qp._CONTIN_STAGING.values():
         allowed.update((src, chk))
+    allowed.update(qp._WARC_STAGING.values())
     return allowed
 
 
 def test_registry_sweep_pandas_roundtrip_and_hygiene(spark):
+    # other test files may legitimately cache fixtures in the shared
+    # session; the sweep owns QUERY-path hygiene, so start clean —
+    # anything cached after this point came from a registry query
+    spark.catalog.clearCache()
     before = _tmp_trees()
     failures = []
     for name, fn in QUERIES.items():

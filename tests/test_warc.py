@@ -1,0 +1,96 @@
+"""WARC source/sink unit tests (recon_spark/warc.py): framing and
+compression edge cases the registry round-trip query can't isolate,
+plus the distributed sink manifest. The oracle-backed end-to-end check
+is the `warc_ingest` registry query (tests/test_oracles_pipeline.py)."""
+
+import gzip
+import io
+
+import pytest
+
+from recon_spark.warc import parse_warc, read_warc, serialize_warc, write_warc_files
+
+RECS = [
+    ("https://a.org/1", 1_700_000_000, b"<html>one</html>"),
+    # payload containing the record separator: Content-Length framing
+    # must carry the parse across it (a split-on-separator parser dies)
+    ("https://a.org/2", 1_700_000_037, b"binary\r\n\r\nwith separator inside"),
+    ("https://a.org/3", 1_700_000_074, b""),
+]
+
+
+def test_roundtrip_plain_and_gzip():
+    blob = serialize_warc(RECS, "f0")
+    for data in (blob, gzip.compress(blob)):
+        got = [r for r in parse_warc(data) if r[0] == "resource"]
+        assert [(u, ts, p) for _, u, ts, _, p in got] == RECS
+    # the warcinfo record is present and skipped by type
+    assert [r[0] for r in parse_warc(blob)][0] == "warcinfo"
+
+
+def test_multi_member_gzip_common_crawl_style():
+    """Common Crawl compresses each record as its own gzip member and
+    concatenates; the reader must decompress all members."""
+    members = b""
+    for i, rec in enumerate(RECS):
+        members += gzip.compress(serialize_warc([rec], f"m{i}"))
+    got = [r for r in parse_warc(members) if r[0] == "resource"]
+    assert [(u, ts, p) for _, u, ts, _, p in got] == RECS
+
+
+def test_header_case_insensitivity():
+    raw = (
+        b"WARC/1.0\r\n"
+        b"warc-type: RESOURCE\r\n"
+        b"WARC-TARGET-URI: https://x.org\r\n"
+        b"warc-date: 2026-01-01T00:00:00Z\r\n"
+        b"CONTENT-LENGTH: 2\r\n"
+        b"\r\nhi\r\n\r\n"
+    )
+    (rec,) = list(parse_warc(raw))
+    assert rec[1] == "https://x.org" and rec[4] == b"hi"
+    assert rec[2] == 1_767_225_600  # 2026-01-01T00:00:00Z
+
+
+def test_truncated_record_raises():
+    blob = serialize_warc(RECS[:1], "f0")
+    with pytest.raises(ValueError, match="truncated|unterminated"):
+        list(parse_warc(blob[:-12]))
+
+
+def test_distributed_sink_and_source(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(u, ts, p) for u, ts, p in RECS] * 4,
+        "url string, warc_ts_s long, html binary",
+    ).repartition(3)
+    out = str(tmp_path / "warc")
+    manifest = write_warc_files(df, out).collect()
+    assert sum(m["n_records"] for m in manifest) == 12
+    assert len(manifest) == 3 and all(m["path"].endswith(".warc.gz") for m in manifest)
+    back = read_warc(spark, out)
+    assert back.count() == 12  # warcinfo records excluded
+    by_url = (
+        back.groupBy("url").count().orderBy("url").collect()
+    )
+    assert [(r["url"], r["count"]) for r in by_url] == [
+        ("https://a.org/1", 4), ("https://a.org/2", 4), ("https://a.org/3", 4)
+    ]
+    # payload fidelity through gzip + binaryFile + Arrow
+    got = {
+        (r["url"], bytes(r["html"]))
+        for r in back.select("url", "html").distinct().collect()
+    }
+    assert got == {(u, p) for u, _, p in RECS}
+
+
+def test_sink_bytes_are_deterministic(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(u, ts, p) for u, ts, p in RECS],
+        "url string, warc_ts_s long, html binary",
+    ).repartition(1)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_warc_files(df, a).collect()
+    write_warc_files(df, b).collect()
+    fa = open(f"{a}/part-00000.warc.gz", "rb").read()
+    fb = open(f"{b}/part-00000.warc.gz", "rb").read()
+    assert fa == fb  # gzip mtime pinned to 0; record ids positional
