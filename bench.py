@@ -96,6 +96,7 @@ EXTENDED = [
     "multimodal_decode_image",
     "multimodal_decode_audio",
     "warc_ingest",
+    "warc_to_triples",
 ]
 
 

@@ -35,7 +35,7 @@ ORACLES = {**CORE_ORACLES, **PIPELINE_ORACLES, **EXTRA_ORACLES, **GRAPH_ORACLES}
 _NEVER_DRIVER_SAMPLED = [
     "facts_history",
     "reg_domain_psl", "domain_stats_psl", "gopher_filter_full",
-    "multimodal_decode_image", "multimodal_decode_audio", "warc_ingest",
+    "multimodal_decode_image", "multimodal_decode_audio", "warc_ingest", "warc_to_triples",
 ]
 
 

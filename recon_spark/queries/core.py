@@ -485,11 +485,12 @@ SELECT doc_id, subj, pred, obj, pos FROM triples ORDER BY doc_id, pos
 """
 
 
-def q_triples_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triples with subj/obj canonicalized through the alias dictionary
-    (unlinkable surfaces keep their surface form), aggregated to
-    (subj, pred, obj, n) — the KG materialization shape."""
-    t = extract_triples_tokens(_docs(spark, sf_dir))
+def canonicalize_triples(spark: SparkSession, t: DataFrame) -> DataFrame:
+    """Canonicalize raw (subj, pred, obj) triples through the
+    best-scoring alias dictionary (broadcast joins; unlinkable surfaces
+    keep their surface form) and aggregate to (subj, pred, obj, n) —
+    the KG materialization shape. Shared by the direct-text and
+    WARC-ingest paths."""
     from pyspark.sql import Window
 
     best = (
@@ -518,6 +519,15 @@ def q_triples_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("subj", "pred", "obj")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), "subj", "pred", "obj")
+    )
+
+
+def q_triples_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triples with subj/obj canonicalized through the alias dictionary
+    (unlinkable surfaces keep their surface form), aggregated to
+    (subj, pred, obj, n) — the KG materialization shape."""
+    return canonicalize_triples(
+        spark, extract_triples_tokens(_docs(spark, sf_dir))
     )
 
 

@@ -2433,6 +2433,40 @@ FROM x ORDER BY url
 """
 
 
+def q_warc_to_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star path end to end FROM RAW CRAWL BYTES: WARC files
+    -> record parse -> html_to_text -> SVO extraction -> alias
+    canonicalization -> (subj, pred, obj, n). The oracle runs the same
+    triple factory SQL over the original documents text — equality
+    proves the WARC serialize/parse/extract leg is byte-faithful all
+    the way into the KG (the per-url byte-identical text contract,
+    extended to the triples it produces)."""
+    from recon_spark.operators.extraction import extract_triples_tokens
+    from recon_spark.pages import extract_text_column
+    from recon_spark.queries.core import canonicalize_triples
+    from recon_spark.warc import read_warc
+
+    out_dir = _stage_warc(spark, sf_dir)
+    pages = extract_text_column(read_warc(spark, out_dir))
+    docs = pages.select(
+        F.regexp_extract("url", r"/d/([0-9]+)$", 1).cast("long").alias("doc_id"),
+        "text",
+    )
+    return canonicalize_triples(spark, extract_triples_tokens(docs))
+
+
+def _sql_warc_to_triples() -> str:
+    from recon_spark.queries.core import SQL_TRIPLES_CANONICAL
+
+    assert SQL_TRIPLES_CANONICAL.lstrip().startswith("WITH ")
+    # shadow the documents view with the WARC-staged subset (main. =
+    # DuckDB's schema-qualified escape from the CTE name collision)
+    return (
+        f"WITH documents AS (SELECT * FROM main.documents WHERE doc_id < {_WARC_N}),\n"
+        + SQL_TRIPLES_CANONICAL.lstrip()[len("WITH ") :]
+    )
+
+
 def q_reg_domain_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered domain under REAL Public Suffix List semantics
     (webops.registered_domain, DataFrame/table mode over the bundled
@@ -2537,6 +2571,7 @@ QUERIES = {
     "domain_stats_psl": q_domain_stats_psl,
     "gopher_filter_full": q_gopher_filter_full,
     "warc_ingest": q_warc_ingest,
+    "warc_to_triples": q_warc_to_triples,
 }
 
 ORACLES = {
@@ -2591,4 +2626,5 @@ ORACLES = {
     "domain_stats_psl": _sql_domain_stats_psl(),
     "gopher_filter_full": SQL_GOPHER_FILTER_FULL,
     "warc_ingest": SQL_WARC_INGEST,
+    "warc_to_triples": _sql_warc_to_triples(),
 }
