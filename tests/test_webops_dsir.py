@@ -453,6 +453,12 @@ def test_registered_domain_psl_plan_is_map_only(spark):
     )
     assert "Join" not in plan and "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # whole-stage codegen with InSet hash probes — the r4 rewrite that
+    # took 5M rows from 47s to 29s (interpreted HOF lambdas regressing
+    # back would show as transform/lambda in the plan and no INSET)
+    assert plan.lstrip().startswith("*(")
+    assert "INSET" in plan
+    assert "lambdafunction" not in plan.lower()
 
 
 def test_normalize_url_psl_mode_reg_domain(spark):
