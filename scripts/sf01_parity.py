@@ -40,6 +40,14 @@ COMPLEX = [
     "curation_funnel",
     "quality_score_trained",
     "stream_contamination_continuous",
+    # round-4 additions
+    "reg_domain_psl",
+    "domain_stats_psl",
+    "gopher_filter_full",
+    "multimodal_decode_image",
+    "multimodal_decode_audio",
+    "warc_ingest",
+    "warc_to_triples",
 ]
 
 
