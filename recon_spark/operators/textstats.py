@@ -637,16 +637,32 @@ def gopher_quality_filter(
     parameters; the driver queries pin values that exercise every rule
     on the test corpus.
 
-    Scale shape: map-only pure JVM — split + higher-order folds inside
-    whole-stage codegen, zero shuffle, zero Python; composes with the
-    scan like source_mix_sample does. Division guards keep empty texts
+    Scale shape: map-only pure JVM, zero shuffle, zero Python — and
+    deliberately built from NON-LAMBDA expressions (regexp counts,
+    replace-length arithmetic, array_contains sums, array_remove /
+    array_distinct): Spark executes higher-order-function lambdas
+    interpreted, outside whole-stage codegen, which measured ~1.6-2x
+    slower for this gate at 5M rows (same lesson as the PSL matcher
+    rewrite — see BENCH/BASELINE.md). Division guards keep empty texts
     well-defined under ANSI mode (they fail the word-count floor)."""
-    toks = F.expr(f"filter(split({text_col}, ' '), t -> t <> '')")
-    stop_arr = F.array(*[F.lit(s) for s in stopwords])
-    # lines: split on newline, blank lines dropped (a trailing '\n'
-    # would otherwise count an empty duplicate line in every doc)
-    lines = F.expr(
-        f"filter(transform(split({text_col}, '\\n'), l -> trim(l)), l -> l <> '')"
+    import re as _re
+
+    text = F.col(text_col)
+    # tokens = maximal non-space runs (identical to the previous
+    # filter(split(text,' '), t -> t <> '') semantics: '\n' and '\t'
+    # are NOT token separators, matching the whitespace-token spec)
+    n_words = F.size(F.regexp_extract_all(text, F.lit("[^ ]+"), F.lit(0)))
+    # sum of token lengths == count of non-space characters
+    sum_len_c = F.length(F.regexp_replace(text, " ", "")).cast("long")
+    # distinct stopwords present: one codegen'd array_contains per word
+    # (raw split is fine — '' can never equal a stopword)
+    toks_raw = F.split(text, " ")
+    n_stop_c = sum(
+        (F.array_contains(toks_raw, s).cast("int") for s in stopwords),
+        F.lit(0),
+    )
+    n_alpha = F.size(
+        F.regexp_extract_all(text, F.lit("[^ ]*[A-Za-z][^ ]*"), F.lit(0))
     )
     n_ell = (
         F.length(text_col) - F.length(F.regexp_replace(F.col(text_col), r"\.\.\.", ""))
@@ -654,31 +670,26 @@ def gopher_quality_filter(
     n_hash = F.length(text_col) - F.length(
         F.regexp_replace(F.col(text_col), "#", "")
     )
+    # lines: space-trim each line in one multiline regexp pass, then
+    # split + array_remove('') drops blank lines (the previous
+    # transform(trim)/filter lambda pair, lambda-free)
+    trimmed = F.regexp_replace(text, "(?m)^ +| +$", "")
+    lines = F.array_remove(F.split(trimmed, "\n"), "")
+    bullet_re = "(?m)^(?:" + "|".join(_re.escape(b) for b in GOPHER_BULLETS) + ")"
+    n_bullets = F.size(F.regexp_extract_all(trimmed, F.lit(bullet_re), F.lit(0)))
+    n_ellipsis_l = F.size(
+        F.regexp_extract_all(trimmed, F.lit(r"(?m)(?:\.\.\.|…)$"), F.lit(0))
+    )
     d = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(toks).alias("n_words"),
-        F.expr(
-            f"aggregate(filter(split({text_col}, ' '), t -> t <> ''), 0L, "
-            "(a, t) -> a + length(t))"
-        ).alias("sum_len"),
-        F.size(
-            F.filter(stop_arr, lambda s: F.array_contains(toks, s))
-        ).alias("n_stopwords"),
-        F.size(F.expr(
-            f"filter(filter(split({text_col}, ' '), t -> t <> ''), "
-            "t -> t rlike '[A-Za-z]')"
-        )).alias("n_alpha"),
+        n_words.alias("n_words"),
+        sum_len_c.alias("sum_len"),
+        n_stop_c.alias("n_stopwords"),
+        n_alpha.alias("n_alpha"),
         (n_hash + n_ell).alias("n_symbols"),
         F.size(lines).alias("n_lines"),
-        F.size(
-            F.filter(
-                lines,
-                lambda l: reduce_or([l.startswith(b) for b in GOPHER_BULLETS]),
-            )
-        ).alias("n_bullet_lines"),
-        F.size(
-            F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
-        ).alias("n_ellipsis_lines"),
+        n_bullets.alias("n_bullet_lines"),
+        n_ellipsis_l.alias("n_ellipsis_lines"),
         (F.size(lines) - F.size(F.array_distinct(lines))).alias("n_dup_lines"),
     )
     mean_wl = F.when(F.col("n_words") == 0, F.lit(0.0)).otherwise(
@@ -728,20 +739,15 @@ def gopher_quality_filter(
                 line_frac("n_dup_lines") > max_dup_line_frac, F.lit("dup_lines")
             )
         )
-    fails = F.filter(F.array(*rules), lambda x: x.isNotNull())
+    # concat_ws skips NULL args, so the fired-rule names join directly
+    # (the last lambda — filter(array(...), isNotNull) — removed)
+    reasons = F.concat_ws(",", *rules)
     return d.select(
         "doc_id",
         "n_words",
         F.round(mean_wl, 6).alias("mean_word_len"),
         "n_stopwords",
         "n_lines",
-        (F.size(fails) == 0).alias("keep"),
-        F.array_join(fails, ",").alias("reasons"),
+        (reasons == "").alias("keep"),
+        reasons.alias("reasons"),
     ).orderBy("doc_id")
-
-
-def reduce_or(cols):
-    out = cols[0]
-    for c in cols[1:]:
-        out = out | c
-    return out
