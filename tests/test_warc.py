@@ -94,3 +94,30 @@ def test_sink_bytes_are_deterministic(spark, tmp_path):
     fa = open(f"{a}/part-00000.warc.gz", "rb").read()
     fb = open(f"{b}/part-00000.warc.gz", "rb").read()
     assert fa == fb  # gzip mtime pinned to 0; record ids positional
+
+
+# --------------------------------------------------------------------------
+# Property: serialize -> parse round-trips arbitrary binary payloads
+# --------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+payloads = st.lists(
+    st.binary(min_size=0, max_size=64),  # includes \r\n\r\n, gzip magic, NULs
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(payloads, st.booleans())
+@settings(max_examples=50, deadline=None)
+def test_warc_roundtrip_property(blobs, compress):
+    recs = [
+        (f"https://p.org/{i}", 1_700_000_000 + 37 * i, b)
+        for i, b in enumerate(blobs)
+    ]
+    data = serialize_warc(recs, "prop")
+    if compress:
+        data = gzip.compress(data)
+    got = [(u, ts, p) for t, u, ts, _, p in parse_warc(data) if t == "resource"]
+    assert got == recs
