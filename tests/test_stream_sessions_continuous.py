@@ -151,3 +151,20 @@ def test_continuous_sessions_exactly_once_no_reemission(spark, tmp_path):
     rows = [tuple(r) for r in spark.table(name).collect()]
     assert len(rows) == len(set(rows))  # no duplicate emissions
     assert (1, BASE, BASE + 5 * MIN, 2) in set(rows)
+
+
+def test_drain_partitions_restores_on_failure(spark):
+    """_drain_partitions must restore the session's shuffle-partition
+    setting even when the drain body raises (a failed stream start must
+    not leave the session pinned at the drain's tiny state-partition
+    count for every later batch query)."""
+    import pytest
+
+    from recon_spark.queries.pipeline import _drain_partitions
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    with pytest.raises(RuntimeError, match="boom"):
+        with _drain_partitions(spark, 4):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+            raise RuntimeError("boom")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
