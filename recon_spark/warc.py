@@ -42,7 +42,6 @@ from datetime import datetime, timezone
 from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 _CRLF = b"\r\n"
 _SEP = b"\r\n\r\n"
