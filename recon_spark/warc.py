@@ -67,10 +67,10 @@ def _warc_date(epoch_s: int) -> str:
 
 
 def _parse_warc_date(s: str) -> int:
+    # WARC/1.1 allows fractional seconds; truncate to whole seconds
+    fmt = "%Y-%m-%dT%H:%M:%S.%fZ" if "." in s else "%Y-%m-%dT%H:%M:%SZ"
     return int(
-        datetime.strptime(s, "%Y-%m-%dT%H:%M:%SZ")
-        .replace(tzinfo=timezone.utc)
-        .timestamp()
+        datetime.strptime(s, fmt).replace(tzinfo=timezone.utc).timestamp()
     )
 
 
@@ -132,6 +132,8 @@ def parse_warc(data: bytes) -> Iterator[tuple[str, str, int, str, bytes]]:
         for line in lines[1:]:
             k, _, v = line.partition(":")
             headers[k.strip().lower()] = v.strip()
+        if "content-length" not in headers:
+            raise ValueError(f"record at byte {pos} has no Content-Length header")
         clen = int(headers["content-length"])
         body_start = head_end + len(_SEP)
         payload = data[body_start : body_start + clen]
@@ -149,12 +151,26 @@ def parse_warc(data: bytes) -> Iterator[tuple[str, str, int, str, bytes]]:
         pos = body_start + clen
 
 
+def http_body(payload: bytes) -> bytes:
+    """Body of an ``application/http`` response payload: everything
+    after the first blank line (HTTP status line + headers stripped).
+    Common Crawl's ``response`` records store the full HTTP message —
+    the crawl CONTENT is the body. A payload without a header/body
+    separator passes through whole (truncated captures exist in real
+    crawls; dropping them is the caller's policy, not the parser's)."""
+    i = payload.find(b"\r\n\r\n")
+    return payload[i + 4 :] if i != -1 else payload
+
+
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """Distributed WARC reader: binaryFile scan (one task per file — the
     Common Crawl distribution unit) -> Arrow-batched record parse.
     Returns (warc_file, rec_type, url, warc_ts_s, content_type, html)
     for resource/response records; warcinfo/request/metadata records
-    are skipped."""
+    are skipped. For ``response`` records whose Content-Type is
+    ``application/http`` (the Common Crawl shape), ``html`` is the HTTP
+    BODY — status line and headers are stripped record-side, so the
+    downstream pages pipeline sees content bytes either way."""
     import pyarrow as pa
 
     files = spark.read.format("binaryFile").load(path).select("path", "content")
@@ -170,6 +186,8 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                 for rec_type, url, ts_s, ctype, payload in parse_warc(bytes(blob)):
                     if rec_type not in ("resource", "response"):
                         continue
+                    if rec_type == "response" and ctype.startswith("application/http"):
+                        payload = http_body(payload)
                     cols["f"].append(os.path.basename(path_))
                     cols["t"].append(rec_type)
                     cols["u"].append(url)

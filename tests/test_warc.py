@@ -121,3 +121,35 @@ def test_warc_roundtrip_property(blobs, compress):
         data = gzip.compress(data)
     got = [(u, ts, p) for t, u, ts, _, p in parse_warc(data) if t == "resource"]
     assert got == recs
+
+
+def test_common_crawl_response_records_yield_http_body(spark, tmp_path):
+    """Common Crawl stores fetched pages as WARC `response` records
+    whose payload is the full HTTP message (Content-Type:
+    application/http; msgtype=response); read_warc must surface the
+    BODY. Fractional-second WARC-Dates (WARC/1.1) parse too."""
+    from recon_spark.warc import _format_record, http_body
+
+    body = b"<html>cc page</html>"
+    http_msg = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"X-Hdr: a\r\n\r\n" + body
+    )
+    rec = _format_record(
+        [
+            ("WARC-Type", "response"),
+            ("WARC-Record-ID", "<urn:t:0>"),
+            ("WARC-Date", "2026-01-01T00:00:00.500000Z"),
+            ("WARC-Target-URI", "https://cc.org/p"),
+            ("Content-Type", "application/http; msgtype=response"),
+        ],
+        http_msg,
+    )
+    p = tmp_path / "cc.warc"
+    p.write_bytes(rec)
+    rows = read_warc(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    assert bytes(rows[0]["html"]) == body
+    assert rows[0]["warc_ts_s"] == 1_767_225_600
+    # headerless/truncated payload passes through whole
+    assert http_body(b"no separator here") == b"no separator here"
