@@ -106,49 +106,112 @@ def serialize_warc(records: list[tuple[str, int, bytes]], file_id: str) -> bytes
     return b"".join(out)
 
 
+def _gunzip_chunks(data: bytes, chunk: int = 1 << 20) -> Iterator[bytes]:
+    """Incrementally decompress (possibly multi-member) gzip bytes —
+    Common Crawl writes one member per record, so member-at-a-time
+    chaining via decompressobj.unused_data keeps the decompressed
+    working set at ~one record instead of the whole ~5GB file."""
+    import zlib
+
+    pos, n = 0, len(data)
+    while pos < n:
+        d = zlib.decompressobj(wbits=31)  # one gzip member
+        while not d.eof:
+            if pos >= n:
+                raise ValueError("truncated gzip member in WARC input")
+            block = data[pos : pos + chunk]
+            pos += len(block)
+            out = d.decompress(block)
+            if out:
+                yield out
+        # member done: unused_data is the unconsumed suffix of what we
+        # fed — rewind to it, i.e. to the start of the next member
+        pos -= len(d.unused_data)
+        tail = d.flush()
+        if tail:
+            yield tail
+
+
+def parse_warc_stream(
+    chunks: Iterator[bytes],
+) -> Iterator[tuple[str, str, int, str, bytes]]:
+    """Incremental WARC record parser: consumes byte chunks, yields
+    (rec_type, url, ts_s, content_type, payload) as each record
+    completes. Peak memory = the current record + one input chunk — the
+    shape that holds when a task parses a ~1GB .warc.gz that inflates
+    to ~5GB (decompressing whole-file first would hold all of it).
+    Header names are case-insensitive per spec; payload length comes
+    from Content-Length exactly (payloads contain blank lines/CRLFs)."""
+    buf = bytearray()
+    done = False
+    it = iter(chunks)
+    while True:
+        # parse as many complete records as the buffer holds
+        pos = 0
+        while True:
+            while buf.startswith(_CRLF, pos):
+                pos += 2
+            head_end = buf.find(_SEP, pos)
+            if head_end == -1:
+                if done and pos < len(buf):
+                    raise ValueError(
+                        f"unterminated WARC header block at byte {pos}"
+                    )
+                break
+            head = bytes(buf[pos:head_end]).decode("utf-8", "replace")
+            lines = head.split("\r\n")
+            if not lines[0].startswith("WARC/"):
+                raise ValueError(
+                    f"missing WARC version line at byte {pos}: {lines[0]!r}"
+                )
+            headers: dict[str, str] = {}
+            for line in lines[1:]:
+                k, _, v = line.partition(":")
+                headers[k.strip().lower()] = v.strip()
+            if "content-length" not in headers:
+                raise ValueError(
+                    f"record at byte {pos} has no Content-Length header"
+                )
+            clen = int(headers["content-length"])
+            body_start = head_end + len(_SEP)
+            if len(buf) - body_start < clen:
+                if done:
+                    raise ValueError(
+                        f"truncated record: expected {clen} payload bytes, "
+                        f"got {len(buf) - body_start}"
+                    )
+                break  # need more chunks for this payload
+            payload = bytes(buf[body_start : body_start + clen])
+            yield (
+                headers.get("warc-type", ""),
+                headers.get("warc-target-uri", ""),
+                _parse_warc_date(headers["warc-date"])
+                if "warc-date" in headers
+                else 0,
+                headers.get("content-type", ""),
+                payload,
+            )
+            pos = body_start + clen
+        del buf[:pos]  # drop consumed bytes; keep the partial tail
+        if done:
+            if not buf:
+                return
+            continue  # a final parse pass after the last chunk
+        nxt = next(it, None)
+        if nxt is None:
+            done = True
+        else:
+            buf += nxt
+
+
 def parse_warc(data: bytes) -> Iterator[tuple[str, str, int, str, bytes]]:
     """Stream (rec_type, url, ts_s, content_type, payload) from WARC
     bytes. Accepts gzip input (single- or multi-member — Common Crawl
-    writes one member per record). Header names are case-insensitive
-    per spec; payload length comes from Content-Length exactly (payload
-    may itself contain blank lines / CRLFs)."""
+    writes one member per record), decompressed INCREMENTALLY so the
+    working set stays one record, not the inflated file."""
     if data[:2] == b"\x1f\x8b":
-        # multi-member: gzip.decompress handles concatenated members
-        data = gzip.decompress(data)
-    pos, n = 0, len(data)
-    while pos < n:
-        while data.startswith(_CRLF, pos):
-            pos += 2
-        if pos >= n:
-            return
-        head_end = data.find(_SEP, pos)
-        if head_end == -1:
-            raise ValueError(f"unterminated WARC header block at byte {pos}")
-        head = data[pos:head_end].decode("utf-8", "replace")
-        lines = head.split("\r\n")
-        if not lines[0].startswith("WARC/"):
-            raise ValueError(f"missing WARC version line at byte {pos}: {lines[0]!r}")
-        headers: dict[str, str] = {}
-        for line in lines[1:]:
-            k, _, v = line.partition(":")
-            headers[k.strip().lower()] = v.strip()
-        if "content-length" not in headers:
-            raise ValueError(f"record at byte {pos} has no Content-Length header")
-        clen = int(headers["content-length"])
-        body_start = head_end + len(_SEP)
-        payload = data[body_start : body_start + clen]
-        if len(payload) != clen:
-            raise ValueError(
-                f"truncated record: expected {clen} payload bytes, got {len(payload)}"
-            )
-        yield (
-            headers.get("warc-type", ""),
-            headers.get("warc-target-uri", ""),
-            _parse_warc_date(headers["warc-date"]) if "warc-date" in headers else 0,
-            headers.get("content-type", ""),
-            payload,
-        )
-        pos = body_start + clen
+        return parse_warc_stream(_gunzip_chunks(data))
+    return parse_warc_stream(iter((data,)))
 
 
 def http_body(payload: bytes) -> bytes:

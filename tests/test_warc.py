@@ -153,3 +153,17 @@ def test_common_crawl_response_records_yield_http_body(spark, tmp_path):
     assert rows[0]["warc_ts_s"] == 1_767_225_600
     # headerless/truncated payload passes through whole
     assert http_body(b"no separator here") == b"no separator here"
+
+
+@given(payloads, st.integers(min_value=1, max_value=97))
+@settings(max_examples=30, deadline=None)
+def test_warc_stream_parser_chunk_invariance(blobs, chunk_size):
+    """The incremental parser must be invariant to how input bytes are
+    chunked (the property that makes the bounded-memory path safe)."""
+    from recon_spark.warc import parse_warc_stream
+
+    recs = [(f"https://c.org/{i}", 1_700_000_000 + i, b) for i, b in enumerate(blobs)]
+    data = serialize_warc(recs, "ch")
+    chunks = (data[i : i + chunk_size] for i in range(0, len(data), chunk_size))
+    got = [(u, ts, p) for t, u, ts, _, p in parse_warc_stream(chunks) if t == "resource"]
+    assert got == recs
