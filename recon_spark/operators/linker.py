@@ -51,35 +51,6 @@ def link_mentions(
     ).drop("alias")
 
 
-def link_spans(df: DataFrame, aliases: DataFrame, spans_col: str = "spans") -> DataFrame:
-    """Fill span.kb_id from the alias dictionary inside the nested array
-    (no explode): build a literal surface→entity map from the collected
-    top-1 candidates and apply it with a JVM transform. Correct because
-    the alias dict is a small broadcastable dimension by contract."""
-    rows = (
-        aliases.withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("alias").orderBy(F.desc("score"), "entity_id")
-            ),
-        )
-        .where("rk = 1")
-        .select("alias", "entity_id")
-        .collect()
-    )
-    if not rows:
-        return df
-    kv = ", ".join(f"'{r['alias']}', '{r['entity_id']}'" for r in rows)
-    upd = f"coalesce(element_at(map({kv}), lower(s.text)), s.kb_id)"
-    fields = ["text", "start", "end", "label", "token_start", "token_end", "kb_id", "source"]
-    struct = ", ".join(
-        f"'{f}', " + (upd if f == "kb_id" else f"s.{f}") for f in fields
-    )
-    return df.withColumn(
-        spans_col, F.expr(f"transform({spans_col}, s -> named_struct({struct}))")
-    )
-
-
 def fuzzy_surface_pairs(
     surfaces: DataFrame, col: str = "surface"
 ) -> DataFrame:

@@ -77,13 +77,6 @@ def _psl_lookup_maps(psl):
     return parse_psl_rules(psl)
 
 
-def _lit_map(d: dict) -> Column:
-    pairs = []
-    for k in sorted(d):
-        pairs.extend((F.lit(k), F.lit(d[k])))
-    return F.create_map(*pairs)
-
-
 def _registered_domain_psl(host: Column, psl) -> Column:
     """Registered domain under real Public Suffix List semantics
     (publicsuffix.org algorithm): the public suffix is the longest
@@ -242,7 +235,9 @@ def normalize_url(
     # identity — strip it before host/port extraction (real crawls
     # contain it, and the old first-':'-wins host extraction turned
     # 'user' into the host)
-    hostport = F.regexp_replace(F.col("_hostport"), "^[^/@]*@", "")
+    # greedy through the LAST '@': RFC 3986 delimits userinfo at the
+    # final '@' of the authority (http://a@b@c.com/ -> host c.com)
+    hostport = F.regexp_replace(F.col("_hostport"), "^[^/]*@", "")
     # bracketed IPv6 literals ([::1], [2001:db8::1]:8080): the host is
     # the whole bracketed group; the first-':'-split rule only applies
     # to reg-names. The ':(d+)$' port rule is shared — a bracketed host

@@ -1624,7 +1624,7 @@ hp AS (
   -- hostport: userinfo ('user:pass@') stripped; tail offset uses the
   -- RAW authority length (mirrors webops.normalize_url)
   SELECT *,
-    regexp_replace(regexp_extract(rest, '^([^/?]*)', 1), '^[^/@]*@', '') AS hostport,
+    regexp_replace(regexp_extract(rest, '^([^/?]*)', 1), '^[^/]*@', '') AS hostport,
     substring(rest, length(regexp_extract(rest, '^([^/?]*)', 1)) + 1) AS tail
   FROM parts
 ),

@@ -39,7 +39,7 @@ param = st.one_of(
 @st.composite
 def urls(draw):
     scheme = draw(st.sampled_from(["http", "https", "HTTP", "HTTPS", "Ftp"]))
-    userinfo = draw(st.sampled_from(["", "u@", "user:pa-ss@"]))
+    userinfo = draw(st.sampled_from(["", "u@", "user:pa-ss@", "a@b@"]))
     www = draw(st.sampled_from(["", "www.", "WWW.", "www.www."]))
     host = draw(
         st.one_of(
@@ -67,7 +67,7 @@ def _py_normalize(url: str) -> str:
     m = re.match(r"^([^/?]*)", rest)
     hostport = m.group(1)
     tail = rest[len(hostport):]
-    hostport = re.sub(r"^[^/@]*@", "", hostport)  # userinfo never identity
+    hostport = re.sub(r"^[^/]*@", "", hostport)  # strip through LAST @ (RFC 3986)
     pm = re.search(r":([0-9]+)$", hostport)
     port = pm.group(1) if pm else ""
     if hostport.startswith("["):  # bracketed IPv6 literal
