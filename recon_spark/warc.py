@@ -20,8 +20,11 @@ Scale design (10^12 pages, 1000 executors):
   gzip member so HTTP range readers can seek): handled — Python's
   zlib/gzip decompresses concatenated members transparently.
 - ``write_warc_files`` is the distributed sink: one ``.warc.gz`` file
-  per partition, written executor-side inside the same Arrow batch
-  iterator, returning a manifest DataFrame (path, n_records, n_bytes)
+  per partition, STREAMED executor-side record-at-a-time through a
+  GzipFile (peak memory = one record, never the partition), written to
+  an attempt-scoped temp path and atomically renamed on success so
+  speculative/zombie task attempts cannot interleave into a corrupt
+  final file. Returns a manifest DataFrame (path, n_records, n_bytes)
   instead of collecting anything to the driver. Partition the input by
   the intended file key first (repartition(N) / bucketing) — the sink
   writes what it is handed.
@@ -36,7 +39,6 @@ Crawl's type for fetched pages) and skips other types.
 from __future__ import annotations
 
 import gzip
-import io
 import os
 from datetime import datetime, timezone
 from typing import Iterator
@@ -74,36 +76,40 @@ def _parse_warc_date(s: str) -> int:
     )
 
 
-def serialize_warc(records: list[tuple[str, int, bytes]], file_id: str) -> bytes:
-    """Serialize (url, epoch_s, html) records to WARC/1.0 bytes with a
-    leading warcinfo record. Deterministic: record ids derive from the
-    file id + position, no clock or uuid."""
+def serialize_warc_records(
+    records, file_id: str
+) -> Iterator[bytes]:
+    """Stream (url, epoch_s, html) records as WARC/1.0 framed bytes —
+    one chunk per record, warcinfo first. Generator so the sink can
+    write record-at-a-time with O(1 record) memory; deterministic:
+    record ids derive from the file id + position, no clock or uuid."""
     info_payload = b"software: recon_spark\r\nformat: WARC File Format 1.0\r\n"
-    out = [
-        _format_record(
-            [
-                ("WARC-Type", "warcinfo"),
-                ("WARC-Record-ID", f"<urn:recon:{file_id}:info>"),
-                ("WARC-Date", _warc_date(0)),
-                ("Content-Type", "application/warc-fields"),
-            ],
-            info_payload,
-        )
-    ]
+    yield _format_record(
+        [
+            ("WARC-Type", "warcinfo"),
+            ("WARC-Record-ID", f"<urn:recon:{file_id}:info>"),
+            ("WARC-Date", _warc_date(0)),
+            ("Content-Type", "application/warc-fields"),
+        ],
+        info_payload,
+    )
     for i, (url, ts_s, html) in enumerate(records):
-        out.append(
-            _format_record(
-                [
-                    ("WARC-Type", "resource"),
-                    ("WARC-Record-ID", f"<urn:recon:{file_id}:{i}>"),
-                    ("WARC-Date", _warc_date(ts_s)),
-                    ("WARC-Target-URI", url),
-                    ("Content-Type", "text/html"),
-                ],
-                html,
-            )
+        yield _format_record(
+            [
+                ("WARC-Type", "resource"),
+                ("WARC-Record-ID", f"<urn:recon:{file_id}:{i}>"),
+                ("WARC-Date", _warc_date(ts_s)),
+                ("WARC-Target-URI", url),
+                ("Content-Type", "text/html"),
+            ],
+            html,
         )
-    return b"".join(out)
+
+
+def serialize_warc(records: list[tuple[str, int, bytes]], file_id: str) -> bytes:
+    """Whole-buffer convenience wrapper over serialize_warc_records
+    (tests / small fixtures; the sink streams instead)."""
+    return b"".join(serialize_warc_records(records, file_id))
 
 
 def _gunzip_chunks(data: bytes, chunk: int = 1 << 20) -> Iterator[bytes]:
@@ -117,11 +123,19 @@ def _gunzip_chunks(data: bytes, chunk: int = 1 << 20) -> Iterator[bytes]:
     while pos < n:
         d = zlib.decompressobj(wbits=31)  # one gzip member
         while not d.eof:
-            if pos >= n:
-                raise ValueError("truncated gzip member in WARC input")
-            block = data[pos : pos + chunk]
-            pos += len(block)
-            out = d.decompress(block)
+            # max_length caps each inflate to `chunk` OUTPUT bytes:
+            # without it, one highly-compressible input block (zeros
+            # compress ~1000:1) inflates whole in a single call and
+            # the "bounded" path silently holds tens of MB. Unconsumed
+            # input waits in unconsumed_tail for the next iteration.
+            if d.unconsumed_tail:
+                out = d.decompress(d.unconsumed_tail, chunk)
+            else:
+                if pos >= n:
+                    raise ValueError("truncated gzip member in WARC input")
+                block = data[pos : pos + chunk]
+                pos += len(block)
+                out = d.decompress(block, chunk)
             if out:
                 yield out
         # member done: unused_data is the unconsumed suffix of what we
@@ -225,48 +239,96 @@ def http_body(payload: bytes) -> bytes:
     return payload[i + 4 :] if i != -1 else payload
 
 
+# read_warc output-batch bounds: flush an Arrow batch as soon as EITHER
+# is hit, so downstream sees steady ~batch-sized units and the task's
+# parsed working set stays O(batch), never O(inflated file). 32MB of
+# payload ~= a few Arrow IPC frames; 1024 records keeps tiny-page WARCs
+# from degenerating into one giant batch of offsets.
+READ_WARC_BATCH_RECORDS = 1024
+READ_WARC_BATCH_BYTES = 32 << 20
+
+
+def warc_record_batches(
+    paths,
+    contents,
+    batch_records: int = READ_WARC_BATCH_RECORDS,
+    batch_bytes: int = READ_WARC_BATCH_BYTES,
+):
+    """Parse WARC file blobs into BOUNDED Arrow RecordBatches.
+
+    The full chain is streaming end to end: gzip members decompress
+    incrementally (_gunzip_chunks), records parse incrementally
+    (parse_warc_stream), and this stage flushes an Arrow batch every
+    ``batch_records`` records or ``batch_bytes`` of payload — so peak
+    task memory is the compressed blob binaryFile hands us plus ONE
+    output batch, not the ~5x inflated file (tests/test_warc.py pins
+    this with a tracemalloc ceiling)."""
+    import pyarrow as pa
+
+    names = ["warc_file", "rec_type", "url", "warc_ts_s", "content_type", "html"]
+    cols: dict[str, list] = {k: [] for k in ("f", "t", "u", "ts", "ct", "p")}
+    pending = 0
+
+    def _flush() -> "pa.RecordBatch":
+        nonlocal pending
+        batch = pa.RecordBatch.from_arrays(
+            [
+                pa.array(cols["f"], pa.string()),
+                pa.array(cols["t"], pa.string()),
+                pa.array(cols["u"], pa.string()),
+                pa.array(cols["ts"], pa.int64()),
+                pa.array(cols["ct"], pa.string()),
+                pa.array(cols["p"], pa.binary()),
+            ],
+            names,
+        )
+        for v in cols.values():
+            v.clear()
+        pending = 0
+        return batch
+
+    for path_, blob in zip(paths, contents):
+        fname = os.path.basename(path_)
+        for rec_type, url, ts_s, ctype, payload in parse_warc(bytes(blob)):
+            if rec_type not in ("resource", "response"):
+                continue
+            if rec_type == "response" and ctype.startswith("application/http"):
+                payload = http_body(payload)
+            cols["f"].append(fname)
+            cols["t"].append(rec_type)
+            cols["u"].append(url)
+            cols["ts"].append(ts_s)
+            cols["ct"].append(ctype)
+            cols["p"].append(payload)
+            pending += len(payload)
+            if len(cols["f"]) >= batch_records or pending >= batch_bytes:
+                yield _flush()
+    if cols["f"]:
+        yield _flush()
+
+
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """Distributed WARC reader: binaryFile scan (one task per file — the
-    Common Crawl distribution unit) -> Arrow-batched record parse.
-    Returns (warc_file, rec_type, url, warc_ts_s, content_type, html)
-    for resource/response records; warcinfo/request/metadata records
-    are skipped. For ``response`` records whose Content-Type is
-    ``application/http`` (the Common Crawl shape), ``html`` is the HTTP
-    BODY — status line and headers are stripped record-side, so the
-    downstream pages pipeline sees content bytes either way."""
+    Common Crawl distribution unit) -> Arrow-batched record parse with
+    BOUNDED output batches (warc_record_batches). Returns (warc_file,
+    rec_type, url, warc_ts_s, content_type, html) for resource/response
+    records; warcinfo/request/metadata records are skipped. For
+    ``response`` records whose Content-Type is ``application/http``
+    (the Common Crawl shape), ``html`` is the HTTP BODY — status line
+    and headers are stripped record-side, so the downstream pages
+    pipeline sees content bytes either way."""
     import pyarrow as pa
 
     files = spark.read.format("binaryFile").load(path).select("path", "content")
 
     def _gen(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         for batch in batches:
-            paths = batch.column("path").to_pylist()
-            contents = batch.column("content").to_pylist()
-            cols: dict[str, list] = {
-                k: [] for k in ("f", "t", "u", "ts", "ct", "p")
-            }
-            for path_, blob in zip(paths, contents):
-                for rec_type, url, ts_s, ctype, payload in parse_warc(bytes(blob)):
-                    if rec_type not in ("resource", "response"):
-                        continue
-                    if rec_type == "response" and ctype.startswith("application/http"):
-                        payload = http_body(payload)
-                    cols["f"].append(os.path.basename(path_))
-                    cols["t"].append(rec_type)
-                    cols["u"].append(url)
-                    cols["ts"].append(ts_s)
-                    cols["ct"].append(ctype)
-                    cols["p"].append(payload)
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(cols["f"], pa.string()),
-                    pa.array(cols["t"], pa.string()),
-                    pa.array(cols["u"], pa.string()),
-                    pa.array(cols["ts"], pa.int64()),
-                    pa.array(cols["ct"], pa.string()),
-                    pa.array(cols["p"], pa.binary()),
-                ],
-                ["warc_file", "rec_type", "url", "warc_ts_s", "content_type", "html"],
+            # one blob materialized at a time (an input batch can carry
+            # several ~1GB files; to_pylist would hold them all at once)
+            n = batch.num_rows
+            yield from warc_record_batches(
+                (batch.column("path")[i].as_py() for i in range(n)),
+                (batch.column("content")[i].as_py() for i in range(n)),
             )
 
     return files.mapInArrow(_gen, READ_WARC_DDL)
@@ -295,31 +357,62 @@ def write_warc_files(
     def _gen(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
-        recs: list[tuple[str, int, bytes]] = []
-        for batch in batches:
-            urls = batch.column(url_col).to_pylist()
-            tss = batch.column(ts_col).to_pylist()
-            htmls = batch.column(html_col).to_pylist()
-            recs.extend(
-                (u, int(t), bytes(h)) for u, t, h in zip(urls, tss, htmls)
-            )
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+
+        def _records():
+            for batch in batches:
+                u_arr = batch.column(url_col)
+                t_arr = batch.column(ts_col)
+                h_arr = batch.column(html_col)
+                for i in range(batch.num_rows):
+                    yield (
+                        u_arr[i].as_py(),
+                        int(t_arr[i].as_py()),
+                        bytes(h_arr[i].as_py()),
+                    )
+
         ext = "warc.gz" if compress else "warc"
         path_ = os.path.join(out_dir, f"part-{pid:05d}.{ext}")
-        blob = serialize_warc(recs, f"part-{pid:05d}")
-        if compress:
-            buf = io.BytesIO()
-            # mtime=0: deterministic bytes (the gzip header embeds mtime)
-            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
-                gz.write(blob)
-            blob = buf.getvalue()
-        with open(path_, "wb") as fh:
-            fh.write(blob)
+        # attempt-scoped temp + atomic rename: a zombie/speculative twin
+        # attempt writes its OWN temp file, and only a completed attempt
+        # publishes — concurrent attempts can no longer interleave into
+        # a corrupt final file. os.replace is atomic on POSIX; last
+        # completed attempt wins with identical bytes (deterministic
+        # serialization, gzip mtime=0).
+        tmp_ = f"{path_}.inprogress-{ctx.taskAttemptId()}"
+        n_records = 0
+        try:
+            with open(tmp_, "wb") as raw:
+                sink = (
+                    # filename="" + mtime=0: no attempt-specific temp
+                    # path or clock leaks into the gzip header, so
+                    # bytes stay deterministic per partition content
+                    gzip.GzipFile(filename="", fileobj=raw, mode="wb", mtime=0)
+                    if compress
+                    else raw
+                )
+                # record-at-a-time stream: peak memory is ONE record,
+                # not the partition (serialize -> compress -> write)
+                for chunk in serialize_warc_records(_records(), f"part-{pid:05d}"):
+                    sink.write(chunk)
+                    n_records += 1
+                if compress:
+                    sink.close()
+            n_records -= 1  # the leading warcinfo record is framing
+            n_bytes = os.path.getsize(tmp_)
+            os.replace(tmp_, path_)
+        except BaseException:
+            try:
+                os.remove(tmp_)
+            except OSError:
+                pass
+            raise
         yield pa.RecordBatch.from_arrays(
             [
                 pa.array([path_], pa.string()),
-                pa.array([len(recs)], pa.int64()),
-                pa.array([len(blob)], pa.int64()),
+                pa.array([n_records], pa.int64()),
+                pa.array([n_bytes], pa.int64()),
             ],
             ["path", "n_records", "n_bytes"],
         )

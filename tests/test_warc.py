@@ -167,3 +167,84 @@ def test_warc_stream_parser_chunk_invariance(blobs, chunk_size):
     chunks = (data[i : i + chunk_size] for i in range(0, len(data), chunk_size))
     got = [(u, ts, p) for t, u, ts, _, p in parse_warc_stream(chunks) if t == "resource"]
     assert got == recs
+
+
+# --------------------------------------------------------------------------
+# r5: bounded-batch reader + streaming sink (VERDICT r4 "What's wrong" #2,
+# ADVICE r4 warc items)
+# --------------------------------------------------------------------------
+
+
+@given(payloads, st.integers(min_value=1, max_value=5), st.integers(min_value=1, max_value=64))
+@settings(max_examples=30, deadline=None)
+def test_reader_batch_boundary_invariance(blobs, batch_records, batch_bytes):
+    """warc_record_batches must yield the same rows regardless of where
+    the record/byte flush thresholds fall (the chunk-invariance
+    property extended to the Arrow batch boundary)."""
+    from recon_spark.warc import warc_record_batches
+
+    recs = [(f"https://b.org/{i}", 1_700_000_000 + i, b) for i, b in enumerate(blobs)]
+    blob = serialize_warc(recs, "bb")
+    batches = list(
+        warc_record_batches(
+            ["f.warc"], [blob], batch_records=batch_records, batch_bytes=batch_bytes
+        )
+    )
+    rows = [
+        (b.column("url")[i].as_py(), b.column("warc_ts_s")[i].as_py(),
+         b.column("html")[i].as_py())
+        for b in batches
+        for i in range(b.num_rows)
+    ]
+    assert rows == recs
+    # every non-final batch hit a threshold
+    for b in batches[:-1]:
+        payload = sum(len(b.column("html")[i].as_py()) for i in range(b.num_rows))
+        assert b.num_rows >= batch_records or payload >= batch_bytes
+
+
+def test_reader_peak_memory_is_batch_not_file():
+    """A WARC that inflates to ~48MB must parse with a working set of a
+    few output batches, not the whole inflated file: the compressed
+    blob (small: zero-filled payloads) is held by the caller, so any
+    accumulation of parsed records would show up in the tracemalloc
+    peak."""
+    import tracemalloc
+
+    from recon_spark.warc import warc_record_batches
+
+    n, size = 192, 256 * 1024  # 48MB inflated
+    recs = [(f"https://m.org/{i}", 1_700_000_000 + i, bytes(size)) for i in range(n)]
+    blob = gzip.compress(serialize_warc(recs, "mem"))
+    assert len(blob) < 2 << 20
+    seen = 0
+    tracemalloc.start()
+    for b in warc_record_batches(["f.warc.gz"], [blob], batch_bytes=1 << 20):
+        seen += b.num_rows
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert seen == n
+    # bound: a handful of 1MB batches + parser buffers, far below 48MB
+    assert peak < 16 << 20, f"peak {peak} bytes suggests whole-file buffering"
+
+
+def test_sink_streams_and_publishes_atomically(spark, tmp_path):
+    """The sink writes via an attempt-scoped temp file and renames on
+    success: after a clean run no .inprogress files remain, the final
+    files parse, and the manifest matches the data."""
+    df = spark.createDataFrame(
+        [(f"https://s.org/{i}", 1_700_000_000 + i, b"x" * i) for i in range(20)],
+        "url string, warc_ts_s long, html binary",
+    ).repartition(2)
+    out = str(tmp_path / "atomic")
+    manifest = write_warc_files(df, out).collect()
+    import os
+
+    names = sorted(os.listdir(out))
+    assert names == ["part-00000.warc.gz", "part-00001.warc.gz"]
+    assert not [n for n in names if ".inprogress" in n]
+    assert sum(m["n_records"] for m in manifest) == 20
+    for m in manifest:
+        assert m["n_bytes"] == os.path.getsize(m["path"])
+        got = [r for r in parse_warc(open(m["path"], "rb").read()) if r[0] == "resource"]
+        assert len(got) == m["n_records"]
