@@ -89,7 +89,12 @@ _TAG_RE = re.compile(rb"<[^>]+>")
 def html_to_text(html: bytes) -> str:
     """Deterministic HTML -> text: drop <head>, strip tags, unescape the
     three basic entities, collapse whitespace runs to single spaces.
-    THE single definition of the byte-identical per-url text contract."""
+    THE single definition of the byte-identical per-url text contract
+    for the SYNTHETIC corpus (pages.generate_pages emits this shape and
+    the text column is pinned to it). Real-crawl ingestion routes
+    through html_to_text_v2 below — this v1 stays frozen because the
+    generated `text` column and every oracle derived from it depend on
+    these exact bytes."""
     head_start = html.find(b"<head>")
     head_end = html.find(b"</head>")
     if head_start != -1 and head_end != -1:
@@ -97,6 +102,83 @@ def html_to_text(html: bytes) -> str:
     raw = _TAG_RE.sub(b" ", html)
     s = raw.decode("utf-8")
     s = s.replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
+    return " ".join(s.split())
+
+
+# --- real-crawl extraction (v2) -------------------------------------------
+# The v1 contract breaks on actual Common Crawl bytes three ways (r4
+# verdict "What's missing" #1): script/style/comment CONTENT lands in
+# the corpus, only 3 entities unescape, and non-UTF-8 pages throw.
+# v2 fixes all three with stdlib-only semantics so the DuckDB oracle
+# can replay expected outputs exactly:
+#   1. charset: Content-Type param, else <meta charset=...> / http-equiv
+#      within the sniff window, else UTF-8; undecodable bytes become
+#      U+FFFD (errors="replace") instead of throwing.
+#   2. strip ORDER: <script>/<style> content first (their raw text may
+#      contain "-->" which would derail comment stripping), then
+#      comments, then <head> content, then remaining tags. (The inverse
+#      order would better match `<!-- <script> -->`-style commented-out
+#      scripts; raw-text-with-"-->" is the more common real-crawl
+#      hazard, so script-first wins. Either choice is deterministic.)
+#   3. entities: stdlib html.unescape — full HTML5 named/numeric table,
+#      single pass ("&amp;lt;" -> "&lt;", never "<").
+# Whitespace collapse matches v1 (str.split joins on ANY unicode
+# whitespace, so &nbsp; -> U+00A0 collapses like a space).
+
+_SCRIPT_STYLE_RE = re.compile(r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>")
+_COMMENT_RE = re.compile(r"(?s)<!--.*?-->")
+_HEAD_V2_RE = re.compile(r"(?is)<head\b[^>]*>.*?</head\s*>")
+_TAG_V2_RE = re.compile(r"<[^>]+>")
+_META_CHARSET_RE = re.compile(
+    rb"(?i)<meta[^>]{0,200}?charset\s*=\s*[\"']?\s*([a-z0-9_\-:.]{1,40})"
+)
+_CT_CHARSET_RE = re.compile(r"(?i)charset\s*=\s*[\"']?\s*([a-z0-9_\-:.]{1,40})")
+
+_CHARSET_SNIFF_BYTES = 4096
+
+
+def detect_charset(html: bytes, content_type: str | None = None) -> str:
+    """Charset for an HTML page: Content-Type header param first (the
+    HTTP layer outranks the document per RFC 9110), then a <meta>
+    declaration in the first 4KB (the WHATWG sniff window), else UTF-8.
+    Unknown/unsupported names fall back to UTF-8 — with errors="replace"
+    decoding, a wrong guess degrades to replacement chars, never a
+    throw."""
+    import codecs
+
+    cand = None
+    if content_type:
+        m = _CT_CHARSET_RE.search(content_type)
+        if m:
+            cand = m.group(1)
+    if cand is None:
+        m = _META_CHARSET_RE.search(html[:_CHARSET_SNIFF_BYTES])
+        if m:
+            cand = m.group(1).decode("ascii", "replace")
+    if cand is None:
+        return "utf-8"
+    try:
+        codecs.lookup(cand)
+        return cand
+    except LookupError:
+        return "utf-8"
+
+
+def html_to_text_v2(html: bytes, content_type: str | None = None) -> str:
+    """Real-crawl HTML -> text (see block comment above): charset-aware
+    decode, script/style/comment/head CONTENT stripped, full stdlib
+    entity unescape, unicode whitespace collapsed. Deterministic pure
+    function — the distributed path (extract_text_column_v2) and the
+    oracle fixtures share it."""
+    from html import unescape
+
+    enc = detect_charset(html, content_type)
+    s = html.decode(enc, "replace")
+    s = _SCRIPT_STYLE_RE.sub(" ", s)
+    s = _COMMENT_RE.sub(" ", s)
+    s = _HEAD_V2_RE.sub(" ", s)
+    s = _TAG_V2_RE.sub(" ", s)
+    s = unescape(s)
     return " ".join(s.split())
 
 
@@ -159,6 +241,44 @@ def extract_text_column(df: DataFrame, html_col: str = "html", out_col: str = "t
                 texts if n == out_col else batch.column(n)
                 for n in names
             ]
+            yield pa.RecordBatch.from_arrays(cols, names)
+
+    return df.mapInArrow(_ex, out_schema)
+
+
+def extract_text_column_v2(
+    df: DataFrame,
+    html_col: str = "html",
+    out_col: str = "text",
+    content_type_col: str | None = None,
+) -> DataFrame:
+    """Distributed real-crawl text extraction: html_to_text_v2 over
+    Arrow batches. ``content_type_col`` (e.g. read_warc's content_type)
+    feeds the charset hint; pass None when only <meta> declarations are
+    available. Same map-only, shuffle-free shape as extract_text_column
+    — one Python stage, batched via Arrow, no per-row pickling."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != out_col]
+        + [T.StructField(out_col, T.StringType())]
+    )
+    names = [f.name for f in out_schema.fields]
+
+    def _ex(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            htmls = batch.column(html_col).to_pylist()
+            cts = (
+                batch.column(content_type_col).to_pylist()
+                if content_type_col
+                else [None] * len(htmls)
+            )
+            texts = pa.array(
+                [html_to_text_v2(h, ct) for h, ct in zip(htmls, cts)],
+                pa.string(),
+            )
+            cols = [texts if n == out_col else batch.column(n) for n in names]
             yield pa.RecordBatch.from_arrays(cols, names)
 
     return df.mapInArrow(_ex, out_schema)

@@ -2394,15 +2394,18 @@ def _stage_warc(spark: SparkSession, sf_dir: str) -> str:
 
 def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full WARC round trip: distributed .warc.gz sink -> binaryFile +
-    Arrow record-parse source -> html text extraction (the pages
-    pipeline's html_to_text). One task per WARC file — Common Crawl's
-    own distribution unit; see recon_spark/warc.py."""
-    from recon_spark.pages import extract_text_column
+    Arrow record-parse source -> html text extraction. One task per
+    WARC file — Common Crawl's own distribution unit; see
+    recon_spark/warc.py. Extraction is the REAL-CRAWL path
+    (html_to_text_v2: charset-aware, script/style/comment-stripping,
+    full entity unescape) — on these clean fixtures it is byte-equal to
+    the pinned v1 contract, which the oracle's regex replay proves."""
+    from recon_spark.pages import extract_text_column_v2
     from recon_spark.warc import read_warc
 
     out_dir = _stage_warc(spark, sf_dir)
     pages = read_warc(spark, out_dir)
-    pages = extract_text_column(pages)
+    pages = extract_text_column_v2(pages, content_type_col="content_type")
     return pages.select(
         "url",
         "warc_ts_s",
@@ -2442,12 +2445,14 @@ def q_warc_to_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     the way into the KG (the per-url byte-identical text contract,
     extended to the triples it produces)."""
     from recon_spark.operators.extraction import extract_triples_tokens
-    from recon_spark.pages import extract_text_column
+    from recon_spark.pages import extract_text_column_v2
     from recon_spark.queries.core import canonicalize_triples
     from recon_spark.warc import read_warc
 
     out_dir = _stage_warc(spark, sf_dir)
-    pages = extract_text_column(read_warc(spark, out_dir))
+    pages = extract_text_column_v2(
+        read_warc(spark, out_dir), content_type_col="content_type"
+    )
     docs = pages.select(
         F.regexp_extract("url", r"/d/([0-9]+)$", 1).cast("long").alias("doc_id"),
         "text",
@@ -2465,6 +2470,134 @@ def _sql_warc_to_triples() -> str:
         f"WITH documents AS (SELECT * FROM main.documents WHERE doc_id < {_WARC_N}),\n"
         + SQL_TRIPLES_CANONICAL.lstrip()[len("WITH ") :]
     )
+
+
+# --------------------------------------------------------------------------
+# Real-crawl HTML extraction (pages.html_to_text_v2 over WARC bytes).
+# Fixtures are deliberately MESSY — the three ways actual Common Crawl
+# pages break a naive extractor (r4 verdict gap #1): script/style/
+# comment content, the full HTML5 entity table (incl. the compound
+# "&amp;lt;" single-pass subtlety and unknown entities), and a
+# non-UTF-8 (ISO-8859-1) page declared via http-equiv meta. The oracle
+# never replays the extractor: it KNOWS the expected text because it
+# constructs the page around it — any v2 bug (wrong strip order, double
+# unescape, charset misdetect) hash-fails.
+# --------------------------------------------------------------------------
+
+_WARC_MESSY_STAGING: dict[str, str] = {}
+_WARC_MESSY_N = 400
+
+_MESSY_HEAD_UTF8 = (
+    '<html><head><meta charset="utf-8"><title>t0</title>'
+    "<style>p > .x { color: red; }</style></head><body>"
+    '<script type="text/javascript">var x = "<b>not text</b>";'
+    " if (a<b && b>c) {}</script><!-- skip <p>this</p> --><p>"
+    "caf&eacute; &#8212; &quot;q&quot; &amp;lt;tag&amp;gt; "
+    "&#x27;s&#39; &hellip;&nbsp;"
+)
+_MESSY_PREFIX_LATIN1 = "caf\xe9 f\xfchrt \xc6r\xf8 \xb1\xbd "
+_MESSY_HEAD_LATIN1 = (
+    '<html><head><meta http-equiv="Content-Type" '
+    'content="text/html; charset=ISO-8859-1"></head><body>'
+    "<!-- latin-1 comment noise --><p>" + _MESSY_PREFIX_LATIN1
+)
+_MESSY_HEAD_ENTITIES = (
+    "<html><body><p>&amp;lt;e&amp;gt; &#38; &unknown; "
+)
+
+# expected decoded prefixes (what html_to_text_v2 must emit)
+_EXP_UTF8 = "caf\xe9 — \"q\" &lt;tag&gt; 's' … "
+_EXP_LATIN1 = _MESSY_PREFIX_LATIN1
+_EXP_ENTITIES = "&lt;e&gt; & &unknown; "
+
+
+def _stage_warc_messy(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from recon_spark.warc import write_warc_files
+
+    key = os.path.abspath(sf_dir)
+    if key not in _WARC_MESSY_STAGING:
+        out_dir = tempfile.mkdtemp(prefix="recon_warc_messy_")
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+        c = F.col("doc_id") % 4
+        page = (
+            F.when(c == 0, F.concat(F.lit(_MESSY_HEAD_UTF8), F.col("text")))
+            .when(c == 1, F.concat(F.lit(_MESSY_HEAD_LATIN1), F.col("text")))
+            .when(c == 2, F.concat(F.lit(_MESSY_HEAD_ENTITIES), F.col("text")))
+            .otherwise(F.concat(F.lit("<html><body><p>"), F.col("text")))
+        )
+        page = F.concat(page, F.lit("</p></body></html>"))
+        docs = (
+            _docs(spark, sf_dir)
+            .where(F.col("doc_id") < _WARC_MESSY_N)
+            .select(
+                F.concat(F.lit("https://ex.org/m/"), F.col("doc_id")).alias("url"),
+                (F.lit(_INGEST_EPOCH) + F.col("doc_id")).cast("long").alias("warc_ts_s"),
+                # the latin-1 case is ENCODED latin-1 — the bytes on
+                # disk are genuinely non-UTF-8 and only the meta
+                # declaration says so
+                F.when(c == 1, F.encode(page, "ISO-8859-1"))
+                .otherwise(F.encode(page, "utf-8"))
+                .alias("html"),
+            )
+            .repartition(8, "url")
+        )
+        write_warc_files(docs, out_dir).count()
+        _WARC_MESSY_STAGING[key] = out_dir
+    return _WARC_MESSY_STAGING[key]
+
+
+def q_warc_real_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-crawl extraction over messy WARC bytes: read_warc ->
+    html_to_text_v2 (charset from Content-Type/meta, script/style/
+    comment content stripped, full entity unescape). Map-only after the
+    one-task-per-file scan — the same plan shape as warc_ingest; the
+    per-page md5 pins every byte of the extracted text."""
+    from recon_spark.pages import extract_text_column_v2
+    from recon_spark.warc import read_warc
+
+    out_dir = _stage_warc_messy(spark, sf_dir)
+    pages = extract_text_column_v2(
+        read_warc(spark, out_dir), content_type_col="content_type"
+    )
+    return pages.select(
+        "url",
+        (F.regexp_extract("url", r"/m/([0-9]+)$", 1).cast("long") % 4)
+        .cast("int")
+        .alias("case_id"),
+        F.length("text").cast("int").alias("n_chars"),
+        F.md5(F.encode("text", "utf-8")).alias("text_md5"),
+    ).orderBy("url")
+
+
+def _sql_warc_real_html() -> str:
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    return f"""
+WITH d AS (
+  SELECT doc_id, 'https://ex.org/m/' || CAST(doc_id AS VARCHAR) AS url,
+         trim(regexp_replace(text, '[ \t\r\n]+', ' ', 'g')) AS t
+  FROM documents WHERE doc_id < {_WARC_MESSY_N}
+),
+e AS (
+  SELECT url, doc_id % 4 AS c,
+         CASE doc_id % 4
+           WHEN 0 THEN '{q(_EXP_UTF8)}' || t
+           WHEN 1 THEN '{q(_EXP_LATIN1)}' || t
+           WHEN 2 THEN '{q(_EXP_ENTITIES)}' || t
+           ELSE t END AS expected
+  FROM d
+)
+SELECT url, CAST(c AS INT) AS case_id,
+       CAST(length(expected) AS INT) AS n_chars,
+       md5(expected) AS text_md5
+FROM e ORDER BY url
+"""
 
 
 def q_reg_domain_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2572,6 +2705,7 @@ QUERIES = {
     "gopher_filter_full": q_gopher_filter_full,
     "warc_ingest": q_warc_ingest,
     "warc_to_triples": q_warc_to_triples,
+    "warc_real_html": q_warc_real_html,
 }
 
 ORACLES = {
@@ -2627,4 +2761,5 @@ ORACLES = {
     "gopher_filter_full": SQL_GOPHER_FILTER_FULL,
     "warc_ingest": SQL_WARC_INGEST,
     "warc_to_triples": _sql_warc_to_triples(),
+    "warc_real_html": _sql_warc_real_html(),
 }

@@ -165,3 +165,74 @@ def test_stream_checkpoint_resume_mid_backfill(spark, pages, tmp_path):
     stream_keys = {r.triple_key for r in store.read().select("triple_key").collect()}
     batch_keys = {r.triple_key for r in batch_store.read().select("triple_key").collect()}
     assert stream_keys == batch_keys
+
+
+# --------------------------------------------------------------------------
+# r5: real-crawl extraction (html_to_text_v2) properties
+# --------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+from recon_spark.pages import detect_charset, html_to_text_v2
+
+
+@given(st.binary(min_size=0, max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_v2_total_and_stable_on_arbitrary_bytes(data):
+    """v2 must never throw on real-crawl garbage (invalid encodings,
+    binary masquerading as HTML) and must be a pure function."""
+    a = html_to_text_v2(data)
+    assert a == html_to_text_v2(data)
+    assert isinstance(a, str)
+    # whitespace contract: single spaces, no leading/trailing
+    assert a == " ".join(a.split())
+
+
+@given(st.text(max_size=120))
+@settings(max_examples=200, deadline=None)
+def test_v2_unescape_is_stdlib_html_unescape(body):
+    """For tag-free bodies, v2 == unescape + whitespace collapse — the
+    full HTML5 entity table in a single pass, exactly stdlib
+    semantics (so '&amp;lt;' -> '&lt;', never '<')."""
+    from html import unescape
+
+    if "<" in body:  # anything tag-like is out of scope for this property
+        return
+    got = html_to_text_v2(body.encode("utf-8"))
+    assert got == " ".join(unescape(body).split())
+
+
+def test_v2_strips_script_style_comment_content():
+    h = (b"<html><body><script>var hidden = 1;</script>keep1"
+         b"<style>.x{}</style> keep2 <!-- hidden2 --> keep3"
+         b"<SCRIPT>HIDDEN3</SCRIPT></body></html>")
+    assert html_to_text_v2(h) == "keep1 keep2 keep3"
+    # raw-text hazard: '-->' inside script must not derail stripping
+    h2 = b"<body><script>if (i --> 0) {}</script>visible</body>"
+    assert html_to_text_v2(h2) == "visible"
+
+
+def test_v2_charset_priority_and_fallback():
+    latin = "caf\xe9".encode("latin-1")
+    page = b"<html><head><meta charset=utf-8></head><body>" + latin + b"</body></html>"
+    # Content-Type outranks meta
+    assert "caf\xe9" in html_to_text_v2(page, "text/html; charset=iso-8859-1")
+    # meta alone: utf-8 declared, bytes invalid -> replacement, no throw
+    assert "�" in html_to_text_v2(page)
+    # unknown charset name falls back to utf-8
+    assert detect_charset(b"<meta charset=not-a-charset>") == "utf-8"
+    assert detect_charset(b"<html>") == "utf-8"
+    # sniff window: declarations past 4KB are ignored per WHATWG
+    far = b"<html>" + b" " * 5000 + b'<meta charset="iso-8859-1">'
+    assert detect_charset(far) == "utf-8"
+
+
+def test_v2_equals_v1_on_synthetic_corpus():
+    """The staged-WARC page shape (and the generated corpus bodies) are
+    clean HTML where the frozen v1 contract and the real-crawl v2 path
+    must agree byte-for-byte — the bridge that lets warc_ingest /
+    warc_to_triples route through v2 with unchanged oracles."""
+    for pid in range(50):
+        _, _, html, text, _ = page_content(pid)
+        body = html  # full generated page incl. head
+        assert html_to_text_v2(body) == html_to_text(body) == text
