@@ -25,10 +25,13 @@ NOT listed: the PSL's implicit default rule ``*`` (any unlisted TLD is
 a 1-label public suffix) covers them, and webops implements it as the
 ``coalesce(..., 1)`` floor.
 
-Source: publicsuffix.org/list (public domain knowledge; entries
-transcribed by class, not copied wholesale — this is deliberately a
-bounded demo snapshot). The full list drops in unchanged: it is the
-same three rule shapes, just more rows.
+Source: publicsuffix.org/list (public data; entries transcribed by
+class — this is deliberately a bounded demo snapshot for tests that
+want a readable rule set). The FULL ~9.5k-rule list also ships:
+``full_psl_rules()`` parses ``data/public_suffix_list.dat`` (the
+verbatim publicsuffix.org file) — same three rule shapes, just more
+rows, and the registry queries run against it (r5; the drop-in claim
+is now exercised, not asserted).
 """
 
 from __future__ import annotations
@@ -151,9 +154,40 @@ def parse_psl_rules(
     return exact, wild, exc
 
 
-def psl_table(spark):
-    """The snapshot as a one-column DataFrame dimension ``(rule)`` —
+_FULL_PSL_CACHE: tuple[str, ...] | None = None
+
+_FULL_PSL_PATH = __file__.rsplit("/", 1)[0] + "/public_suffix_list.dat"
+
+
+def full_psl_rules() -> tuple[str, ...]:
+    """The FULL Public Suffix List (~9.5k rules), shipped verbatim as
+    ``data/public_suffix_list.dat`` (publicsuffix.org, MPL-2.0 — the
+    license header is the first comment block of the file; the Debian
+    ``publicsuffix`` package distributes the same file). Parsed per the
+    PSL format spec: ``//`` comment lines and blanks skipped, one rule
+    per line (everything up to the first whitespace), lowercased.
+    ICANN and PRIVATE sections both apply (the curated snapshot's rule
+    classes, just all ~9.5k rows). Driver-side only — the matcher
+    compiles rules into literal InSet probes, so executors never read
+    the file."""
+    global _FULL_PSL_CACHE
+    if _FULL_PSL_CACHE is None:
+        rules = []
+        with open(_FULL_PSL_PATH, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line or line.startswith("//"):
+                    continue
+                rules.append(line.split()[0].lower())
+        _FULL_PSL_CACHE = tuple(rules)
+    return _FULL_PSL_CACHE
+
+
+def psl_table(spark, full: bool = False):
+    """The rule list as a one-column DataFrame dimension ``(rule)`` —
     the shape a pipeline that maintains the PSL as a parquet dim table
     hands to webops.registered_domain / normalize_url. Bounded by
-    construction (the full real list is ~9.5k rows)."""
-    return spark.createDataFrame([(r,) for r in PSL_RULES], "rule string")
+    construction: the DNS registry, not the data, sets the row count
+    (~230 curated / ~9.5k full)."""
+    rules = full_psl_rules() if full else PSL_RULES
+    return spark.createDataFrame([(r,) for r in rules], "rule string")

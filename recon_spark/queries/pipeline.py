@@ -2248,8 +2248,14 @@ FROM scored ORDER BY dsir_score DESC, doc_id LIMIT {_DSIR_K}
 # suffixes; DuckDB: list comprehensions over the same rule snapshot).
 # --------------------------------------------------------------------------
 
+# cases 10-13 (r5) resolve correctly ONLY under the full ~9.5k-rule
+# list: a 5-label exact rule (s3.dualstack...amazonaws.com), the
+# *.kawasaki.jp wildcard, its !city.kawasaki.jp exception, and an
+# unlisted TLD falling to the implicit default rule — the snapshot
+# would mis-group all four, so the green oracle row is evidence the
+# full list is actually load-bearing.
 _PSL_HOST_EXPR = """
-CASE doc_id % 10
+CASE doc_id % 14
   WHEN 0 THEN concat('sub', CAST(doc_id DIV 10 % 3 AS STRING), '.site',
     CAST(doc_id DIV 10 % 5 AS STRING), '.ne.jp')
   WHEN 1 THEN concat('user', CAST(doc_id DIV 10 % 7 AS STRING), '.github.io')
@@ -2260,12 +2266,18 @@ CASE doc_id % 10
   WHEN 6 THEN concat('bar.foo', CAST(doc_id DIV 10 % 4 AS STRING), '.ck')
   WHEN 7 THEN 'www.ck'
   WHEN 8 THEN concat('x', CAST(doc_id DIV 10 % 3 AS STRING), '.www.ck')
-  ELSE 'localhost'
+  WHEN 9 THEN 'localhost'
+  WHEN 10 THEN concat('b', CAST(doc_id DIV 10 % 3 AS STRING),
+    '.s3.dualstack.ap-southeast-1.amazonaws.com')
+  WHEN 11 THEN concat('a', CAST(doc_id DIV 10 % 3 AS STRING), '.sub.foo',
+    CAST(doc_id DIV 10 % 2 AS STRING), '.kawasaki.jp')
+  WHEN 12 THEN 'www.city.kawasaki.jp'
+  ELSE concat('foo', CAST(doc_id DIV 10 % 3 AS STRING), '.bar.unlistedtld')
 END
 """
 
 _SQL_PSL_HOST_EXPR = """
-CASE doc_id % 10
+CASE doc_id % 14
   WHEN 0 THEN 'sub' || CAST(doc_id // 10 % 3 AS VARCHAR) || '.site'
     || CAST(doc_id // 10 % 5 AS VARCHAR) || '.ne.jp'
   WHEN 1 THEN 'user' || CAST(doc_id // 10 % 7 AS VARCHAR) || '.github.io'
@@ -2276,7 +2288,13 @@ CASE doc_id % 10
   WHEN 6 THEN 'bar.foo' || CAST(doc_id // 10 % 4 AS VARCHAR) || '.ck'
   WHEN 7 THEN 'www.ck'
   WHEN 8 THEN 'x' || CAST(doc_id // 10 % 3 AS VARCHAR) || '.www.ck'
-  ELSE 'localhost'
+  WHEN 9 THEN 'localhost'
+  WHEN 10 THEN 'b' || CAST(doc_id // 10 % 3 AS VARCHAR)
+    || '.s3.dualstack.ap-southeast-1.amazonaws.com'
+  WHEN 11 THEN 'a' || CAST(doc_id // 10 % 3 AS VARCHAR) || '.sub.foo'
+    || CAST(doc_id // 10 % 2 AS VARCHAR) || '.kawasaki.jp'
+  WHEN 12 THEN 'www.city.kawasaki.jp'
+  ELSE 'foo' || CAST(doc_id // 10 % 3 AS VARCHAR) || '.bar.unlistedtld'
 END
 """
 
@@ -2287,24 +2305,43 @@ def _docs_with_psl_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir).withColumn("host", F.expr(_PSL_HOST_EXPR))
     # DataFrame mode on purpose: exercises the parquet-dimension shape
-    # (bounded PSL collected once driver-side into the literal plan)
-    return registered_domain(docs, psl=psl_table(spark))
+    # (bounded PSL collected once driver-side into the literal plan).
+    # full=True: the REAL ~9.5k-rule publicsuffix.org list — the r4
+    # snapshot's "the full list drops in unchanged" claim, exercised.
+    return registered_domain(docs, psl=psl_table(spark, full=True))
 
 
 def _sql_psl_reg_domain_ctes() -> str:
-    """DuckDB replay of the PSL longest-match algorithm over the same
-    rule snapshot, generated from parse_psl_rules so the twins cannot
+    """DuckDB replay of the PSL longest-match algorithm over the SAME
+    full rule list, generated from parse_psl_rules so the twins cannot
     drift. Defines CTE `psl_reg(doc_id, host, reg_domain, lang,
-    n_chars)` over documents doc_id < 500."""
-    from recon_spark.data.psl_snapshot import PSL_RULES, parse_psl_rules
+    n_chars)` over documents doc_id < 500.
 
-    exact, wild, exc = parse_psl_rules(PSL_RULES)
+    Shape: at ~9.5k rules the r4 list-comprehension replay (every rule
+    probed per row) would do ~14M string compares; instead the rules
+    become a VALUES relation and each host's ancestor suffixes hash-
+    join against it — the relational formulation of the same longest-
+    match, linear in rows + rules."""
+    from recon_spark.data.psl_snapshot import full_psl_rules, parse_psl_rules
 
-    def lit_list(keys) -> str:
-        return "[" + ", ".join(f"'{k}'" for k in sorted(keys)) + "]"
+    exact, wild, exc = parse_psl_rules(full_psl_rules())
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    rows = (
+        [(r, "e", k) for r, k in sorted(exact.items())]
+        + [(b, "w", k) for b, k in sorted(wild.items())]
+        + [(d, "x", k) for d, k in sorted(exc.items())]
+    )
+    values = ",\n  ".join(f"('{q(r)}', '{kind}', {plen})" for r, kind, plen in rows)
 
     return f"""
-WITH h AS (
+WITH psl_rules(rule, kind, plen) AS (
+  VALUES
+  {values}
+),
+h AS (
   SELECT doc_id, {_SQL_PSL_HOST_EXPR} AS host, lang, n_chars
   FROM documents WHERE doc_id < 500
 ),
@@ -2314,26 +2351,28 @@ c AS (
   FROM h
 ),
 m AS (
-  SELECT *, [array_to_string(labels[CAST(i AS INT):n], '.')
-             FOR i IN range(1, n + 1)] AS anc
+  SELECT doc_id, unnest([array_to_string(labels[CAST(i AS INT):n], '.')
+                         FOR i IN range(1, n + 1)]) AS anc
   FROM c
 ),
-p AS (
-  SELECT *,
-    list_max([len(string_split(e, '.')) - 1 FOR e IN {lit_list(exc)}
-              IF list_contains(anc, e)]) AS exc_len,
-    list_max([len(string_split(r, '.')) FOR r IN {lit_list(exact)}
-              IF list_contains(anc, r)]) AS rule_len,
-    list_max([len(string_split(w, '.')) + 1 FOR w IN {lit_list(wild)}
-              IF list_contains(anc, w)
-              AND len(string_split(w, '.')) + 1 <= n]) AS wild_len
-  FROM m
+j AS (
+  SELECT m.doc_id,
+         max(CASE WHEN r.kind = 'x' THEN r.plen END) AS exc_len,
+         max(CASE WHEN r.kind = 'e' THEN r.plen END) AS rule_len,
+         max(CASE WHEN r.kind = 'w' THEN r.plen END) AS wild_len_raw
+  FROM m JOIN psl_rules r ON m.anc = r.rule
+  GROUP BY m.doc_id
 ),
 s AS (
+  SELECT c.*, j.exc_len, j.rule_len,
+         CASE WHEN j.wild_len_raw <= c.n THEN j.wild_len_raw END AS wild_len
+  FROM c LEFT JOIN j USING (doc_id)
+),
+s2 AS (
   SELECT *, coalesce(exc_len,
             greatest(coalesce(rule_len, 1), coalesce(wild_len, 1), 1))
             AS ps_len
-  FROM p
+  FROM s
 ),
 psl_reg AS (
   SELECT doc_id, host,
@@ -2341,7 +2380,7 @@ psl_reg AS (
          WHEN n <= ps_len THEN host
          ELSE array_to_string(labels[n - ps_len : n], '.') END AS reg_domain,
     lang, n_chars
-  FROM s
+  FROM s2
 )
 """
 
@@ -2486,6 +2525,11 @@ def _sql_warc_to_triples() -> str:
 
 _WARC_MESSY_STAGING: dict[str, str] = {}
 _WARC_MESSY_N = 400
+# the last _MESSY_DUP pages carry the TEXT of the page _MESSY_DUP ids
+# earlier (same doc_id % 4, so same messy wrapper -> byte-identical
+# extracted text): real crawls contain exact duplicates, and the
+# funnel's dedup stage needs true collisions to be load-bearing
+_MESSY_DUP = 20
 
 _MESSY_HEAD_UTF8 = (
     '<html><head><meta charset="utf-8"><title>t0</title>'
@@ -2531,9 +2575,18 @@ def _stage_warc_messy(spark: SparkSession, sf_dir: str) -> str:
             .otherwise(F.concat(F.lit("<html><body><p>"), F.col("text")))
         )
         page = F.concat(page, F.lit("</p></body></html>"))
+        base = _docs(spark, sf_dir)
+        src_id = F.when(
+            F.col("doc_id") >= _WARC_MESSY_N - _MESSY_DUP,
+            F.col("doc_id") - _MESSY_DUP,
+        ).otherwise(F.col("doc_id"))
         docs = (
-            _docs(spark, sf_dir)
-            .where(F.col("doc_id") < _WARC_MESSY_N)
+            base.where(F.col("doc_id") < _WARC_MESSY_N)
+            .select("doc_id", src_id.alias("src_id"))
+            .join(
+                base.select(F.col("doc_id").alias("src_id"), "text"),
+                "src_id",
+            )
             .select(
                 F.concat(F.lit("https://ex.org/m/"), F.col("doc_id")).alias("url"),
                 (F.lit(_INGEST_EPOCH) + F.col("doc_id")).cast("long").alias("warc_ts_s"),
@@ -2574,29 +2627,284 @@ def q_warc_real_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url")
 
 
-def _sql_warc_real_html() -> str:
+def _sql_messy_pages_ctes() -> str:
+    """CTE fragment ``exd, ex`` reconstructing the EXPECTED extracted
+    text of the messy WARC staging (duplicate injection included) from
+    ``main.documents`` — the schema-qualified name keeps working when a
+    caller later shadows ``documents`` with ``ex`` itself. Shared by
+    warc_real_html and curation_funnel_warc so the fixtures' single
+    definition of truth stays single."""
+
     def q(s: str) -> str:
         return s.replace("'", "''")
 
-    return f"""
-WITH d AS (
-  SELECT doc_id, 'https://ex.org/m/' || CAST(doc_id AS VARCHAR) AS url,
-         trim(regexp_replace(text, '[ \t\r\n]+', ' ', 'g')) AS t
-  FROM documents WHERE doc_id < {_WARC_MESSY_N}
+    return f"""exd AS (
+  SELECT a.doc_id, 'https://ex.org/m/' || CAST(a.doc_id AS VARCHAR) AS url,
+         trim(regexp_replace(b.text, '[ \t\r\n]+', ' ', 'g')) AS t,
+         a.lang, a.source, a.n_chars
+  FROM main.documents a JOIN main.documents b
+    ON b.doc_id = CASE WHEN a.doc_id >= {_WARC_MESSY_N - _MESSY_DUP}
+                       THEN a.doc_id - {_MESSY_DUP} ELSE a.doc_id END
+  WHERE a.doc_id < {_WARC_MESSY_N}
 ),
-e AS (
-  SELECT url, doc_id % 4 AS c,
+ex AS (
+  SELECT doc_id, url,
          CASE doc_id % 4
            WHEN 0 THEN '{q(_EXP_UTF8)}' || t
            WHEN 1 THEN '{q(_EXP_LATIN1)}' || t
            WHEN 2 THEN '{q(_EXP_ENTITIES)}' || t
-           ELSE t END AS expected
-  FROM d
+           ELSE t END AS text,
+         lang, source, n_chars
+  FROM exd
+)"""
+
+
+def _sql_warc_real_html() -> str:
+    return f"""
+WITH {_sql_messy_pages_ctes()}
+SELECT url, CAST(doc_id % 4 AS INT) AS case_id,
+       CAST(length(text) AS INT) AS n_chars,
+       md5(text) AS text_md5
+FROM ex ORDER BY url
+"""
+
+
+# --------------------------------------------------------------------------
+# WARC-first curation funnel: the dress-rehearsal DAG the r4 verdict
+# asked for — raw crawl bytes through EVERY production gate to the KG,
+# one composed plan with per-stage survivor counts. Stages: v2 text
+# extraction (messy fixtures) -> full Gopher gate on the EXTRACTED text
+# -> full-PSL registered-domain blocklist -> benchmark decontamination
+# -> exact dedup (the staging injects true duplicate records) ->
+# canonical triples from the survivors. Like curation_funnel, every
+# gate becomes a boolean flag joined on doc_id and ONE aggregation
+# computes all cumulative counts — no per-stage actions, no driver
+# loop. At 10^12 pages the WARC parse + extraction would be
+# materialized once as the pages table (pages.py's shape) instead of
+# recomputed per gate branch; at fixture scale recompute is free and
+# keeps the query self-contained.
+# --------------------------------------------------------------------------
+
+_FUNNEL_WARC_BLOCK = ("example.co.uk", "city.kawasaki.jp")
+
+
+def q_curation_funnel_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end survivor report FROM RAW WARC BYTES: extract (v2) ->
+    gopher -> PSL blocklist -> decontaminate -> exact dedup -> triples.
+    Returns (stage, n_in, n_out); the 5_triples row's n_out is the
+    count of distinct canonical (subj, pred, obj) the survivors emit —
+    the KG materialization the funnel exists to feed."""
+    from pyspark.sql import Window
+
+    from recon_spark.data.psl_snapshot import psl_table
+    from recon_spark.operators.curation import ngram_contamination
+    from recon_spark.operators.extraction import extract_triples_tokens
+    from recon_spark.operators.textstats import gopher_quality_filter
+    from recon_spark.operators.webops import registered_domain
+    from recon_spark.pages import extract_text_column_v2
+    from recon_spark.queries.core import canonicalize_triples
+    from recon_spark.warc import read_warc
+
+    out_dir = _stage_warc_messy(spark, sf_dir)
+    docs = extract_text_column_v2(
+        read_warc(spark, out_dir), content_type_col="content_type"
+    ).select(
+        F.regexp_extract("url", r"/m/([0-9]+)$", 1).cast("long").alias("doc_id"),
+        "text",
+    )
+    # Each expensive flag ends in a groupBy(doc_id).first() BARRIER.
+    # Without it, Catalyst alias-substitutes the survivor filter
+    # (s4, below) through the join chain and pushes the FULL gate
+    # expressions — the 9.5k-rule PSL matcher inlined into the
+    # 14-branch host CASE — as a filter into EVERY branch of the DAG:
+    # measured here as janino "Code grows beyond 64 KB" on five stages
+    # (whole-stage codegen falls back to the interpreter) and, at
+    # 10^12 rows, as the gate recomputed once per branch instead of
+    # once. A filter cannot be rewritten through an aggregate's
+    # non-grouping output, so the barrier pins each gate to exactly
+    # one evaluation site; the agg's hash partitioning on doc_id is
+    # exactly what the flags join needs, so no extra shuffle appears.
+    def _once(flag_df: DataFrame, col: str) -> DataFrame:
+        return flag_df.groupBy("doc_id").agg(F.first(col).alias(col))
+
+    # gate 1: gopher quality on the EXTRACTED text (same thresholds as
+    # curation_funnel so the two reports are comparable)
+    gop = _once(
+        gopher_quality_filter(
+            docs,
+            min_words=40,
+            max_words=90,
+            min_word_len=4.0,
+            max_word_len=5.0,
+            min_stopwords=1,
+            stopwords=("the", "and", "with", "of"),
+            max_symbol_word_ratio=None,
+            max_bullet_line_frac=None,
+            max_ellipsis_line_frac=None,
+            max_dup_line_frac=None,
+        ).select("doc_id", F.col("keep").alias("k1")),
+        "k1",
+    )
+    # gate 2: full-PSL registered-domain blocklist (owner granularity)
+    hosts = docs.select("doc_id").withColumn("host", F.expr(_PSL_HOST_EXPR))
+    blk = _once(
+        registered_domain(hosts, psl=psl_table(spark, full=True)).select(
+            "doc_id", (~F.col("reg_domain").isin(*_FUNNEL_WARC_BLOCK)).alias("kb")
+        ),
+        "kb",
+    )
+    # gate 3: benchmark decontamination (bench built from the ORIGINAL
+    # corpus, contamination checked against the EXTRACTED text)
+    bench = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") % _BENCH_MOD == 0)
+        .select(
+            "doc_id",
+            F.array_join(
+                F.slice(F.split("text", " "), _BENCH_OFF, _BENCH_W), " "
+            ).alias("text"),
+        )
+    )
+    contam = (
+        ngram_contamination(docs, bench, n=_CONTAM_N)
+        .select("doc_id")
+        .withColumn("ic", F.lit(True))
+    )
+    # gate 4: exact dedup — first owner (min doc_id) per text hash wins
+    kd = docs.select(
+        "doc_id", F.md5(F.encode("text", "utf-8")).alias("h")
+    ).select(
+        "doc_id",
+        (F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("h"))).alias("kd"),
+    )
+    flags = (
+        docs.select("doc_id")
+        .join(gop, "doc_id")
+        .join(blk, "doc_id")
+        .join(contam, "doc_id", "left")
+        .join(kd, "doc_id")
+    )
+    s1 = F.col("k1")
+    s2 = s1 & F.col("kb")
+    s3 = s2 & ~F.coalesce("ic", F.lit(False))
+    s4 = s3 & F.col("kd")
+    surv = flags.where(s4).select("doc_id")
+    canon = canonicalize_triples(
+        spark, extract_triples_tokens(docs.join(surv, "doc_id"))
+    )
+    tcnt = canon.agg(F.count(F.lit(1)).alias("nt"))
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(s1.cast("int")).alias("n1"),
+        F.sum(s2.cast("int")).alias("n2"),
+        F.sum(s3.cast("int")).alias("n3"),
+        F.sum(s4.cast("int")).alias("n4"),
+    )
+    return (
+        agg.crossJoin(tcnt)  # two 1-row aggregates
+        .selectExpr(
+            "stack(5, '1_gopher', n0, n1, '2_psl_blocklist', n1, n2, "
+            "'3_decontaminate', n2, n3, '4_dedup_exact', n3, n4, "
+            "'5_triples', n4, nt) AS (stage, n_in, n_out)"
+        )
+        .orderBy("stage")
+    )
+
+
+def _sql_curation_funnel_warc() -> str:
+    from recon_spark.gazetteer import sql_alias_values
+    from recon_spark.queries.core import _sql_triples_base
+
+    psl_ctes = _sql_psl_reg_domain_ctes().strip()
+    assert psl_ctes.startswith("WITH ")
+    psl_ctes = psl_ctes[len("WITH "):]
+    blk_list = ", ".join(f"'{d}'" for d in _FUNNEL_WARC_BLOCK)
+    return f"""
+WITH {_sql_messy_pages_ctes()},
+documents AS (SELECT doc_id, text, lang, source, n_chars FROM ex),
+tk AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+gf AS (
+  SELECT doc_id,
+    (len(toks) BETWEEN 40 AND 90)
+    AND (CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+              * 1.0 / len(toks) END BETWEEN 4.0 AND 5.0)
+    AND len(list_filter(['the', 'and', 'with', 'of'],
+                        s -> list_contains(toks, s))) >= 1
+    AND (CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+              * 1.0 / len(toks) END) >= 0.8 AS k1
+  FROM tk
+),
+{psl_ctes},
+blk AS (
+  SELECT doc_id, reg_domain NOT IN ({blk_list}) AS kb FROM psl_reg
+),
+bt AS (
+  SELECT doc_id,
+         string_split(text, ' ')[{_BENCH_OFF}:{_BENCH_OFF + _BENCH_W - 1}] AS toks
+  FROM main.documents WHERE doc_id % {_BENCH_MOD} = 0
+),
+bg AS (
+  SELECT DISTINCT md5(array_to_string(toks[i:i+{_CONTAM_N - 1}], ' ')) AS g
+  FROM bt, LATERAL unnest(generate_series(1, greatest(len(toks) - {_CONTAM_N - 1}, 0))) AS t(i)
+),
+ct AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+cg AS (
+  SELECT doc_id, md5(array_to_string(toks[i:i+{_CONTAM_N - 1}], ' ')) AS g
+  FROM ct, LATERAL unnest(generate_series(1, greatest(len(toks) - {_CONTAM_N - 1}, 0))) AS t(i)
+),
+contam AS (SELECT DISTINCT c.doc_id FROM cg c JOIN bg USING (g)),
+kd AS (
+  SELECT doc_id,
+         doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS kd
+  FROM documents
+),
+flags AS (
+  SELECT d.doc_id, gf.k1, blk.kb,
+         (contam.doc_id IS NOT NULL) AS ic, kd.kd
+  FROM documents d
+  JOIN gf USING (doc_id)
+  JOIN blk USING (doc_id)
+  LEFT JOIN contam USING (doc_id)
+  JOIN kd USING (doc_id)
+),
+surv AS (SELECT doc_id FROM flags WHERE k1 AND kb AND NOT ic AND kd),
+{_sql_triples_base()},
+best AS (
+  SELECT alias, entity_id FROM (
+    SELECT alias, entity_id,
+           row_number() OVER (PARTITION BY alias ORDER BY score DESC, entity_id) AS rk
+    FROM {sql_alias_values()}
+  ) WHERE rk = 1
+),
+canon AS (
+  SELECT coalesce(bs.entity_id, t.subj) AS s, t.pred AS p,
+         coalesce(bo.entity_id, t.obj) AS o
+  FROM triples t
+  JOIN surv USING (doc_id)
+  LEFT JOIN best bs ON t.subj = bs.alias
+  LEFT JOIN best bo ON t.obj = bo.alias
+  GROUP BY 1, 2, 3
+),
+tc AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM canon),
+cnt AS (
+  SELECT CAST(count(*) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN k1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN k1 AND kb THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN k1 AND kb AND NOT ic THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+         CAST(sum(CASE WHEN k1 AND kb AND NOT ic AND kd THEN 1 ELSE 0 END) AS BIGINT) AS n4
+  FROM flags
 )
-SELECT url, CAST(c AS INT) AS case_id,
-       CAST(length(expected) AS INT) AS n_chars,
-       md5(expected) AS text_md5
-FROM e ORDER BY url
+SELECT '1_gopher' AS stage, n0 AS n_in, n1 AS n_out FROM cnt
+UNION ALL SELECT '2_psl_blocklist', n1, n2 FROM cnt
+UNION ALL SELECT '3_decontaminate', n2, n3 FROM cnt
+UNION ALL SELECT '4_dedup_exact', n3, n4 FROM cnt
+UNION ALL SELECT '5_triples', n4, nt FROM cnt, tc
+ORDER BY stage
 """
 
 
@@ -2706,6 +3014,7 @@ QUERIES = {
     "warc_ingest": q_warc_ingest,
     "warc_to_triples": q_warc_to_triples,
     "warc_real_html": q_warc_real_html,
+    "curation_funnel_warc": q_curation_funnel_warc,
 }
 
 ORACLES = {
@@ -2762,4 +3071,5 @@ ORACLES = {
     "warc_ingest": SQL_WARC_INGEST,
     "warc_to_triples": _sql_warc_to_triples(),
     "warc_real_html": _sql_warc_real_html(),
+    "curation_funnel_warc": _sql_curation_funnel_warc(),
 }

@@ -1,0 +1,200 @@
+"""Scale spot-check + N->4N scaling evidence for the round-5 additions:
+the FULL ~9.5k-rule Public Suffix List matcher (40x bigger InSet groups
+than the r4 snapshot), real-crawl HTML extraction (html_to_text_v2 over
+Arrow batches), and the bounded-batch WARC source (output batches
+capped at 1024 records / 32MB so task memory is O(batch)).
+
+Protocol = scripts/scale_r3_ops.py / scale_r4_ops.py: deterministic
+inputs (sf0.1 documents replicated xK with the driver queries' synth
+expressions — no external data), each op timed at two parallelism
+levels in FRESH JVMs, force() defeats column pruning,
+eff = (t_lo / t_hi) / (cores_hi / cores_lo).
+
+    python scripts/scale_r5_ops.py            # both levels + BENCH append
+    python scripts/scale_r5_ops.py --cores N  # one level, raw JSON
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+MAP_X = 1000   # 5M rows for the map-only ops (same as r3/r4 tables)
+HTML_X = 200   # 1M pages through the Python-stage extractor
+WARC_X = 500   # 2.5M docs through the streamed WARC sink -> bounded source
+N_LO, N_HI = 2, 8
+
+
+def force(df) -> int:
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(1000000))
+        ).alias("chk"),
+    ).collect()[0]
+    return row["n"]
+
+
+def _timed(out: dict, name: str, fn, input_desc: str) -> None:
+    t0 = time.monotonic()
+    try:
+        n = force(fn())
+        out[name] = {"sec": round(time.monotonic() - t0, 2), "rows": n,
+                     "input": input_desc}
+    except Exception as e:  # noqa: BLE001
+        out[name] = {"sec": None, "rows": None, "input": input_desc,
+                     "err": str(e).replace("\n", " ")[:300]}
+
+
+def docs_x(spark, x: int):
+    par = spark.sparkContext.defaultParallelism
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    return (
+        docs.repartition(par)
+        .withColumn("r", F.explode(F.sequence(F.lit(1), F.lit(x))))
+        .select(
+            (F.col("doc_id") * x + F.col("r")).alias("doc_id"),
+            "text", "lang", "source", "n_chars",
+        )
+    )
+
+
+def run_ops(spark) -> dict:
+    from recon_spark.data.psl_snapshot import PSL_RULES, full_psl_rules
+    from recon_spark.operators.webops import registered_domain
+    from recon_spark.pages import extract_text_column_v2
+    from recon_spark.queries.pipeline import _MESSY_HEAD_UTF8, _PSL_HOST_EXPR
+    from recon_spark.warc import read_warc, write_warc_files
+
+    out: dict = {}
+    base = docs_x(spark, MAP_X)
+
+    hosts = base.withColumn("host", F.expr(_PSL_HOST_EXPR))
+    _timed(out, "reg_domain_psl_full",
+           lambda: registered_domain(hosts, psl=list(full_psl_rules()))
+           .select("doc_id", "host", "reg_domain"),
+           f"sf0.1 docs x{MAP_X}, FULL 9,506-rule PSL InSet probes (map-only)")
+    _timed(out, "reg_domain_psl_snapshot",
+           lambda: registered_domain(hosts, psl=list(PSL_RULES))
+           .select("doc_id", "host", "reg_domain"),
+           f"sf0.1 docs x{MAP_X}, 230-rule snapshot (r4 comparator)")
+
+    pages = docs_x(spark, HTML_X).select(
+        "doc_id",
+        F.encode(
+            F.concat(F.lit(_MESSY_HEAD_UTF8), F.col("text"),
+                     F.lit("</p></body></html>")), "utf-8"
+        ).alias("html"),
+    )
+    _timed(out, "html_to_text_v2",
+           lambda: extract_text_column_v2(pages)
+           .select("doc_id", F.length("text").alias("n")),
+           f"sf0.1 docs x{HTML_X}, messy pages (script/style/entities), Arrow batches")
+
+    wdocs = docs_x(spark, WARC_X).select(
+        F.concat(F.lit("https://ex.org/d/"), F.col("doc_id")).alias("url"),
+        (F.lit(1767225600) + F.col("doc_id")).cast("long").alias("warc_ts_s"),
+        F.encode(
+            F.concat(F.lit("<html><body><p>"), F.col("text"),
+                     F.lit("</p></body></html>")), "utf-8"
+        ).alias("html"),
+    )
+    warc_dir = tempfile.mkdtemp(prefix="recon_scale_warc5_")
+    try:
+        t0 = time.monotonic()
+        n_written = write_warc_files(wdocs, warc_dir).agg(
+            F.sum("n_records")).collect()[0][0]
+        sink_sec = round(time.monotonic() - t0, 2)
+        out["warc_sink_streamed"] = {
+            "sec": sink_sec, "rows": int(n_written),
+            "input": f"sf0.1 docs x{WARC_X} -> streamed gzip, atomic publish"}
+        _timed(out, "warc_source_bounded",
+               lambda: read_warc(spark, warc_dir)
+               .select("url", "warc_ts_s", F.length("html").alias("n")),
+               f"{n_written:,} records, bounded 1024-rec/32MB Arrow batches")
+    finally:
+        shutil.rmtree(warc_dir, ignore_errors=True)
+    return out
+
+
+def run_one_level(cores: int) -> dict:
+    from recon_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"scale_r5_{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=64,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(2_000_000).agg(F.sum("id")).collect()  # JVM warmup
+    out = run_ops(spark)
+    spark.stop()
+    return out
+
+
+def main() -> None:
+    if "--cores" in sys.argv:
+        cores = int(sys.argv[sys.argv.index("--cores") + 1])
+        print(json.dumps({"cores": cores, "ops": run_one_level(cores)}))
+        return
+    results = {}
+    for cores in (N_LO, N_HI):
+        outp = subprocess.run(
+            [sys.executable, __file__, "--cores", str(cores)],
+            capture_output=True, text=True, check=True,
+        )
+        line = [l for l in outp.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cores] = json.loads(line)["ops"]
+
+    lines = [
+        "",
+        "## Round-5 operator N -> 4N scaling (same protocol as the r2-r4",
+        "tables: fresh JVMs, shuffle_partitions=64 at both levels, force()",
+        f"full-eval, local[{N_LO}] vs local[{N_HI}], "
+        f"loadavg_1m={os.getloadavg()[0]:.1f})",
+        "",
+        f"| op | input | sec @{N_LO} | sec @{N_HI} | eff {N_LO}->{N_HI} | rows |",
+        "|---|---|---|---|---|---|",
+    ]
+    ratio = N_HI / N_LO
+    for op, lo in results[N_LO].items():
+        hi = results[N_HI][op]
+        if lo["sec"] is None or hi["sec"] is None:
+            lines.append(f"| {op} | {lo['input']} | ERR | ERR | — | — |")
+            continue
+        eff = round((lo["sec"] / hi["sec"]) / ratio, 3) if hi["sec"] > 0 else None
+        lines.append(
+            f"| {op} | {lo['input']} | {lo['sec']} | {hi['sec']} | {eff} | {hi['rows']:,} |"
+        )
+    lines += [
+        "",
+        "reg_domain_psl_full vs _snapshot is the r4 verdict's asked-for",
+        "proof: the 40x rule-count growth stays an InSet hash probe per",
+        "label-count group (cost is per-GROUP, not per-rule), so the",
+        "full list adds the extra label-count groups' probes and nothing",
+        "else. warc_sink's lower ratio includes the serial gzip of larger",
+        "per-partition files at 2 cores vs 8 (same note as the r4 table).",
+        "",
+        "```json",
+        json.dumps({"cores": N_LO, "ops": results[N_LO]}),
+        json.dumps({"cores": N_HI, "ops": results[N_HI]}),
+        "```",
+    ]
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(path, "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"appended r5 scaling table to {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -316,3 +316,41 @@ def test_kmeans_init_has_no_global_sort(spark):
     assert "TakeOrderedAndProject" in body
     assert "Window" not in body
     assert "Exchange SinglePartition" not in body
+
+
+def test_curation_funnel_warc_gates_evaluate_once(spark):
+    """The funnel's survivor filter must NOT be alias-substituted and
+    pushed into every DAG branch: without the groupBy(doc_id).first()
+    barriers the full-PSL matcher (inlined into the 14-branch host
+    CASE) reappears as a filter on five stages, each overflowing
+    janino's 64KB method limit (whole-stage codegen falls back to the
+    interpreter) and at scale recomputing the gate once per branch.
+    Pin: the PSL InSet probes appear in exactly ONE place in the whole
+    funnel plan — the blocklist gate's own projection."""
+    from recon_spark.queries.pipeline import q_curation_funnel_warc
+
+    df = q_curation_funnel_warc(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_inset = plan.count("INSET")
+    assert n_inset > 0, "PSL matcher lost its InSet probes"
+    from recon_spark.data.psl_snapshot import full_psl_rules
+    from recon_spark.operators.webops import registered_domain
+
+    ref = (
+        registered_domain(
+            spark.createDataFrame([("a.ne.jp",)], "host string"),
+            psl=list(full_psl_rules()),
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # exactly TWO evaluation sites: the flags diamond has two consumers
+    # (the cumulative-counts aggregate and the survivor branch feeding
+    # triples), each replanning blk once — the unavoidable cost of an
+    # uncached diamond, vs six-plus sites when pushdown duplicated the
+    # matcher into every branch (the bug this test pins closed).
+    assert n_inset == 2 * ref.count("INSET"), (
+        f"PSL matcher duplicated across the funnel plan: {n_inset} INSET "
+        f"probes vs {ref.count('INSET')} per evaluation site"
+    )
