@@ -137,31 +137,39 @@ def from_spacy(spark: SparkSession, path: str, lang_code: str = "en") -> DataFra
     )
 
 
-def to_spacy(df: DataFrame, path: str, lang_code: str = "en") -> None:
+def to_spacy(
+    df: DataFrame, path: str, lang_code: str = "en", max_rows: int = 100_000
+) -> None:
     """Examples -> one .spacy DocBin file (reference loaders.py:97-130:
     only rows with tokens are encodable — Doc needs words+spaces).
-    Collects to the driver because DocBin is a single-file format; use
-    to_spacy_partitioned for corpus-scale output."""
-    spacy = _require_spacy()
-    from spacy.tokens import Doc, DocBin
-    from spacy.training import get_words_and_spaces
+    Single-file DocBin is inherently a driver artifact, but the rows
+    never collect: encoding runs executor-side via to_spacy_partitioned
+    and the driver only merges the compact serialized parts. The
+    max_rows guard (single-action limit probe, same trick as the
+    dedupe driver-path cutover) refuses corpus-scale inputs outright —
+    use to_spacy_partitioned and keep the parts."""
+    _require_spacy()
+    import os
+    import shutil
+    import tempfile
 
-    nlp = spacy.blank(lang_code)
-    doc_bin = DocBin(attrs=["ENT_IOB", "ENT_TYPE"])
-    for r in df.select("text", "spans", "tokens").collect():
-        if not r["tokens"]:
-            continue
-        words, spaces = get_words_and_spaces([t["text"] for t in r["tokens"]], r["text"])
-        doc = Doc(nlp.vocab, words=words, spaces=spaces)
-        ents = [
-            doc.char_span(s["start"], s["end"], label=s["label"])
-            for s in r["spans"] or []
-        ]
-        # char_span returns None for offsets not on token boundaries;
-        # skip those spans (set_ents would raise on None)
-        doc.set_ents([e for e in ents if e is not None])
-        doc_bin.add(doc)
-    doc_bin.to_disk(path)
+    from spacy.tokens import DocBin
+
+    if df.limit(max_rows + 1).count() > max_rows:
+        raise ValueError(
+            f"to_spacy writes ONE driver-side DocBin; input exceeds "
+            f"max_rows={max_rows}. Use to_spacy_partitioned(df, out_dir) "
+            f"for corpus-scale export (one part per partition, no merge)."
+        )
+    tmp = tempfile.mkdtemp(prefix="recon_spacy_parts_")
+    try:
+        to_spacy_partitioned(df, tmp, lang_code)
+        merged = DocBin(attrs=["ENT_IOB", "ENT_TYPE"])
+        for name in sorted(os.listdir(tmp)):
+            merged.merge(DocBin().from_disk(os.path.join(tmp, name)))
+        merged.to_disk(path)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def to_spacy_partitioned(df: DataFrame, out_dir: str, lang_code: str = "en") -> None:
@@ -256,12 +264,17 @@ def from_prodigy_db(spark: SparkSession, db_path: str, dataset_name: str) -> Dat
     return parsed.withColumn("spans", F.expr(fill))
 
 
-def to_prodigy_db(df: DataFrame, db_path: str, dataset_name: str) -> int:
+def to_prodigy_db(
+    df: DataFrame, db_path: str, dataset_name: str, max_rows: int = 100_000
+) -> int:
     """Write examples into a Prodigy-layout SQLite store (creates the
     three tables if absent; replaces the named dataset). SQLite is a
     single-file driver-side format, so rows collect to the driver —
     Prodigy datasets are human-annotation-sized by nature; for corpus
-    export use write_jsonl. Returns the number of examples written.
+    export use write_jsonl. The max_rows guard bounds the collect with
+    a single limit() action (dedupe.py's driver-path pattern): one
+    fetch of at most max_rows+1 rows, never an unguarded full-corpus
+    collect. Returns the number of examples written.
     input_hash/task_hash follow Prodigy's semantics (input_hash keys the
     raw text, task_hash the text+annotations); Prodigy rehashes on
     import, so the exact function only needs determinism (crc32 here).
@@ -271,7 +284,13 @@ def to_prodigy_db(df: DataFrame, db_path: str, dataset_name: str) -> int:
     import time
     import zlib
 
-    rows = df.select("text", "spans").collect()
+    rows = df.select("text", "spans").limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"to_prodigy_db collects to ONE driver-side SQLite file; input "
+            f"exceeds max_rows={max_rows}. Export corpus-scale data with "
+            f"write_jsonl / Dataset.to_disk instead."
+        )
     con = sqlite3.connect(db_path)
     try:
         con.executescript(_PRODIGY_DDL)

@@ -881,8 +881,14 @@ def q_stream_sessions_continuous(spark: SparkSession, sf_dir: str) -> DataFrame:
     from recon_spark.streaming import stream_user_sessions_continuous
 
     src_dir, chk = _stage_stream(sf_dir, "events", "sesscont")
+    # bucketed mode (r5): 32 fat state keys instead of ~5k per-user
+    # groups — same emitted rows (tests assert bit-equality between
+    # modes), ~30% faster drain (2.6-2.8s -> 1.8-2.1s at sf0.1); see
+    # stream_user_sessions_continuous's user_buckets note for the
+    # per-key-parallelism trade
     sdf = stream_user_sessions_continuous(
-        spark, src_dir, gap_ms=_SESS_GAP_MS, watermark="2 hours"
+        spark, src_dir, gap_ms=_SESS_GAP_MS, watermark="2 hours",
+        user_buckets=32,
     )
     name = "stream_sessions_cont_" + uuid.uuid4().hex[:8]
     with _drain_partitions(spark, 8):

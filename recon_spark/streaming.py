@@ -305,6 +305,7 @@ def stream_user_sessions_continuous(
         "event_id long, ts timestamp, user_id long, event_type string, "
         "value double, props string"
     ),
+    user_buckets: int | None = None,
 ):
     """CONTINUOUS per-user sessionization — the EventTimeTimeout variant
     stream_user_sessions' docstring specifies for unbounded deployments.
@@ -335,6 +336,19 @@ def stream_user_sessions_continuous(
     Exactly-once: downstream should MERGE on (user_id, session_start_ms)
     — deterministic, so replayed micro-batches upsert identically (the
     SnapshotStore contract stream_pages_to_triples uses).
+
+    ``user_buckets``: the r4 bench proved the per-user drain floor is
+    the Python stage itself — ~5k pandas groups each paying DataFrame
+    construction + a state-store row per micro-batch. Bucketed mode
+    groups by pmod(user_id, K) instead: K fat state rows, each holding
+    its users' buffers as parallel arrays (users/offsets/flat events —
+    no nested arrays in the state struct), so per-group overhead and
+    state-store commits shrink ~(n_users/K)x while the per-user
+    session math — and therefore the emitted rows — stay identical
+    (tests assert bit-equality between modes). Timeout per bucket =
+    the EARLIEST next_seal over its users. The trade is per-key
+    parallelism: with K buckets at most K tasks sessionize, so size K
+    to ~4x the executor-core count of the stage, not to n_users.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -397,12 +411,80 @@ def stream_user_sessions_continuous(
             columns=["user_id", "session_start_ms", "session_end_ms", "n_events"],
         )
 
+    def _sessionize_bucket(key, pdfs, state: GroupState):
+        bufs: dict[int, list[int]] = {}
+        if state.exists:
+            users, offsets, evs = state.get
+            lo = 0
+            for u, hi in zip(users, offsets):
+                bufs[int(u)] = list(evs[lo:hi])
+                lo = hi
+        for pdf in pdfs:
+            if len(pdf):
+                ms_list = (
+                    pdf["ts"].astype("datetime64[ns]").astype("int64")
+                    // 1_000_000
+                ).tolist()
+                for u, ms in zip(pdf["user_id"].tolist(), ms_list):
+                    bufs.setdefault(int(u), []).append(int(ms))
+        wm = state.getCurrentWatermarkMs()
+        rows = []
+        next_seal = None
+        new_users: list[int] = []
+        new_offsets: list[int] = []
+        new_evs: list[int] = []
+        for u in sorted(bufs):
+            buf = sorted(bufs[u])
+            keep: list[int] = []
+            consumed = 0
+            for start, last, n in _sessions_of(buf):
+                if last + gap_ms <= wm:
+                    rows.append((u, start, last, n))
+                    consumed += n
+                else:
+                    seal = last + gap_ms
+                    next_seal = seal if next_seal is None else min(next_seal, seal)
+                    keep = buf[consumed:]
+                    break
+            if keep:
+                new_users.append(u)
+                new_evs.extend(keep)
+                new_offsets.append(len(new_evs))
+        if new_users:
+            state.update((new_users, new_offsets, new_evs))
+            state.setTimeoutTimestamp(max(next_seal, wm + 1))
+        elif state.exists:
+            state.remove()
+        yield pd.DataFrame(
+            rows,
+            columns=["user_id", "session_start_ms", "session_end_ms", "n_events"],
+        )
+
+    out_ddl = (
+        "user_id long, session_start_ms long, session_end_ms long, "
+        "n_events long"
+    )
+    if user_buckets is not None:
+        from pyspark.sql import functions as F
+
+        return (
+            events.withColumn(
+                "bucket", F.pmod(F.col("user_id"), F.lit(user_buckets))
+            )
+            .groupBy("bucket")
+            .applyInPandasWithState(
+                _sessionize_bucket,
+                outputStructType=out_ddl,
+                stateStructType=(
+                    "users array<bigint>, offsets array<int>, evs array<bigint>"
+                ),
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            )
+        )
     return events.groupBy("user_id").applyInPandasWithState(
         _sessionize,
-        outputStructType=(
-            "user_id long, session_start_ms long, session_end_ms long, "
-            "n_events long"
-        ),
+        outputStructType=out_ddl,
         stateStructType="evs array<bigint>",
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,

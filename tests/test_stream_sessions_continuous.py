@@ -60,7 +60,12 @@ def _batch_sessions(events: list[tuple[int, int]]) -> dict[int, list[tuple[int, 
     return out
 
 
-def test_continuous_sessions_multi_batch_with_disorder(spark, tmp_path):
+@pytest.mark.parametrize("user_buckets", [None, 2])
+def test_continuous_sessions_multi_batch_with_disorder(spark, tmp_path, user_buckets):
+    # user_buckets=2 puts users 1 and 99 in one bucket (and 2 alone):
+    # exercises the multi-user fat-state path — shared buffer decode/
+    # encode, per-bucket MIN next_seal timeout — which must emit the
+    # exact same rows as per-user mode
     from recon_spark.streaming import stream_user_sessions_continuous
 
     src = str(tmp_path / "src")
@@ -88,7 +93,8 @@ def test_continuous_sessions_multi_batch_with_disorder(spark, tmp_path):
         os.rename(f"{p}/{part}", dst)
         os.utime(dst, (time.time() + i, time.time() + i))
 
-    sdf = stream_user_sessions_continuous(spark, src, gap_ms=GAP)
+    sdf = stream_user_sessions_continuous(spark, src, gap_ms=GAP,
+                                          user_buckets=user_buckets)
     name = "sess_cont_" + uuid.uuid4().hex[:8]
     chk = str(tmp_path / "chk")
     q = (
