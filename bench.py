@@ -97,6 +97,9 @@ EXTENDED = [
     "multimodal_decode_audio",
     "warc_ingest",
     "warc_to_triples",
+    # round-5 additions
+    "warc_real_html",
+    "curation_funnel_warc",
 ]
 
 

@@ -156,7 +156,18 @@ def parse_psl_rules(
 
 _FULL_PSL_CACHE: tuple[str, ...] | None = None
 
-_FULL_PSL_PATH = __file__.rsplit("/", 1)[0] + "/public_suffix_list.dat"
+
+def _read_psl_text() -> str:
+    # importlib.resources works for BOTH a plain package directory and a
+    # --py-files zip import (build_pyfiles_zip ships the .dat alongside
+    # the sources); no __file__ path math that breaks under zipimport
+    from importlib import resources
+
+    return (
+        resources.files("recon_spark.data")
+        .joinpath("public_suffix_list.dat")
+        .read_text(encoding="utf-8")
+    )
 
 
 def full_psl_rules() -> tuple[str, ...]:
@@ -173,12 +184,11 @@ def full_psl_rules() -> tuple[str, ...]:
     global _FULL_PSL_CACHE
     if _FULL_PSL_CACHE is None:
         rules = []
-        with open(_FULL_PSL_PATH, encoding="utf-8") as fh:
-            for line in fh:
-                line = line.strip()
-                if not line or line.startswith("//"):
-                    continue
-                rules.append(line.split()[0].lower())
+        for line in _read_psl_text().splitlines():
+            line = line.strip()
+            if not line or line.startswith("//"):
+                continue
+            rules.append(line.split()[0].lower())
         _FULL_PSL_CACHE = tuple(rules)
     return _FULL_PSL_CACHE
 

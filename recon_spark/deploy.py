@@ -32,7 +32,10 @@ def build_pyfiles_zip(dest: str | None = None) -> str:
             if "__pycache__" in root:
                 continue
             for f in files:
-                if not f.endswith(".py"):
+                # .dat: the Public Suffix List data file — read at
+                # import time by queries' oracle builders, so it must
+                # travel with the sources under --py-files
+                if not f.endswith((".py", ".dat")):
                     continue
                 full = os.path.join(root, f)
                 rel = os.path.join(

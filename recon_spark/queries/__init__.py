@@ -27,15 +27,19 @@ QUERIES = {**CORE_QUERIES, **PIPELINE_QUERIES, **EXTRA_QUERIES, **GRAPH_QUERIES}
 ORACLES = {**CORE_ORACLES, **PIPELINE_ORACLES, **EXTRA_ORACLES, **GRAPH_ORACLES}
 
 # Driver-sampling exposure: the correctness driver samples ~50 queries per
-# round, commonly from the front of the dict. As of round 3 every query in
-# the registry has been driver-confirmed at least once (r1∪r2∪r3), so the
-# front now holds (a) facts_history — the one red row ever (pandas
-# sentinel overflow, fixed in r4; fronted until a green CORRECTNESS row
-# lands) — and (b) the round-4 additions, never yet driver-sampled.
+# round, commonly from the front of the dict. As of round 4 every query in
+# the registry has a green driver row (r1∪r2∪r3∪r4, including the one
+# historical red, facts_history). The front now holds the round-5
+# additions (never yet driver-sampled) plus the r5-CHANGED queries whose
+# implementations moved this round: the PSL pair (now the full 9.5k-rule
+# list + new host classes), the WARC pair (extraction rerouted through
+# html_to_text_v2, staging gained duplicate records), and the bucketed
+# continuous sessionizer.
 _NEVER_DRIVER_SAMPLED = [
-    "facts_history",
-    "reg_domain_psl", "domain_stats_psl", "gopher_filter_full",
-    "multimodal_decode_image", "multimodal_decode_audio", "warc_ingest", "warc_to_triples",
+    "warc_real_html", "curation_funnel_warc",
+    "reg_domain_psl", "domain_stats_psl",
+    "warc_ingest", "warc_to_triples",
+    "stream_sessions_continuous",
 ]
 
 

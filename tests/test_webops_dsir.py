@@ -548,3 +548,26 @@ def test_gopher_stopword_list_is_a_parameter(spark):
     assert custom.n_stopwords == 2 and "stopwords" not in custom.reasons
     default = gopher_quality_filter(docs).collect()[0]
     assert default.n_stopwords == 0 and "stopwords" in default.reasons
+
+
+def test_full_psl_loads_from_pyfiles_zip(tmp_path):
+    """The oracle builders call full_psl_rules() at import time, so it
+    must work when recon_spark is imported from a --py-files zip (no
+    real package directory): the .dat ships in the zip and the loader
+    reads it via importlib.resources, not __file__ path math."""
+    import subprocess
+    import sys
+
+    from recon_spark.deploy import build_pyfiles_zip
+
+    z = build_pyfiles_zip(str(tmp_path / "pyfiles.zip"))
+    code = (
+        "import sys; sys.path.insert(0, sys.argv[1]);"
+        "from recon_spark.data.psl_snapshot import full_psl_rules;"
+        "print(len(full_psl_rules()))"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code, z],
+        capture_output=True, text=True, cwd=str(tmp_path), check=True,
+    )
+    assert int(r.stdout.strip()) == 9506
