@@ -12,6 +12,11 @@ eff = (t_lo / t_hi) / (cores_hi / cores_lo).
 
     python scripts/scale_r5_ops.py            # both levels + BENCH append
     python scripts/scale_r5_ops.py --cores N  # one level, raw JSON
+    python scripts/scale_r5_ops.py --html-x K [--cores N]
+        # html_to_text_v2 ONLY at K-fold input (fixed-cost amortization
+        # probe: the 1M-page pair leaves ~1.3s of Python-worker spin-up
+        # un-amortized at 8 cores; a larger K separates fixed overhead
+        # from serial fraction)
 """
 
 from __future__ import annotations
@@ -67,6 +72,45 @@ def docs_x(spark, x: int):
             "text", "lang", "source", "n_chars",
         )
     )
+
+
+def messy_pages(spark, html_x: int):
+    from recon_spark.queries.pipeline import _MESSY_HEAD_UTF8
+
+    return docs_x(spark, html_x).select(
+        "doc_id",
+        F.encode(
+            F.concat(F.lit(_MESSY_HEAD_UTF8), F.col("text"),
+                     F.lit("</p></body></html>")), "utf-8"
+        ).alias("html"),
+    )
+
+
+def run_html_only(spark, html_x: int) -> dict:
+    """html_to_text_v2 in isolation. If RECON_SCALE_HTML_PARQUET is set,
+    the messy pages are read from that pre-staged parquet dir so the
+    timed section is scan -> extract -> agg only; the inline-generation
+    variant fuses a JVM producer (explode+concat+encode) into the same
+    stage as the Python worker, which doubles memory-bus pressure per
+    parallelism unit and understates the operator's own scaling."""
+    from recon_spark.pages import extract_text_column_v2
+
+    out: dict = {}
+    staged = os.environ.get("RECON_SCALE_HTML_PARQUET")
+    if staged:
+        # NO repartition: the scan's 128MB splits (~12 for 1.5GB) already
+        # exceed both parallelism levels, and a repartition would shuffle
+        # the full html payload — scan -> extract -> agg stays map-only.
+        pages = spark.read.parquet(staged)
+        desc = f"{html_x * 5000:,} pre-staged messy pages from parquet"
+    else:
+        pages = messy_pages(spark, html_x)
+        desc = f"sf0.1 docs x{html_x}, messy pages, Arrow batches"
+    _timed(out, f"html_to_text_v2_x{html_x}",
+           lambda: extract_text_column_v2(pages)
+           .select("doc_id", F.length("text").alias("n")),
+           desc)
+    return out
 
 
 def run_ops(spark) -> dict:
@@ -127,7 +171,7 @@ def run_ops(spark) -> dict:
     return out
 
 
-def run_one_level(cores: int) -> dict:
+def run_one_level(cores: int, html_x: int | None = None) -> dict:
     from recon_spark.session import get_spark
 
     spark = get_spark(
@@ -137,15 +181,54 @@ def run_one_level(cores: int) -> dict:
     )
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(2_000_000).agg(F.sum("id")).collect()  # JVM warmup
-    out = run_ops(spark)
+    out = run_html_only(spark, html_x) if html_x else run_ops(spark)
     spark.stop()
     return out
 
 
 def main() -> None:
+    html_x = (
+        int(sys.argv[sys.argv.index("--html-x") + 1])
+        if "--html-x" in sys.argv else None
+    )
     if "--cores" in sys.argv:
         cores = int(sys.argv[sys.argv.index("--cores") + 1])
-        print(json.dumps({"cores": cores, "ops": run_one_level(cores)}))
+        print(json.dumps({"cores": cores, "ops": run_one_level(cores, html_x)}))
+        return
+    if html_x:
+        env = dict(os.environ)
+        staged_dir = None
+        if "--staged" in sys.argv:
+            # stage the messy pages to parquet ONCE (at full parallelism),
+            # then time scan->extract->agg at each level
+            from recon_spark.session import get_spark
+
+            staged_dir = tempfile.mkdtemp(prefix="recon_scale_html_pq_")
+            spark = get_spark(app_name="scale_r5_stage", master="local[8]",
+                              shuffle_partitions=64)
+            spark.sparkContext.setLogLevel("ERROR")
+            messy_pages(spark, html_x).write.mode("overwrite").parquet(staged_dir)
+            spark.stop()
+            env["RECON_SCALE_HTML_PARQUET"] = staged_dir
+        try:
+            res = {}
+            for cores in (N_LO, N_HI):
+                outp = subprocess.run(
+                    [sys.executable, __file__, "--cores", str(cores),
+                     "--html-x", str(html_x)],
+                    capture_output=True, text=True, check=True, env=env,
+                )
+                line = [l for l in outp.stdout.strip().splitlines()
+                        if l.startswith("{")][-1]
+                res[cores] = json.loads(line)["ops"]
+        finally:
+            if staged_dir:
+                shutil.rmtree(staged_dir, ignore_errors=True)
+        op = f"html_to_text_v2_x{html_x}"
+        lo, hi = res[N_LO][op], res[N_HI][op]
+        eff = round((lo["sec"] / hi["sec"]) / (N_HI / N_LO), 3)
+        print(json.dumps({"op": op, "staged": bool(staged_dir),
+                          "lo": lo, "hi": hi, "eff": eff}))
         return
     results = {}
     for cores in (N_LO, N_HI):
