@@ -72,13 +72,120 @@ def _psl_lookup_maps(psl):
     """
     from recon_spark.data.psl_snapshot import parse_psl_rules
 
+    return parse_psl_rules(_psl_rule_list(psl))
+
+
+def _psl_rule_list(psl) -> list[str]:
+    """The raw rule strings for either accepted PSL shape (see
+    _psl_lookup_maps). DataFrame mode collects once driver-side."""
     if isinstance(psl, DataFrame):
         psl = [r["rule"] for r in psl.select("rule").collect()]
-    return parse_psl_rules(psl)
+    return list(psl)
+
+
+def _psl_ps_len_sql(rules: list[str]) -> str:
+    """SQL text (over a parameter named ``h``) computing the
+    public-suffix LABEL COUNT of host ``h`` under PSL semantics —
+    the one place the rule literals appear. Generated as a single SQL
+    string because building the same predicate through the Column API
+    creates one JVM literal per rule via py4j: at the full list's 9.5k
+    rules that is ~9s of py4j round trips PER QUERY, vs one parse of
+    this string per session (the SQL UDF below). The parsed plan is
+    identical — Catalyst's OptimizeIn still turns each label-count
+    group's IN into an InSet hash probe."""
+    exact, wild, exc = _psl_lookup_maps(rules)
+    labels = "split(h, '\\\\.')"
+    n = f"size({labels})"
+
+    def q(r: str) -> str:
+        return "'" + r.replace("'", "''") + "'"
+
+    def by_len(m) -> dict[int, list[str]]:
+        out: dict[int, list[str]] = {}
+        for r in m:
+            out.setdefault(len(r.split(".")), []).append(r)
+        return out
+
+    def suffix(k: int) -> str:
+        parts = ", ".join(f"element_at({labels}, -{i})" for i in range(k, 0, -1))
+        return f"CASE WHEN {n} >= {k} THEN concat_ws('.', {parts}) END"
+
+    def best(groups: dict[int, list[str]], value, extra=None) -> str:
+        cands = []
+        for k, rs in sorted(groups.items()):
+            inlist = ", ".join(q(r) for r in sorted(rs))
+            cond = f"({suffix(k)}) IN ({inlist})"
+            if extra is not None:
+                cond = f"(({cond}) AND {extra(k)})"
+            cands.append(f"CASE WHEN {cond} THEN {value(k)} END")
+        if not cands:
+            return "CAST(NULL AS INT)"
+        if len(cands) == 1:
+            return cands[0]
+        return "greatest(" + ", ".join(cands) + ")"
+
+    exc_len = best(by_len(exc), lambda k: k - 1)
+    rule_len = best(by_len(exact), lambda k: k)
+    wild_len = best(by_len(wild), lambda k: k + 1,
+                    extra=lambda k: f"{n} >= {k + 1}")
+    return (
+        f"coalesce({exc_len}, greatest(coalesce({rule_len}, 1), "
+        f"coalesce({wild_len}, 1), 1))"
+    )
+
+
+# (session-identity, rules-hash) -> temp function name. Session identity
+# is the JVM sessionUUID when reachable (id() can be reused after gc and
+# temp functions are per-SparkSession).
+_PSL_UDF_CACHE: dict = {}
+
+
+def _ensure_psl_len_udf(spark, rules: list[str]) -> str:
+    """CREATE (once per session per rule set) the SQL scalar UDF
+    ``psl_ps_len_<hash>(h STRING) RETURNS INT`` and return its name.
+    SQL UDFs are inlined by the analyzer, so call sites compile to the
+    same InSet-probe map stage as the Column-built twin — but the 9.5k
+    rule literals cross py4j as ONE string, parsed once per session
+    instead of rebuilt per query (~9s -> ~0.2s per query at the full
+    list; measured in BENCH/BASELINE.md round-5 notes)."""
+    import hashlib
+
+    h = hashlib.md5("\n".join(rules).encode()).hexdigest()[:10]
+    try:
+        sid = spark._jsparkSession.sessionUUID()
+    except Exception:  # noqa: BLE001 — connect mode / API drift
+        sid = id(spark)
+    key = (sid, h)
+    name = _PSL_UDF_CACHE.get(key)
+    if name is None:
+        name = f"psl_ps_len_{h}"
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}(h STRING) "
+            f"RETURNS INT RETURN {_psl_ps_len_sql(rules)}"
+        )
+        _PSL_UDF_CACHE[key] = name
+    return name
+
+
+def _reg_domain_from_ps_len(host: Column, ps_len: Column) -> Column:
+    """Registered domain given the public-suffix label count (shared
+    tail of both PSL routes): ps+1 trailing labels, or the host itself
+    when it IS a public suffix / single label."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    return F.when(n <= ps_len, host).otherwise(
+        F.array_join(F.slice(labels, n - ps_len, ps_len + 1), ".")
+    )
 
 
 def _registered_domain_psl(host: Column, psl) -> Column:
-    """Registered domain under real Public Suffix List semantics
+    """SPEC TWIN (Column-built): kept as the independently-constructed
+    reference for the SQL-UDF production route (_ensure_psl_len_udf +
+    _reg_domain_from_ps_len) — tests assert the two produce identical
+    results. Not used on the hot path: building 9.5k rule literals
+    through the Column API costs ~9s of py4j round trips per query.
+
+    Registered domain under real Public Suffix List semantics
     (publicsuffix.org algorithm): the public suffix is the longest
     matching rule — exception rules void their wildcard, wildcard
     ``*.b`` adds one label to its base, unlisted TLDs fall back to the
@@ -157,14 +264,27 @@ def registered_domain(
     semantics. IP literals and empty/single-label hosts pass through as
     their own owner either way."""
     host = F.col(host_col)
-    rd = (
-        _registered_domain(host)
-        if psl is None
-        else _registered_domain_psl(host, psl)
-    )
-    return df.withColumn(
-        out_col,
-        F.when(host.startswith("[") | (host == ""), host).otherwise(rd),
+    if psl is None:
+        rd = _registered_domain(host)
+        return df.withColumn(
+            out_col,
+            F.when(host.startswith("[") | (host == ""), host).otherwise(rd),
+        )
+    # PSL mode: the rule literals live in a session-cached SQL UDF
+    # (_ensure_psl_len_udf) — the ps-len lands in a temp column so the
+    # analyzer inlines the UDF body exactly ONCE per query, and the
+    # arithmetic references the attribute. Same map-only InSet plan as
+    # the Column-built spec twin (_registered_domain_psl), tested equal.
+    fn = _ensure_psl_len_udf(df.sparkSession, _psl_rule_list(psl))
+    tmp = f"_psl_ps_len_{out_col}"
+    rd = _reg_domain_from_ps_len(host, F.col(tmp))
+    return (
+        df.withColumn(tmp, F.call_function(fn, host))
+        .withColumn(
+            out_col,
+            F.when(host.startswith("[") | (host == ""), host).otherwise(rd),
+        )
+        .drop(tmp)
     )
 
 
@@ -286,11 +406,16 @@ def normalize_url(
     # unchanged with empty host/reg_domain rather than acquiring a
     # garbage '://…' identity that could merge unrelated rows downstream
     has_scheme = scheme != ""
-    rd = (
-        _registered_domain(host_n)
-        if psl is None
-        else _registered_domain_psl(host_n, psl)
-    )
+    drop_cols = ["_rest", "_hostport"]
+    if psl is None:
+        rd = _registered_domain(host_n)
+    else:
+        # same single-inline trick as registered_domain: UDF result into
+        # a temp column, arithmetic over the attribute reference
+        fn = _ensure_psl_len_udf(df.sparkSession, _psl_rule_list(psl))
+        df = df.withColumn("_psl_ps_len", F.call_function(fn, host_n))
+        rd = _reg_domain_from_ps_len(host_n, F.col("_psl_ps_len"))
+        drop_cols.append("_psl_ps_len")
     return df.withColumns(
         {
             out_col: F.when(has_scheme, url_norm).otherwise(F.col(url_col)),
@@ -303,7 +428,7 @@ def normalize_url(
                 F.when(is_v6, host_n).otherwise(rd),
             ).otherwise(F.lit("")),
         }
-    ).drop("_rest", "_hostport")
+    ).drop(*drop_cols)
 
 
 def latest_capture(

@@ -480,8 +480,47 @@ def test_registered_domain_full_psl_plan_keeps_codegen(spark):
     assert "Join" not in plan and "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.lstrip().startswith("*(")
-    assert plan.count("INSET") >= 10  # every label-count group is a hash probe
+    # every label-count group with >10 rules is a hash probe; the ps-len
+    # expression appears ONCE (the SQL-UDF route lands it in a temp
+    # column — the old Column route inlined the whole tree three times,
+    # which is why this assertion used to count >= 10)
+    assert plan.count("INSET") >= 5
     assert "lambdafunction" not in plan.lower()
+
+
+def test_psl_sql_udf_route_matches_column_spec_twin(spark):
+    """The production PSL route is a session-cached SQL scalar UDF
+    (one Catalyst parse of the 9.5k literals per session instead of
+    ~9s of py4j Literal round trips per query). The Column-built
+    builder stays as the independently-constructed spec twin — this
+    locks the two bit-equal on every host class, full list included."""
+    from pyspark.sql import functions as F
+
+    from recon_spark.data.psl_snapshot import PSL_RULES, full_psl_rules
+    from recon_spark.operators.webops import (
+        _registered_domain_psl,
+        registered_domain,
+    )
+
+    hosts = [h for h, _ in PSL_CASES] + [
+        "a.b.city.kawasaki.jp",   # wildcard w/ exception family (full list)
+        "city.kawasaki.jp",       # the exception itself
+        "x.s3.amazonaws.com",     # private-section rule
+        "deep.a.b.c.d.example.com",
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    for rules in (list(PSL_RULES), list(full_psl_rules())):
+        host = F.col("host")
+        spec = df.withColumn(
+            "reg_domain",
+            F.when(host.startswith("[") | (host == ""), host).otherwise(
+                _registered_domain_psl(host, rules)
+            ),
+        )
+        got = registered_domain(df, psl=rules)
+        a = sorted((r["host"], r["reg_domain"]) for r in spec.collect())
+        b = sorted((r["host"], r["reg_domain"]) for r in got.collect())
+        assert a == b
 
 
 def test_normalize_url_psl_mode_reg_domain(spark):
