@@ -523,6 +523,38 @@ def test_psl_sql_udf_route_matches_column_spec_twin(spark):
         assert a == b
 
 
+def test_psl_sql_udf_created_once_per_session(spark):
+    """The perf property behind the SQL-UDF route: the 9.5k-literal
+    function body crosses py4j / the Catalyst parser ONCE per session
+    per rule set — repeated operator calls reuse the cached temp
+    function instead of re-CREATEing (the regression this guards: the
+    Column route rebuilt ~9s of rule literals on every query)."""
+    from recon_spark.data.psl_snapshot import PSL_RULES
+    from recon_spark.operators import webops
+
+    rules = list(PSL_RULES)
+    calls = []
+    orig = spark.sql
+
+    def counting_sql(q, *a, **kw):
+        if "CREATE OR REPLACE TEMPORARY FUNCTION psl_ps_len_" in q:
+            calls.append(q)
+        return orig(q, *a, **kw)
+
+    spark.sql = counting_sql
+    try:
+        webops._PSL_UDF_CACHE.clear()
+        n1 = webops._ensure_psl_len_udf(spark, rules)
+        n2 = webops._ensure_psl_len_udf(spark, rules)
+    finally:
+        spark.sql = orig
+    assert n1 == n2
+    assert len(calls) == 1
+    # and a different rule set gets its own function (hash-keyed name)
+    n3 = webops._ensure_psl_len_udf(spark, rules + ["zz.example"])
+    assert n3 != n1
+
+
 def test_normalize_url_psl_mode_reg_domain(spark):
     from recon_spark.data.psl_snapshot import PSL_RULES
 
