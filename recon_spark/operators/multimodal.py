@@ -10,15 +10,18 @@ The Spark-side contract a 100 TB multimodal training pipeline needs:
   plans must prune the binary column (column pruning keeps the 99% of
   bytes out of any scan that doesn't decode)
 
-Codec story (round 4): formats the Python STDLIB can decode are decoded
-for real — BMP and binary PPM via ``struct`` parsing, WAV/PCM16 via the
-``wave`` module — with ``generate_media_real`` emitting genuine
-BMP/PPM/WAV payloads whose pixel/sample values are a deterministic
-function of a sha256 digest, so the DuckDB oracle can verify that the
-REAL container parse inverts generation byte-exactly. Formats that
-need an external codec library (PNG/JPEG/MP3/H.264 — not in this
-container) keep the honest NotImplementedError gate, with ``fake=True``
-selecting the deterministic test decoder for plumbing tests.
+Codec story (round 4, extended round 5): formats the Python STDLIB can
+decode are decoded for real — BMP and binary PPM via ``struct``
+parsing, WAV/PCM16 via the ``wave`` module, and PNG via ``zlib``
+(chunk/CRC framing, inflate, all five scanline filters, all five
+color types at bit depth 8) — with ``generate_media_real`` /
+``generate_media_png`` emitting genuine containers whose pixel/sample
+values are a deterministic function of a sha256 digest, so the DuckDB
+oracle can verify that the REAL container parse inverts generation
+byte-exactly. Formats that genuinely need an external codec library
+(JPEG/MP3/H.264 — not in this container) keep the honest
+NotImplementedError gate, with ``fake=True`` selecting the
+deterministic test decoder for plumbing tests.
 """
 
 from __future__ import annotations
@@ -27,6 +30,7 @@ import hashlib
 import io
 import struct
 import wave
+import zlib
 from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -185,6 +189,191 @@ def decode_wav(payload: bytes) -> tuple[int, list[int]]:
     return sr, list(struct.unpack(f"<{len(raw) // 2}h", raw))
 
 
+# --------------------------------------------------------------------------
+# Real stdlib PNG codec (round 5). PNG's compression layer IS zlib
+# (RFC 2083 §2.3: "deflate/inflate compression with a sliding window"),
+# which ships in the Python stdlib — so unlike JPEG/MP3, PNG decode
+# needs no external codec wheel: chunk framing + CRC-32 (zlib.crc32),
+# inflate (zlib.decompress), and the five scanline filters are all
+# spec-level struct math. Supports every color type at bit depth 8
+# (gray / RGB / palette / gray+alpha / RGBA); 1/2/4/16-bit depths and
+# Adam7 interlacing keep an honest NotImplementedError gate.
+# --------------------------------------------------------------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    """One spec-framed chunk: length, type, data, CRC-32 over type+data."""
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec §6.6): nearest of left/up/up-left to
+    the linear estimate a + b - c, ties broken left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(
+    w: int,
+    h: int,
+    values: list[int],
+    color_type: int = 2,
+    palette: list[tuple[int, int, int]] | None = None,
+    filters: list[int] | None = None,
+    idat_chunk: int = 48,
+    ancillary: tuple[tuple[bytes, bytes], ...] = (),
+) -> bytes:
+    """Spec-correct 8-bit PNG from a top-down row-major channel list
+    (len = w*h*channels; palette images take index values + a palette).
+    ``filters`` picks the per-row filter type (default cycles 0..4 so
+    every filter appears); the compressed stream is split into
+    ``idat_chunk``-byte IDAT chunks and ``ancillary`` (type, data)
+    chunks are interleaved before IDAT — both legal per spec and both
+    things a decoder must handle."""
+    ch = _PNG_CHANNELS[color_type]
+    if len(values) != w * h * ch:
+        raise ValueError(f"need {w * h * ch} values for {w}x{h} type-{color_type}")
+    if color_type == 3 and palette is None:
+        raise ValueError("palette images need a palette")
+    stride = w * ch
+    raw = bytearray()
+    prior = bytes(stride)
+    for y in range(h):
+        row = bytes(values[y * stride : (y + 1) * stride])
+        ft = (filters[y] if filters is not None else y) % 5
+        raw.append(ft)
+        if ft == 0:
+            raw += row
+        elif ft == 1:  # Sub
+            raw += bytes((row[i] - (row[i - ch] if i >= ch else 0)) & 0xFF for i in range(stride))
+        elif ft == 2:  # Up
+            raw += bytes((row[i] - prior[i]) & 0xFF for i in range(stride))
+        elif ft == 3:  # Average
+            raw += bytes(
+                (row[i] - ((row[i - ch] if i >= ch else 0) + prior[i]) // 2) & 0xFF
+                for i in range(stride)
+            )
+        else:  # Paeth
+            raw += bytes(
+                (
+                    row[i]
+                    - _paeth(
+                        row[i - ch] if i >= ch else 0,
+                        prior[i],
+                        prior[i - ch] if i >= ch else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    out = bytearray(PNG_SIG)
+    out += _png_chunk(b"IHDR", ihdr)
+    for ctype, data in ancillary:
+        out += _png_chunk(ctype, data)
+    if color_type == 3:
+        out += _png_chunk(b"PLTE", b"".join(bytes(rgb) for rgb in palette))
+    comp = zlib.compress(bytes(raw))
+    for i in range(0, len(comp), idat_chunk):
+        out += _png_chunk(b"IDAT", comp[i : i + idat_chunk])
+    out += _png_chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, list[int]]:
+    """Parse a PNG to (w, h, color_type, top-down channel values).
+    REAL decode, stdlib only: chunk framing with CRC-32 verification,
+    multi-IDAT concatenation, ancillary-chunk skip, zlib inflate, and
+    per-scanline reversal of all five filter types. Palette images
+    (type 3) come back de-palettized to RGB (len = w*h*3); RGBA/
+    gray+alpha keep their alpha channel. 8-bit non-interlaced only —
+    other depths and Adam7 raise NotImplementedError, truncated or
+    CRC-corrupt containers raise ValueError."""
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, palette, idat = 8, None, None, bytearray()
+    while pos < len(payload):
+        if pos + 8 > len(payload):
+            raise ValueError("truncated PNG chunk header")
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(payload):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if crc != zlib.crc32(ctype + data) & 0xFFFFFFFF:
+            raise ValueError(f"PNG CRC mismatch in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            palette = [tuple(data[i : i + 3]) for i in range(0, len(data), 3)]
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError("nonstandard PNG compression/filter method")
+    if depth != 8:
+        raise NotImplementedError(f"only 8-bit PNG (depth={depth})")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"invalid PNG color type {color_type}")
+    if color_type == 3 and palette is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    ch = _PNG_CHANNELS[color_type]
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (1 + stride):
+        raise ValueError(f"PNG scanline data is {len(raw)}B, want {h * (1 + stride)}B")
+    out: list[int] = []
+    prior = bytes(stride)
+    for y in range(h):
+        base = y * (1 + stride)
+        ft, line = raw[base], raw[base + 1 : base + 1 + stride]
+        if ft > 4:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        recon = bytearray(stride)
+        for i in range(stride):
+            x = line[i]
+            a = recon[i - ch] if i >= ch else 0
+            b = prior[i]
+            if ft == 1:
+                x += a
+            elif ft == 2:
+                x += b
+            elif ft == 3:
+                x += (a + b) // 2
+            elif ft == 4:
+                x += _paeth(a, b, prior[i - ch] if i >= ch else 0)
+            recon[i] = x & 0xFF
+        prior = bytes(recon)
+        if color_type == 3:
+            for idx in recon:
+                out += palette[idx]
+        else:
+            out += recon
+    return w, h, color_type, out
+
+
 def generate_media_real(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     """Media table with REAL container payloads: media_id % 3 == 0 →
     24-bit BMP, 1 → binary PPM, 2 → PCM16 WAV. Pixel/sample values are
@@ -239,6 +428,79 @@ def generate_media_real(spark: SparkSession, n: int, seed: int = 42) -> DataFram
     )
 
 
+def generate_media_png(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """Media table of GENUINE PNG containers covering the three common
+    color classes — media_id % 3 == 0 → truecolor RGB (type 2), 1 →
+    RGBA (type 6), 2 → 16-entry indexed palette (type 3) — with the
+    per-row filter type cycling ``(row + media_id) % 5`` so all five
+    filters appear, the deflate stream split across multiple IDAT
+    chunks, and a tEXt ancillary chunk the decoder must skip. Channel
+    values are the same sha256(f"{seed}:{media_id}") derivation as
+    generate_media_real: pixel idx has RGB (d[idx%32], d[(idx+7)%32],
+    d[(idx+13)%32]), RGBA adds alpha d[(idx+19)%32]; palette entry k is
+    (d[k], d[(k+11)%32], d[(k+23)%32]) and pixel idx selects index
+    d[(idx+3)%32] % 16 — all recomputable relationally by the oracle."""
+    import pyarrow as pa
+
+    def _gen(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            ids = batch.column("id").to_pylist()
+            payloads, metas = [], []
+            for i in ids:
+                d = hashlib.sha256(f"{seed}:{i}".encode()).digest()
+                w, h = 2 + i % 6, 2 + i % 5
+                filters = [(y + i) % 5 for y in range(h)]
+                text = (b"tEXt", b"Software\x00recon_spark")
+                if i % 3 == 0:
+                    vals = []
+                    for idx in range(w * h):
+                        vals += [d[idx % 32], d[(idx + 7) % 32], d[(idx + 13) % 32]]
+                    payloads.append(
+                        encode_png(w, h, vals, color_type=2, filters=filters, ancillary=(text,))
+                    )
+                elif i % 3 == 1:
+                    vals = []
+                    for idx in range(w * h):
+                        vals += [
+                            d[idx % 32],
+                            d[(idx + 7) % 32],
+                            d[(idx + 13) % 32],
+                            d[(idx + 19) % 32],
+                        ]
+                    payloads.append(
+                        encode_png(w, h, vals, color_type=6, filters=filters, ancillary=(text,))
+                    )
+                else:
+                    pal = [(d[k], d[(k + 11) % 32], d[(k + 23) % 32]) for k in range(16)]
+                    vals = [d[(idx + 3) % 32] % 16 for idx in range(w * h)]
+                    payloads.append(
+                        encode_png(
+                            w, h, vals, color_type=3, palette=pal, filters=filters,
+                            ancillary=(text,),
+                        )
+                    )
+                metas.append(("image/png", w, h, None, None, "png"))
+            meta_arr = pa.StructArray.from_arrays(
+                [
+                    pa.array([m[0] for m in metas], pa.string()),
+                    pa.array([m[1] for m in metas], pa.int32()),
+                    pa.array([m[2] for m in metas], pa.int32()),
+                    pa.array([m[3] for m in metas], pa.int32()),
+                    pa.array([m[4] for m in metas], pa.int32()),
+                    pa.array([m[5] for m in metas], pa.string()),
+                ],
+                names=["media_type", "width", "height", "sample_rate", "duration_ms", "codec"],
+            )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary()), meta_arr],
+                ["media_id", "payload", "meta"],
+            )
+
+    return spark.range(0, n).mapInArrow(
+        _gen, f"media_id long, payload binary, meta struct<{MEDIA_META_DDL}>"
+    )
+
+
 def _decode_dims(meta: dict, fake: bool) -> tuple[int, int]:
     """The (w, h) layout of decode_image's output: the fake decoder
     collapses dims to small values; a real codec returns true metadata
@@ -250,18 +512,21 @@ def _decode_dims(meta: dict, fake: bool) -> tuple[int, int]:
 
 
 def decode_image(payload: bytes, meta: dict, fake: bool = False) -> list[int]:
-    """Decode an image payload to a flat pixel list. BMP and binary PPM
-    decode FOR REAL via stdlib struct parsing (top-down row-major RGB,
-    len = w*h*3); other formats (PNG/JPEG) still need a codec library
-    not present in this container and keep the honest gate, with
-    fake=True selecting the deterministic test decoder."""
+    """Decode an image payload to a flat pixel list. BMP, binary PPM,
+    and PNG decode FOR REAL via stdlib parsing (top-down row-major
+    channel values; RGB formats give len = w*h*3, RGBA PNG w*h*4,
+    palette PNG de-palettized to w*h*3); JPEG still needs a codec
+    library not present in this container and keeps the honest gate,
+    with fake=True selecting the deterministic test decoder."""
     if not fake:
         if payload[:2] == b"BM":
             return decode_bmp(payload)[2]
         if payload[:2] == b"P6":
             return decode_ppm(payload)[2]
+        if payload[:8] == PNG_SIG:
+            return decode_png(payload)[3]
         raise NotImplementedError(
-            "non-BMP/PPM image decoding requires a codec library (e.g. "
+            "JPEG-class image decoding requires a codec library (e.g. "
             "Pillow); run with fake=True for the deterministic test decoder"
         )
     w, h = _decode_dims(meta, fake=True)

@@ -881,6 +881,105 @@ FROM s ORDER BY media_id
 """
 
 
+_MEDIA_PNG_N = 300
+
+
+def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PNG decode over genuine containers (round 5): stdlib-only
+    zlib inflate + chunk/CRC framing + scanline un-filtering across all
+    five filter types and the three common color classes (truecolor
+    RGB, RGBA, indexed palette). Per image: the container-parsed dims
+    and color type (NOT the metadata — independence check) plus channel
+    -value stats; any filter/Paeth/palette/CRC bug hash-fails against
+    the oracle's relational recomputation of the generation math."""
+    import pyarrow as pa
+
+    from recon_spark.operators.multimodal import decode_png, generate_media_png
+
+    _CODEC = {2: "rgb", 6: "rgba", 3: "palette"}
+
+    def _gen(batches):
+        for batch in batches:
+            ids = batch.column("media_id").to_pylist()
+            cols = {k: [] for k in ("codec", "w", "h", "n_values", "px_sum", "px_min", "px_max")}
+            for p in batch.column("payload").to_pylist():
+                w, h, ct, px = decode_png(p)
+                cols["codec"].append(_CODEC[ct])
+                cols["w"].append(w)
+                cols["h"].append(h)
+                cols["n_values"].append(len(px))
+                cols["px_sum"].append(sum(px))
+                cols["px_min"].append(min(px))
+                cols["px_max"].append(max(px))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(cols["codec"], pa.string()),
+                    pa.array(cols["w"], pa.int32()),
+                    pa.array(cols["h"], pa.int32()),
+                    pa.array(cols["n_values"], pa.int32()),
+                    pa.array(cols["px_sum"], pa.int64()),
+                    pa.array(cols["px_min"], pa.int32()),
+                    pa.array(cols["px_max"], pa.int32()),
+                ],
+                ["media_id", "codec", "w", "h", "n_values", "px_sum", "px_min", "px_max"],
+            )
+
+    media = generate_media_png(spark, _MEDIA_PNG_N)
+    return (
+        media.select("media_id", "payload")
+        .mapInArrow(
+            _gen,
+            "media_id long, codec string, w int, h int, n_values int, "
+            "px_sum long, px_min int, px_max int",
+        )
+        .orderBy("media_id")
+    )
+
+
+SQL_MULTIMODAL_DECODE_PNG = f"""
+WITH ids AS (SELECT unnest(generate_series(0, {_MEDIA_PNG_N - 1})) AS media_id),
+cls AS (
+  SELECT media_id, media_id % 3 AS m,
+         2 + media_id % 6 AS w, 2 + media_id % 5 AS h
+  FROM ids
+),
+dg AS (SELECT media_id, m, w, h, sha256('42:' || media_id) AS dh FROM cls),
+db_t AS (
+  SELECT media_id, m, w, h,
+         list_transform(generate_series(0, 31),
+           k -> CAST(concat('0x', substr(dh, 2 * k + 1, 2)) AS INT)) AS db
+  FROM dg
+),
+px AS (
+  SELECT media_id, m, w, h,
+         CASE
+           WHEN m = 0 THEN
+             flatten(list_transform(generate_series(0, w * h - 1),
+               i -> [db[i % 32 + 1], db[(i + 7) % 32 + 1], db[(i + 13) % 32 + 1]]))
+           WHEN m = 1 THEN
+             flatten(list_transform(generate_series(0, w * h - 1),
+               i -> [db[i % 32 + 1], db[(i + 7) % 32 + 1], db[(i + 13) % 32 + 1],
+                     db[(i + 19) % 32 + 1]]))
+           ELSE
+             flatten(list_transform(generate_series(0, w * h - 1),
+               i -> [db[(db[(i + 3) % 32 + 1] % 16) + 1],
+                     db[((db[(i + 3) % 32 + 1] % 16) + 11) % 32 + 1],
+                     db[((db[(i + 3) % 32 + 1] % 16) + 23) % 32 + 1]]))
+         END AS p
+  FROM db_t
+)
+SELECT media_id,
+       CASE m WHEN 0 THEN 'rgb' WHEN 1 THEN 'rgba' ELSE 'palette' END AS codec,
+       CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+       CAST(len(p) AS INT) AS n_values,
+       CAST(list_aggregate(p, 'sum') AS BIGINT) AS px_sum,
+       CAST(list_aggregate(p, 'min') AS INT) AS px_min,
+       CAST(list_aggregate(p, 'max') AS INT) AS px_max
+FROM px ORDER BY media_id
+"""
+
+
 _IVF_NPROBE = 8
 
 
@@ -1209,6 +1308,7 @@ QUERIES = {
     "multimodal_audio": q_multimodal_audio,
     "multimodal_decode_image": q_multimodal_decode_image,
     "multimodal_decode_audio": q_multimodal_decode_audio,
+    "multimodal_decode_png": q_multimodal_decode_png,
     "dedup_cluster": q_dedup_cluster,
     "lsh_neardup": q_lsh_neardup,
     "ivf_neardup": q_ivf_neardup,
@@ -1236,6 +1336,7 @@ ORACLES = {
     "multimodal_audio": SQL_MULTIMODAL_AUDIO,
     "multimodal_decode_image": SQL_MULTIMODAL_DECODE_IMAGE,
     "multimodal_decode_audio": SQL_MULTIMODAL_DECODE_AUDIO,
+    "multimodal_decode_png": SQL_MULTIMODAL_DECODE_PNG,
     "dedup_cluster": SQL_DEDUP_CLUSTER,
     "lsh_neardup": SQL_LSH_NEARDUP,
     "ivf_neardup": SQL_IVF_NEARDUP,

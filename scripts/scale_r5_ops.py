@@ -113,6 +113,36 @@ def run_html_only(spark, html_x: int) -> dict:
     return out
 
 
+def run_png_only(spark, png_n: int) -> dict:
+    """Real PNG decode (stdlib zlib + un-filtering) in isolation: the
+    genuine containers are pre-staged to parquet (RECON_SCALE_PNG_PARQUET,
+    64 files so both levels have task surplus) and the timed section is
+    scan -> mapInArrow decode -> agg, map-only with zero shuffle."""
+    import pyarrow as pa
+
+    from recon_spark.operators.multimodal import decode_png
+
+    def _gen(batches):
+        for batch in batches:
+            ids = batch.column("media_id").to_pylist()
+            sums = []
+            for p in batch.column("payload").to_pylist():
+                sums.append(sum(decode_png(p)[3]))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(sums, pa.int64())],
+                ["media_id", "px_sum"],
+            )
+
+    out: dict = {}
+    staged = os.environ["RECON_SCALE_PNG_PARQUET"]
+    media = spark.read.parquet(staged)
+    _timed(out, f"png_decode_x{png_n}",
+           lambda: media.select("media_id", "payload").mapInArrow(
+               _gen, "media_id long, px_sum long"),
+           f"{png_n:,} pre-staged genuine PNGs (RGB/RGBA/palette, all 5 filters)")
+    return out
+
+
 def run_ops(spark) -> dict:
     from recon_spark.data.psl_snapshot import PSL_RULES, full_psl_rules
     from recon_spark.operators.webops import registered_domain
@@ -171,7 +201,8 @@ def run_ops(spark) -> dict:
     return out
 
 
-def run_one_level(cores: int, html_x: int | None = None) -> dict:
+def run_one_level(cores: int, html_x: int | None = None,
+                  png_n: int | None = None) -> dict:
     from recon_spark.session import get_spark
 
     spark = get_spark(
@@ -181,7 +212,12 @@ def run_one_level(cores: int, html_x: int | None = None) -> dict:
     )
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(2_000_000).agg(F.sum("id")).collect()  # JVM warmup
-    out = run_html_only(spark, html_x) if html_x else run_ops(spark)
+    if png_n:
+        out = run_png_only(spark, png_n)
+    elif html_x:
+        out = run_html_only(spark, html_x)
+    else:
+        out = run_ops(spark)
     spark.stop()
     return out
 
@@ -191,9 +227,47 @@ def main() -> None:
         int(sys.argv[sys.argv.index("--html-x") + 1])
         if "--html-x" in sys.argv else None
     )
+    png_n = (
+        int(sys.argv[sys.argv.index("--png-n") + 1])
+        if "--png-n" in sys.argv else None
+    )
     if "--cores" in sys.argv:
         cores = int(sys.argv[sys.argv.index("--cores") + 1])
-        print(json.dumps({"cores": cores, "ops": run_one_level(cores, html_x)}))
+        print(json.dumps({"cores": cores,
+                          "ops": run_one_level(cores, html_x, png_n)}))
+        return
+    if png_n:
+        # stage the genuine containers ONCE at full parallelism (encode is
+        # itself Python work; staging keeps it out of the timed section)
+        from recon_spark.operators.multimodal import generate_media_png
+        from recon_spark.session import get_spark
+
+        staged_dir = tempfile.mkdtemp(prefix="recon_scale_png_pq_")
+        spark = get_spark(app_name="scale_r5_png_stage", master="local[8]",
+                          shuffle_partitions=64)
+        spark.sparkContext.setLogLevel("ERROR")
+        generate_media_png(spark, png_n).select(
+            "media_id", "payload"
+        ).repartition(64).write.mode("overwrite").parquet(staged_dir)
+        spark.stop()
+        env = dict(os.environ, RECON_SCALE_PNG_PARQUET=staged_dir)
+        try:
+            res = {}
+            for cores in (N_LO, N_HI):
+                outp = subprocess.run(
+                    [sys.executable, __file__, "--cores", str(cores),
+                     "--png-n", str(png_n)],
+                    capture_output=True, text=True, check=True, env=env,
+                )
+                line = [l for l in outp.stdout.strip().splitlines()
+                        if l.startswith("{")][-1]
+                res[cores] = json.loads(line)["ops"]
+        finally:
+            shutil.rmtree(staged_dir, ignore_errors=True)
+        op = f"png_decode_x{png_n}"
+        lo, hi = res[N_LO][op], res[N_HI][op]
+        eff = round((lo["sec"] / hi["sec"]) / (N_HI / N_LO), 3)
+        print(json.dumps({"op": op, "lo": lo, "hi": hi, "eff": eff}))
         return
     if html_x:
         env = dict(os.environ)

@@ -312,7 +312,12 @@ def test_codec_gate_still_raises_for_library_formats():
 
     from recon_spark.operators.multimodal import decode_audio, decode_image
 
+    # JPEG genuinely needs a codec wheel; PNG does NOT (r5: stdlib zlib
+    # decode) — a PNG signature now engages the REAL parser, so garbage
+    # after the signature is a container error, not a capability gate.
     with _pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0....", {})
+    with _pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\n....", {})
     with _pytest.raises(NotImplementedError):
         decode_audio(b"ID3\x04....", {})

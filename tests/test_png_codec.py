@@ -1,0 +1,245 @@
+"""Real stdlib PNG codec (round 5).
+
+PNG's compression layer is deflate (zlib — stdlib), so unlike
+JPEG/MP3 the format is fully decodable without any codec wheel. These
+tests pin the codec to the PUBLIC spec, not just to itself:
+
+- chunk framing is checked against two public constants (the canonical
+  1x1 RGBA IHDR CRC 0x1f15c489 that appears in every minimal-PNG
+  reference, and the universal 12-byte IEND chunk);
+- a container is hand-assembled from raw spec steps (explicit filtered
+  scanlines + zlib.compress), independent of encode_png, and must
+  decode to the known pixels;
+- hypothesis round-trips cover all five color types x all five filter
+  types x arbitrary dims/pixels/IDAT splits;
+- corruption (CRC flip, truncation, bad filter byte, wrong scanline
+  length) raises ValueError; honest gates (16-bit, Adam7) raise
+  NotImplementedError.
+
+Reference parity note: the reference repo has no media pipeline — this
+family is part of the beyond-reference LLM-training-data surface the
+build brief asks for (multimodal columns with REAL decode where the
+stdlib allows).
+"""
+
+import struct
+import zlib
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from recon_spark.operators.multimodal import (
+    PNG_SIG,
+    _paeth,
+    _png_chunk,
+    decode_image,
+    decode_png,
+    encode_png,
+)
+
+CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+# --------------------------------------------------------------------------
+# Spec pinning against public constants / hand-built containers
+# --------------------------------------------------------------------------
+
+
+def test_chunk_framing_matches_public_constants():
+    # IHDR for a 1x1 8-bit RGBA PNG: its CRC-32 is the well-known
+    # 1f 15 c4 89 seen in every minimal-PNG byte listing.
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 6, 0, 0, 0)
+    assert zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF == 0x1F15C489
+    assert _png_chunk(b"IHDR", ihdr)[:8] == b"\x00\x00\x00\x0dIHDR"
+    # IEND is the same 12 bytes in every PNG ever written.
+    assert _png_chunk(b"IEND", b"") == b"\x00\x00\x00\x00IEND\xaeB`\x82"
+
+
+def test_hand_assembled_container_decodes():
+    """Build a 2x2 RGB PNG from raw spec steps (no encode_png): row 0
+    unfiltered, row 1 Sub-filtered by hand. decode_png must recover the
+    original pixels — this checks the decoder against the spec, not
+    against our own encoder."""
+    px = [10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120]
+    row0 = bytes([0]) + bytes(px[:6])  # filter 0: raw
+    # filter 1 (Sub): first pixel raw, second minus first, mod 256
+    row1 = bytes([1]) + bytes(px[6:9]) + bytes(
+        (px[9 + i] - px[6 + i]) & 0xFF for i in range(3)
+    )
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    payload = (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(row0 + row1))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert decode_png(payload) == (2, 2, 2, px)
+
+
+def test_paeth_predictor_spec_cases():
+    # spec: nearest of a/b/c to p = a+b-c; ties prefer a, then b.
+    assert _paeth(0, 0, 0) == 0
+    assert _paeth(100, 50, 50) == 100  # p=100 -> exactly a
+    assert _paeth(50, 100, 50) == 100  # p=100 -> exactly b
+    assert _paeth(10, 20, 15) == 15  # p=15: pc=0 beats pa=pb=5 -> c
+    assert _paeth(10, 20, 30) == 10  # p=0: pa=10 < pb=20 < pc=30 -> a
+    assert _paeth(255, 0, 255) == 0  # p=0: pa=255, pb=0 -> b
+    assert _paeth(100, 100, 0) == 100  # p=200: pa=pb=100 tie -> a
+
+
+# --------------------------------------------------------------------------
+# Round-trips
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("color_type", [0, 2, 3, 4, 6])
+@pytest.mark.parametrize("ft", [0, 1, 2, 3, 4])
+def test_roundtrip_every_colortype_x_filter(color_type, ft):
+    import hashlib
+
+    w, h, ch = 5, 4, CHANNELS[color_type]
+    d = hashlib.sha256(b"png").digest()
+    if color_type == 3:
+        pal = [(d[k], d[(k + 11) % 32], d[(k + 23) % 32]) for k in range(16)]
+        vals = [d[(i + 3) % 32] % 16 for i in range(w * h)]
+        want = []
+        for v in vals:
+            want += pal[v]
+    else:
+        pal = None
+        vals = [d[(i * 7 + color_type) % 32] for i in range(w * h * ch)]
+        want = vals
+    p = encode_png(w, h, vals, color_type=color_type, palette=pal, filters=[ft] * h)
+    assert decode_png(p) == (w, h, color_type, want)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 9),
+    h=st.integers(1, 8),
+    color_type=st.sampled_from([0, 2, 3, 4, 6]),
+    seed=st.integers(0, 2**32 - 1),
+    idat_chunk=st.sampled_from([1, 5, 48, 1 << 20]),
+)
+def test_roundtrip_property(w, h, color_type, seed, idat_chunk):
+    import random
+
+    rng = random.Random(seed)
+    ch = CHANNELS[color_type]
+    filters = [rng.randrange(5) for _ in range(h)]
+    if color_type == 3:
+        pal = [tuple(rng.randrange(256) for _ in range(3)) for _ in range(16)]
+        vals = [rng.randrange(16) for _ in range(w * h)]
+        want = []
+        for v in vals:
+            want += pal[v]
+    else:
+        pal = None
+        vals = [rng.randrange(256) for _ in range(w * h * ch)]
+        want = vals
+    p = encode_png(
+        w, h, vals, color_type=color_type, palette=pal, filters=filters,
+        idat_chunk=idat_chunk, ancillary=((b"tEXt", b"k\x00v"),),
+    )
+    assert decode_png(p) == (w, h, color_type, want)
+
+
+def test_decode_image_dispatches_png_for_real():
+    vals = list(range(12))
+    p = encode_png(2, 2, vals, color_type=2)
+    assert decode_image(p, {}) == vals  # no fake flag: REAL decode path
+
+
+# --------------------------------------------------------------------------
+# Containers a real crawl would hand us: corruption + honest gates
+# --------------------------------------------------------------------------
+
+
+def _flip(b: bytes, i: int) -> bytes:
+    out = bytearray(b)
+    out[i] ^= 0xFF
+    return bytes(out)
+
+
+def test_crc_corruption_raises():
+    p = encode_png(3, 2, list(range(18)), color_type=2, filters=[0, 0])
+    # flip one byte inside the IDAT data region
+    idat_at = p.index(b"IDAT")
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(_flip(p, idat_at + 6))
+
+
+def test_truncation_raises():
+    p = encode_png(3, 2, list(range(18)), color_type=2)
+    with pytest.raises(ValueError, match="truncated|missing"):
+        decode_png(p[: len(p) - 14])  # cut into IEND framing
+    with pytest.raises(ValueError):
+        decode_png(p[:20])
+
+
+def test_bad_filter_byte_and_wrong_scanline_length_raise():
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0)
+    bad_filter = PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(
+        b"IDAT", zlib.compress(bytes([9, 1, 2, 3, 4, 5, 6]))
+    ) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="filter type"):
+        decode_png(bad_filter)
+    short = PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(
+        b"IDAT", zlib.compress(bytes([0, 1, 2]))
+    ) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="scanline"):
+        decode_png(short)
+
+
+def test_honest_gates_16bit_and_interlace():
+    ihdr16 = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
+    p16 = PNG_SIG + _png_chunk(b"IHDR", ihdr16) + _png_chunk(
+        b"IDAT", zlib.compress(bytes(7))
+    ) + _png_chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        decode_png(p16)
+    ihdr_a7 = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1)
+    pa7 = PNG_SIG + _png_chunk(b"IHDR", ihdr_a7) + _png_chunk(
+        b"IDAT", zlib.compress(bytes(4))
+    ) + _png_chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_png(pa7)
+
+
+def test_palette_png_without_plte_raises():
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+    p = PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(
+        b"IDAT", zlib.compress(bytes([0, 0]))
+    ) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(p)
+
+
+# --------------------------------------------------------------------------
+# Spark-side: genuine containers + oracle parity
+# --------------------------------------------------------------------------
+
+
+def test_generate_media_png_payloads_are_genuine(spark):
+    from recon_spark.operators.multimodal import generate_media_png
+
+    rows = generate_media_png(spark, 9).collect()
+    assert len(rows) == 9
+    for r in rows:
+        p = bytes(r["payload"])
+        assert p[:8] == PNG_SIG
+        assert b"tEXt" in p  # ancillary chunk present, decoder must skip it
+        w, h, ct, px = decode_png(p)
+        assert (w, h) == (r["meta"]["width"], r["meta"]["height"])
+        assert ct == {0: 2, 1: 6, 2: 3}[r["media_id"] % 3]
+        assert len(px) == w * h * (4 if ct == 6 else 3)
+        # multi-IDAT: the deflate stream is split into <=48B chunks
+        assert p.count(b"IDAT") >= 1
+
+
+def test_decode_png_query_matches_oracle(spark, ddb):
+    from recon_spark.queries.extra import SQL_MULTIMODAL_DECODE_PNG, q_multimodal_decode_png
+    from tests.conftest import SF_ORACLE, compare_query
+
+    compare_query(spark, ddb, q_multimodal_decode_png, SQL_MULTIMODAL_DECODE_PNG, SF_ORACLE)
