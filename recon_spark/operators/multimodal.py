@@ -374,6 +374,233 @@ def decode_png(payload: bytes) -> tuple[int, int, int, list[int]]:
     return w, h, color_type, out
 
 
+# --------------------------------------------------------------------------
+# Real stdlib GIF codec (round 5). GIF needs no codec wheel either: the
+# container is plain struct framing and the compression is LZW — ~60
+# lines of spec math (variable-width codes 3..12 bits packed LSB-first
+# into 255-byte sub-blocks, dictionary rebuilt on CLEAR). Implemented
+# by hand from the GIF89a specification; the decoder handles dictionary
+# growth, the code == next_code self-reference case, and mid-stream
+# CLEAR resets. Non-interlaced single-frame only (Adam-style GIF
+# interlace and animation keep an honest NotImplementedError gate).
+# --------------------------------------------------------------------------
+
+GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def _lzw_encode(min_code_size: int, indices: list[int], clear_every: int | None = None) -> bytes:
+    """GIF-variant LZW: emit CLEAR, then greedy longest-match coding
+    with the code width growing as the dictionary fills (cap 12 bits,
+    CLEAR + reset at 4096). ``clear_every`` forces a mid-stream CLEAR
+    every K symbols so decoders' reset path gets exercised on small
+    images too. Codes pack LSB-first."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = n_bits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, n_bits
+        acc |= code << n_bits
+        n_bits += width
+        while n_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+
+    def fresh() -> tuple[dict, int, int]:
+        return ({(i,): i for i in range(1 << min_code_size)}, eoi + 1, min_code_size + 1)
+
+    table, next_code, width = fresh()
+    emit(clear, width)
+    w: tuple[int, ...] = ()
+    since_clear = 0
+    for k in indices:
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        since_clear += 1
+        table[wk] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4096 or (clear_every and since_clear >= clear_every):
+            emit(clear, width)
+            table, next_code, width = fresh()
+            since_clear = 0
+        w = (k,)
+    if w:
+        emit(table[w], width)
+    # tail sync: the decoder ADDS an entry on reading that final data
+    # code (the encoder doesn't — there is no following symbol), so if
+    # that add lands exactly on a width threshold the decoder reads EOI
+    # one bit wider; mirror its bump here. next_code equals the
+    # decoder's post-add count because the final flush emit above is
+    # the one data code with no encoder-side add.
+    if w and next_code == (1 << width) and width < 12:
+        width += 1
+    emit(eoi, width)
+    if n_bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(min_code_size: int, data: bytes) -> list[int]:
+    """Inverse of _lzw_encode per the GIF89a spec, including the
+    KwKwK case (code == next_code → prev + prev[0]) and CLEAR resets."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    pos = acc = n_bits = 0
+
+    def read(width: int) -> int:
+        nonlocal pos, acc, n_bits
+        while n_bits < width:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << n_bits
+            pos += 1
+            n_bits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n_bits -= width
+        return code
+
+    base = {i: (i,) for i in range(1 << min_code_size)}
+    table = dict(base)
+    next_code, width = eoi + 1, min_code_size + 1
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    while True:
+        code = read(width)
+        if code == eoi:
+            return out
+        if code == clear:
+            table, next_code, width = dict(base), eoi + 1, min_code_size + 1
+            prev = None
+            continue
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + (prev[0],)
+        else:
+            raise ValueError(f"invalid GIF LZW code {code}")
+        out += entry
+        if prev is not None:
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            # the decoder's dictionary runs one entry BEHIND the
+            # encoder's (the encoder adds right after emitting, the
+            # decoder only on the NEXT code), so the width bump fires
+            # at next_code == 2^width here vs next_code-1 on the
+            # encode side — the classic off-by-one both sides must
+            # agree on for the bitstream to stay in sync
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def _gif_subblocks(data: bytes) -> bytes:
+    """Split a byte stream into GIF's length-prefixed <=255B sub-blocks
+    plus the zero terminator."""
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def encode_gif(
+    w: int,
+    h: int,
+    indices: list[int],
+    palette: list[tuple[int, int, int]],
+    clear_every: int | None = None,
+    comment: bytes | None = None,
+) -> bytes:
+    """Spec-correct single-frame GIF89a from top-down row-major palette
+    indices. The color table is padded to the next power of two (spec
+    requirement); a Graphic Control Extension and an optional comment
+    extension are emitted so decoders must handle extension blocks."""
+    if len(indices) != w * h:
+        raise ValueError(f"need {w * h} indices for {w}x{h}")
+    size_bits = max(2, (max(len(palette), 2) - 1).bit_length())
+    table = list(palette) + [(0, 0, 0)] * ((1 << size_bits) - len(palette))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (size_bits - 1), 0, 0)  # GCT flag+size
+    out += b"".join(bytes(rgb) for rgb in table)
+    out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE: no transparency, 0 delay
+    if comment is not None:
+        out += b"\x21\xfe" + _gif_subblocks(comment)
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)  # no LCT, no interlace
+    min_code_size = size_bits
+    out.append(min_code_size)
+    out += _gif_subblocks(_lzw_encode(min_code_size, indices, clear_every))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, list[int]]:
+    """Parse a single-frame GIF to (w, h, top-down RGB list). REAL
+    decode, stdlib only: struct framing, extension-block skip, and a
+    hand-implemented LZW decompressor (variable code width, CLEAR
+    resets, KwKwK case). Interlaced or animated GIFs raise
+    NotImplementedError; truncated/invalid containers raise ValueError."""
+    if payload[:6] not in GIF_SIGS:
+        raise ValueError("not a GIF payload")
+    w_s, h_s, packed, _, _ = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = [tuple(payload[pos + 3 * k : pos + 3 * k + 3]) for k in range(n)]
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x3B:  # trailer
+            raise ValueError("GIF has no image data")
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"invalid GIF block 0x{block:02x}")
+        left, top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
+        pos += 10
+        if ipacked & 0x40:
+            raise NotImplementedError("interlaced GIF not supported")
+        palette = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            palette = [tuple(payload[pos + 3 * k : pos + 3 * k + 3]) for k in range(n)]
+            pos += 3 * n
+        if palette is None:
+            raise ValueError("GIF image has no color table")
+        min_code_size = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos]:
+            ln = payload[pos]
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        if pos < len(payload) and payload[pos] != 0x3B:
+            raise NotImplementedError("animated (multi-frame) GIF not supported")
+        idx = _lzw_decode(min_code_size, bytes(data))
+        if len(idx) != w * h:
+            raise ValueError(f"GIF decoded {len(idx)} pixels, want {w * h}")
+        out: list[int] = []
+        for i in idx:
+            if i >= len(palette):
+                raise ValueError(f"GIF index {i} outside color table")
+            out += palette[i]
+        return w, h, out
+    raise ValueError("truncated GIF")
+
+
 def generate_media_real(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     """Media table with REAL container payloads: media_id % 3 == 0 →
     24-bit BMP, 1 → binary PPM, 2 → PCM16 WAV. Pixel/sample values are
@@ -407,6 +634,55 @@ def generate_media_real(spark: SparkSession, n: int, seed: int = 42) -> DataFram
                     else:
                         payloads.append(encode_ppm(w, h, rgb))
                         metas.append(("image/x-portable-pixmap", w, h, None, None, "ppm"))
+            meta_arr = pa.StructArray.from_arrays(
+                [
+                    pa.array([m[0] for m in metas], pa.string()),
+                    pa.array([m[1] for m in metas], pa.int32()),
+                    pa.array([m[2] for m in metas], pa.int32()),
+                    pa.array([m[3] for m in metas], pa.int32()),
+                    pa.array([m[4] for m in metas], pa.int32()),
+                    pa.array([m[5] for m in metas], pa.string()),
+                ],
+                names=["media_type", "width", "height", "sample_rate", "duration_ms", "codec"],
+            )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary()), meta_arr],
+                ["media_id", "payload", "meta"],
+            )
+
+    return spark.range(0, n).mapInArrow(
+        _gen, f"media_id long, payload binary, meta struct<{MEDIA_META_DDL}>"
+    )
+
+
+def generate_media_gif(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """Media table of GENUINE GIF89a containers: 16-color palettes and
+    dims large enough (up to 23x19) that the LZW code width actually
+    grows past its initial 5 bits; every fourth image forces mid-stream
+    CLEAR codes (clear_every=100) and all carry a comment extension the
+    decoder must skip. Palette/index derivation matches the PNG palette
+    class — entry k is (d[k], d[(k+11)%32], d[(k+23)%32]), pixel idx
+    selects index d[(idx+3)%32] % 16 over sha256(f"{seed}:{media_id}")
+    — so the oracle recomputes expected RGB relationally."""
+    import pyarrow as pa
+
+    def _gen(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            ids = batch.column("id").to_pylist()
+            payloads, metas = [], []
+            for i in ids:
+                d = hashlib.sha256(f"{seed}:{i}".encode()).digest()
+                w, h = 8 + i % 16, 8 + i % 12
+                pal = [(d[k], d[(k + 11) % 32], d[(k + 23) % 32]) for k in range(16)]
+                idx = [d[(j + 3) % 32] % 16 for j in range(w * h)]
+                payloads.append(
+                    encode_gif(
+                        w, h, idx, pal,
+                        clear_every=100 if i % 4 == 0 else None,
+                        comment=b"recon_spark synthetic",
+                    )
+                )
+                metas.append(("image/gif", w, h, None, None, "gif"))
             meta_arr = pa.StructArray.from_arrays(
                 [
                     pa.array([m[0] for m in metas], pa.string()),
@@ -525,6 +801,8 @@ def decode_image(payload: bytes, meta: dict, fake: bool = False) -> list[int]:
             return decode_ppm(payload)[2]
         if payload[:8] == PNG_SIG:
             return decode_png(payload)[3]
+        if payload[:6] in GIF_SIGS:
+            return decode_gif(payload)[2]
         raise NotImplementedError(
             "JPEG-class image decoding requires a codec library (e.g. "
             "Pillow); run with fake=True for the deterministic test decoder"

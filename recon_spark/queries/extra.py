@@ -980,6 +980,88 @@ FROM px ORDER BY media_id
 """
 
 
+_MEDIA_GIF_N = 300
+
+
+def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real GIF decode over genuine GIF89a containers (round 5): struct
+    framing, extension-block skip, and a hand-implemented LZW
+    decompressor (variable code width 5..12 bits, mid-stream CLEAR
+    resets, the KwKwK self-reference case). Per image: container-parsed
+    dims plus de-palettized RGB stats; any bit-packing/width-sync/
+    dictionary bug scrambles the pixels and hash-fails."""
+    import pyarrow as pa
+
+    from recon_spark.operators.multimodal import decode_gif, generate_media_gif
+
+    def _gen(batches):
+        for batch in batches:
+            ids = batch.column("media_id").to_pylist()
+            cols = {k: [] for k in ("w", "h", "n_values", "px_sum", "px_min", "px_max")}
+            for p in batch.column("payload").to_pylist():
+                w, h, px = decode_gif(p)
+                cols["w"].append(w)
+                cols["h"].append(h)
+                cols["n_values"].append(len(px))
+                cols["px_sum"].append(sum(px))
+                cols["px_min"].append(min(px))
+                cols["px_max"].append(max(px))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(cols["w"], pa.int32()),
+                    pa.array(cols["h"], pa.int32()),
+                    pa.array(cols["n_values"], pa.int32()),
+                    pa.array(cols["px_sum"], pa.int64()),
+                    pa.array(cols["px_min"], pa.int32()),
+                    pa.array(cols["px_max"], pa.int32()),
+                ],
+                ["media_id", "w", "h", "n_values", "px_sum", "px_min", "px_max"],
+            )
+
+    media = generate_media_gif(spark, _MEDIA_GIF_N)
+    return (
+        media.select("media_id", "payload")
+        .mapInArrow(
+            _gen,
+            "media_id long, w int, h int, n_values int, "
+            "px_sum long, px_min int, px_max int",
+        )
+        .orderBy("media_id")
+    )
+
+
+SQL_MULTIMODAL_DECODE_GIF = f"""
+WITH ids AS (SELECT unnest(generate_series(0, {_MEDIA_GIF_N - 1})) AS media_id),
+cls AS (
+  SELECT media_id, 8 + media_id % 16 AS w, 8 + media_id % 12 AS h
+  FROM ids
+),
+dg AS (SELECT media_id, w, h, sha256('42:' || media_id) AS dh FROM cls),
+db_t AS (
+  SELECT media_id, w, h,
+         list_transform(generate_series(0, 31),
+           k -> CAST(concat('0x', substr(dh, 2 * k + 1, 2)) AS INT)) AS db
+  FROM dg
+),
+px AS (
+  SELECT media_id, w, h,
+         flatten(list_transform(generate_series(0, w * h - 1),
+           i -> [db[(db[(i + 3) % 32 + 1] % 16) + 1],
+                 db[((db[(i + 3) % 32 + 1] % 16) + 11) % 32 + 1],
+                 db[((db[(i + 3) % 32 + 1] % 16) + 23) % 32 + 1]])) AS p
+  FROM db_t
+)
+SELECT media_id,
+       CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+       CAST(len(p) AS INT) AS n_values,
+       CAST(list_aggregate(p, 'sum') AS BIGINT) AS px_sum,
+       CAST(list_aggregate(p, 'min') AS INT) AS px_min,
+       CAST(list_aggregate(p, 'max') AS INT) AS px_max
+FROM px ORDER BY media_id
+"""
+
+
 _IVF_NPROBE = 8
 
 
@@ -1309,6 +1391,7 @@ QUERIES = {
     "multimodal_decode_image": q_multimodal_decode_image,
     "multimodal_decode_audio": q_multimodal_decode_audio,
     "multimodal_decode_png": q_multimodal_decode_png,
+    "multimodal_decode_gif": q_multimodal_decode_gif,
     "dedup_cluster": q_dedup_cluster,
     "lsh_neardup": q_lsh_neardup,
     "ivf_neardup": q_ivf_neardup,
@@ -1337,6 +1420,7 @@ ORACLES = {
     "multimodal_decode_image": SQL_MULTIMODAL_DECODE_IMAGE,
     "multimodal_decode_audio": SQL_MULTIMODAL_DECODE_AUDIO,
     "multimodal_decode_png": SQL_MULTIMODAL_DECODE_PNG,
+    "multimodal_decode_gif": SQL_MULTIMODAL_DECODE_GIF,
     "dedup_cluster": SQL_DEDUP_CLUSTER,
     "lsh_neardup": SQL_LSH_NEARDUP,
     "ivf_neardup": SQL_IVF_NEARDUP,

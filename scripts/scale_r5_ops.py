@@ -135,6 +135,10 @@ def run_png_only(spark, png_n: int) -> dict:
 
     out: dict = {}
     staged = os.environ["RECON_SCALE_PNG_PARQUET"]
+    # the staged table is ~450MB of tiny payloads: at the default 128MB
+    # maxPartitionBytes the scan packs into ~4 splits, capping the @8
+    # level at 4 tasks and measuring the packer, not the decoder
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
     media = spark.read.parquet(staged)
     _timed(out, f"png_decode_x{png_n}",
            lambda: media.select("media_id", "payload").mapInArrow(
