@@ -100,6 +100,9 @@ EXTENDED = [
     # round-5 additions
     "warc_real_html",
     "curation_funnel_warc",
+    "multimodal_decode_png",
+    "multimodal_decode_gif",
+    "multimodal_decode_tiff",
 ]
 
 

@@ -12,16 +12,21 @@ The Spark-side contract a 100 TB multimodal training pipeline needs:
 
 Codec story (round 4, extended round 5): formats the Python STDLIB can
 decode are decoded for real — BMP and binary PPM via ``struct``
-parsing, WAV/PCM16 via the ``wave`` module, and PNG via ``zlib``
+parsing, WAV/PCM16 via the ``wave`` module, PNG via ``zlib``
 (chunk/CRC framing, inflate, all five scanline filters, all five
-color types at bit depth 8) — with ``generate_media_real`` /
-``generate_media_png`` emitting genuine containers whose pixel/sample
-values are a deterministic function of a sha256 digest, so the DuckDB
-oracle can verify that the REAL container parse inverts generation
-byte-exactly. Formats that genuinely need an external codec library
-(JPEG/MP3/H.264 — not in this container) keep the honest
-NotImplementedError gate, with ``fake=True`` selecting the
-deterministic test decoder for plumbing tests.
+color types at bit depth 8), GIF via a hand-implemented LZW
+(variable-width MSB..LSB-first codes, CLEAR resets, KwKwK), and
+baseline TIFF (IFD walk in both byte orders, PackBits RLE, TIFF-LZW
+with early-change width sync, horizontal-differencing predictor) —
+with ``generate_media_real`` / ``generate_media_png`` /
+``generate_media_gif`` / ``generate_media_tiff`` emitting genuine
+containers whose pixel/sample values are a deterministic function of
+a sha256 digest, so the DuckDB oracle can verify that the REAL
+container parse inverts generation byte-exactly. Formats that
+genuinely need an external codec library (JPEG/MP3/H.264 — not in
+this container) keep the honest NotImplementedError gate, with
+``fake=True`` selecting the deterministic test decoder for plumbing
+tests.
 """
 
 from __future__ import annotations
@@ -655,6 +660,340 @@ def generate_media_real(spark: SparkSession, n: int, seed: int = 42) -> DataFram
     )
 
 
+# --------------------------------------------------------------------------
+# Real stdlib TIFF codec (round 5). Baseline TIFF is also wheel-free:
+# the container is IFD struct framing (both byte orders), and the three
+# baseline compressions are all spec math — none, PackBits (RLE), and
+# TIFF-variant LZW. TIFF's LZW differs from GIF's in exactly three
+# documented ways: codes pack MSB-first, the symbol alphabet is fixed
+# at 8 bits (CLEAR=256, EOI=257, first free 258), and the code width
+# bumps one code EARLIER ("early change", at next_code == 2^width - 1).
+# Horizontal-differencing predictor (tag 317 = 2) supported. 8-bit
+# gray/RGB strips only; tiles and other depths keep an honest gate.
+# --------------------------------------------------------------------------
+
+TIFF_SIGS = (b"II*\x00", b"MM\x00*")
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF LZW (spec §13): byte-alphabet dictionary, MSB-first bit
+    packing, early-change width bumps, CLEAR at 4094 per the spec's
+    recommendation."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = n_bits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, n_bits
+        acc = (acc << width) | code
+        n_bits += width
+        while n_bits >= 8:
+            out.append((acc >> (n_bits - 8)) & 0xFF)
+            n_bits -= 8
+
+    def fresh() -> tuple[dict, int, int]:
+        return ({(i,): i for i in range(256)}, 258, 9)
+
+    table, next_code, width = fresh()
+    emit(CLEAR, width)
+    w: tuple[int, ...] = ()
+    for k in data:
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        table[wk] = next_code
+        next_code += 1
+        # "early change" (TIFF 6.0 §13): the width bumps when code
+        # 2^width - 1 is ADDED (one code earlier than GIF's rule)
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4094:  # spec: CLEAR before the 12-bit space fills
+            emit(CLEAR, width)
+            table, next_code, width = fresh()
+        w = (k,)
+    if w:
+        emit(table[w], width)
+    # tail sync, same shape as the GIF codec: the decoder adds an entry
+    # on the final data code (the encoder doesn't); with early change
+    # its bump fires at next_code == 2^width - 1 of ITS count, which
+    # equals ours here — mirror it so EOI is read at the same width
+    if w and next_code == (1 << width) - 1 and width < 12:
+        width += 1
+    emit(EOI, width)
+    if n_bits:
+        out.append((acc << (8 - n_bits)) & 0xFF)
+    return bytes(out)
+
+
+def _tiff_lzw_decode(data: bytes) -> bytes:
+    """Inverse of _tiff_lzw_encode per the TIFF 6.0 spec pseudo-code."""
+    CLEAR, EOI = 256, 257
+    pos = acc = n_bits = 0
+
+    def read(width: int) -> int:
+        nonlocal pos, acc, n_bits
+        while n_bits < width:
+            if pos >= len(data):
+                raise ValueError("truncated TIFF LZW stream")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            n_bits += 8
+        code = (acc >> (n_bits - width)) & ((1 << width) - 1)
+        n_bits -= width
+        acc &= (1 << n_bits) - 1
+        return code
+
+    base = {i: bytes([i]) for i in range(256)}
+    table = dict(base)
+    next_code, width = 258, 9
+    out = bytearray()
+    prev: bytes | None = None
+    while True:
+        code = read(width)
+        if code == EOI:
+            return bytes(out)
+        if code == CLEAR:
+            table, next_code, width = dict(base), 258, 9
+            prev = None
+            continue
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"invalid TIFF LZW code {code}")
+        out += entry
+        if prev is not None:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            # early change, decoder side: the dictionary runs one entry
+            # BEHIND the encoder (same off-by-one as the GIF codec), so
+            # the bump fires at 2^width - 1 of ITS OWN count — one add
+            # before the encoder's 2^width
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1
+        prev = entry
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Apple PackBits RLE (TIFF compression 32773): runs of >=3 equal
+    bytes become (257-n, byte); literals are chunked at 128."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        lit_start = i
+        i += run
+        while i < n and i - lit_start < 128:
+            run = 1
+            while i + run < n and run < 3 and data[i + run] == data[i]:
+                run += 1
+            if run >= 3:
+                break
+            i += run
+        if i - lit_start > 128:  # the 2-byte step can overshoot the
+            i = lit_start + 128  # 128-byte literal cap (129 -> 0x80 noop)
+        chunk = data[lit_start:i]
+        out += bytes([len(chunk) - 1]) + chunk
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while len(out) < expected:
+        if i >= len(data):
+            raise ValueError("truncated PackBits stream")
+        n = data[i]
+        i += 1
+        if n < 128:  # literal run of n+1 bytes
+            if i + n + 1 > len(data):
+                raise ValueError("truncated PackBits literal")
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            if i >= len(data):
+                raise ValueError("truncated PackBits repeat")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: noop per spec
+    if len(out) != expected:
+        raise ValueError(f"PackBits yielded {len(out)}B, want {expected}B")
+    return bytes(out)
+
+
+def encode_tiff(
+    w: int,
+    h: int,
+    values: list[int],
+    samples: int = 3,
+    compression: int = 1,
+    predictor: int = 1,
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """Baseline little-endian TIFF from top-down row-major 8-bit values
+    (len = w*h*samples; samples 1=gray or 3=RGB). compression 1=none,
+    5=LZW, 32773=PackBits; predictor 2 = horizontal differencing
+    (LZW/PackBits only, per spec). Multi-strip when rows_per_strip < h
+    so the strip-reassembly path is exercised."""
+    if len(values) != w * h * samples:
+        raise ValueError(f"need {w * h * samples} values")
+    rps = rows_per_strip or h
+    raw = bytes(values)
+    strips = []
+    for y0 in range(0, h, rps):
+        rows = raw[y0 * w * samples : min(y0 + rps, h) * w * samples]
+        if predictor == 2:
+            buf = bytearray(rows)
+            nrow = len(rows) // (w * samples)
+            for r in range(nrow):
+                base = r * w * samples
+                for i in range(w * samples - 1, samples - 1, -1):
+                    buf[base + i] = (buf[base + i] - rows[base + i - samples]) & 0xFF
+            rows = bytes(buf)
+        if compression == 5:
+            strips.append(_tiff_lzw_encode(rows))
+        elif compression == 32773:
+            strips.append(_packbits_encode(rows))
+        else:
+            strips.append(rows)
+    # layout: header(8) | strip data | IFD
+    offsets, pos = [], 8
+    for s in strips:
+        offsets.append(pos)
+        pos += len(s)
+    ifd_off = pos
+    n_strips = len(strips)
+
+    def entry(tag: int, typ: int, cnt: int, val: int) -> bytes:
+        return struct.pack("<HHII", tag, typ, cnt, val)
+
+    # arrays longer than 4 bytes live after the IFD
+    extra = bytearray()
+    entries = []
+    extra_base = ifd_off + 2 + 12 * 12 + 4
+
+    def arr_long(tag: int, vals: list[int]) -> None:
+        if len(vals) == 1:
+            entries.append(entry(tag, 4, 1, vals[0]))
+        else:
+            entries.append(entry(tag, 4, len(vals), extra_base + len(extra)))
+            for v in vals:
+                extra.extend(struct.pack("<I", v))
+
+    entries.append(entry(256, 4, 1, w))
+    entries.append(entry(257, 4, 1, h))
+    if samples == 1:
+        entries.append(entry(258, 3, 1, 8))
+    else:
+        entries.append(entry(258, 3, 3, extra_base + len(extra)))
+        extra.extend(struct.pack("<HHH", 8, 8, 8))
+        extra.extend(b"\x00\x00")  # keep extra area word-aligned
+    entries.append(entry(259, 3, 1, compression))
+    entries.append(entry(262, 3, 1, 1 if samples == 1 else 2))
+    arr_long(273, offsets)
+    entries.append(entry(277, 3, 1, samples))
+    entries.append(entry(278, 4, 1, rps))
+    arr_long(279, [len(s) for s in strips])
+    entries.append(entry(284, 3, 1, 1))  # chunky planar config
+    entries.append(entry(296, 3, 1, 2))  # resolution unit: inch
+    entries.append(entry(317, 3, 1, predictor))
+    assert len(entries) == 12  # extra_base above assumes exactly 12
+    out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
+    for s in strips:
+        out += s
+    out += struct.pack("<H", len(entries)) + b"".join(entries) + struct.pack("<I", 0)
+    out += extra
+    return bytes(out)
+
+
+def decode_tiff(payload: bytes) -> tuple[int, int, int, list[int]]:
+    """Parse a baseline TIFF to (w, h, samples, top-down values). REAL
+    decode, stdlib only, BOTH byte orders: IFD walk, strip reassembly,
+    none/LZW/PackBits decompression, horizontal-differencing predictor
+    undo. 8-bit gray/RGB strips only — tiles, other depths, and other
+    compressions raise; truncated/invalid containers raise ValueError."""
+    if payload[:4] not in TIFF_SIGS:
+        raise ValueError("not a TIFF payload")
+    bo = "<" if payload[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack_from(f"{bo}I", payload, 4)
+    if ifd_off + 2 > len(payload):
+        raise ValueError("truncated TIFF IFD offset")
+    (n_entries,) = struct.unpack_from(f"{bo}H", payload, ifd_off)
+    if ifd_off + 2 + 12 * n_entries + 4 > len(payload):
+        raise ValueError("truncated TIFF IFD")
+    type_size = {1: 1, 3: 2, 4: 4}
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        tag, typ, cnt = struct.unpack_from(f"{bo}HHI", payload, ifd_off + 2 + 12 * i)
+        val_off = ifd_off + 2 + 12 * i + 8
+        if typ not in type_size:
+            continue  # RATIONAL etc. — not needed for baseline decode
+        sz = type_size[typ]
+        if cnt * sz > 4:
+            (val_off,) = struct.unpack_from(f"{bo}I", payload, val_off)
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        if val_off + cnt * sz > len(payload):
+            raise ValueError(f"truncated TIFF tag {tag}")
+        tags[tag] = list(struct.unpack_from(f"{bo}{cnt}{fmt}", payload, val_off))
+    (next_ifd,) = struct.unpack_from(
+        f"{bo}I", payload, ifd_off + 2 + 12 * n_entries
+    )
+    if next_ifd:
+        raise NotImplementedError("multi-page TIFF not supported")
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF not supported")
+    try:
+        w, h = tags[256][0], tags[257][0]
+        offsets, counts = tags[273], tags[279]
+    except KeyError as e:
+        raise ValueError(f"TIFF missing required tag {e}")
+    samples = tags.get(277, [1])[0]
+    bits = tags.get(258, [8])
+    compression = tags.get(259, [1])[0]
+    predictor = tags.get(317, [1])[0]
+    rps = tags.get(278, [h])[0]
+    if samples not in (1, 3) or any(b != 8 for b in bits):
+        raise NotImplementedError(f"only 8-bit gray/RGB TIFF (spp={samples}, bits={bits})")
+    if compression not in (1, 5, 32773):
+        raise NotImplementedError(f"TIFF compression {compression} not supported")
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor} not supported")
+    if len(offsets) != len(counts):
+        raise ValueError("TIFF strip offset/count mismatch")
+    row_bytes = w * samples
+    raw = bytearray()
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        if off + cnt > len(payload):
+            raise ValueError("truncated TIFF strip")
+        strip = payload[off : off + cnt]
+        nrows = min(rps, h - si * rps)
+        if compression == 5:
+            strip = _tiff_lzw_decode(strip)
+        elif compression == 32773:
+            strip = _packbits_decode(strip, nrows * row_bytes)
+        if len(strip) < nrows * row_bytes:
+            raise ValueError("TIFF strip shorter than its rows")
+        strip = bytearray(strip[: nrows * row_bytes])
+        if predictor == 2:
+            for r in range(nrows):
+                base = r * row_bytes
+                for i in range(samples, row_bytes):
+                    strip[base + i] = (strip[base + i] + strip[base + i - samples]) & 0xFF
+        raw += strip
+    if len(raw) != h * row_bytes:
+        raise ValueError(f"TIFF strips yielded {len(raw)}B, want {h * row_bytes}B")
+    return w, h, samples, list(raw)
+
+
 def generate_media_gif(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     """Media table of GENUINE GIF89a containers: 16-color palettes and
     dims large enough (up to 23x19) that the LZW code width actually
@@ -683,6 +1022,63 @@ def generate_media_gif(spark: SparkSession, n: int, seed: int = 42) -> DataFrame
                     )
                 )
                 metas.append(("image/gif", w, h, None, None, "gif"))
+            meta_arr = pa.StructArray.from_arrays(
+                [
+                    pa.array([m[0] for m in metas], pa.string()),
+                    pa.array([m[1] for m in metas], pa.int32()),
+                    pa.array([m[2] for m in metas], pa.int32()),
+                    pa.array([m[3] for m in metas], pa.int32()),
+                    pa.array([m[4] for m in metas], pa.int32()),
+                    pa.array([m[5] for m in metas], pa.string()),
+                ],
+                names=["media_type", "width", "height", "sample_rate", "duration_ms", "codec"],
+            )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary()), meta_arr],
+                ["media_id", "payload", "meta"],
+            )
+
+    return spark.range(0, n).mapInArrow(
+        _gen, f"media_id long, payload binary, meta struct<{MEDIA_META_DDL}>"
+    )
+
+
+def generate_media_tiff(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """Media table of GENUINE baseline TIFFs covering the three
+    baseline compressions: media_id % 3 == 0 → RGB + LZW + horizontal-
+    differencing predictor, 1 → RGB + PackBits, 2 → 8-bit gray
+    uncompressed split across multiple strips. RGB values follow the
+    generate_media_real derivation (d[idx%32], d[(idx+7)%32],
+    d[(idx+13)%32]); gray pixel idx is d[(idx+5)%32]."""
+    import pyarrow as pa
+
+    def _gen(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            ids = batch.column("id").to_pylist()
+            payloads, metas = [], []
+            for i in ids:
+                d = hashlib.sha256(f"{seed}:{i}".encode()).digest()
+                w, h = 4 + i % 8, 4 + i % 6
+                if i % 3 == 2:
+                    vals = [d[(idx + 5) % 32] for idx in range(w * h)]
+                    payloads.append(
+                        encode_tiff(w, h, vals, samples=1, compression=1,
+                                    rows_per_strip=2)
+                    )
+                else:
+                    vals = []
+                    for idx in range(w * h):
+                        vals += [d[idx % 32], d[(idx + 7) % 32], d[(idx + 13) % 32]]
+                    if i % 3 == 0:
+                        payloads.append(
+                            encode_tiff(w, h, vals, samples=3, compression=5,
+                                        predictor=2)
+                        )
+                    else:
+                        payloads.append(
+                            encode_tiff(w, h, vals, samples=3, compression=32773)
+                        )
+                metas.append(("image/tiff", w, h, None, None, "tiff"))
             meta_arr = pa.StructArray.from_arrays(
                 [
                     pa.array([m[0] for m in metas], pa.string()),
@@ -803,6 +1199,8 @@ def decode_image(payload: bytes, meta: dict, fake: bool = False) -> list[int]:
             return decode_png(payload)[3]
         if payload[:6] in GIF_SIGS:
             return decode_gif(payload)[2]
+        if payload[:4] in TIFF_SIGS:
+            return decode_tiff(payload)[3]
         raise NotImplementedError(
             "JPEG-class image decoding requires a codec library (e.g. "
             "Pillow); run with fake=True for the deterministic test decoder"

@@ -1062,6 +1062,103 @@ FROM px ORDER BY media_id
 """
 
 
+_MEDIA_TIFF_N = 300
+
+
+def q_multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real baseline-TIFF decode over genuine containers (round 5):
+    IFD struct walk, strip reassembly, all three baseline compressions
+    (none / PackBits / TIFF-LZW with early-change width sync), and the
+    horizontal-differencing predictor. Per image: container-parsed dims
+    and sample count plus value stats; any IFD/strip/RLE/LZW/predictor
+    bug hash-fails against the oracle's relational recomputation."""
+    import pyarrow as pa
+
+    from recon_spark.operators.multimodal import decode_tiff, generate_media_tiff
+
+    _CODEC = {0: "lzw", 1: "packbits", 2: "raw"}
+
+    def _gen(batches):
+        for batch in batches:
+            ids = batch.column("media_id").to_pylist()
+            cols = {k: [] for k in ("codec", "w", "h", "spp", "n_values",
+                                    "px_sum", "px_min", "px_max")}
+            for mid, p in zip(ids, batch.column("payload").to_pylist()):
+                w, h, spp, px = decode_tiff(p)
+                cols["codec"].append(_CODEC[mid % 3])
+                cols["w"].append(w)
+                cols["h"].append(h)
+                cols["spp"].append(spp)
+                cols["n_values"].append(len(px))
+                cols["px_sum"].append(sum(px))
+                cols["px_min"].append(min(px))
+                cols["px_max"].append(max(px))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(cols["codec"], pa.string()),
+                    pa.array(cols["w"], pa.int32()),
+                    pa.array(cols["h"], pa.int32()),
+                    pa.array(cols["spp"], pa.int32()),
+                    pa.array(cols["n_values"], pa.int32()),
+                    pa.array(cols["px_sum"], pa.int64()),
+                    pa.array(cols["px_min"], pa.int32()),
+                    pa.array(cols["px_max"], pa.int32()),
+                ],
+                ["media_id", "codec", "w", "h", "spp", "n_values",
+                 "px_sum", "px_min", "px_max"],
+            )
+
+    media = generate_media_tiff(spark, _MEDIA_TIFF_N)
+    return (
+        media.select("media_id", "payload")
+        .mapInArrow(
+            _gen,
+            "media_id long, codec string, w int, h int, spp int, "
+            "n_values int, px_sum long, px_min int, px_max int",
+        )
+        .orderBy("media_id")
+    )
+
+
+SQL_MULTIMODAL_DECODE_TIFF = f"""
+WITH ids AS (SELECT unnest(generate_series(0, {_MEDIA_TIFF_N - 1})) AS media_id),
+cls AS (
+  SELECT media_id, media_id % 3 AS m,
+         4 + media_id % 8 AS w, 4 + media_id % 6 AS h
+  FROM ids
+),
+dg AS (SELECT media_id, m, w, h, sha256('42:' || media_id) AS dh FROM cls),
+db_t AS (
+  SELECT media_id, m, w, h,
+         list_transform(generate_series(0, 31),
+           k -> CAST(concat('0x', substr(dh, 2 * k + 1, 2)) AS INT)) AS db
+  FROM dg
+),
+px AS (
+  SELECT media_id, m, w, h,
+         CASE
+           WHEN m = 2 THEN
+             list_transform(generate_series(0, w * h - 1),
+               i -> db[(i + 5) % 32 + 1])
+           ELSE
+             flatten(list_transform(generate_series(0, w * h - 1),
+               i -> [db[i % 32 + 1], db[(i + 7) % 32 + 1], db[(i + 13) % 32 + 1]]))
+         END AS p
+  FROM db_t
+)
+SELECT media_id,
+       CASE m WHEN 0 THEN 'lzw' WHEN 1 THEN 'packbits' ELSE 'raw' END AS codec,
+       CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+       CAST(CASE WHEN m = 2 THEN 1 ELSE 3 END AS INT) AS spp,
+       CAST(len(p) AS INT) AS n_values,
+       CAST(list_aggregate(p, 'sum') AS BIGINT) AS px_sum,
+       CAST(list_aggregate(p, 'min') AS INT) AS px_min,
+       CAST(list_aggregate(p, 'max') AS INT) AS px_max
+FROM px ORDER BY media_id
+"""
+
+
 _IVF_NPROBE = 8
 
 
@@ -1392,6 +1489,7 @@ QUERIES = {
     "multimodal_decode_audio": q_multimodal_decode_audio,
     "multimodal_decode_png": q_multimodal_decode_png,
     "multimodal_decode_gif": q_multimodal_decode_gif,
+    "multimodal_decode_tiff": q_multimodal_decode_tiff,
     "dedup_cluster": q_dedup_cluster,
     "lsh_neardup": q_lsh_neardup,
     "ivf_neardup": q_ivf_neardup,
@@ -1421,6 +1519,7 @@ ORACLES = {
     "multimodal_decode_audio": SQL_MULTIMODAL_DECODE_AUDIO,
     "multimodal_decode_png": SQL_MULTIMODAL_DECODE_PNG,
     "multimodal_decode_gif": SQL_MULTIMODAL_DECODE_GIF,
+    "multimodal_decode_tiff": SQL_MULTIMODAL_DECODE_TIFF,
     "dedup_cluster": SQL_DEDUP_CLUSTER,
     "lsh_neardup": SQL_LSH_NEARDUP,
     "ivf_neardup": SQL_IVF_NEARDUP,

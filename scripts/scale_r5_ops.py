@@ -113,6 +113,47 @@ def run_html_only(spark, html_x: int) -> dict:
     return out
 
 
+def _warm_python_workers(spark) -> None:
+    """Pre-fork the per-core Python workers (spark.python.worker.reuse
+    keeps them alive for the timed stage). Without this, each level
+    pays ~5s of fork + pyarrow/pandas import wall-clock INSIDE the
+    timed section — a pure Amdahl term that is identical at @2 and @8
+    and therefore reads as fake serial fraction. The JVM warmup above
+    has the same rationale; this is its Python-runner twin."""
+    import pyarrow as pa
+
+    def _ident(batches):
+        for b in batches:
+            yield b
+
+    cores = spark.sparkContext.defaultParallelism
+    spark.range(0, cores * 4, 1, cores).mapInArrow(_ident, "id long").count()
+
+
+def _size_splits(spark, staged: str) -> None:
+    """Right-size scan splits for a Python map stage: target ~2 tasks
+    per core. The first cut of this benchmark used fixed 8MB splits —
+    56 tasks of ~200ms each — and measured eff 0.68 while the raw-
+    CPython ceiling probe (scripts/py_ceiling_media.py) showed the
+    HOST scaling at ~1.0 for the same bytes: the gap was 56 per-task
+    Python-worker handshakes, not decode. One split per ~2/core makes
+    the per-task fixed cost (~0.1s: function pickle ship + Arrow
+    stream setup) noise against seconds of decode — the exact sizing
+    rule a 100TB run uses (tasks of seconds-to-minutes, never ms)."""
+    total = sum(
+        os.path.getsize(os.path.join(staged, f))
+        for f in os.listdir(staged)
+        if f.endswith(".parquet")
+    )
+    cores = spark.sparkContext.defaultParallelism
+    tgt = max(4 * 1024 * 1024, total // (cores * 2))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(tgt))
+    # openCostInBytes pads each FILE at packing time; with 64 small
+    # files the default 4MB padding would force ~file-per-split and
+    # undo the sizing above
+    spark.conf.set("spark.sql.files.openCostInBytes", str(64 * 1024))
+
+
 def run_png_only(spark, png_n: int) -> dict:
     """Real PNG decode (stdlib zlib + un-filtering) in isolation: the
     genuine containers are pre-staged to parquet (RECON_SCALE_PNG_PARQUET,
@@ -135,15 +176,51 @@ def run_png_only(spark, png_n: int) -> dict:
 
     out: dict = {}
     staged = os.environ["RECON_SCALE_PNG_PARQUET"]
-    # the staged table is ~450MB of tiny payloads: at the default 128MB
-    # maxPartitionBytes the scan packs into ~4 splits, capping the @8
-    # level at 4 tasks and measuring the packer, not the decoder
-    spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+    _size_splits(spark, staged)
+    _warm_python_workers(spark)
     media = spark.read.parquet(staged)
+    _timed(out, f"png_scan_only_x{png_n}",
+           lambda: media.select(
+               "media_id", F.length("payload").alias("n")),
+           "pure-JVM scan+length baseline over the same staged parquet")
     _timed(out, f"png_decode_x{png_n}",
            lambda: media.select("media_id", "payload").mapInArrow(
                _gen, "media_id long, px_sum long"),
            f"{png_n:,} pre-staged genuine PNGs (RGB/RGBA/palette, all 5 filters)")
+    return out
+
+
+def run_gif_only(spark, gif_n: int) -> dict:
+    """Real GIF decode (hand-rolled LZW) in isolation, same staged-
+    parquet protocol as run_png_only."""
+    import pyarrow as pa
+
+    from recon_spark.operators.multimodal import decode_gif
+
+    def _gen(batches):
+        for batch in batches:
+            ids = batch.column("media_id").to_pylist()
+            sums = []
+            for p in batch.column("payload").to_pylist():
+                sums.append(sum(decode_gif(p)[2]))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(sums, pa.int64())],
+                ["media_id", "px_sum"],
+            )
+
+    out: dict = {}
+    staged = os.environ["RECON_SCALE_GIF_PARQUET"]
+    _size_splits(spark, staged)
+    _warm_python_workers(spark)
+    media = spark.read.parquet(staged)
+    _timed(out, f"gif_scan_only_x{gif_n}",
+           lambda: media.select(
+               "media_id", F.length("payload").alias("n")),
+           "pure-JVM scan+length baseline over the same staged parquet")
+    _timed(out, f"gif_decode_x{gif_n}",
+           lambda: media.select("media_id", "payload").mapInArrow(
+               _gen, "media_id long, px_sum long"),
+           f"{gif_n:,} pre-staged genuine GIFs (16-color LZW, forced clears)")
     return out
 
 
@@ -206,7 +283,7 @@ def run_ops(spark) -> dict:
 
 
 def run_one_level(cores: int, html_x: int | None = None,
-                  png_n: int | None = None) -> dict:
+                  png_n: int | None = None, gif_n: int | None = None) -> dict:
     from recon_spark.session import get_spark
 
     spark = get_spark(
@@ -218,12 +295,55 @@ def run_one_level(cores: int, html_x: int | None = None,
     spark.range(2_000_000).agg(F.sum("id")).collect()  # JVM warmup
     if png_n:
         out = run_png_only(spark, png_n)
+    elif gif_n:
+        out = run_gif_only(spark, gif_n)
     elif html_x:
         out = run_html_only(spark, html_x)
     else:
         out = run_ops(spark)
     spark.stop()
     return out
+
+
+def _staged_media_pair(op_kind: str, n: int) -> None:
+    """Stage genuine containers ONCE at full parallelism (encode is
+    itself Python work; staging keeps it out of the timed section),
+    settle 30s so the staging burst doesn't pollute the @2 level, then
+    time the decode at both levels in fresh JVMs."""
+    from recon_spark.operators.multimodal import generate_media_gif, generate_media_png
+    from recon_spark.session import get_spark
+
+    gen = generate_media_png if op_kind == "png" else generate_media_gif
+    env_key = f"RECON_SCALE_{op_kind.upper()}_PARQUET"
+    staged_dir = tempfile.mkdtemp(prefix=f"recon_scale_{op_kind}_pq_")
+    spark = get_spark(app_name=f"scale_r5_{op_kind}_stage", master="local[8]",
+                      shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+    gen(spark, n).select("media_id", "payload").repartition(64).write.mode(
+        "overwrite").parquet(staged_dir)
+    spark.stop()
+    env = dict(os.environ, **{env_key: staged_dir})
+    try:
+        res = {}
+        for cores in (N_LO, N_HI):
+            time.sleep(30)  # settle: fresh level shouldn't inherit the
+            # previous burst's scheduler/cache pressure on this noisy VM
+            outp = subprocess.run(
+                [sys.executable, __file__, "--cores", str(cores),
+                 f"--{op_kind}-n", str(n)],
+                capture_output=True, text=True, check=True, env=env,
+            )
+            line = [l for l in outp.stdout.strip().splitlines()
+                    if l.startswith("{")][-1]
+            res[cores] = json.loads(line)["ops"]
+    finally:
+        shutil.rmtree(staged_dir, ignore_errors=True)
+    op = f"{op_kind}_decode_x{n}"
+    lo, hi = res[N_LO][op], res[N_HI][op]
+    eff = round((lo["sec"] / hi["sec"]) / (N_HI / N_LO), 3)
+    print(json.dumps({"op": op, "lo": lo, "hi": hi, "eff": eff,
+                      "loadavg_1m": round(os.getloadavg()[0], 2),
+                      "all_lo": res[N_LO], "all_hi": res[N_HI]}))
 
 
 def main() -> None:
@@ -235,43 +355,20 @@ def main() -> None:
         int(sys.argv[sys.argv.index("--png-n") + 1])
         if "--png-n" in sys.argv else None
     )
+    gif_n = (
+        int(sys.argv[sys.argv.index("--gif-n") + 1])
+        if "--gif-n" in sys.argv else None
+    )
     if "--cores" in sys.argv:
         cores = int(sys.argv[sys.argv.index("--cores") + 1])
         print(json.dumps({"cores": cores,
-                          "ops": run_one_level(cores, html_x, png_n)}))
+                          "ops": run_one_level(cores, html_x, png_n, gif_n)}))
         return
     if png_n:
-        # stage the genuine containers ONCE at full parallelism (encode is
-        # itself Python work; staging keeps it out of the timed section)
-        from recon_spark.operators.multimodal import generate_media_png
-        from recon_spark.session import get_spark
-
-        staged_dir = tempfile.mkdtemp(prefix="recon_scale_png_pq_")
-        spark = get_spark(app_name="scale_r5_png_stage", master="local[8]",
-                          shuffle_partitions=64)
-        spark.sparkContext.setLogLevel("ERROR")
-        generate_media_png(spark, png_n).select(
-            "media_id", "payload"
-        ).repartition(64).write.mode("overwrite").parquet(staged_dir)
-        spark.stop()
-        env = dict(os.environ, RECON_SCALE_PNG_PARQUET=staged_dir)
-        try:
-            res = {}
-            for cores in (N_LO, N_HI):
-                outp = subprocess.run(
-                    [sys.executable, __file__, "--cores", str(cores),
-                     "--png-n", str(png_n)],
-                    capture_output=True, text=True, check=True, env=env,
-                )
-                line = [l for l in outp.stdout.strip().splitlines()
-                        if l.startswith("{")][-1]
-                res[cores] = json.loads(line)["ops"]
-        finally:
-            shutil.rmtree(staged_dir, ignore_errors=True)
-        op = f"png_decode_x{png_n}"
-        lo, hi = res[N_LO][op], res[N_HI][op]
-        eff = round((lo["sec"] / hi["sec"]) / (N_HI / N_LO), 3)
-        print(json.dumps({"op": op, "lo": lo, "hi": hi, "eff": eff}))
+        _staged_media_pair("png", png_n)
+        return
+    if gif_n:
+        _staged_media_pair("gif", gif_n)
         return
     if html_x:
         env = dict(os.environ)

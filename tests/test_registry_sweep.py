@@ -42,6 +42,7 @@ def _allowed_staging_roots() -> set:
     for src, chk in qp._CONTIN_STAGING.values():
         allowed.update((src, chk))
     allowed.update(qp._WARC_STAGING.values())
+    allowed.update(qp._WARC_MESSY_STAGING.values())
     return allowed
 
 
