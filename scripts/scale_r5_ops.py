@@ -224,6 +224,43 @@ def run_gif_only(spark, gif_n: int) -> dict:
     return out
 
 
+def run_tiff_only(spark, tiff_n: int) -> dict:
+    """Real baseline-TIFF decode (IFD walk + PackBits/TIFF-LZW +
+    predictor) in isolation, same staged-parquet protocol as
+    run_png_only. The staged mix is the generator's 1/3 LZW+predictor,
+    1/3 PackBits, 1/3 multi-strip raw."""
+    import pyarrow as pa
+
+    from recon_spark.operators.multimodal import decode_tiff
+
+    def _gen(batches):
+        for batch in batches:
+            ids = batch.column("media_id").to_pylist()
+            sums = []
+            for p in batch.column("payload").to_pylist():
+                sums.append(sum(decode_tiff(p)[3]))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(sums, pa.int64())],
+                ["media_id", "px_sum"],
+            )
+
+    out: dict = {}
+    staged = os.environ["RECON_SCALE_TIFF_PARQUET"]
+    _size_splits(spark, staged)
+    _warm_python_workers(spark)
+    media = spark.read.parquet(staged)
+    _timed(out, f"tiff_scan_only_x{tiff_n}",
+           lambda: media.select(
+               "media_id", F.length("payload").alias("n")),
+           "pure-JVM scan+length baseline over the same staged parquet")
+    _timed(out, f"tiff_decode_x{tiff_n}",
+           lambda: media.select("media_id", "payload").mapInArrow(
+               _gen, "media_id long, px_sum long"),
+           f"{tiff_n:,} pre-staged genuine TIFFs (LZW+predictor / "
+           "PackBits / multi-strip raw)")
+    return out
+
+
 def run_ops(spark) -> dict:
     from recon_spark.data.psl_snapshot import PSL_RULES, full_psl_rules
     from recon_spark.operators.webops import registered_domain
@@ -283,7 +320,8 @@ def run_ops(spark) -> dict:
 
 
 def run_one_level(cores: int, html_x: int | None = None,
-                  png_n: int | None = None, gif_n: int | None = None) -> dict:
+                  png_n: int | None = None, gif_n: int | None = None,
+                  tiff_n: int | None = None) -> dict:
     from recon_spark.session import get_spark
 
     spark = get_spark(
@@ -297,6 +335,8 @@ def run_one_level(cores: int, html_x: int | None = None,
         out = run_png_only(spark, png_n)
     elif gif_n:
         out = run_gif_only(spark, gif_n)
+    elif tiff_n:
+        out = run_tiff_only(spark, tiff_n)
     elif html_x:
         out = run_html_only(spark, html_x)
     else:
@@ -310,10 +350,15 @@ def _staged_media_pair(op_kind: str, n: int) -> None:
     itself Python work; staging keeps it out of the timed section),
     settle 30s so the staging burst doesn't pollute the @2 level, then
     time the decode at both levels in fresh JVMs."""
-    from recon_spark.operators.multimodal import generate_media_gif, generate_media_png
+    from recon_spark.operators.multimodal import (
+        generate_media_gif,
+        generate_media_png,
+        generate_media_tiff,
+    )
     from recon_spark.session import get_spark
 
-    gen = generate_media_png if op_kind == "png" else generate_media_gif
+    gen = {"png": generate_media_png, "gif": generate_media_gif,
+           "tiff": generate_media_tiff}[op_kind]
     env_key = f"RECON_SCALE_{op_kind.upper()}_PARQUET"
     staged_dir = tempfile.mkdtemp(prefix=f"recon_scale_{op_kind}_pq_")
     spark = get_spark(app_name=f"scale_r5_{op_kind}_stage", master="local[8]",
@@ -359,16 +404,24 @@ def main() -> None:
         int(sys.argv[sys.argv.index("--gif-n") + 1])
         if "--gif-n" in sys.argv else None
     )
+    tiff_n = (
+        int(sys.argv[sys.argv.index("--tiff-n") + 1])
+        if "--tiff-n" in sys.argv else None
+    )
     if "--cores" in sys.argv:
         cores = int(sys.argv[sys.argv.index("--cores") + 1])
         print(json.dumps({"cores": cores,
-                          "ops": run_one_level(cores, html_x, png_n, gif_n)}))
+                          "ops": run_one_level(cores, html_x, png_n, gif_n,
+                                               tiff_n)}))
         return
     if png_n:
         _staged_media_pair("png", png_n)
         return
     if gif_n:
         _staged_media_pair("gif", gif_n)
+        return
+    if tiff_n:
+        _staged_media_pair("tiff", tiff_n)
         return
     if html_x:
         env = dict(os.environ)
