@@ -103,6 +103,7 @@ EXTENDED = [
     "multimodal_decode_png",
     "multimodal_decode_gif",
     "multimodal_decode_tiff",
+    "multimodal_decode_jpeg",
 ]
 
 

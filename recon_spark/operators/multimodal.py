@@ -17,16 +17,20 @@ parsing, WAV/PCM16 via the ``wave`` module, PNG via ``zlib``
 color types at bit depth 8), GIF via a hand-implemented LZW
 (variable-width MSB..LSB-first codes, CLEAR resets, KwKwK), and
 baseline TIFF (IFD walk in both byte orders, PackBits RLE, TIFF-LZW
-with early-change width sync, horizontal-differencing predictor) —
-with ``generate_media_real`` / ``generate_media_png`` /
-``generate_media_gif`` / ``generate_media_tiff`` emitting genuine
-containers whose pixel/sample values are a deterministic function of
-a sha256 digest, so the DuckDB oracle can verify that the REAL
-container parse inverts generation byte-exactly. Formats that
-genuinely need an external codec library (JPEG/MP3/H.264 — not in
-this container) keep the honest NotImplementedError gate, with
-``fake=True`` selecting the deterministic test decoder for plumbing
-tests.
+with early-change width sync, horizontal-differencing predictor),
+and baseline JPEG (marker framing, per-image optimized canonical
+Huffman entropy coding, zigzag/quantization, batched 8x8 DCT/IDCT,
+4:4:4 YCbCr — lossy in general, but bit-exact under the documented
+all-ones-qtable block-constant contract the oracle uses) — with
+``generate_media_real`` / ``generate_media_png`` /
+``generate_media_gif`` / ``generate_media_tiff`` /
+``generate_media_jpeg`` emitting genuine containers whose
+pixel/sample values are a deterministic function of a sha256 digest,
+so the DuckDB oracle can verify that the REAL container parse inverts
+generation byte-exactly. Formats that genuinely need an external
+codec library (MP3/H.264-class audio/video — not in this container)
+keep the honest NotImplementedError gate, with ``fake=True``
+selecting the deterministic test decoder for plumbing tests.
 """
 
 from __future__ import annotations
@@ -994,6 +998,602 @@ def decode_tiff(payload: bytes) -> tuple[int, int, int, list[int]]:
     return w, h, samples, list(raw)
 
 
+# --------------------------------------------------------------------------
+# Real stdlib JPEG codec (round 5). Baseline sequential-DCT JPEG needs
+# no codec wheel either: the container is marker framing (SOI/APP0/
+# DQT/SOF0/DHT/SOS/EOI, ITU-T T.81), the entropy layer is canonical
+# Huffman over DC-size / AC-(run,size) symbols with 0xFF byte
+# stuffing, and the transform layer is the 8x8 type-II DCT — all spec
+# math. The encoder is a two-pass OPTIMIZING encoder in the libjpeg
+# tradition: it counts the scan's actual symbol frequencies and builds
+# length-limited (<=16 bit) canonical Huffman tables per image, so no
+# Annex K table constants are baked in; the tables travel in DHT and
+# the decoder reads ANY baseline table. Grayscale and 4:4:4 YCbCr
+# color decode for real; progressive (SOF2), chroma subsampling,
+# 12-bit precision, arithmetic coding, and restart intervals keep the
+# honest NotImplementedError gate.
+#
+# Exactness contract (what lets the DuckDB oracle verify a LOSSY
+# format bit-exactly): with an all-ones quant table, an image whose
+# 8x8 blocks are each CONSTANT encodes to DC-only blocks — the forward
+# DCT of a constant block is 8*(v-128) in DC and exact zeros elsewhere
+# — and the IDCT of a DC-only block is that constant again, so decode
+# inverts generation exactly, including on dims that are NOT multiples
+# of 8 (edge-replication padding of a constant block is the same
+# constant; the decoder crops). Color adds the fixed-point YCbCr
+# round trip, defined here as floor(x + 0.5) + clamp in BOTH
+# directions so the oracle can replicate it relationally. The
+# AC/entropy machinery is locked by exact coefficient-level round-trip
+# property tests (entropy coding is lossless) plus bounded-error
+# full-pipeline tests in tests/test_jpeg_codec.py.
+# --------------------------------------------------------------------------
+
+JPEG_SIG = b"\xff\xd8"
+
+
+def _zigzag_order() -> list[int]:
+    """The T.81 zigzag scan as natural (row-major) indices: walk the
+    anti-diagonals, alternating direction, odd diagonals starting at
+    the top row."""
+    out = []
+    for s in range(15):
+        diag = [(s - j) * 8 + j for j in range(s + 1) if s - j < 8 and j < 8]
+        out.extend(reversed(diag) if s % 2 else diag)
+    return out
+
+
+_JPEG_ZZ = _zigzag_order()
+
+
+def _dct_matrix():
+    """Orthonormal 8-point DCT-II basis M with M @ M.T = I, scaled so
+    F = M @ f @ M.T is exactly T.81's (1/4)c(u)c(v) double sum and the
+    inverse is f = M.T @ F @ M."""
+    import numpy as np
+
+    x = np.arange(8, dtype=np.float64)
+    m = 0.5 * np.cos((2.0 * x + 1.0) * x.reshape(8, 1) * np.pi / 16.0)
+    m[0] *= 1.0 / np.sqrt(2.0)
+    return m
+
+
+class _JpegBitWriter:
+    """MSB-first bit packer with T.81 byte stuffing (0xFF -> 0xFF 0x00
+    inside entropy-coded data); flush pads the last byte with 1-bits."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, width: int) -> None:
+        self.acc = (self.acc << width) | (code & ((1 << width) - 1))
+        self.n += width
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)
+        return bytes(self.out)
+
+
+class _JpegBitReader:
+    """Inverse of _JpegBitWriter: un-stuffs 0xFF 0x00; any other
+    marker inside the scan (we gate DRI, so no RSTn) is an error."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def read(self, width: int) -> int:
+        while self.n < width:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy-coded scan")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
+                    raise ValueError("marker inside JPEG entropy-coded scan")
+                self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+        v = (self.acc >> (self.n - width)) & ((1 << width) - 1)
+        self.n -= width
+        self.acc &= (1 << self.n) - 1
+        return v
+
+
+def _build_huffman(freq: dict[int, int]) -> tuple[list[int], list[int]]:
+    """Canonical length-limited Huffman from symbol frequencies:
+    (bits, huffval) in DHT form — bits[i] = number of codes of length
+    i for i in 1..16, huffval = symbols in code order. Classic T.81
+    K.2 shape: a dummy symbol (256, weight 1) rides along to reserve
+    the all-ones codeword, depths come from heap merging, the K.3
+    procedure folds lengths >16 down, and the dummy's slot (the
+    numerically largest code of the longest length) is dropped at the
+    end, which is exactly what keeps all-ones unused."""
+    import heapq
+
+    f = dict(freq)
+    f[256] = 1
+    heap = [(w, i, [s]) for i, (s, w) in enumerate(sorted(f.items()))]
+    heapq.heapify(heap)
+    depth = {s: 0 for s in f}
+    if len(heap) == 1:  # single symbol still needs a 1-bit code
+        depth[heap[0][2][0]] = 1
+    tie = len(heap)
+    while len(heap) > 1:
+        w1, _, s1 = heapq.heappop(heap)
+        w2, _, s2 = heapq.heappop(heap)
+        for s in s1 + s2:
+            depth[s] += 1
+        heapq.heappush(heap, (w1 + w2, tie, s1 + s2))
+        tie += 1
+    max_d = max(depth.values())
+    bits = [0] * (max(max_d, 16) + 1)
+    for d in depth.values():
+        bits[d] += 1
+    i = len(bits) - 1
+    while i > 16:  # T.81 Figure K.3: fold overlong lengths down
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    bits = bits[:17]
+    last = max(k for k in range(1, 17) if bits[k] > 0)
+    bits[last] -= 1  # drop the dummy: its code was the longest/largest
+    # assign real symbols to the adjusted length counts, shortest first,
+    # in (original depth, frequency desc, symbol) order — Kraft holds by
+    # construction, so canonical assignment below is prefix-free
+    order = sorted((s for s in f if s != 256),
+                   key=lambda s: (depth[s], -f[s], s))
+    return bits, order
+
+
+def _huff_codes(bits: list[int], huffval: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical code assignment: symbol -> (code, length)."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln]):
+            codes[huffval[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _huff_decode_map(bits: list[int], huffval: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, for bit-at-a-time canonical decode."""
+    m: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln]):
+            m[(ln, code)] = huffval[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return m
+
+
+def _read_huff_symbol(br: "_JpegBitReader", m: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | br.read(1)
+        if (ln, code) in m:
+            return m[(ln, code)]
+    raise ValueError("invalid Huffman code in JPEG scan")
+
+
+def _jpeg_csize(v: int) -> int:
+    """T.81 value category: bit length of |v| (0 for 0)."""
+    return v.bit_length() if v >= 0 else (-v).bit_length()
+
+
+def _jpeg_vbits(v: int, size: int) -> int:
+    """Appended-bits form: v itself if positive, one's-complement
+    offset if negative."""
+    return v if v >= 0 else v + (1 << size) - 1
+
+
+def _jpeg_vdecode(raw: int, size: int) -> int:
+    return raw if raw >= (1 << (size - 1)) else raw - (1 << size) + 1
+
+
+def _emit_block(bw: "_JpegBitWriter", zz: list[int], pred: int,
+                dc_codes: dict, ac_codes: dict,
+                freq_only: tuple[dict, dict] | None = None) -> int:
+    """Emit one block's 64 zigzag-ordered quantized coefficients (or,
+    with freq_only=(dcf, acf), just count symbols for the table-build
+    pass). Returns the new DC predictor."""
+    diff = zz[0] - pred
+    s = _jpeg_csize(diff)
+    if freq_only is not None:
+        freq_only[0][s] = freq_only[0].get(s, 0) + 1
+    else:
+        c, ln = dc_codes[s]
+        bw.write(c, ln)
+        if s:
+            bw.write(_jpeg_vbits(diff, s), s)
+    run = 0
+    for k in range(1, 64):
+        v = zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            if freq_only is not None:
+                freq_only[1][0xF0] = freq_only[1].get(0xF0, 0) + 1
+            else:
+                c, ln = ac_codes[0xF0]
+                bw.write(c, ln)
+            run -= 16
+        s = _jpeg_csize(v)
+        sym = (run << 4) | s
+        if freq_only is not None:
+            freq_only[1][sym] = freq_only[1].get(sym, 0) + 1
+        else:
+            c, ln = ac_codes[sym]
+            bw.write(c, ln)
+            bw.write(_jpeg_vbits(v, s), s)
+        run = 0
+    if run:
+        if freq_only is not None:
+            freq_only[1][0x00] = freq_only[1].get(0x00, 0) + 1
+        else:
+            c, ln = ac_codes[0x00]
+            bw.write(c, ln)
+    return zz[0]
+
+
+def _read_block(br: "_JpegBitReader", pred: int, dc_map: dict, ac_map: dict) -> tuple[list[int], int]:
+    """Decode one block to 64 zigzag-ordered coefficients."""
+    zz = [0] * 64
+    s = _read_huff_symbol(br, dc_map)
+    diff = _jpeg_vdecode(br.read(s), s) if s else 0
+    zz[0] = pred + diff
+    k = 1
+    while k < 64:
+        sym = _read_huff_symbol(br, ac_map)
+        if sym == 0x00:
+            break
+        run, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if run != 15:
+                raise ValueError(f"invalid JPEG AC symbol {sym:#x}")
+            k += 16
+            continue
+        k += run
+        if k > 63:
+            raise ValueError("JPEG AC run past end of block")
+        zz[k] = _jpeg_vdecode(br.read(s), s)
+        k += 1
+    return zz, zz[0]
+
+
+def _plane_to_qblocks(plane, qtab):
+    """(h, w) float plane -> (n_blocks, 64) int32 zigzag-ordered
+    quantized DCT coefficients, blocks in row-major MCU order. Padding
+    is edge replication; quantization rounds half away from zero."""
+    import numpy as np
+
+    h, w = plane.shape
+    bw_, bh_ = -(-w // 8), -(-h // 8)
+    padded = np.pad(plane - 128.0, ((0, bh_ * 8 - h), (0, bw_ * 8 - w)), mode="edge")
+    blocks = padded.reshape(bh_, 8, bw_, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    m = _dct_matrix()
+    coefs = m @ blocks @ m.T
+    q = coefs / qtab
+    qz = (np.sign(q) * np.floor(np.abs(q) + 0.5)).astype(np.int64)
+    return qz.reshape(-1, 64)[:, _JPEG_ZZ]
+
+
+def _qblocks_to_plane(zz_blocks, qtab, w: int, h: int):
+    """Inverse of _plane_to_qblocks: dequantize, batched IDCT, pixel
+    reconstruction floor(x + 128.5) clipped to [0, 255], crop."""
+    import numpy as np
+
+    bw_, bh_ = -(-w // 8), -(-h // 8)
+    nat = np.zeros((len(zz_blocks), 64), dtype=np.float64)
+    nat[:, _JPEG_ZZ] = zz_blocks
+    coefs = (nat * qtab.reshape(64)).reshape(-1, 8, 8)
+    m = _dct_matrix()
+    px = m.T @ coefs @ m
+    px = np.clip(np.floor(px + 128.5), 0.0, 255.0)
+    full = px.reshape(bh_, bw_, 8, 8).transpose(0, 2, 1, 3).reshape(bh_ * 8, bw_ * 8)
+    return full[:h, :w]
+
+
+def _jpeg_seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+
+def _rgb_to_ycbcr(rgb):
+    """JFIF full-range color transform with the exactness-contract
+    rounding: floor(x + 0.5), clamp to [0, 255]. The inverse below and
+    the DuckDB oracle use the SAME expressions term-for-term."""
+    import numpy as np
+
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = np.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5)
+    cb = np.floor(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.5)
+    cr = np.floor(0.5 * r - 0.418688 * g - 0.081312 * b + 128.5)
+    return [np.clip(p, 0.0, 255.0) for p in (y, cb, cr)]
+
+
+def _ycbcr_to_rgb(y, cb, cr):
+    import numpy as np
+
+    r = np.floor(y + 1.402 * (cr - 128.0) + 0.5)
+    g = np.floor(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0) + 0.5)
+    b = np.floor(y + 1.772 * (cb - 128.0) + 0.5)
+    return [np.clip(p, 0.0, 255.0) for p in (r, g, b)]
+
+
+def encode_jpeg(w: int, h: int, values: list[int], samples: int = 1,
+                qtable: list[int] | None = None,
+                qtable_chroma: list[int] | None = None) -> bytes:
+    """Baseline JFIF JPEG from a top-down row-major value list
+    (grayscale w*h for samples=1, interleaved RGB w*h*3 for
+    samples=3, always 4:4:4). Quant tables are natural-order 64-lists
+    (default all-ones — the exactness-contract table); Huffman tables
+    are built per image from the scan's real symbol counts."""
+    import numpy as np
+
+    qt0 = np.asarray(qtable if qtable is not None else [1] * 64,
+                     dtype=np.float64).reshape(8, 8)
+    qt1 = (np.asarray(qtable_chroma, dtype=np.float64).reshape(8, 8)
+           if qtable_chroma is not None else qt0)
+    vals = np.asarray(values, dtype=np.float64)
+    if samples == 3:
+        planes = _rgb_to_ycbcr(vals.reshape(h, w, 3))
+        qtabs, tclass = [qt0, qt1, qt1], [0, 1, 1]
+    elif samples == 1:
+        planes, qtabs, tclass = [vals.reshape(h, w)], [qt0], [0]
+    else:
+        raise NotImplementedError(f"JPEG with {samples} components not supported")
+
+    comp_blocks = [_plane_to_qblocks(p, q) for p, q in zip(planes, qtabs)]
+    n_classes = 2 if samples == 3 else 1
+
+    # pass 1: symbol frequencies per table class (interleave order is
+    # irrelevant for counting)
+    freqs = [({}, {}) for _ in range(n_classes)]
+    for ci, blocks in enumerate(comp_blocks):
+        pred = 0
+        fq = freqs[tclass[ci]]
+        for zz in blocks:
+            pred = _emit_block(None, zz.tolist(), pred, {}, {}, freq_only=fq)
+    tables = []  # (class 0=DC/1=AC, table id, bits, huffval)
+    dc_codes, ac_codes = [], []
+    for tid, (dcf, acf) in enumerate(freqs):
+        db, dv = _build_huffman(dcf)
+        ab, av = _build_huffman(acf)
+        tables += [(0, tid, db, dv), (1, tid, ab, av)]
+        dc_codes.append(_huff_codes(db, dv))
+        ac_codes.append(_huff_codes(ab, av))
+
+    # pass 2: entropy-coded scan, MCU-interleaved (4:4:4 -> one block
+    # per component per MCU)
+    bw = _JpegBitWriter()
+    preds = [0] * samples
+    for mcu in range(len(comp_blocks[0])):
+        for ci in range(samples):
+            tid = tclass[ci]
+            preds[ci] = _emit_block(bw, comp_blocks[ci][mcu].tolist(), preds[ci],
+                                    dc_codes[tid], ac_codes[tid])
+    scan = bw.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _jpeg_seg(0xE0, b"JFIF\x00" + bytes([1, 1, 0]) +
+                     (1).to_bytes(2, "big") * 2 + bytes([0, 0]))
+    for tid, qt in enumerate([qt0, qt1][:n_classes]):
+        zzq = qt.reshape(64)[_JPEG_ZZ].astype(np.int64)
+        if np.any(zzq < 1) or np.any(zzq > 255):
+            raise ValueError("8-bit quant table entries must be in [1, 255]")
+        out += _jpeg_seg(0xDB, bytes([tid]) + bytes(int(v) for v in zzq))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([samples])
+    for ci in range(samples):
+        sof += bytes([ci + 1, 0x11, tclass[ci]])
+    out += _jpeg_seg(0xC0, sof)
+    for cls, tid, bits, huffval in tables:
+        out += _jpeg_seg(0xC4, bytes([(cls << 4) | tid]) +
+                         bytes(bits[1:17]) + bytes(huffval))
+    sos = bytes([samples])
+    for ci in range(samples):
+        sos += bytes([ci + 1, (tclass[ci] << 4) | tclass[ci]])
+    sos += bytes([0, 63, 0])
+    out += _jpeg_seg(0xDA, sos)
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, int, list[int]]:
+    """Real baseline JPEG decode: marker walk, DQT/DHT/SOF0 parse,
+    canonical Huffman entropy decode with byte un-stuffing, dequantize,
+    batched IDCT, pixel reconstruction floor(x + 128.5) clip [0, 255],
+    crop, and (for 3 components) the 4:4:4 YCbCr->RGB inverse defined
+    next to the forward transform above. Returns (w, h, n_components,
+    pixels) with pixels gray w*h or interleaved RGB w*h*3. Progressive,
+    subsampled, 12-bit, arithmetic-coded, and restart-interval JPEGs
+    raise NotImplementedError; malformed containers raise ValueError."""
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtabs: dict[int, "np.ndarray"] = {}
+    dc_maps: dict[int, dict] = {}
+    ac_maps: dict[int, dict] = {}
+    comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    w = h = 0
+    while True:
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG (no SOS/EOI)")
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = payload[pos + 1]
+        if marker in (0xC2,):
+            raise NotImplementedError("progressive JPEG not supported")
+        if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(f"JPEG SOF{marker & 0x0F} not supported")
+        if marker == 0xDD:
+            raise NotImplementedError("JPEG restart intervals not supported")
+        ln = int.from_bytes(payload[pos + 2:pos + 4], "big")
+        seg = payload[pos + 4:pos + 2 + ln]
+        if len(seg) != ln - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit JPEG quant tables not supported")
+                nat = np.zeros(64, dtype=np.float64)
+                nat[_JPEG_ZZ] = list(seg[p + 1:p + 65])
+                qtabs[tq] = nat.reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = [0] + list(seg[p + 1:p + 17])
+                nsym = sum(bits)
+                huffval = list(seg[p + 17:p + 17 + nsym])
+                (ac_maps if tc else dc_maps)[th] = _huff_decode_map(bits, huffval)
+                p += 17 + nsym
+        elif marker in (0xC0, 0xC1):
+            if seg[0] != 8:
+                raise NotImplementedError("only 8-bit JPEG precision supported")
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            ncomp = seg[5]
+            if ncomp not in (1, 3):
+                raise NotImplementedError(f"JPEG with {ncomp} components not supported")
+            for ci in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * ci:9 + 3 * ci]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "chroma-subsampled JPEG not supported (4:4:4 only)")
+                comps.append((cid, tq))
+        elif marker == 0xDA:
+            break
+        pos += 2 + ln
+    if not comps or w == 0 or h == 0:
+        raise ValueError("JPEG SOS before SOF")
+    ns = seg[0]
+    if ns != len(comps):
+        raise NotImplementedError("multi-scan JPEG not supported")
+    scan_tabs = {}
+    for ci in range(ns):
+        cid, tsel = seg[1 + 2 * ci], seg[2 + 2 * ci]
+        scan_tabs[cid] = (tsel >> 4, tsel & 0x0F)
+    br = _JpegBitReader(payload, pos + 2 + ln)
+    bw_, bh_ = -(-w // 8), -(-h // 8)
+    blocks = [[] for _ in comps]
+    preds = [0] * len(comps)
+    for _ in range(bw_ * bh_):
+        for ci, (cid, _tq) in enumerate(comps):
+            td, ta = scan_tabs[cid]
+            zz, preds[ci] = _read_block(br, preds[ci], dc_maps[td], ac_maps[ta])
+            blocks[ci].append(zz)
+    planes = []
+    for ci, (cid, tq) in enumerate(comps):
+        planes.append(_qblocks_to_plane(
+            np.asarray(blocks[ci], dtype=np.float64), qtabs[tq], w, h))
+    if len(comps) == 1:
+        return w, h, 1, [int(v) for v in planes[0].reshape(-1)]
+    r, g, b = _ycbcr_to_rgb(*planes)
+    rgb = np.stack([r, g, b], axis=-1).reshape(-1)
+    return w, h, 3, [int(v) for v in rgb]
+
+
+def generate_media_jpeg(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """Media table of GENUINE baseline JPEGs under the exactness
+    contract (all-ones quant tables, per-8x8-block-constant pixels, so
+    decode inverts generation bit-exactly): media_id % 3 == 0 -> small
+    grayscale on non-multiple-of-8 dims (edge-padded partial blocks),
+    1 -> 4:4:4 color (the defined YCbCr round trip applies), 2 ->
+    wider grayscale (longer DC-differential chains). Block (bx, by) of
+    image i takes digest value d[(5 + bx + 2*by) % 32] (gray) or the
+    (d[(bx + 2*by) % 32], d[(bx + 2*by + 7) % 32],
+    d[(bx + 2*by + 13) % 32]) RGB triple."""
+    import pyarrow as pa
+
+    def _gen(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            ids = batch.column("id").to_pylist()
+            payloads, metas = [], []
+            for i in ids:
+                d = hashlib.sha256(f"{seed}:{i}".encode()).digest()
+                m = i % 3
+                if m == 0:
+                    w, h = 9 + i % 8, 9 + i % 6
+                elif m == 1:
+                    w, h = 8 + i % 9, 8 + i % 5
+                else:
+                    w, h = 17 + i % 8, 10 + i % 6
+                bw_, bh_ = -(-w // 8), -(-h // 8)
+                if m == 1:
+                    vals = []
+                    for y in range(h):
+                        for x in range(w):
+                            k = (x // 8) + 2 * (y // 8)
+                            vals += [d[k % 32], d[(k + 7) % 32], d[(k + 13) % 32]]
+                    payloads.append(encode_jpeg(w, h, vals, samples=3))
+                else:
+                    vals = [
+                        d[(5 + (x // 8) + 2 * (y // 8)) % 32]
+                        for y in range(h)
+                        for x in range(w)
+                    ]
+                    payloads.append(encode_jpeg(w, h, vals, samples=1))
+                metas.append(("image/jpeg", w, h, None, None, "jpeg"))
+            meta_arr = pa.StructArray.from_arrays(
+                [
+                    pa.array([m[0] for m in metas], pa.string()),
+                    pa.array([m[1] for m in metas], pa.int32()),
+                    pa.array([m[2] for m in metas], pa.int32()),
+                    pa.array([m[3] for m in metas], pa.int32()),
+                    pa.array([m[4] for m in metas], pa.int32()),
+                    pa.array([m[5] for m in metas], pa.string()),
+                ],
+                names=[
+                    "media_type", "width", "height", "sample_rate",
+                    "duration_ms", "codec",
+                ],
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(payloads, pa.binary()),
+                    meta_arr,
+                ],
+                ["media_id", "payload", "meta"],
+            )
+
+    return spark.range(n).mapInArrow(
+        _gen, f"media_id long, payload binary, meta struct<{MEDIA_META_DDL}>"
+    )
+
+
 def generate_media_gif(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     """Media table of GENUINE GIF89a containers: 16-color palettes and
     dims large enough (up to 23x19) that the LZW code width actually
@@ -1185,11 +1785,12 @@ def _decode_dims(meta: dict, fake: bool) -> tuple[int, int]:
 
 def decode_image(payload: bytes, meta: dict, fake: bool = False) -> list[int]:
     """Decode an image payload to a flat pixel list. BMP, binary PPM,
-    and PNG decode FOR REAL via stdlib parsing (top-down row-major
-    channel values; RGB formats give len = w*h*3, RGBA PNG w*h*4,
-    palette PNG de-palettized to w*h*3); JPEG still needs a codec
-    library not present in this container and keeps the honest gate,
-    with fake=True selecting the deterministic test decoder."""
+    PNG, GIF, baseline TIFF, and baseline JPEG decode FOR REAL via
+    stdlib parsing (top-down row-major channel values; RGB formats
+    give len = w*h*3, RGBA PNG w*h*4, palette PNG/GIF de-palettized to
+    w*h*3, gray JPEG/TIFF w*h); formats whose codecs are not
+    stdlib-implementable (WebP/HEIC-class) keep the honest gate, with
+    fake=True selecting the deterministic test decoder."""
     if not fake:
         if payload[:2] == b"BM":
             return decode_bmp(payload)[2]
@@ -1201,9 +1802,12 @@ def decode_image(payload: bytes, meta: dict, fake: bool = False) -> list[int]:
             return decode_gif(payload)[2]
         if payload[:4] in TIFF_SIGS:
             return decode_tiff(payload)[3]
+        if payload[:2] == JPEG_SIG:
+            return decode_jpeg(payload)[3]
         raise NotImplementedError(
-            "JPEG-class image decoding requires a codec library (e.g. "
-            "Pillow); run with fake=True for the deterministic test decoder"
+            "image format not decodable with the stdlib (WebP/HEIC-class "
+            "need a codec library); run with fake=True for the "
+            "deterministic test decoder"
         )
     w, h = _decode_dims(meta, fake=True)
     # fake "pixels" are seeded by sha256 over the payload's hex form —

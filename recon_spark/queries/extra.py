@@ -1159,6 +1159,144 @@ FROM px ORDER BY media_id
 """
 
 
+_MEDIA_JPEG_N = 300
+
+
+def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real baseline-JPEG decode over genuine containers (round 5):
+    marker walk, DHT canonical Huffman entropy decode, dequantize,
+    batched IDCT, 4:4:4 YCbCr inverse. The generator's exactness
+    contract (all-ones quant tables + per-8x8-block-constant pixels)
+    makes the lossy format bit-exact here, so the oracle recomputes
+    every pixel relationally — per block, weighted by the block's
+    edge-clipped pixel count — and any framing/Huffman/zigzag/IDCT/
+    color-transform bug hash-fails. Map-only plan: generate -> decode
+    in one Arrow stage, no shuffle before the final presentation sort."""
+    import pyarrow as pa
+
+    from recon_spark.operators.multimodal import decode_jpeg, generate_media_jpeg
+
+    _CLS = {0: "gray_small", 1: "color", 2: "gray_wide"}
+
+    def _gen(batches):
+        for batch in batches:
+            ids = batch.column("media_id").to_pylist()
+            cols = {k: [] for k in ("cls", "w", "h", "spp", "n_values",
+                                    "px_sum", "px_min", "px_max")}
+            for mid, p in zip(ids, batch.column("payload").to_pylist()):
+                w, h, spp, px = decode_jpeg(p)
+                cols["cls"].append(_CLS[mid % 3])
+                cols["w"].append(w)
+                cols["h"].append(h)
+                cols["spp"].append(spp)
+                cols["n_values"].append(len(px))
+                cols["px_sum"].append(sum(px))
+                cols["px_min"].append(min(px))
+                cols["px_max"].append(max(px))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(cols["cls"], pa.string()),
+                    pa.array(cols["w"], pa.int32()),
+                    pa.array(cols["h"], pa.int32()),
+                    pa.array(cols["spp"], pa.int32()),
+                    pa.array(cols["n_values"], pa.int32()),
+                    pa.array(cols["px_sum"], pa.int64()),
+                    pa.array(cols["px_min"], pa.int32()),
+                    pa.array(cols["px_max"], pa.int32()),
+                ],
+                ["media_id", "cls", "w", "h", "spp", "n_values",
+                 "px_sum", "px_min", "px_max"],
+            )
+
+    media = generate_media_jpeg(spark, _MEDIA_JPEG_N)
+    return (
+        media.select("media_id", "payload")
+        .mapInArrow(
+            _gen,
+            "media_id long, cls string, w int, h int, spp int, "
+            "n_values int, px_sum long, px_min int, px_max int",
+        )
+        .orderBy("media_id")
+    )
+
+
+# The color CTE mirrors multimodal._rgb_to_ycbcr/_ycbcr_to_rgb
+# term-for-term (same literals, same left-associative order, floor(x +
+# 0.5) + clamp both directions) so the doubles agree bit-for-bit.
+SQL_MULTIMODAL_DECODE_JPEG = f"""
+WITH ids AS (SELECT unnest(generate_series(0, {_MEDIA_JPEG_N - 1})) AS media_id),
+cls AS (
+  SELECT media_id, media_id % 3 AS m,
+         CASE media_id % 3 WHEN 0 THEN 9 + media_id % 8
+              WHEN 1 THEN 8 + media_id % 9 ELSE 17 + media_id % 8 END AS w,
+         CASE media_id % 3 WHEN 0 THEN 9 + media_id % 6
+              WHEN 1 THEN 8 + media_id % 5 ELSE 10 + media_id % 6 END AS h
+  FROM ids
+),
+dg AS (SELECT media_id, m, w, h, sha256('42:' || media_id) AS dh FROM cls),
+db_t AS (
+  SELECT media_id, m, w, h,
+         list_transform(generate_series(0, 31),
+           k -> CAST(concat('0x', substr(dh, 2 * k + 1, 2)) AS INT)) AS db
+  FROM dg
+),
+bx_t AS (
+  SELECT *, unnest(generate_series(0, (w + 7) // 8 - 1)) AS bx FROM db_t
+),
+blocks AS (
+  SELECT *, unnest(generate_series(0, (h + 7) // 8 - 1)) AS by_ FROM bx_t
+),
+cells AS (
+  SELECT media_id, m, w, h, db, bx, by_,
+         (least(8 * (bx + 1), w) - 8 * bx)
+           * (least(8 * (by_ + 1), h) - 8 * by_) AS cnt,
+         bx + 2 * by_ AS k
+  FROM blocks
+),
+fwd AS (
+  SELECT media_id, m, w, h, cnt,
+         db[((5 + k) % 32) + 1] AS gv,
+         CAST(db[(k % 32) + 1] AS DOUBLE) AS r0,
+         CAST(db[((k + 7) % 32) + 1] AS DOUBLE) AS g0,
+         CAST(db[((k + 13) % 32) + 1] AS DOUBLE) AS b0
+  FROM cells
+),
+ycc AS (
+  SELECT media_id, m, w, h, cnt, gv,
+         least(greatest(floor(0.299 * r0 + 0.587 * g0 + 0.114 * b0 + 0.5), 0), 255) AS y,
+         least(greatest(floor(-0.168736 * r0 - 0.331264 * g0 + 0.5 * b0 + 128.5), 0), 255) AS cb,
+         least(greatest(floor(0.5 * r0 - 0.418688 * g0 - 0.081312 * b0 + 128.5), 0), 255) AS cr
+  FROM fwd
+),
+inv AS (
+  SELECT media_id, m, w, h, cnt, gv,
+         least(greatest(floor(y + 1.402 * (cr - 128.0) + 0.5), 0), 255) AS r1,
+         least(greatest(floor(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0) + 0.5), 0), 255) AS g1,
+         least(greatest(floor(y + 1.772 * (cb - 128.0) + 0.5), 0), 255) AS b1
+  FROM ycc
+),
+per_block AS (
+  SELECT media_id, m, w, h, cnt,
+         CASE WHEN m = 1 THEN r1 + g1 + b1 ELSE gv END AS blk_sum,
+         CASE WHEN m = 1 THEN least(r1, g1, b1) ELSE gv END AS blk_min,
+         CASE WHEN m = 1 THEN greatest(r1, g1, b1) ELSE gv END AS blk_max
+  FROM inv
+)
+SELECT media_id,
+       CASE m WHEN 0 THEN 'gray_small' WHEN 1 THEN 'color' ELSE 'gray_wide' END AS cls,
+       CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+       CAST(CASE WHEN m = 1 THEN 3 ELSE 1 END AS INT) AS spp,
+       CAST(w * h * CASE WHEN m = 1 THEN 3 ELSE 1 END AS INT) AS n_values,
+       CAST(sum(cnt * blk_sum) AS BIGINT) AS px_sum,
+       CAST(min(blk_min) AS INT) AS px_min,
+       CAST(max(blk_max) AS INT) AS px_max
+FROM per_block
+GROUP BY media_id, m, w, h
+ORDER BY media_id
+"""
+
+
 _IVF_NPROBE = 8
 
 
@@ -1490,6 +1628,7 @@ QUERIES = {
     "multimodal_decode_png": q_multimodal_decode_png,
     "multimodal_decode_gif": q_multimodal_decode_gif,
     "multimodal_decode_tiff": q_multimodal_decode_tiff,
+    "multimodal_decode_jpeg": q_multimodal_decode_jpeg,
     "dedup_cluster": q_dedup_cluster,
     "lsh_neardup": q_lsh_neardup,
     "ivf_neardup": q_ivf_neardup,
@@ -1520,6 +1659,7 @@ ORACLES = {
     "multimodal_decode_png": SQL_MULTIMODAL_DECODE_PNG,
     "multimodal_decode_gif": SQL_MULTIMODAL_DECODE_GIF,
     "multimodal_decode_tiff": SQL_MULTIMODAL_DECODE_TIFF,
+    "multimodal_decode_jpeg": SQL_MULTIMODAL_DECODE_JPEG,
     "dedup_cluster": SQL_DEDUP_CLUSTER,
     "lsh_neardup": SQL_LSH_NEARDUP,
     "ivf_neardup": SQL_IVF_NEARDUP,
