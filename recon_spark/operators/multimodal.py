@@ -20,8 +20,9 @@ baseline TIFF (IFD walk in both byte orders, PackBits RLE, TIFF-LZW
 with early-change width sync, horizontal-differencing predictor),
 and baseline JPEG (marker framing, per-image optimized canonical
 Huffman entropy coding, zigzag/quantization, batched 8x8 DCT/IDCT,
-4:4:4 YCbCr — lossy in general, but bit-exact under the documented
-all-ones-qtable block-constant contract the oracle uses) — with
+4:4:4/4:2:2/4:2:0 YCbCr and DRI/RSTn restart intervals — lossy in
+general, but bit-exact under the documented all-ones-qtable
+block-constant contract the oracle uses) — with
 ``generate_media_real`` / ``generate_media_png`` /
 ``generate_media_gif`` / ``generate_media_tiff`` /
 ``generate_media_jpeg`` emitting genuine containers whose
@@ -1008,10 +1009,13 @@ def decode_tiff(payload: bytes) -> tuple[int, int, int, list[int]]:
 # tradition: it counts the scan's actual symbol frequencies and builds
 # length-limited (<=16 bit) canonical Huffman tables per image, so no
 # Annex K table constants are baked in; the tables travel in DHT and
-# the decoder reads ANY baseline table. Grayscale and 4:4:4 YCbCr
-# color decode for real; progressive (SOF2), chroma subsampling,
-# 12-bit precision, arithmetic coding, and restart intervals keep the
-# honest NotImplementedError gate.
+# the decoder reads ANY baseline table. Grayscale and YCbCr color
+# decode for real, including the layouts real crawl JPEGs actually
+# use: 4:2:0 / 4:2:2 chroma subsampling (box-average downsample,
+# sample-replication upsample) and DRI/RSTn restart intervals (byte
+# re-align + DC-predictor reset every N MCUs). Progressive (SOF2),
+# sampling factors above 2, 12-bit precision, and arithmetic coding
+# keep the honest NotImplementedError gate.
 #
 # Exactness contract (what lets the DuckDB oracle verify a LOSSY
 # format bit-exactly): with an all-ones quant table, an image whose
@@ -1022,10 +1026,13 @@ def decode_tiff(payload: bytes) -> tuple[int, int, int, list[int]]:
 # of 8 (edge-replication padding of a constant block is the same
 # constant; the decoder crops). Color adds the fixed-point YCbCr
 # round trip, defined here as floor(x + 0.5) + clamp in BOTH
-# directions so the oracle can replicate it relationally. The
-# AC/entropy machinery is locked by exact coefficient-level round-trip
-# property tests (entropy coding is lossless) plus bounded-error
-# full-pipeline tests in tests/test_jpeg_codec.py.
+# directions so the oracle can replicate it relationally; 4:2:0/4:2:2
+# extend it to MCU-grid-aligned constants (the box average of a
+# constant is the constant, replication inverts it). Restart framing
+# never changes pixels (property-tested). The AC/entropy machinery is
+# locked by exact coefficient-level round-trip property tests (entropy
+# coding is lossless) plus bounded-error full-pipeline tests in
+# tests/test_jpeg_codec.py.
 # --------------------------------------------------------------------------
 
 JPEG_SIG = b"\xff\xd8"
@@ -1083,6 +1090,15 @@ class _JpegBitWriter:
             self.write((1 << pad) - 1, pad)
         return bytes(self.out)
 
+    def emit_marker(self, marker: int) -> None:
+        """Byte-align with 1-bit padding (stuffed if the pad byte lands
+        on 0xFF), then write a bare marker — markers themselves are
+        never byte-stuffed (T.81 restart markers)."""
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, marker])
+
 
 class _JpegBitReader:
     """Inverse of _JpegBitWriter: un-stuffs 0xFF 0x00; any other
@@ -1110,6 +1126,16 @@ class _JpegBitReader:
         self.n -= width
         self.acc &= (1 << self.n) - 1
         return v
+
+    def expect_rst(self, idx: int) -> None:
+        """Discard the current byte's padding bits (the buffered
+        remainder is always < 8 bits, all padding at a restart
+        boundary) and consume the expected RSTn marker raw."""
+        self.acc = 0
+        self.n = 0
+        if self.data[self.pos:self.pos + 2] != bytes([0xFF, 0xD0 + idx]):
+            raise ValueError(f"expected JPEG restart marker RST{idx}")
+        self.pos += 2
 
 
 def _build_huffman(freq: dict[int, int]) -> tuple[list[int], list[int]]:
@@ -1346,14 +1372,37 @@ def _ycbcr_to_rgb(y, cb, cr):
     return [np.clip(p, 0.0, 255.0) for p in (r, g, b)]
 
 
+_JPEG_SUBSAMPLE = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+
+
+def _downsample_box(plane, fh: int, fv: int):
+    """Chroma box-average downsample with the contract rounding
+    floor(mean + 0.5); plane dims must already be multiples of
+    (fv, fh) (the caller pads to MCU multiples first). A constant
+    region aligned to the box grid stays the same constant, which is
+    what extends the bit-exactness contract to 4:2:0/4:2:2."""
+    import numpy as np
+
+    if fh == 1 and fv == 1:
+        return plane
+    h, w = plane.shape
+    return np.floor(plane.reshape(h // fv, fv, w // fh, fh).mean(axis=(1, 3)) + 0.5)
+
+
 def encode_jpeg(w: int, h: int, values: list[int], samples: int = 1,
                 qtable: list[int] | None = None,
-                qtable_chroma: list[int] | None = None) -> bytes:
+                qtable_chroma: list[int] | None = None,
+                subsample: str = "444", restart_interval: int = 0) -> bytes:
     """Baseline JFIF JPEG from a top-down row-major value list
     (grayscale w*h for samples=1, interleaved RGB w*h*3 for
-    samples=3, always 4:4:4). Quant tables are natural-order 64-lists
-    (default all-ones — the exactness-contract table); Huffman tables
-    are built per image from the scan's real symbol counts."""
+    samples=3). Quant tables are natural-order 64-lists (default
+    all-ones — the exactness-contract table); Huffman tables are built
+    per image from the scan's real symbol counts. subsample picks the
+    chroma layout ("444", "422", "420" — Y carries the 2x1/2x2
+    sampling factors, chroma is box-downsampled with floor(mean+0.5));
+    restart_interval > 0 emits DRI + RSTn markers every that many
+    MCUs with DC-predictor resets, the framing real crawl JPEGs use
+    for error resilience."""
     import numpy as np
 
     qt0 = np.asarray(qtable if qtable is not None else [1] * 64,
@@ -1362,24 +1411,72 @@ def encode_jpeg(w: int, h: int, values: list[int], samples: int = 1,
            if qtable_chroma is not None else qt0)
     vals = np.asarray(values, dtype=np.float64)
     if samples == 3:
-        planes = _rgb_to_ycbcr(vals.reshape(h, w, 3))
+        sh, sv = _JPEG_SUBSAMPLE[subsample]
+        y, cb, cr = _rgb_to_ycbcr(vals.reshape(h, w, 3))
+        mw, mh = 8 * sh, 8 * sv
+        mcus_x, mcus_y = -(-w // mw), -(-h // mh)
+
+        def pad(p):
+            return np.pad(p, ((0, mcus_y * mh - p.shape[0]),
+                              (0, mcus_x * mw - p.shape[1])), mode="edge")
+
+        planes = [pad(y), _downsample_box(pad(cb), sh, sv),
+                  _downsample_box(pad(cr), sh, sv)]
         qtabs, tclass = [qt0, qt1, qt1], [0, 1, 1]
+        sampling = [(sh, sv), (1, 1), (1, 1)]
     elif samples == 1:
-        planes, qtabs, tclass = [vals.reshape(h, w)], [qt0], [0]
+        mcus_x, mcus_y = -(-w // 8), -(-h // 8)
+        planes = [np.pad(vals.reshape(h, w),
+                         ((0, mcus_y * 8 - h), (0, mcus_x * 8 - w)),
+                         mode="edge")]
+        qtabs, tclass, sampling = [qt0], [0], [(1, 1)]
     else:
         raise NotImplementedError(f"JPEG with {samples} components not supported")
 
-    comp_blocks = [_plane_to_qblocks(p, q) for p, q in zip(planes, qtabs)]
-    n_classes = 2 if samples == 3 else 1
+    grids = []  # (zigzag qblock array, grid block-width, hi, vi)
+    for p, q, (hi, vi) in zip(planes, qtabs, sampling):
+        grids.append((_plane_to_qblocks(p, q), p.shape[1] // 8, hi, vi))
 
-    # pass 1: symbol frequencies per table class (interleave order is
-    # irrelevant for counting)
+    # scan order: MCU-major, each component contributing its hi*vi
+    # blocks row-major within the MCU (T.81 interleave)
+    mcus = []
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            units = []
+            for ci, (qb, gbw, hi, vi) in enumerate(grids):
+                for r in range(vi):
+                    for c in range(hi):
+                        units.append(
+                            (ci, qb[(my * vi + r) * gbw + (mx * hi + c)].tolist()))
+            mcus.append(units)
+
+    n_classes = 2 if samples == 3 else 1
+    ri = int(restart_interval or 0)
+
+    def _scan(dc_codes=None, ac_codes=None, freqs=None):
+        bw = None if freqs is not None else _JpegBitWriter()
+        preds = [0] * samples
+        rst = 0
+        for mi, units in enumerate(mcus):
+            if ri and mi and mi % ri == 0:
+                if bw is not None:
+                    bw.emit_marker(0xD0 + (rst % 8))
+                rst += 1
+                preds = [0] * samples
+            for ci, zz in units:
+                tid = tclass[ci]
+                if freqs is not None:
+                    preds[ci] = _emit_block(None, zz, preds[ci], {}, {},
+                                            freq_only=freqs[tid])
+                else:
+                    preds[ci] = _emit_block(bw, zz, preds[ci],
+                                            dc_codes[tid], ac_codes[tid])
+        return bw.flush() if bw is not None else None
+
+    # pass 1: symbol frequencies, SAME iteration (incl. restart resets)
+    # so the DC-diff categories match pass 2 exactly
     freqs = [({}, {}) for _ in range(n_classes)]
-    for ci, blocks in enumerate(comp_blocks):
-        pred = 0
-        fq = freqs[tclass[ci]]
-        for zz in blocks:
-            pred = _emit_block(None, zz.tolist(), pred, {}, {}, freq_only=fq)
+    _scan(freqs=freqs)
     tables = []  # (class 0=DC/1=AC, table id, bits, huffval)
     dc_codes, ac_codes = [], []
     for tid, (dcf, acf) in enumerate(freqs):
@@ -1388,17 +1485,7 @@ def encode_jpeg(w: int, h: int, values: list[int], samples: int = 1,
         tables += [(0, tid, db, dv), (1, tid, ab, av)]
         dc_codes.append(_huff_codes(db, dv))
         ac_codes.append(_huff_codes(ab, av))
-
-    # pass 2: entropy-coded scan, MCU-interleaved (4:4:4 -> one block
-    # per component per MCU)
-    bw = _JpegBitWriter()
-    preds = [0] * samples
-    for mcu in range(len(comp_blocks[0])):
-        for ci in range(samples):
-            tid = tclass[ci]
-            preds[ci] = _emit_block(bw, comp_blocks[ci][mcu].tolist(), preds[ci],
-                                    dc_codes[tid], ac_codes[tid])
-    scan = bw.flush()
+    scan = _scan(dc_codes, ac_codes)
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += _jpeg_seg(0xE0, b"JFIF\x00" + bytes([1, 1, 0]) +
@@ -1410,8 +1497,11 @@ def encode_jpeg(w: int, h: int, values: list[int], samples: int = 1,
         out += _jpeg_seg(0xDB, bytes([tid]) + bytes(int(v) for v in zzq))
     sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([samples])
     for ci in range(samples):
-        sof += bytes([ci + 1, 0x11, tclass[ci]])
+        hi, vi = sampling[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, tclass[ci]])
     out += _jpeg_seg(0xC0, sof)
+    if ri:
+        out += _jpeg_seg(0xDD, ri.to_bytes(2, "big"))
     for cls, tid, bits, huffval in tables:
         out += _jpeg_seg(0xC4, bytes([(cls << 4) | tid]) +
                          bytes(bits[1:17]) + bytes(huffval))
@@ -1424,16 +1514,19 @@ def encode_jpeg(w: int, h: int, values: list[int], samples: int = 1,
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
-
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, list[int]]:
-    """Real baseline JPEG decode: marker walk, DQT/DHT/SOF0 parse,
-    canonical Huffman entropy decode with byte un-stuffing, dequantize,
+    """Real baseline JPEG decode: marker walk, DQT/DHT/SOF0/DRI parse,
+    canonical Huffman entropy decode with byte un-stuffing and RSTn
+    restart handling (byte re-align + DC-predictor reset), dequantize,
     batched IDCT, pixel reconstruction floor(x + 128.5) clip [0, 255],
-    crop, and (for 3 components) the 4:4:4 YCbCr->RGB inverse defined
-    next to the forward transform above. Returns (w, h, n_components,
-    pixels) with pixels gray w*h or interleaved RGB w*h*3. Progressive,
-    subsampled, 12-bit, arithmetic-coded, and restart-interval JPEGs
-    raise NotImplementedError; malformed containers raise ValueError."""
+    chroma upsampling by sample replication for subsampled layouts
+    (4:2:0 / 4:2:2 — the exact inverse of the encoder's box average on
+    grid-aligned constant regions), crop, and (for 3 components) the
+    YCbCr->RGB inverse defined next to the forward transform above.
+    Returns (w, h, n_components, pixels) with pixels gray w*h or
+    interleaved RGB w*h*3. Progressive, sampling factors > 2, 12-bit,
+    arithmetic-coded, and multi-scan JPEGs raise NotImplementedError;
+    malformed containers raise ValueError."""
     import numpy as np
 
     if payload[:2] != b"\xff\xd8":
@@ -1442,8 +1535,9 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, list[int]]:
     qtabs: dict[int, "np.ndarray"] = {}
     dc_maps: dict[int, dict] = {}
     ac_maps: dict[int, dict] = {}
-    comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    comps: list[tuple[int, int, int, int]] = []  # (comp id, qtab id, hi, vi)
     w = h = 0
+    restart = 0
     while True:
         if pos + 4 > len(payload):
             raise ValueError("truncated JPEG (no SOS/EOI)")
@@ -1454,8 +1548,6 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, list[int]]:
             raise NotImplementedError("progressive JPEG not supported")
         if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"JPEG SOF{marker & 0x0F} not supported")
-        if marker == 0xDD:
-            raise NotImplementedError("JPEG restart intervals not supported")
         ln = int.from_bytes(payload[pos + 2:pos + 4], "big")
         seg = payload[pos + 4:pos + 2 + ln]
         if len(seg) != ln - 2:
@@ -1479,6 +1571,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, list[int]]:
                 huffval = list(seg[p + 17:p + 17 + nsym])
                 (ac_maps if tc else dc_maps)[th] = _huff_decode_map(bits, huffval)
                 p += 17 + nsym
+        elif marker == 0xDD:
+            restart = int.from_bytes(seg, "big")
         elif marker in (0xC0, 0xC1):
             if seg[0] != 8:
                 raise NotImplementedError("only 8-bit JPEG precision supported")
@@ -1489,10 +1583,11 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, list[int]]:
                 raise NotImplementedError(f"JPEG with {ncomp} components not supported")
             for ci in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * ci:9 + 3 * ci]
-                if hv != 0x11:
+                hi, vi = hv >> 4, hv & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
                     raise NotImplementedError(
-                        "chroma-subsampled JPEG not supported (4:4:4 only)")
-                comps.append((cid, tq))
+                        f"JPEG sampling factors {hi}x{vi} not supported")
+                comps.append((cid, tq, hi, vi))
         elif marker == 0xDA:
             break
         pos += 2 + ln
@@ -1501,40 +1596,69 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, list[int]]:
     ns = seg[0]
     if ns != len(comps):
         raise NotImplementedError("multi-scan JPEG not supported")
+    if len(comps) == 1:
+        # a single-component scan is non-interleaved: MCU = one data
+        # unit, the SOF sampling factors don't shape the scan (T.81)
+        comps = [(comps[0][0], comps[0][1], 1, 1)]
     scan_tabs = {}
     for ci in range(ns):
         cid, tsel = seg[1 + 2 * ci], seg[2 + 2 * ci]
         scan_tabs[cid] = (tsel >> 4, tsel & 0x0F)
+    max_h = max(c[2] for c in comps)
+    max_v = max(c[3] for c in comps)
+    mcus_x, mcus_y = -(-w // (8 * max_h)), -(-h // (8 * max_v))
+    grids: list[list] = [
+        [None] * (mcus_x * hi * mcus_y * vi) for _, _, hi, vi in comps
+    ]
     br = _JpegBitReader(payload, pos + 2 + ln)
-    bw_, bh_ = -(-w // 8), -(-h // 8)
-    blocks = [[] for _ in comps]
     preds = [0] * len(comps)
-    for _ in range(bw_ * bh_):
-        for ci, (cid, _tq) in enumerate(comps):
+    rst = 0
+    for mi in range(mcus_x * mcus_y):
+        if restart and mi and mi % restart == 0:
+            br.expect_rst(rst % 8)
+            rst += 1
+            preds = [0] * len(comps)
+        mx, my = mi % mcus_x, mi // mcus_x
+        for ci, (cid, _tq, hi, vi) in enumerate(comps):
             td, ta = scan_tabs[cid]
-            zz, preds[ci] = _read_block(br, preds[ci], dc_maps[td], ac_maps[ta])
-            blocks[ci].append(zz)
+            gbw = mcus_x * hi
+            for r in range(vi):
+                for c in range(hi):
+                    zz, preds[ci] = _read_block(br, preds[ci],
+                                                dc_maps[td], ac_maps[ta])
+                    grids[ci][(my * vi + r) * gbw + (mx * hi + c)] = zz
     planes = []
-    for ci, (cid, tq) in enumerate(comps):
-        planes.append(_qblocks_to_plane(
-            np.asarray(blocks[ci], dtype=np.float64), qtabs[tq], w, h))
+    for ci, (cid, tq, hi, vi) in enumerate(comps):
+        gbw, gbh = mcus_x * hi, mcus_y * vi
+        full = _qblocks_to_plane(
+            np.asarray(grids[ci], dtype=np.float64), qtabs[tq],
+            gbw * 8, gbh * 8)
+        cw, ch = -(-w * hi // max_h), -(-h * vi // max_v)
+        p = full[:ch, :cw]
+        if hi < max_h:
+            p = np.repeat(p, max_h // hi, axis=1)
+        if vi < max_v:
+            p = np.repeat(p, max_v // vi, axis=0)
+        planes.append(p[:h, :w])
     if len(comps) == 1:
         return w, h, 1, [int(v) for v in planes[0].reshape(-1)]
     r, g, b = _ycbcr_to_rgb(*planes)
     rgb = np.stack([r, g, b], axis=-1).reshape(-1)
     return w, h, 3, [int(v) for v in rgb]
 
-
 def generate_media_jpeg(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     """Media table of GENUINE baseline JPEGs under the exactness
-    contract (all-ones quant tables, per-8x8-block-constant pixels, so
-    decode inverts generation bit-exactly): media_id % 3 == 0 -> small
+    contract (all-ones quant tables, per-block-constant pixels, so
+    decode inverts generation bit-exactly): media_id % 4 == 0 -> small
     grayscale on non-multiple-of-8 dims (edge-padded partial blocks),
     1 -> 4:4:4 color (the defined YCbCr round trip applies), 2 ->
-    wider grayscale (longer DC-differential chains). Block (bx, by) of
-    image i takes digest value d[(5 + bx + 2*by) % 32] (gray) or the
-    (d[(bx + 2*by) % 32], d[(bx + 2*by + 7) % 32],
-    d[(bx + 2*by + 13) % 32]) RGB triple."""
+    wider grayscale (longer DC-differential chains), 3 -> 4:2:0 color
+    with restart_interval=2 (16x16-aligned constants survive the box
+    downsample + replication upsample exactly; RSTn markers + DC
+    resets exercised). Block (bx, by) of image i takes digest value
+    d[(5 + bx + 2*by) % 32] (gray) or the (d[(bx + 2*by) % 32],
+    d[(bx + 2*by + 7) % 32], d[(bx + 2*by + 13) % 32]) RGB triple,
+    with the block grid 8x8 for classes 0-2 and 16x16 for class 3."""
     import pyarrow as pa
 
     def _gen(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
@@ -1543,21 +1667,26 @@ def generate_media_jpeg(spark: SparkSession, n: int, seed: int = 42) -> DataFram
             payloads, metas = [], []
             for i in ids:
                 d = hashlib.sha256(f"{seed}:{i}".encode()).digest()
-                m = i % 3
+                m = i % 4
                 if m == 0:
                     w, h = 9 + i % 8, 9 + i % 6
                 elif m == 1:
                     w, h = 8 + i % 9, 8 + i % 5
-                else:
+                elif m == 2:
                     w, h = 17 + i % 8, 10 + i % 6
-                bw_, bh_ = -(-w // 8), -(-h // 8)
-                if m == 1:
+                else:
+                    w, h = 17 + i % 16, 11 + i % 10
+                if m in (1, 3):
+                    bsz = 16 if m == 3 else 8
                     vals = []
                     for y in range(h):
                         for x in range(w):
-                            k = (x // 8) + 2 * (y // 8)
+                            k = (x // bsz) + 2 * (y // bsz)
                             vals += [d[k % 32], d[(k + 7) % 32], d[(k + 13) % 32]]
-                    payloads.append(encode_jpeg(w, h, vals, samples=3))
+                    payloads.append(encode_jpeg(
+                        w, h, vals, samples=3,
+                        subsample="420" if m == 3 else "444",
+                        restart_interval=2 if m == 3 else 0))
                 else:
                     vals = [
                         d[(5 + (x // 8) + 2 * (y // 8)) % 32]

@@ -1164,19 +1164,22 @@ _MEDIA_JPEG_N = 300
 
 def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real baseline-JPEG decode over genuine containers (round 5):
-    marker walk, DHT canonical Huffman entropy decode, dequantize,
-    batched IDCT, 4:4:4 YCbCr inverse. The generator's exactness
-    contract (all-ones quant tables + per-8x8-block-constant pixels)
+    marker walk, DHT canonical Huffman entropy decode with RSTn
+    restart handling, dequantize, batched IDCT, chroma replication
+    upsample for 4:2:0, YCbCr inverse. The generator's exactness
+    contract (all-ones quant tables + per-block-constant pixels, 8x8
+    blocks for classes 0-2 and 16x16 MCU-aligned for the 4:2:0 class)
     makes the lossy format bit-exact here, so the oracle recomputes
     every pixel relationally — per block, weighted by the block's
     edge-clipped pixel count — and any framing/Huffman/zigzag/IDCT/
-    color-transform bug hash-fails. Map-only plan: generate -> decode
-    in one Arrow stage, no shuffle before the final presentation sort."""
+    restart/subsample/color-transform bug hash-fails. Map-only plan:
+    generate -> decode in one Arrow stage, no shuffle before the final
+    presentation sort."""
     import pyarrow as pa
 
     from recon_spark.operators.multimodal import decode_jpeg, generate_media_jpeg
 
-    _CLS = {0: "gray_small", 1: "color", 2: "gray_wide"}
+    _CLS = {0: "gray_small", 1: "color", 2: "gray_wide", 3: "color_420_rst"}
 
     def _gen(batches):
         for batch in batches:
@@ -1185,7 +1188,7 @@ def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     "px_sum", "px_min", "px_max")}
             for mid, p in zip(ids, batch.column("payload").to_pylist()):
                 w, h, spp, px = decode_jpeg(p)
-                cols["cls"].append(_CLS[mid % 3])
+                cols["cls"].append(_CLS[mid % 4])
                 cols["w"].append(w)
                 cols["h"].append(h)
                 cols["spp"].append(spp)
@@ -1227,30 +1230,33 @@ def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_MULTIMODAL_DECODE_JPEG = f"""
 WITH ids AS (SELECT unnest(generate_series(0, {_MEDIA_JPEG_N - 1})) AS media_id),
 cls AS (
-  SELECT media_id, media_id % 3 AS m,
-         CASE media_id % 3 WHEN 0 THEN 9 + media_id % 8
-              WHEN 1 THEN 8 + media_id % 9 ELSE 17 + media_id % 8 END AS w,
-         CASE media_id % 3 WHEN 0 THEN 9 + media_id % 6
-              WHEN 1 THEN 8 + media_id % 5 ELSE 10 + media_id % 6 END AS h
+  SELECT media_id, media_id % 4 AS m,
+         CASE media_id % 4 WHEN 0 THEN 9 + media_id % 8
+              WHEN 1 THEN 8 + media_id % 9
+              WHEN 2 THEN 17 + media_id % 8 ELSE 17 + media_id % 16 END AS w,
+         CASE media_id % 4 WHEN 0 THEN 9 + media_id % 6
+              WHEN 1 THEN 8 + media_id % 5
+              WHEN 2 THEN 10 + media_id % 6 ELSE 11 + media_id % 10 END AS h,
+         CASE WHEN media_id % 4 = 3 THEN 16 ELSE 8 END AS bsz
   FROM ids
 ),
-dg AS (SELECT media_id, m, w, h, sha256('42:' || media_id) AS dh FROM cls),
+dg AS (SELECT media_id, m, w, h, bsz, sha256('42:' || media_id) AS dh FROM cls),
 db_t AS (
-  SELECT media_id, m, w, h,
+  SELECT media_id, m, w, h, bsz,
          list_transform(generate_series(0, 31),
            k -> CAST(concat('0x', substr(dh, 2 * k + 1, 2)) AS INT)) AS db
   FROM dg
 ),
 bx_t AS (
-  SELECT *, unnest(generate_series(0, (w + 7) // 8 - 1)) AS bx FROM db_t
+  SELECT *, unnest(generate_series(0, (w + bsz - 1) // bsz - 1)) AS bx FROM db_t
 ),
 blocks AS (
-  SELECT *, unnest(generate_series(0, (h + 7) // 8 - 1)) AS by_ FROM bx_t
+  SELECT *, unnest(generate_series(0, (h + bsz - 1) // bsz - 1)) AS by_ FROM bx_t
 ),
 cells AS (
   SELECT media_id, m, w, h, db, bx, by_,
-         (least(8 * (bx + 1), w) - 8 * bx)
-           * (least(8 * (by_ + 1), h) - 8 * by_) AS cnt,
+         (least(bsz * (bx + 1), w) - bsz * bx)
+           * (least(bsz * (by_ + 1), h) - bsz * by_) AS cnt,
          bx + 2 * by_ AS k
   FROM blocks
 ),
@@ -1278,16 +1284,17 @@ inv AS (
 ),
 per_block AS (
   SELECT media_id, m, w, h, cnt,
-         CASE WHEN m = 1 THEN r1 + g1 + b1 ELSE gv END AS blk_sum,
-         CASE WHEN m = 1 THEN least(r1, g1, b1) ELSE gv END AS blk_min,
-         CASE WHEN m = 1 THEN greatest(r1, g1, b1) ELSE gv END AS blk_max
+         CASE WHEN m IN (1, 3) THEN r1 + g1 + b1 ELSE gv END AS blk_sum,
+         CASE WHEN m IN (1, 3) THEN least(r1, g1, b1) ELSE gv END AS blk_min,
+         CASE WHEN m IN (1, 3) THEN greatest(r1, g1, b1) ELSE gv END AS blk_max
   FROM inv
 )
 SELECT media_id,
-       CASE m WHEN 0 THEN 'gray_small' WHEN 1 THEN 'color' ELSE 'gray_wide' END AS cls,
+       CASE m WHEN 0 THEN 'gray_small' WHEN 1 THEN 'color'
+              WHEN 2 THEN 'gray_wide' ELSE 'color_420_rst' END AS cls,
        CAST(w AS INT) AS w, CAST(h AS INT) AS h,
-       CAST(CASE WHEN m = 1 THEN 3 ELSE 1 END AS INT) AS spp,
-       CAST(w * h * CASE WHEN m = 1 THEN 3 ELSE 1 END AS INT) AS n_values,
+       CAST(CASE WHEN m IN (1, 3) THEN 3 ELSE 1 END AS INT) AS spp,
+       CAST(w * h * CASE WHEN m IN (1, 3) THEN 3 ELSE 1 END AS INT) AS n_values,
        CAST(sum(cnt * blk_sum) AS BIGINT) AS px_sum,
        CAST(min(blk_min) AS INT) AS px_min,
        CAST(max(blk_max) AS INT) AS px_max

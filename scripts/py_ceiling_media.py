@@ -27,13 +27,32 @@ ITEMS_PER_PROC = int(os.environ.get("CEILING_ITEMS_PER_PROC", 150_000))
 
 
 def _make_payloads(kind: str) -> list[bytes]:
-    """The same containers generate_media_png/_gif emit, built once."""
-    from recon_spark.operators.multimodal import encode_gif, encode_png
+    """The same containers generate_media_png/_gif/_jpeg emit, built once."""
+    from recon_spark.operators.multimodal import encode_gif, encode_jpeg, encode_png
 
     out = []
     for i in range(500):
         d = hashlib.sha256(f"42:{i}".encode()).digest()
-        if kind == "png":
+        if kind == "jpeg":
+            m = i % 3
+            if m == 0:
+                w, h = 9 + i % 8, 9 + i % 6
+            elif m == 1:
+                w, h = 8 + i % 9, 8 + i % 5
+            else:
+                w, h = 17 + i % 8, 10 + i % 6
+            if m == 1:
+                vals = []
+                for y in range(h):
+                    for x in range(w):
+                        k = (x // 8) + 2 * (y // 8)
+                        vals += [d[k % 32], d[(k + 7) % 32], d[(k + 13) % 32]]
+                out.append(encode_jpeg(w, h, vals, samples=3))
+            else:
+                vals = [d[(5 + (x // 8) + 2 * (y // 8)) % 32]
+                        for y in range(h) for x in range(w)]
+                out.append(encode_jpeg(w, h, vals))
+        elif kind == "png":
             w, h = 2 + i % 6, 2 + i % 5
             filters = [(y + i) % 5 for y in range(h)]
             text = (b"tEXt", b"Software\x00recon_spark")
@@ -66,9 +85,9 @@ def _make_payloads(kind: str) -> list[bytes]:
 
 
 def _worker(kind: str, payloads: list[bytes], n: int, q: "mp.Queue") -> None:
-    from recon_spark.operators.multimodal import decode_gif, decode_png
+    from recon_spark.operators.multimodal import decode_gif, decode_jpeg, decode_png
 
-    fn = decode_png if kind == "png" else decode_gif
+    fn = {"png": decode_png, "gif": decode_gif, "jpeg": decode_jpeg}[kind]
     t0 = time.monotonic()
     total = 0
     for i in range(n):

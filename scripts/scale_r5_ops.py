@@ -261,6 +261,42 @@ def run_tiff_only(spark, tiff_n: int) -> dict:
     return out
 
 
+def run_jpeg_only(spark, jpeg_n: int) -> dict:
+    """Real baseline-JPEG decode (Huffman entropy decode + batched
+    IDCT + YCbCr inverse) in isolation, same staged-parquet protocol
+    as run_png_only. The staged mix is the generator's 1/3 gray
+    non-mult-of-8 / 1/3 4:4:4 color / 1/3 wide gray."""
+    import pyarrow as pa
+
+    from recon_spark.operators.multimodal import decode_jpeg
+
+    def _gen(batches):
+        for batch in batches:
+            ids = batch.column("media_id").to_pylist()
+            sums = []
+            for p in batch.column("payload").to_pylist():
+                sums.append(sum(decode_jpeg(p)[3]))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(sums, pa.int64())],
+                ["media_id", "px_sum"],
+            )
+
+    out: dict = {}
+    staged = os.environ["RECON_SCALE_JPEG_PARQUET"]
+    _size_splits(spark, staged)
+    _warm_python_workers(spark)
+    media = spark.read.parquet(staged)
+    _timed(out, f"jpeg_scan_only_x{jpeg_n}",
+           lambda: media.select(
+               "media_id", F.length("payload").alias("n")),
+           "pure-JVM scan+length baseline over the same staged parquet")
+    _timed(out, f"jpeg_decode_x{jpeg_n}",
+           lambda: media.select("media_id", "payload").mapInArrow(
+               _gen, "media_id long, px_sum long"),
+           f"{jpeg_n:,} pre-staged genuine JPEGs (gray/color/wide classes)")
+    return out
+
+
 def run_ops(spark) -> dict:
     from recon_spark.data.psl_snapshot import PSL_RULES, full_psl_rules
     from recon_spark.operators.webops import registered_domain
@@ -321,7 +357,7 @@ def run_ops(spark) -> dict:
 
 def run_one_level(cores: int, html_x: int | None = None,
                   png_n: int | None = None, gif_n: int | None = None,
-                  tiff_n: int | None = None) -> dict:
+                  tiff_n: int | None = None, jpeg_n: int | None = None) -> dict:
     from recon_spark.session import get_spark
 
     spark = get_spark(
@@ -337,6 +373,8 @@ def run_one_level(cores: int, html_x: int | None = None,
         out = run_gif_only(spark, gif_n)
     elif tiff_n:
         out = run_tiff_only(spark, tiff_n)
+    elif jpeg_n:
+        out = run_jpeg_only(spark, jpeg_n)
     elif html_x:
         out = run_html_only(spark, html_x)
     else:
@@ -352,13 +390,14 @@ def _staged_media_pair(op_kind: str, n: int) -> None:
     time the decode at both levels in fresh JVMs."""
     from recon_spark.operators.multimodal import (
         generate_media_gif,
+        generate_media_jpeg,
         generate_media_png,
         generate_media_tiff,
     )
     from recon_spark.session import get_spark
 
     gen = {"png": generate_media_png, "gif": generate_media_gif,
-           "tiff": generate_media_tiff}[op_kind]
+           "tiff": generate_media_tiff, "jpeg": generate_media_jpeg}[op_kind]
     env_key = f"RECON_SCALE_{op_kind.upper()}_PARQUET"
     staged_dir = tempfile.mkdtemp(prefix=f"recon_scale_{op_kind}_pq_")
     spark = get_spark(app_name=f"scale_r5_{op_kind}_stage", master="local[8]",
@@ -408,11 +447,15 @@ def main() -> None:
         int(sys.argv[sys.argv.index("--tiff-n") + 1])
         if "--tiff-n" in sys.argv else None
     )
+    jpeg_n = (
+        int(sys.argv[sys.argv.index("--jpeg-n") + 1])
+        if "--jpeg-n" in sys.argv else None
+    )
     if "--cores" in sys.argv:
         cores = int(sys.argv[sys.argv.index("--cores") + 1])
         print(json.dumps({"cores": cores,
                           "ops": run_one_level(cores, html_x, png_n, gif_n,
-                                               tiff_n)}))
+                                               tiff_n, jpeg_n)}))
         return
     if png_n:
         _staged_media_pair("png", png_n)
@@ -422,6 +465,9 @@ def main() -> None:
         return
     if tiff_n:
         _staged_media_pair("tiff", tiff_n)
+        return
+    if jpeg_n:
+        _staged_media_pair("jpeg", jpeg_n)
         return
     if html_x:
         env = dict(os.environ)

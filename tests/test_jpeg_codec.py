@@ -248,6 +248,91 @@ PINNED_GOLDEN_SHA256 = (
 
 
 # --------------------------------------------------------------------------
+# subsampling + restart intervals (the layouts real crawl JPEGs use)
+# --------------------------------------------------------------------------
+
+
+@given(st.integers(0, 2**32 - 1), st.integers(9, 40), st.integers(9, 40),
+       st.sampled_from([0, 1, 2, 3]))
+@settings(max_examples=25, deadline=None)
+def test_restart_intervals_do_not_change_pixels(seed, w, h, ri):
+    """RSTn framing is pure entropy-layer structure: byte re-align +
+    DC predictor reset. Decoded pixels must be bit-identical to the
+    unrestarted encoding of the same image."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=w * h).tolist()
+    base = decode_jpeg(encode_jpeg(w, h, img))
+    assert decode_jpeg(encode_jpeg(w, h, img, restart_interval=ri)) == base
+
+
+@given(st.integers(1, 36), st.integers(1, 36), st.integers(0, 2**32 - 1))
+@settings(max_examples=20, deadline=None)
+def test_420_macro_block_constant_roundtrip_exact(w, h, seed):
+    """16x16-aligned constants survive 4:2:0 exactly: the 2x2 chroma
+    box average of a constant is the constant, replication upsample
+    inverts it, and edge padding replicates it — so decode equals the
+    defined YCbCr round trip bit-for-bit, restarts included."""
+    import numpy as np
+
+    d = hashlib.sha256(str(seed).encode()).digest()
+    rgb = []
+    for y in range(h):
+        for x in range(w):
+            k = (x // 16) + 2 * (y // 16)
+            rgb += [d[k % 32], d[(k + 7) % 32], d[(k + 13) % 32]]
+    got = decode_jpeg(encode_jpeg(w, h, rgb, samples=3, subsample="420",
+                                  restart_interval=2))
+    yy, cb, cr = _rgb_to_ycbcr(np.asarray(rgb, float).reshape(h, w, 3))
+    r2, g2, b2 = _ycbcr_to_rgb(yy, cb, cr)
+    exp = [int(v) for v in np.stack([r2, g2, b2], -1).reshape(-1)]
+    assert got == (w, h, 3, exp)
+
+
+@given(st.integers(1, 36), st.integers(1, 20), st.integers(0, 2**32 - 1))
+@settings(max_examples=15, deadline=None)
+def test_422_aligned_constant_roundtrip_exact(w, h, seed):
+    import numpy as np
+
+    d = hashlib.sha256(str(seed).encode()).digest()
+    rgb = []
+    for y in range(h):
+        for x in range(w):
+            k = (x // 16) + 2 * (y // 8)
+            rgb += [d[k % 32], d[(k + 7) % 32], d[(k + 13) % 32]]
+    got = decode_jpeg(encode_jpeg(w, h, rgb, samples=3, subsample="422"))
+    yy, cb, cr = _rgb_to_ycbcr(np.asarray(rgb, float).reshape(h, w, 3))
+    r2, g2, b2 = _ycbcr_to_rgb(yy, cb, cr)
+    exp = [int(v) for v in np.stack([r2, g2, b2], -1).reshape(-1)]
+    assert got == (w, h, 3, exp)
+
+
+@given(st.integers(0, 2**32 - 1), st.integers(9, 30), st.integers(9, 30))
+@settings(max_examples=15, deadline=None)
+def test_gray_content_through_420_error_bounded(seed, w, h):
+    """r=g=b content has constant chroma (cb=cr=128 exactly under the
+    defined transform), so 4:2:0's chroma loss vanishes and the error
+    bound equals the grayscale pipeline's."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=w * h).tolist()
+    rgb = [c for v in img for c in (v, v, v)]
+    _, _, _, px = decode_jpeg(encode_jpeg(w, h, rgb, samples=3, subsample="420"))
+    assert max(abs(a - b) for a, b in zip(px, rgb)) <= 3
+
+
+def test_corrupt_restart_marker_raises():
+    img = [7] * (32 * 16)
+    p = encode_jpeg(32, 16, img, restart_interval=1)
+    rst_at = p.index(b"\xff\xd0")
+    bad = p[:rst_at] + b"\xff\xd5" + p[rst_at + 2:]  # wrong RST number
+    with pytest.raises(ValueError, match="restart marker"):
+        decode_jpeg(bad)
+
+
+# --------------------------------------------------------------------------
 # gates + malformed containers
 # --------------------------------------------------------------------------
 
@@ -258,15 +343,17 @@ def test_gates_and_corruption():
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pytest.raises(NotImplementedError, match="progressive"):
         decode_jpeg(prog)
-    # restart interval: splice a DRI segment before SOS
-    sos_at = good.index(b"\xff\xda")
-    dri = good[:sos_at] + _seg(0xDD, b"\x00\x04") + good[sos_at:]
-    with pytest.raises(NotImplementedError, match="restart"):
+    # a DRI announcing restarts the scan doesn't contain: the decoder
+    # must fail loudly at the missing RST marker, not misparse
+    twoblk = encode_jpeg(16, 8, [9] * 128)
+    sos_at = twoblk.index(b"\xff\xda")
+    dri = twoblk[:sos_at] + _seg(0xDD, b"\x00\x01") + twoblk[sos_at:]
+    with pytest.raises(ValueError, match="restart marker"):
         decode_jpeg(dri)
-    # chroma subsampling: 4:2:0 sampling byte in SOF
+    # sampling factors beyond 2 (4:1:1-class layouts) stay gated
     color = encode_jpeg(8, 8, [9, 8, 7] * 64, samples=3)
-    sub = color.replace(bytes([1, 0x11, 0]), bytes([1, 0x22, 0]), 1)
-    with pytest.raises(NotImplementedError, match="subsampled"):
+    sub = color.replace(bytes([1, 0x11, 0]), bytes([1, 0x33, 0]), 1)
+    with pytest.raises(NotImplementedError, match="sampling factors"):
         decode_jpeg(sub)
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"NOPE" + good)
@@ -290,15 +377,21 @@ def test_decode_image_dispatches_jpeg_for_real():
 def test_generate_media_jpeg_payloads_are_genuine(spark):
     from recon_spark.operators.multimodal import generate_media_jpeg
 
-    rows = generate_media_jpeg(spark, 9).collect()
-    assert len(rows) == 9
+    rows = generate_media_jpeg(spark, 12).collect()
+    assert len(rows) == 12
     for r in rows:
         p = bytes(r["payload"])
         assert p[:3] == b"\xff\xd8\xff" and p[-2:] == b"\xff\xd9"
         w, h, nc, px = decode_jpeg(p)
         assert (w, h) == (r["meta"]["width"], r["meta"]["height"])
-        assert nc == (3 if r["media_id"] % 3 == 1 else 1)
+        assert nc == (3 if r["media_id"] % 4 in (1, 3) else 1)
         assert len(px) == w * h * nc
+        if r["media_id"] % 4 == 3:  # the 4:2:0 class really carries DRI,
+            # and RST0 whenever the image spans more than one interval
+            assert b"\xff\xdd" in p
+            n_mcus = -(-w // 16) * -(-h // 16)
+            if n_mcus > 2:
+                assert b"\xff\xd0" in p
 
 
 def test_decode_jpeg_query_matches_oracle(spark, ddb):
