@@ -236,39 +236,25 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def encode_png(
-    w: int,
-    h: int,
-    values: list[int],
-    color_type: int = 2,
-    palette: list[tuple[int, int, int]] | None = None,
-    filters: list[int] | None = None,
-    idat_chunk: int = 48,
-    ancillary: tuple[tuple[bytes, bytes], ...] = (),
-) -> bytes:
-    """Spec-correct 8-bit PNG from a top-down row-major channel list
-    (len = w*h*channels; palette images take index values + a palette).
-    ``filters`` picks the per-row filter type (default cycles 0..4 so
-    every filter appears); the compressed stream is split into
-    ``idat_chunk``-byte IDAT chunks and ``ancillary`` (type, data)
-    chunks are interleaved before IDAT — both legal per spec and both
-    things a decoder must handle."""
-    ch = _PNG_CHANNELS[color_type]
-    if len(values) != w * h * ch:
-        raise ValueError(f"need {w * h * ch} values for {w}x{h} type-{color_type}")
-    if color_type == 3 and palette is None:
-        raise ValueError("palette images need a palette")
-    stride = w * ch
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_filter_rows(rows: list[bytes], ch: int, ftypes: list[int]) -> bytearray:
+    """Serialize scanlines with per-row filter types (prior row starts
+    at zeros — per spec this resets at the top of every Adam7 pass)."""
     raw = bytearray()
+    stride = len(rows[0]) if rows else 0
     prior = bytes(stride)
-    for y in range(h):
-        row = bytes(values[y * stride : (y + 1) * stride])
-        ft = (filters[y] if filters is not None else y) % 5
+    for row, ft in zip(rows, ftypes):
         raw.append(ft)
         if ft == 0:
             raw += row
         elif ft == 1:  # Sub
-            raw += bytes((row[i] - (row[i - ch] if i >= ch else 0)) & 0xFF for i in range(stride))
+            raw += bytes((row[i] - (row[i - ch] if i >= ch else 0)) & 0xFF
+                         for i in range(stride))
         elif ft == 2:  # Up
             raw += bytes((row[i] - prior[i]) & 0xFF for i in range(stride))
         elif ft == 3:  # Average
@@ -290,7 +276,60 @@ def encode_png(
                 for i in range(stride)
             )
         prior = row
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return raw
+
+
+def encode_png(
+    w: int,
+    h: int,
+    values: list[int],
+    color_type: int = 2,
+    palette: list[tuple[int, int, int]] | None = None,
+    filters: list[int] | None = None,
+    idat_chunk: int = 48,
+    ancillary: tuple[tuple[bytes, bytes], ...] = (),
+    interlace: bool = False,
+) -> bytes:
+    """Spec-correct 8-bit PNG from a top-down row-major channel list
+    (len = w*h*channels; palette images take index values + a palette).
+    ``filters`` picks the per-row filter type (default cycles 0..4 so
+    every filter appears); the compressed stream is split into
+    ``idat_chunk``-byte IDAT chunks and ``ancillary`` (type, data)
+    chunks are interleaved before IDAT — both legal per spec and both
+    things a decoder must handle. interlace=True emits Adam7: seven
+    independently-filtered reduced images (empty passes wholly absent,
+    prior row reset per pass)."""
+    ch = _PNG_CHANNELS[color_type]
+    if len(values) != w * h * ch:
+        raise ValueError(f"need {w * h * ch} values for {w}x{h} type-{color_type}")
+    if color_type == 3 and palette is None:
+        raise ValueError("palette images need a palette")
+    stride = w * ch
+
+    def ftype(y: int) -> int:
+        return (filters[y % len(filters)] if filters is not None else y) % 5
+
+    if not interlace:
+        rows = [bytes(values[y * stride:(y + 1) * stride]) for y in range(h)]
+        raw = _png_filter_rows(rows, ch, [ftype(y) for y in range(h)])
+    else:
+        raw = bytearray()
+        sl = 0  # global scanline counter across passes
+        for x0, y0, dx, dy in _ADAM7:
+            if x0 >= w or y0 >= h:
+                continue
+            prow = []
+            for y in range(y0, h, dy):
+                row = bytearray()
+                for x in range(x0, w, dx):
+                    base = (y * w + x) * ch
+                    row += bytes(values[base:base + ch])
+                prow.append(bytes(row))
+            raw += _png_filter_rows(prow, ch,
+                                    [ftype(sl + j) for j in range(len(prow))])
+            sl += len(prow)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0,
+                       1 if interlace else 0)
     out = bytearray(PNG_SIG)
     out += _png_chunk(b"IHDR", ihdr)
     for ctype, data in ancillary:
@@ -303,16 +342,17 @@ def encode_png(
     out += _png_chunk(b"IEND", b"")
     return bytes(out)
 
-
 def decode_png(payload: bytes) -> tuple[int, int, int, list[int]]:
     """Parse a PNG to (w, h, color_type, top-down channel values).
     REAL decode, stdlib only: chunk framing with CRC-32 verification,
     multi-IDAT concatenation, ancillary-chunk skip, zlib inflate, and
-    per-scanline reversal of all five filter types. Palette images
-    (type 3) come back de-palettized to RGB (len = w*h*3); RGBA/
-    gray+alpha keep their alpha channel. 8-bit non-interlaced only —
-    other depths and Adam7 raise NotImplementedError, truncated or
-    CRC-corrupt containers raise ValueError."""
+    per-scanline reversal of all five filter types, for both
+    non-interlaced and Adam7-interlaced layouts (seven independently
+    filtered reduced images scattered back onto the pixel grid).
+    Palette images (type 3) come back de-palettized to RGB (len =
+    w*h*3); RGBA/gray+alpha keep their alpha channel. 8-bit only —
+    other depths raise NotImplementedError, truncated or CRC-corrupt
+    containers raise ValueError."""
     if payload[:8] != PNG_SIG:
         raise ValueError("not a PNG payload")
     pos, ihdr, palette, idat = 8, None, None, bytearray()
@@ -343,8 +383,8 @@ def decode_png(payload: bytes) -> tuple[int, int, int, list[int]]:
         raise ValueError("nonstandard PNG compression/filter method")
     if depth != 8:
         raise NotImplementedError(f"only 8-bit PNG (depth={depth})")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
     if color_type not in _PNG_CHANNELS:
         raise ValueError(f"invalid PNG color type {color_type}")
     if color_type == 3 and palette is None:
@@ -352,30 +392,61 @@ def decode_png(payload: bytes) -> tuple[int, int, int, list[int]]:
     ch = _PNG_CHANNELS[color_type]
     stride = w * ch
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (1 + stride):
-        raise ValueError(f"PNG scanline data is {len(raw)}B, want {h * (1 + stride)}B")
+
+    def unfilter(off: int, n_rows: int, rstride: int) -> tuple[list[bytes], int]:
+        rows: list[bytes] = []
+        prior = bytes(rstride)
+        for _ in range(n_rows):
+            ft, line = raw[off], raw[off + 1 : off + 1 + rstride]
+            if ft > 4:
+                raise ValueError(f"invalid PNG filter type {ft}")
+            recon = bytearray(rstride)
+            for i in range(rstride):
+                x = line[i]
+                a = recon[i - ch] if i >= ch else 0
+                b = prior[i]
+                if ft == 1:
+                    x += a
+                elif ft == 2:
+                    x += b
+                elif ft == 3:
+                    x += (a + b) // 2
+                elif ft == 4:
+                    x += _paeth(a, b, prior[i - ch] if i >= ch else 0)
+                recon[i] = x & 0xFF
+            prior = bytes(recon)
+            rows.append(bytes(recon))
+            off += 1 + rstride
+        return rows, off
+
+    if interlace == 0:
+        if len(raw) != h * (1 + stride):
+            raise ValueError(
+                f"PNG scanline data is {len(raw)}B, want {h * (1 + stride)}B")
+        rows, _ = unfilter(0, h, stride)
+    else:  # Adam7: seven independently-filtered reduced images
+        passes = []
+        expected = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = len(range(x0, w, dx))
+            ph = len(range(y0, h, dy))
+            if pw and ph:
+                passes.append((x0, y0, dx, dy, pw, ph))
+                expected += ph * (1 + pw * ch)
+        if len(raw) != expected:
+            raise ValueError(
+                f"Adam7 scanline data is {len(raw)}B, want {expected}B")
+        grid = [bytearray(stride) for _ in range(h)]
+        off = 0
+        for x0, y0, dx, dy, pw, ph in passes:
+            prows, off = unfilter(off, ph, pw * ch)
+            for j, y in enumerate(range(y0, h, dy)):
+                row = prows[j]
+                for k, x in enumerate(range(x0, w, dx)):
+                    grid[y][x * ch:(x + 1) * ch] = row[k * ch:(k + 1) * ch]
+        rows = [bytes(r) for r in grid]
     out: list[int] = []
-    prior = bytes(stride)
-    for y in range(h):
-        base = y * (1 + stride)
-        ft, line = raw[base], raw[base + 1 : base + 1 + stride]
-        if ft > 4:
-            raise ValueError(f"invalid PNG filter type {ft}")
-        recon = bytearray(stride)
-        for i in range(stride):
-            x = line[i]
-            a = recon[i - ch] if i >= ch else 0
-            b = prior[i]
-            if ft == 1:
-                x += a
-            elif ft == 2:
-                x += b
-            elif ft == 3:
-                x += (a + b) // 2
-            elif ft == 4:
-                x += _paeth(a, b, prior[i - ch] if i >= ch else 0)
-            recon[i] = x & 0xFF
-        prior = bytes(recon)
+    for recon in rows:
         if color_type == 3:
             for idx in recon:
                 out += palette[idx]
@@ -521,6 +592,14 @@ def _gif_subblocks(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _gif_interlace_order(h: int) -> list[int]:
+    """GIF89a appendix E four-pass interlace: storage position i holds
+    display row order[i] (rows 0,8,.. then 4,12,.. then 2,6,.. then
+    odd rows)."""
+    return (list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2)))
+
+
 def encode_gif(
     w: int,
     h: int,
@@ -528,11 +607,14 @@ def encode_gif(
     palette: list[tuple[int, int, int]],
     clear_every: int | None = None,
     comment: bytes | None = None,
+    interlace: bool = False,
 ) -> bytes:
     """Spec-correct single-frame GIF89a from top-down row-major palette
     indices. The color table is padded to the next power of two (spec
     requirement); a Graphic Control Extension and an optional comment
-    extension are emitted so decoders must handle extension blocks."""
+    extension are emitted so decoders must handle extension blocks.
+    interlace=True stores rows in the four-pass appendix-E order and
+    sets the descriptor flag."""
     if len(indices) != w * h:
         raise ValueError(f"need {w * h} indices for {w}x{h}")
     size_bits = max(2, (max(len(palette), 2) - 1).bit_length())
@@ -543,7 +625,13 @@ def encode_gif(
     out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE: no transparency, 0 delay
     if comment is not None:
         out += b"\x21\xfe" + _gif_subblocks(comment)
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)  # no LCT, no interlace
+    iflag = 0x40 if interlace else 0
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, iflag)  # no LCT
+    if interlace:
+        indices = [
+            v for r in _gif_interlace_order(h)
+            for v in indices[r * w:(r + 1) * w]
+        ]
     min_code_size = size_bits
     out.append(min_code_size)
     out += _gif_subblocks(_lzw_encode(min_code_size, indices, clear_every))
@@ -553,10 +641,11 @@ def encode_gif(
 
 def decode_gif(payload: bytes) -> tuple[int, int, list[int]]:
     """Parse a single-frame GIF to (w, h, top-down RGB list). REAL
-    decode, stdlib only: struct framing, extension-block skip, and a
+    decode, stdlib only: struct framing, extension-block skip, a
     hand-implemented LZW decompressor (variable code width, CLEAR
-    resets, KwKwK case). Interlaced or animated GIFs raise
-    NotImplementedError; truncated/invalid containers raise ValueError."""
+    resets, KwKwK case), and four-pass interlace reordering. Animated
+    GIFs raise NotImplementedError; truncated/invalid containers raise
+    ValueError."""
     if payload[:6] not in GIF_SIGS:
         raise ValueError("not a GIF payload")
     w_s, h_s, packed, _, _ = struct.unpack_from("<HHBBB", payload, 6)
@@ -580,8 +669,7 @@ def decode_gif(payload: bytes) -> tuple[int, int, list[int]]:
             raise ValueError(f"invalid GIF block 0x{block:02x}")
         left, top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
         pos += 10
-        if ipacked & 0x40:
-            raise NotImplementedError("interlaced GIF not supported")
+        interlaced = bool(ipacked & 0x40)
         palette = gct
         if ipacked & 0x80:
             n = 2 << (ipacked & 0x07)
@@ -602,6 +690,11 @@ def decode_gif(payload: bytes) -> tuple[int, int, list[int]]:
         idx = _lzw_decode(min_code_size, bytes(data))
         if len(idx) != w * h:
             raise ValueError(f"GIF decoded {len(idx)} pixels, want {w * h}")
+        if interlaced:
+            rows = [None] * h
+            for i, r in enumerate(_gif_interlace_order(h)):
+                rows[r] = idx[i * w:(i + 1) * w]
+            idx = [v for row in rows for v in row]
         out: list[int] = []
         for i in idx:
             if i >= len(palette):
@@ -1731,7 +1824,10 @@ def generate_media_gif(spark: SparkSession, n: int, seed: int = 42) -> DataFrame
     decoder must skip. Palette/index derivation matches the PNG palette
     class — entry k is (d[k], d[(k+11)%32], d[(k+23)%32]), pixel idx
     selects index d[(idx+3)%32] % 16 over sha256(f"{seed}:{media_id}")
-    — so the oracle recomputes expected RGB relationally."""
+    — so the oracle recomputes expected RGB relationally. Every fifth
+    image is stored INTERLACED (four-pass row order): the decoded
+    pixels are identical, so the same oracle also locks the interlace
+    reordering."""
     import pyarrow as pa
 
     def _gen(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
@@ -1748,6 +1844,7 @@ def generate_media_gif(spark: SparkSession, n: int, seed: int = 42) -> DataFrame
                         w, h, idx, pal,
                         clear_every=100 if i % 4 == 0 else None,
                         comment=b"recon_spark synthetic",
+                        interlace=(i % 5 == 2),  # four-pass rows, same pixels
                     )
                 )
                 metas.append(("image/gif", w, h, None, None, "gif"))
@@ -1840,7 +1937,9 @@ def generate_media_png(spark: SparkSession, n: int, seed: int = 42) -> DataFrame
     generate_media_real: pixel idx has RGB (d[idx%32], d[(idx+7)%32],
     d[(idx+13)%32]), RGBA adds alpha d[(idx+19)%32]; palette entry k is
     (d[k], d[(k+11)%32], d[(k+23)%32]) and pixel idx selects index
-    d[(idx+3)%32] % 16 — all recomputable relationally by the oracle."""
+    d[(idx+3)%32] % 16 — all recomputable relationally by the oracle.
+    Every fifth image is stored ADAM7-INTERLACED: decoded pixels are
+    identical, so the same oracle also locks the seven-pass scatter."""
     import pyarrow as pa
 
     def _gen(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
@@ -1857,7 +1956,8 @@ def generate_media_png(spark: SparkSession, n: int, seed: int = 42) -> DataFrame
                     for idx in range(w * h):
                         vals += [d[idx % 32], d[(idx + 7) % 32], d[(idx + 13) % 32]]
                     payloads.append(
-                        encode_png(w, h, vals, color_type=2, filters=filters, ancillary=(text,))
+                        encode_png(w, h, vals, color_type=2, filters=filters,
+                                   ancillary=(text,), interlace=(i % 5 == 2))
                     )
                 elif i % 3 == 1:
                     vals = []
@@ -1869,7 +1969,8 @@ def generate_media_png(spark: SparkSession, n: int, seed: int = 42) -> DataFrame
                             d[(idx + 19) % 32],
                         ]
                     payloads.append(
-                        encode_png(w, h, vals, color_type=6, filters=filters, ancillary=(text,))
+                        encode_png(w, h, vals, color_type=6, filters=filters,
+                                   ancillary=(text,), interlace=(i % 5 == 2))
                     )
                 else:
                     pal = [(d[k], d[(k + 11) % 32], d[(k + 23) % 32]) for k in range(16)]
@@ -1877,7 +1978,7 @@ def generate_media_png(spark: SparkSession, n: int, seed: int = 42) -> DataFrame
                     payloads.append(
                         encode_png(
                             w, h, vals, color_type=3, palette=pal, filters=filters,
-                            ancillary=(text,),
+                            ancillary=(text,), interlace=(i % 5 == 2),
                         )
                     )
                 metas.append(("image/png", w, h, None, None, "png"))

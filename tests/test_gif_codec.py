@@ -147,13 +147,15 @@ def test_gif_roundtrip_property(w, h, npal, seed, ce):
     assert decode_image(g, {}) == want  # dispatch: REAL decode path
 
 
-def test_interlace_and_animation_gates():
+def test_interlace_flag_and_animation_gate():
     pal = [(0, 0, 0), (1, 1, 1)]
+    # hand-setting the interlace flag on a 2x2 stream is benign: the
+    # appendix-E permutation of rows [0, 1] is the identity, so the
+    # now-supported interlace path must decode it to the same pixels
     g = bytearray(encode_gif(2, 2, [0, 1, 1, 0], pal))
     desc_at = bytes(g).index(b"\x2c")
-    g[desc_at + 9] |= 0x40  # set the interlace flag in the descriptor
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        decode_gif(bytes(g))
+    g[desc_at + 9] |= 0x40
+    assert decode_gif(bytes(g)) == decode_gif(encode_gif(2, 2, [0, 1, 1, 0], pal))
     # two image blocks = animation: splice a second descriptor before trailer
     one = encode_gif(1, 1, [0], pal)
     frame = one[one.index(b"\x2c") : -1]  # descriptor through block terminator
@@ -198,3 +200,63 @@ def test_decode_gif_query_matches_oracle(spark, ddb):
     from tests.conftest import SF_ORACLE, compare_query
 
     compare_query(spark, ddb, q_multimodal_decode_gif, SQL_MULTIMODAL_DECODE_GIF, SF_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# four-pass interlace (round 5)
+# --------------------------------------------------------------------------
+
+
+def test_gif_interlace_order_is_appendix_e():
+    from recon_spark.operators.multimodal import _gif_interlace_order
+
+    assert _gif_interlace_order(8) == [0, 4, 2, 6, 1, 3, 5, 7]
+    assert _gif_interlace_order(10) == [0, 8, 4, 2, 6, 1, 3, 5, 7, 9]
+    assert _gif_interlace_order(1) == [0]
+    for h in range(1, 40):
+        assert sorted(_gif_interlace_order(h)) == list(range(h))
+
+
+def _descriptor_at(p: bytes) -> int:
+    """Walk the container structurally to the image descriptor (a raw
+    index(b'\\x2c') can false-match palette or LZW bytes)."""
+    import struct as _s
+
+    packed = _s.unpack_from("<HHBBB", p, 6)[2]
+    pos = 13 + (3 * (2 << (packed & 7)) if packed & 0x80 else 0)
+    while p[pos] == 0x21:  # extensions: label + sub-blocks
+        pos += 2
+        while p[pos]:
+            pos += 1 + p[pos]
+        pos += 1
+    assert p[pos] == 0x2C
+    return pos
+
+
+@given(st.integers(1, 24), st.integers(1, 24), st.integers(0, 2**32 - 1))
+@settings(max_examples=40, deadline=None)
+def test_interlaced_gif_decodes_to_same_pixels(w, h, seed):
+    import hashlib as _h
+
+    d = _h.sha256(str(seed).encode()).digest()
+    pal = [(d[k], d[(k + 11) % 32], d[(k + 23) % 32]) for k in range(16)]
+    idx = [d[(j + 3) % 32] % 16 for j in range(w * h)]
+    plain = decode_gif(encode_gif(w, h, idx, pal))
+    inter = decode_gif(encode_gif(w, h, idx, pal, interlace=True))
+    assert inter == plain
+    # descriptor flag is really set
+    p = encode_gif(w, h, idx, pal, interlace=True)
+    assert p[_descriptor_at(p) + 9] & 0x40
+
+
+def test_generated_interlaced_gifs_flag_and_match(spark):
+    from recon_spark.operators.multimodal import generate_media_gif
+
+    rows = generate_media_gif(spark, 15).collect()
+    flagged = [r for r in rows if r["media_id"] % 5 == 2]
+    assert flagged
+    for r in flagged:
+        p = bytes(r["payload"])
+        assert p[_descriptor_at(p) + 9] & 0x40
+        w, h, px = decode_gif(p)
+        assert (w, h) == (r["meta"]["width"], r["meta"]["height"])

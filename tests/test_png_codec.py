@@ -192,19 +192,28 @@ def test_bad_filter_byte_and_wrong_scanline_length_raise():
         decode_png(short)
 
 
-def test_honest_gates_16bit_and_interlace():
+def test_honest_gate_16bit_and_hand_built_adam7():
     ihdr16 = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
     p16 = PNG_SIG + _png_chunk(b"IHDR", ihdr16) + _png_chunk(
         b"IDAT", zlib.compress(bytes(7))
     ) + _png_chunk(b"IEND", b"")
     with pytest.raises(NotImplementedError, match="8-bit"):
         decode_png(p16)
+    # a 1x1 Adam7 image has exactly one non-empty pass (pass 1) of one
+    # scanline: filter byte + 3 channel bytes. The hand-built container
+    # must now DECODE (the r5 interlace support), not gate.
     ihdr_a7 = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1)
     pa7 = PNG_SIG + _png_chunk(b"IHDR", ihdr_a7) + _png_chunk(
         b"IDAT", zlib.compress(bytes(4))
     ) + _png_chunk(b"IEND", b"")
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        decode_png(pa7)
+    assert decode_png(pa7) == (1, 1, 2, [0, 0, 0])
+    # an undefined interlace method still fails loudly
+    ihdr_bad = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 2)
+    pbad = PNG_SIG + _png_chunk(b"IHDR", ihdr_bad) + _png_chunk(
+        b"IDAT", zlib.compress(bytes(4))
+    ) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="interlace method"):
+        decode_png(pbad)
 
 
 def test_palette_png_without_plte_raises():
@@ -243,3 +252,83 @@ def test_decode_png_query_matches_oracle(spark, ddb):
     from tests.conftest import SF_ORACLE, compare_query
 
     compare_query(spark, ddb, q_multimodal_decode_png, SQL_MULTIMODAL_DECODE_PNG, SF_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Adam7 interlace (round 5)
+# --------------------------------------------------------------------------
+
+
+@given(
+    st.integers(1, 16),
+    st.integers(1, 16),
+    st.sampled_from([0, 2, 3, 6]),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_adam7_decodes_to_same_pixels_as_plain(w, h, ct, seed):
+    """Interlacing is pure layout: the seven-pass scatter must decode
+    to bit-identical pixels, for every color type and dim shape
+    (including dims smaller than a pass's origin, where passes are
+    wholly absent per spec)."""
+    import hashlib as _h
+    import random as _r
+
+    rng = _r.Random(seed)
+    ch = {0: 1, 2: 3, 3: 1, 6: 4}[ct]
+    vals = [rng.randrange(16 if ct == 3 else 256) for _ in range(w * h * ch)]
+    pal = ([(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+            for _ in range(16)] if ct == 3 else None)
+    filters = [rng.randrange(5) for _ in range(h)]
+    plain = decode_png(encode_png(w, h, vals, color_type=ct, palette=pal,
+                                  filters=filters))
+    inter = decode_png(encode_png(w, h, vals, color_type=ct, palette=pal,
+                                  filters=filters, interlace=True))
+    assert inter == plain
+    # the IHDR interlace byte is really set
+    p = encode_png(w, h, vals, color_type=ct, palette=pal, interlace=True)
+    assert p[8 + 8 + 12] == 1  # sig + len/type of IHDR + 12th payload byte
+
+
+def test_adam7_pass_structure_is_the_spec_grid():
+    """4x4 truecolor: passes 1,2,4,6 contribute 1 scanline each of
+    widths 1,0(absent),1,2 and passes 3,5,7 rows — hand-check the byte
+    budget: total = sum over non-empty passes of ph*(1+pw*ch)."""
+    import zlib as _z
+
+    w = h = 4
+    vals = list(range(w * h * 3 * 2))[: w * h * 3]
+    vals = [v % 256 for v in vals]
+    p = encode_png(w, h, vals, color_type=2, interlace=True)
+    # pull the raw scanline stream back out of IDAT
+    pos, idat = 8, bytearray()
+    while pos < len(p):
+        (ln,) = __import__("struct").unpack_from(">I", p, pos)
+        ctype = p[pos + 4:pos + 8]
+        if ctype == b"IDAT":
+            idat += p[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+    raw = _z.decompress(bytes(idat))
+    # non-empty passes for 4x4: (0,0,8,8)->1x1, (0,4,..) empty, etc.
+    expected = 0
+    for x0, y0, dx, dy in ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                           (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                           (0, 1, 1, 2)):
+        pw = len(range(x0, w, dx))
+        ph = len(range(y0, h, dy))
+        if pw and ph:
+            expected += ph * (1 + pw * 3)
+    assert len(raw) == expected
+
+
+def test_generated_interlaced_pngs_flag_and_match(spark):
+    from recon_spark.operators.multimodal import generate_media_png
+
+    rows = generate_media_png(spark, 15).collect()
+    flagged = [r for r in rows if r["media_id"] % 5 == 2]
+    assert flagged
+    for r in flagged:
+        p = bytes(r["payload"])
+        assert p[8 + 8 + 12] == 1  # Adam7 flag set in IHDR
+        w, h, ct, px = decode_png(p)
+        assert (w, h) == (r["meta"]["width"], r["meta"]["height"])
