@@ -104,6 +104,7 @@ EXTENDED = [
     "multimodal_decode_gif",
     "multimodal_decode_tiff",
     "multimodal_decode_jpeg",
+    "warc_media_decode",
 ]
 
 

@@ -1304,6 +1304,209 @@ ORDER BY media_id
 """
 
 
+_MEDIA_EPOCH = 1_767_225_600  # 2026-01-01T00:00:00Z (shared with pipeline staging)
+_WARC_MEDIA_N = 200
+_WARC_MEDIA_STAGING: dict[str, str] = {}
+
+
+def _stage_warc_media(spark: SparkSession) -> str:
+    """Stage once per session: a .warc.gz shard holding a REAL mixed
+    crawl — text/html page records interleaved record-for-record with
+    genuine image payloads (BMP / PNG incl. Adam7 / GIF incl.
+    interlace / baseline JPEG), each record carrying its own
+    Content-Type through the extended sink. Session-cached and removed
+    at exit (same contract as the other WARC stagings)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+
+    from recon_spark.warc import write_warc_files
+
+    key = "media"
+    if key not in _WARC_MEDIA_STAGING:
+        out_dir = tempfile.mkdtemp(prefix="recon_warc_media_")
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+
+        def _gen(batches):
+            import hashlib
+
+            from recon_spark.operators.multimodal import (
+                encode_bmp,
+                encode_gif,
+                encode_jpeg,
+                encode_png,
+            )
+
+            for batch in batches:
+                ids = batch.column("id").to_pylist()
+                urls, tss, payloads, ctypes = [], [], [], []
+                for i in ids:
+                    d = hashlib.sha256(f"42:{i}".encode()).digest()
+                    m = i % 4
+                    if m in (0, 1):
+                        w, h = 2 + i % 6, 2 + i % 5
+                        vals = []
+                        for idx in range(w * h):
+                            vals += [d[idx % 32], d[(idx + 7) % 32],
+                                     d[(idx + 13) % 32]]
+                        if m == 0:
+                            p, ct = encode_bmp(w, h, vals), "image/bmp"
+                        else:
+                            p = encode_png(w, h, vals, color_type=2,
+                                           interlace=(i % 2 == 1))
+                            ct = "image/png"
+                    elif m == 2:
+                        w, h = 8 + i % 16, 8 + i % 12
+                        pal = [(d[k], d[(k + 11) % 32], d[(k + 23) % 32])
+                               for k in range(16)]
+                        idxs = [d[(j + 3) % 32] % 16 for j in range(w * h)]
+                        p = encode_gif(w, h, idxs, pal, interlace=(i % 2 == 1))
+                        ct = "image/gif"
+                    else:
+                        w, h = 9 + i % 8, 9 + i % 6
+                        vals = [d[(5 + (x // 8) + 2 * (y // 8)) % 32]
+                                for y in range(h) for x in range(w)]
+                        p, ct = encode_jpeg(w, h, vals), "image/jpeg"
+                    urls.append(f"https://img.ex/m/{i}")
+                    tss.append(_MEDIA_EPOCH + i)
+                    payloads.append(p)
+                    ctypes.append(ct)
+                    # a page record rides along so the query has to
+                    # PRUNE by Content-Type, like a real crawl shard
+                    urls.append(f"https://img.ex/page/{i}")
+                    tss.append(_MEDIA_EPOCH + i)
+                    payloads.append(
+                        f"<html><body><p>page {i}</p></body></html>".encode())
+                    ctypes.append("text/html")
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(urls, pa.string()),
+                        pa.array(tss, pa.int64()),
+                        pa.array(payloads, pa.binary()),
+                        pa.array(ctypes, pa.string()),
+                    ],
+                    ["url", "warc_ts_s", "html", "content_type"],
+                )
+
+        docs = spark.range(_WARC_MEDIA_N).mapInArrow(
+            _gen,
+            "url string, warc_ts_s long, html binary, content_type string",
+        ).repartition(8, "url")
+        write_warc_files(docs, out_dir, ctype_col="content_type").count()
+        _WARC_MEDIA_STAGING[key] = out_dir
+    return _WARC_MEDIA_STAGING[key]
+
+
+def q_warc_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw crawl bytes -> decoded media (round 5): read_warc over a
+    mixed shard (html pages interleaved with four genuine image
+    formats), prune to image/* on the record Content-Type — the html
+    payloads never reach a decoder — then dispatch decode_image on the
+    container signature (BMP struct / PNG zlib+Adam7 / GIF LZW incl.
+    interlace / JPEG Huffman+IDCT) and emit per-image stats the oracle
+    recomputes relationally. One map-only chain from .warc.gz bytes to
+    decoded pixels: binaryFile one-task-per-file scan -> bounded Arrow
+    record parse -> filter -> decode, no shuffle before the
+    presentation sort."""
+    import pyarrow as pa
+
+    from recon_spark.operators.multimodal import decode_image
+    from recon_spark.warc import read_warc
+
+    out_dir = _stage_warc_media(spark)
+    recs = read_warc(spark, out_dir).where(
+        F.col("content_type").startswith("image/")
+    )
+
+    def _gen(batches):
+        fmts = {b"BM": "bmp", b"\x89P": "png", b"GI": "gif", b"\xff\xd8": "jpeg"}
+        for batch in batches:
+            urls = batch.column("url").to_pylist()
+            cols = {k: [] for k in ("fmt", "n_values", "px_sum", "px_min", "px_max")}
+            for p in batch.column("html").to_pylist():
+                p = bytes(p)
+                px = decode_image(p, {}, fake=False)
+                cols["fmt"].append(fmts[p[:2]])
+                cols["n_values"].append(len(px))
+                cols["px_sum"].append(sum(px))
+                cols["px_min"].append(min(px))
+                cols["px_max"].append(max(px))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(urls, pa.string()),
+                    pa.array(cols["fmt"], pa.string()),
+                    pa.array(cols["n_values"], pa.int32()),
+                    pa.array(cols["px_sum"], pa.int64()),
+                    pa.array(cols["px_min"], pa.int32()),
+                    pa.array(cols["px_max"], pa.int32()),
+                ],
+                ["url", "fmt", "n_values", "px_sum", "px_min", "px_max"],
+            )
+
+    return (
+        recs.select("url", "html")
+        .mapInArrow(
+            _gen,
+            "url string, fmt string, n_values int, px_sum long, "
+            "px_min int, px_max int",
+        )
+        .withColumn(
+            "media_id",
+            F.regexp_extract("url", r"/m/([0-9]+)$", 1).cast("long"),
+        )
+        .select("media_id", "url", "fmt", "n_values", "px_sum", "px_min", "px_max")
+        .orderBy("media_id")
+    )
+
+
+SQL_WARC_MEDIA_DECODE = f"""
+WITH ids AS (SELECT unnest(generate_series(0, {_WARC_MEDIA_N - 1})) AS media_id),
+cls AS (
+  SELECT media_id, media_id % 4 AS m,
+         CASE media_id % 4 WHEN 2 THEN 8 + media_id % 16
+              WHEN 3 THEN 9 + media_id % 8 ELSE 2 + media_id % 6 END AS w,
+         CASE media_id % 4 WHEN 2 THEN 8 + media_id % 12
+              WHEN 3 THEN 9 + media_id % 6 ELSE 2 + media_id % 5 END AS h
+  FROM ids
+),
+dg AS (SELECT media_id, m, w, h, sha256('42:' || media_id) AS dh FROM cls),
+db_t AS (
+  SELECT media_id, m, w, h,
+         list_transform(generate_series(0, 31),
+           k -> CAST(concat('0x', substr(dh, 2 * k + 1, 2)) AS INT)) AS db
+  FROM dg
+),
+px AS (
+  SELECT media_id, m, w, h,
+         CASE
+           WHEN m IN (0, 1) THEN
+             flatten(list_transform(generate_series(0, w * h - 1),
+               i -> [db[i % 32 + 1], db[(i + 7) % 32 + 1], db[(i + 13) % 32 + 1]]))
+           WHEN m = 2 THEN
+             flatten(list_transform(generate_series(0, w * h - 1),
+               i -> [db[(db[(i + 3) % 32 + 1] % 16) + 1],
+                     db[((db[(i + 3) % 32 + 1] % 16) + 11) % 32 + 1],
+                     db[((db[(i + 3) % 32 + 1] % 16) + 23) % 32 + 1]]))
+           ELSE
+             list_transform(generate_series(0, w * h - 1),
+               i -> db[((5 + (i % w) // 8 + 2 * ((i // w) // 8)) % 32) + 1])
+         END AS p
+  FROM db_t
+)
+SELECT media_id,
+       concat('https://img.ex/m/', media_id) AS url,
+       CASE m WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+              WHEN 2 THEN 'gif' ELSE 'jpeg' END AS fmt,
+       CAST(len(p) AS INT) AS n_values,
+       CAST(list_aggregate(p, 'sum') AS BIGINT) AS px_sum,
+       CAST(list_aggregate(p, 'min') AS INT) AS px_min,
+       CAST(list_aggregate(p, 'max') AS INT) AS px_max
+FROM px ORDER BY media_id
+"""
+
+
 _IVF_NPROBE = 8
 
 
@@ -1636,6 +1839,7 @@ QUERIES = {
     "multimodal_decode_gif": q_multimodal_decode_gif,
     "multimodal_decode_tiff": q_multimodal_decode_tiff,
     "multimodal_decode_jpeg": q_multimodal_decode_jpeg,
+    "warc_media_decode": q_warc_media_decode,
     "dedup_cluster": q_dedup_cluster,
     "lsh_neardup": q_lsh_neardup,
     "ivf_neardup": q_ivf_neardup,
@@ -1667,6 +1871,7 @@ ORACLES = {
     "multimodal_decode_gif": SQL_MULTIMODAL_DECODE_GIF,
     "multimodal_decode_tiff": SQL_MULTIMODAL_DECODE_TIFF,
     "multimodal_decode_jpeg": SQL_MULTIMODAL_DECODE_JPEG,
+    "warc_media_decode": SQL_WARC_MEDIA_DECODE,
     "dedup_cluster": SQL_DEDUP_CLUSTER,
     "lsh_neardup": SQL_LSH_NEARDUP,
     "ivf_neardup": SQL_IVF_NEARDUP,

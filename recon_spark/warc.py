@@ -79,10 +79,13 @@ def _parse_warc_date(s: str) -> int:
 def serialize_warc_records(
     records, file_id: str
 ) -> Iterator[bytes]:
-    """Stream (url, epoch_s, html) records as WARC/1.0 framed bytes —
-    one chunk per record, warcinfo first. Generator so the sink can
-    write record-at-a-time with O(1 record) memory; deterministic:
-    record ids derive from the file id + position, no clock or uuid."""
+    """Stream (url, epoch_s, payload[, content_type]) records as
+    WARC/1.0 framed bytes — one chunk per record, warcinfo first.
+    content_type defaults to text/html; real crawls mix types (pages,
+    images, robots.txt), so the sink can carry any. Generator so the
+    sink can write record-at-a-time with O(1 record) memory;
+    deterministic: record ids derive from the file id + position, no
+    clock or uuid."""
     info_payload = b"software: recon_spark\r\nformat: WARC File Format 1.0\r\n"
     yield _format_record(
         [
@@ -93,14 +96,16 @@ def serialize_warc_records(
         ],
         info_payload,
     )
-    for i, (url, ts_s, html) in enumerate(records):
+    for i, rec in enumerate(records):
+        url, ts_s, html = rec[0], rec[1], rec[2]
+        ctype = rec[3] if len(rec) > 3 and rec[3] is not None else "text/html"
         yield _format_record(
             [
                 ("WARC-Type", "resource"),
                 ("WARC-Record-ID", f"<urn:recon:{file_id}:{i}>"),
                 ("WARC-Date", _warc_date(ts_s)),
                 ("WARC-Target-URI", url),
-                ("Content-Type", "text/html"),
+                ("Content-Type", ctype),
             ],
             html,
         )
@@ -341,6 +346,7 @@ def write_warc_files(
     ts_col: str = "warc_ts_s",
     html_col: str = "html",
     compress: bool = True,
+    ctype_col: str | None = None,
 ) -> DataFrame:
     """Distributed WARC sink: each partition becomes one
     ``part-<pid>.warc[.gz]`` written executor-side; returns the manifest
@@ -365,11 +371,13 @@ def write_warc_files(
                 u_arr = batch.column(url_col)
                 t_arr = batch.column(ts_col)
                 h_arr = batch.column(html_col)
+                c_arr = batch.column(ctype_col) if ctype_col else None
                 for i in range(batch.num_rows):
                     yield (
                         u_arr[i].as_py(),
                         int(t_arr[i].as_py()),
                         bytes(h_arr[i].as_py()),
+                        c_arr[i].as_py() if c_arr is not None else None,
                     )
 
         ext = "warc.gz" if compress else "warc"
@@ -417,6 +425,7 @@ def write_warc_files(
             ["path", "n_records", "n_bytes"],
         )
 
-    return df.select(url_col, ts_col, html_col).mapInArrow(
+    cols = [url_col, ts_col, html_col] + ([ctype_col] if ctype_col else [])
+    return df.select(*cols).mapInArrow(
         _gen, "path string, n_records long, n_bytes long"
     )

@@ -248,3 +248,42 @@ def test_sink_streams_and_publishes_atomically(spark, tmp_path):
         assert m["n_bytes"] == os.path.getsize(m["path"])
         got = [r for r in parse_warc(open(m["path"], "rb").read()) if r[0] == "resource"]
         assert len(got) == m["n_records"]
+
+
+def test_sink_carries_per_record_content_types(spark, tmp_path):
+    """Round 5: the sink's ctype_col writes each record's own
+    Content-Type and the reader surfaces it — the mixed-type shape a
+    real crawl shard has (pages + images + robots.txt)."""
+    from recon_spark.warc import read_warc, write_warc_files
+
+    df = spark.createDataFrame(
+        [
+            ("https://ex.org/a", 1_700_000_000, b"<html>a</html>", "text/html"),
+            ("https://ex.org/b.png", 1_700_000_001, b"\x89PNGfake", "image/png"),
+            ("https://ex.org/robots.txt", 1_700_000_002, b"User-agent: *",
+             "text/plain"),
+        ],
+        "url string, warc_ts_s long, html binary, content_type string",
+    ).repartition(1)
+    out = str(tmp_path / "mixed")
+    write_warc_files(df, out, ctype_col="content_type").count()
+    got = {
+        r["url"]: (r["content_type"], bytes(r["html"]))
+        for r in read_warc(spark, out).collect()
+    }
+    assert got["https://ex.org/a"] == ("text/html", b"<html>a</html>")
+    assert got["https://ex.org/b.png"] == ("image/png", b"\x89PNGfake")
+    assert got["https://ex.org/robots.txt"] == ("text/plain", b"User-agent: *")
+    # default stays text/html when no ctype_col is given (r4 byte contract)
+    out2 = str(tmp_path / "plain")
+    write_warc_files(df.drop("content_type"), out2).count()
+    assert {r["content_type"] for r in read_warc(spark, out2).collect()} == {
+        "text/html"
+    }
+
+
+def test_warc_media_decode_query_matches_oracle(spark, ddb):
+    from recon_spark.queries.extra import SQL_WARC_MEDIA_DECODE, q_warc_media_decode
+    from tests.conftest import SF_ORACLE, compare_query
+
+    compare_query(spark, ddb, q_warc_media_decode, SQL_WARC_MEDIA_DECODE, SF_ORACLE)
