@@ -202,12 +202,13 @@ def decode_wav(payload: bytes) -> tuple[int, list[int]]:
 # --------------------------------------------------------------------------
 # Real stdlib PNG codec (round 5). PNG's compression layer IS zlib
 # (RFC 2083 §2.3: "deflate/inflate compression with a sliding window"),
-# which ships in the Python stdlib — so unlike JPEG/MP3, PNG decode
-# needs no external codec wheel: chunk framing + CRC-32 (zlib.crc32),
-# inflate (zlib.decompress), and the five scanline filters are all
-# spec-level struct math. Supports every color type at bit depth 8
-# (gray / RGB / palette / gray+alpha / RGBA); 1/2/4/16-bit depths and
-# Adam7 interlacing keep an honest NotImplementedError gate.
+# which ships in the Python stdlib — so PNG decode needs no external
+# codec wheel: chunk framing + CRC-32 (zlib.crc32), inflate
+# (zlib.decompress), and the five scanline filters are all spec-level
+# struct math. Supports every color type at bit depth 8 (gray / RGB /
+# palette / gray+alpha / RGBA) in both non-interlaced and Adam7
+# layouts (seven independently filtered reduced images); 1/2/4/16-bit
+# depths keep an honest NotImplementedError gate.
 # --------------------------------------------------------------------------
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -462,8 +463,9 @@ def decode_png(payload: bytes) -> tuple[int, int, int, list[int]]:
 # into 255-byte sub-blocks, dictionary rebuilt on CLEAR). Implemented
 # by hand from the GIF89a specification; the decoder handles dictionary
 # growth, the code == next_code self-reference case, and mid-stream
-# CLEAR resets. Non-interlaced single-frame only (Adam-style GIF
-# interlace and animation keep an honest NotImplementedError gate).
+# CLEAR resets, and the appendix-E four-pass interlace is decoded by
+# row re-permutation. Single-frame only (animation keeps an honest
+# NotImplementedError gate).
 # --------------------------------------------------------------------------
 
 GIF_SIGS = (b"GIF87a", b"GIF89a")

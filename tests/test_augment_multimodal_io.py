@@ -312,13 +312,17 @@ def test_codec_gate_still_raises_for_library_formats():
 
     from recon_spark.operators.multimodal import decode_audio, decode_image
 
-    # JPEG genuinely needs a codec wheel; PNG does NOT (r5: stdlib zlib
-    # decode) — a PNG signature now engages the REAL parser, so garbage
-    # after the signature is a container error, not a capability gate.
-    with _pytest.raises(NotImplementedError):
+    # r5 closed the JPEG gate too: a JPEG signature now engages the
+    # REAL parser, so garbage after SOI is a container error, same as
+    # PNG. The capability gate remains for formats whose codecs are
+    # genuinely not stdlib-implementable (WebP/HEIC-class images,
+    # MP3-class audio).
+    with _pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0....", {})
     with _pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\n....", {})
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ", {})
     with _pytest.raises(NotImplementedError):
         decode_audio(b"ID3\x04....", {})
 
