@@ -2050,6 +2050,77 @@ def decode_image(payload: bytes, meta: dict, fake: bool = False) -> list[int]:
     return [digest[(x * h + y) % 32] for x in range(w) for y in range(h)]
 
 
+def synth_crawl_image(i: int) -> tuple[bytes, str]:
+    """Deterministic genuine image payload + Content-Type for media id
+    ``i`` — the single construction both WARC media stagings in
+    queries/extra.py (clean and corrupt) encode and both DuckDB oracles
+    replicate arithmetically via ``_sql_media_px_parts``. Lives HERE (not in queries/) because
+    executor closures capture it by reference: queries.extra has
+    import-time oracle construction that cannot run inside a shipped
+    --py-files zip, while this module is executor-import-safe."""
+    import hashlib
+
+    from recon_spark.operators.multimodal import (
+        encode_bmp,
+        encode_gif,
+        encode_jpeg,
+        encode_png,
+    )
+
+    d = hashlib.sha256(f"42:{i}".encode()).digest()
+    m = i % 4
+    if m in (0, 1):
+        w, h = 2 + i % 6, 2 + i % 5
+        vals = []
+        for idx in range(w * h):
+            vals += [d[idx % 32], d[(idx + 7) % 32], d[(idx + 13) % 32]]
+        if m == 0:
+            return encode_bmp(w, h, vals), "image/bmp"
+        return (
+            encode_png(w, h, vals, color_type=2, interlace=(i % 2 == 1)),
+            "image/png",
+        )
+    if m == 2:
+        w, h = 8 + i % 16, 8 + i % 12
+        pal = [(d[k], d[(k + 11) % 32], d[(k + 23) % 32]) for k in range(16)]
+        idxs = [d[(j + 3) % 32] % 16 for j in range(w * h)]
+        return encode_gif(w, h, idxs, pal, interlace=(i % 2 == 1)), "image/gif"
+    w, h = 9 + i % 8, 9 + i % 6
+    vals = [d[(5 + (x // 8) + 2 * (y // 8)) % 32] for y in range(h) for x in range(w)]
+    return encode_jpeg(w, h, vals), "image/jpeg"
+
+
+def decode_image_safe(
+    payload: bytes, meta: dict, fake: bool = False
+) -> tuple[str, list[int]]:
+    """Row-level quarantine wrapper around decode_image for raw-crawl
+    inputs. At crawl scale some fraction of image records is ALWAYS
+    truncated, mis-labeled, or bit-rotted; a decoder that raises out of
+    a mapInArrow batch fails the whole task (and, after four retries,
+    the whole 100TB job). This wrapper turns per-record failure into
+    data: returns (status, pixels) where status is
+
+      - "ok"          — decoded; pixels as decode_image
+      - "unsupported" — honest capability gate (NotImplementedError:
+                        WebP/HEIC-class formats with no stdlib codec)
+      - "corrupt"     — the container matched a real decoder but the
+                        payload is malformed (truncation, bad CRC, bad
+                        Huffman stream, ...). Decoders raise a mix of
+                        ValueError / struct.error / zlib.error /
+                        IndexError depending on where parsing dies, so
+                        everything non-gate is classed together.
+
+    Pixels are [] for both non-ok classes. The status column is what a
+    curation pipeline groups on to quarantine + audit bad records
+    without losing the partition."""
+    try:
+        return "ok", decode_image(payload, meta, fake=fake)
+    except NotImplementedError:
+        return "unsupported", []
+    except Exception:
+        return "corrupt", []
+
+
 def extract_image_features(
     df: DataFrame,
     payload_col: str = "payload",

@@ -1306,6 +1306,7 @@ ORDER BY media_id
 
 _MEDIA_EPOCH = 1_767_225_600  # 2026-01-01T00:00:00Z (shared with pipeline staging)
 _WARC_MEDIA_N = 200
+_WARC_TOL_N = 150
 _WARC_MEDIA_STAGING: dict[str, str] = {}
 
 
@@ -1329,46 +1330,14 @@ def _stage_warc_media(spark: SparkSession) -> str:
         out_dir = tempfile.mkdtemp(prefix="recon_warc_media_")
         atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
 
+        from recon_spark.operators.multimodal import synth_crawl_image
+
         def _gen(batches):
-            import hashlib
-
-            from recon_spark.operators.multimodal import (
-                encode_bmp,
-                encode_gif,
-                encode_jpeg,
-                encode_png,
-            )
-
             for batch in batches:
                 ids = batch.column("id").to_pylist()
                 urls, tss, payloads, ctypes = [], [], [], []
                 for i in ids:
-                    d = hashlib.sha256(f"42:{i}".encode()).digest()
-                    m = i % 4
-                    if m in (0, 1):
-                        w, h = 2 + i % 6, 2 + i % 5
-                        vals = []
-                        for idx in range(w * h):
-                            vals += [d[idx % 32], d[(idx + 7) % 32],
-                                     d[(idx + 13) % 32]]
-                        if m == 0:
-                            p, ct = encode_bmp(w, h, vals), "image/bmp"
-                        else:
-                            p = encode_png(w, h, vals, color_type=2,
-                                           interlace=(i % 2 == 1))
-                            ct = "image/png"
-                    elif m == 2:
-                        w, h = 8 + i % 16, 8 + i % 12
-                        pal = [(d[k], d[(k + 11) % 32], d[(k + 23) % 32])
-                               for k in range(16)]
-                        idxs = [d[(j + 3) % 32] % 16 for j in range(w * h)]
-                        p = encode_gif(w, h, idxs, pal, interlace=(i % 2 == 1))
-                        ct = "image/gif"
-                    else:
-                        w, h = 9 + i % 8, 9 + i % 6
-                        vals = [d[(5 + (x // 8) + 2 * (y // 8)) % 32]
-                                for y in range(h) for x in range(w)]
-                        p, ct = encode_jpeg(w, h, vals), "image/jpeg"
+                    p, ct = synth_crawl_image(i)
                     urls.append(f"https://img.ex/m/{i}")
                     tss.append(_MEDIA_EPOCH + i)
                     payloads.append(p)
@@ -1391,6 +1360,79 @@ def _stage_warc_media(spark: SparkSession) -> str:
                 )
 
         docs = spark.range(_WARC_MEDIA_N).mapInArrow(
+            _gen,
+            "url string, warc_ts_s long, html binary, content_type string",
+        ).repartition(8, "url")
+        write_warc_files(docs, out_dir, ctype_col="content_type").count()
+        _WARC_MEDIA_STAGING[key] = out_dir
+    return _WARC_MEDIA_STAGING[key]
+
+
+def _stage_warc_media_corrupt(spark: SparkSession) -> str:
+    """Stage once per session: the same mixed media shard but with the
+    failure modes a real crawl shard ALWAYS carries, assigned by pure
+    arithmetic on the media id so the DuckDB oracle knows the ground
+    truth without decoding anything:
+
+      - ``i % 5 == 3`` → the genuine payload truncated to half its
+        bytes (signature intact, body severed mid-container) — the
+        canonical interrupted-transfer record
+      - ``i % 5 == 1`` → a WebP-signature stub (no stdlib codec
+        exists; the decoder's honest capability gate must fire as a
+        row-level status, not a task failure)
+      - otherwise    → the clean genuine payload
+
+    Session-cached in the same registry as the clean shard so the
+    hygiene sweep's allowed-roots logic covers it unchanged."""
+    import atexit
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+
+    from recon_spark.warc import write_warc_files
+
+    key = "corrupt"
+    if key not in _WARC_MEDIA_STAGING:
+        out_dir = tempfile.mkdtemp(prefix="recon_warc_media_tol_")
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+
+        from recon_spark.operators.multimodal import synth_crawl_image
+
+        def _gen(batches):
+            import hashlib
+
+            for batch in batches:
+                ids = batch.column("id").to_pylist()
+                urls, tss, payloads, ctypes = [], [], [], []
+                for i in ids:
+                    p, ct = synth_crawl_image(i)
+                    if i % 5 == 3:
+                        p = p[: len(p) // 2]
+                    elif i % 5 == 1:
+                        d = hashlib.sha256(f"42:{i}".encode()).digest()
+                        p = b"RIFF" + d[:4] + b"WEBPVP8 " + d[4:20]
+                        ct = "image/webp"
+                    urls.append(f"https://img.ex/m/{i}")
+                    tss.append(_MEDIA_EPOCH + i)
+                    payloads.append(p)
+                    ctypes.append(ct)
+                    urls.append(f"https://img.ex/page/{i}")
+                    tss.append(_MEDIA_EPOCH + i)
+                    payloads.append(
+                        f"<html><body><p>page {i}</p></body></html>".encode())
+                    ctypes.append("text/html")
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(urls, pa.string()),
+                        pa.array(tss, pa.int64()),
+                        pa.array(payloads, pa.binary()),
+                        pa.array(ctypes, pa.string()),
+                    ],
+                    ["url", "warc_ts_s", "html", "content_type"],
+                )
+
+        docs = spark.range(_WARC_TOL_N).mapInArrow(
             _gen,
             "url string, warc_ts_s long, html binary, content_type string",
         ).repartition(8, "url")
@@ -1461,8 +1503,85 @@ def q_warc_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_WARC_MEDIA_DECODE = f"""
-WITH ids AS (SELECT unnest(generate_series(0, {_WARC_MEDIA_N - 1})) AS media_id),
+def q_warc_media_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw crawl bytes -> decoded media with row-level quarantine
+    (round 5): the same map-only WARC chain as warc_media_decode, but
+    over a shard carrying the failure modes every real crawl shard
+    has — truncated payloads and codec-less formats — dispatched
+    through decode_image_safe so a bad record becomes a status row
+    ('corrupt' / 'unsupported') instead of a task failure. At 100TB a
+    raising decoder fails the task after four retries and kills the
+    job on the first bit-rotted image; the status column is what the
+    curation pipeline groups on to quarantine and audit. The oracle
+    knows the ground-truth status of every record by arithmetic on the
+    media id (the corruption classes are assigned deterministically at
+    staging time) and recomputes survivor pixel stats relationally."""
+    import pyarrow as pa
+
+    from recon_spark.operators.multimodal import decode_image_safe
+    from recon_spark.warc import read_warc
+
+    out_dir = _stage_warc_media_corrupt(spark)
+    recs = read_warc(spark, out_dir).where(
+        F.col("content_type").startswith("image/")
+    )
+
+    def _gen(batches):
+        fmts = {b"BM": "bmp", b"\x89P": "png", b"GI": "gif",
+                b"\xff\xd8": "jpeg", b"RI": "webp"}
+        for batch in batches:
+            urls = batch.column("url").to_pylist()
+            fmt_c, st_c, nv_c, sum_c, min_c, max_c = [], [], [], [], [], []
+            for p in batch.column("html").to_pylist():
+                p = bytes(p)
+                status, px = decode_image_safe(p, {}, fake=False)
+                fmt_c.append(fmts[p[:2]])
+                st_c.append(status)
+                # 0-sentinels, not NULLs, for quarantined rows: the
+                # driver/oracle hash compare must not depend on engine
+                # NULL-vs-NaN conversion; status != 'ok' disambiguates
+                ok = status == "ok"
+                nv_c.append(len(px) if ok else 0)
+                sum_c.append(sum(px) if ok else 0)
+                min_c.append(min(px) if ok else 0)
+                max_c.append(max(px) if ok else 0)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(urls, pa.string()),
+                    pa.array(fmt_c, pa.string()),
+                    pa.array(st_c, pa.string()),
+                    pa.array(nv_c, pa.int32()),
+                    pa.array(sum_c, pa.int64()),
+                    pa.array(min_c, pa.int32()),
+                    pa.array(max_c, pa.int32()),
+                ],
+                ["url", "fmt", "status", "n_values", "px_sum",
+                 "px_min", "px_max"],
+            )
+
+    return (
+        recs.select("url", "html")
+        .mapInArrow(
+            _gen,
+            "url string, fmt string, status string, n_values int, "
+            "px_sum long, px_min int, px_max int",
+        )
+        .withColumn(
+            "media_id",
+            F.regexp_extract("url", r"/m/([0-9]+)$", 1).cast("long"),
+        )
+        .select("media_id", "url", "fmt", "status", "n_values",
+                "px_sum", "px_min", "px_max")
+        .orderBy("media_id")
+    )
+
+
+def _sql_media_px_parts(n: int) -> str:
+    """The WITH-clause body replicating synth_crawl_image's pixel
+    arithmetic for media ids 0..n-1 (format class, dims, sha256-derived
+    bytes, and the flat decoded pixel list) — ends in a ``px`` CTE with
+    (media_id, m, w, h, p). Shared by the clean and tolerant oracles."""
+    return f"""ids AS (SELECT unnest(generate_series(0, {n - 1})) AS media_id),
 cls AS (
   SELECT media_id, media_id % 4 AS m,
          CASE media_id % 4 WHEN 2 THEN 8 + media_id % 16
@@ -1494,7 +1613,11 @@ px AS (
                i -> db[((5 + (i % w) // 8 + 2 * ((i // w) // 8)) % 32) + 1])
          END AS p
   FROM db_t
-)
+)"""
+
+
+SQL_WARC_MEDIA_DECODE = f"""
+WITH {_sql_media_px_parts(_WARC_MEDIA_N)}
 SELECT media_id,
        concat('https://img.ex/m/', media_id) AS url,
        CASE m WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
@@ -1504,6 +1627,28 @@ SELECT media_id,
        CAST(list_aggregate(p, 'min') AS INT) AS px_min,
        CAST(list_aggregate(p, 'max') AS INT) AS px_max
 FROM px ORDER BY media_id
+"""
+
+
+SQL_WARC_MEDIA_TOLERANT = f"""
+WITH {_sql_media_px_parts(_WARC_TOL_N)},
+st AS (
+  SELECT media_id, m, p,
+         CASE media_id % 5 WHEN 3 THEN 'corrupt'
+              WHEN 1 THEN 'unsupported' ELSE 'ok' END AS status
+  FROM px
+)
+SELECT media_id,
+       concat('https://img.ex/m/', media_id) AS url,
+       CASE WHEN status = 'unsupported' THEN 'webp'
+            ELSE CASE m WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+                        WHEN 2 THEN 'gif' ELSE 'jpeg' END END AS fmt,
+       status,
+       CAST(CASE WHEN status = 'ok' THEN len(p) ELSE 0 END AS INT) AS n_values,
+       CAST(CASE WHEN status = 'ok' THEN list_aggregate(p, 'sum') ELSE 0 END AS BIGINT) AS px_sum,
+       CAST(CASE WHEN status = 'ok' THEN list_aggregate(p, 'min') ELSE 0 END AS INT) AS px_min,
+       CAST(CASE WHEN status = 'ok' THEN list_aggregate(p, 'max') ELSE 0 END AS INT) AS px_max
+FROM st ORDER BY media_id
 """
 
 
@@ -1840,6 +1985,7 @@ QUERIES = {
     "multimodal_decode_tiff": q_multimodal_decode_tiff,
     "multimodal_decode_jpeg": q_multimodal_decode_jpeg,
     "warc_media_decode": q_warc_media_decode,
+    "warc_media_tolerant": q_warc_media_tolerant,
     "dedup_cluster": q_dedup_cluster,
     "lsh_neardup": q_lsh_neardup,
     "ivf_neardup": q_ivf_neardup,
@@ -1872,6 +2018,7 @@ ORACLES = {
     "multimodal_decode_tiff": SQL_MULTIMODAL_DECODE_TIFF,
     "multimodal_decode_jpeg": SQL_MULTIMODAL_DECODE_JPEG,
     "warc_media_decode": SQL_WARC_MEDIA_DECODE,
+    "warc_media_tolerant": SQL_WARC_MEDIA_TOLERANT,
     "dedup_cluster": SQL_DEDUP_CLUSTER,
     "lsh_neardup": SQL_LSH_NEARDUP,
     "ivf_neardup": SQL_IVF_NEARDUP,

@@ -287,3 +287,43 @@ def test_warc_media_decode_query_matches_oracle(spark, ddb):
     from tests.conftest import SF_ORACLE, compare_query
 
     compare_query(spark, ddb, q_warc_media_decode, SQL_WARC_MEDIA_DECODE, SF_ORACLE)
+
+
+def test_decode_image_safe_statuses_deterministic_over_corrupt_shard():
+    """Ground truth for the tolerant query's oracle: for EVERY media id
+    in the corrupt staging, decode_image_safe must land on exactly the
+    status the id arithmetic assigns — in particular every half-
+    truncated payload of every format/dims/interlace combination must
+    RAISE inside decode_image (not silently return short pixels), or
+    the Spark side would report 'ok' rows the oracle marks 'corrupt'."""
+    import hashlib
+
+    from recon_spark.operators.multimodal import decode_image, decode_image_safe
+    from recon_spark.operators.multimodal import synth_crawl_image
+    from recon_spark.queries.extra import _WARC_TOL_N
+
+    for i in range(_WARC_TOL_N):
+        p, _ = synth_crawl_image(i)
+        if i % 5 == 3:
+            status, px = decode_image_safe(p[: len(p) // 2], {})
+            assert status == "corrupt" and px == [], (i, status)
+        elif i % 5 == 1:
+            d = hashlib.sha256(f"42:{i}".encode()).digest()
+            stub = b"RIFF" + d[:4] + b"WEBPVP8 " + d[4:20]
+            status, px = decode_image_safe(stub, {})
+            assert status == "unsupported" and px == [], (i, status)
+        else:
+            status, px = decode_image_safe(p, {})
+            assert status == "ok" and px == decode_image(p, {}), (i, status)
+
+
+def test_warc_media_tolerant_query_matches_oracle(spark, ddb):
+    from recon_spark.queries.extra import (
+        SQL_WARC_MEDIA_TOLERANT,
+        q_warc_media_tolerant,
+    )
+    from tests.conftest import SF_ORACLE, compare_query
+
+    compare_query(
+        spark, ddb, q_warc_media_tolerant, SQL_WARC_MEDIA_TOLERANT, SF_ORACLE
+    )
