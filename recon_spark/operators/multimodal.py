@@ -205,10 +205,12 @@ def decode_wav(payload: bytes) -> tuple[int, list[int]]:
 # which ships in the Python stdlib — so PNG decode needs no external
 # codec wheel: chunk framing + CRC-32 (zlib.crc32), inflate
 # (zlib.decompress), and the five scanline filters are all spec-level
-# struct math. Supports every color type at bit depth 8 (gray / RGB /
-# palette / gray+alpha / RGBA) in both non-interlaced and Adam7
-# layouts (seven independently filtered reduced images); 1/2/4/16-bit
-# depths keep an honest NotImplementedError gate.
+# struct math. Supports every color type (gray / RGB / palette /
+# gray+alpha / RGBA) at every spec-legal bit depth (1/2/4/8/16 per the
+# §11.2.2 table: sub-byte samples MSB-packed, 16-bit big-endian, the
+# filter byte distance max(1, ch*depth/8)) in both non-interlaced and
+# Adam7 layouts (seven independently filtered reduced images) — the
+# complete static-PNG format, no gates left.
 # --------------------------------------------------------------------------
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -243,9 +245,12 @@ _ADAM7 = (
 )
 
 
-def _png_filter_rows(rows: list[bytes], ch: int, ftypes: list[int]) -> bytearray:
+def _png_filter_rows(rows: list[bytes], bpp: int, ftypes: list[int]) -> bytearray:
     """Serialize scanlines with per-row filter types (prior row starts
-    at zeros — per spec this resets at the top of every Adam7 pass)."""
+    at zeros — per spec this resets at the top of every Adam7 pass).
+    ``bpp`` is the spec's filter byte distance: max(1, channels *
+    depth / 8) — filters always operate on BYTES, so for sub-byte
+    depths the "pixel to the left" is simply the previous byte."""
     raw = bytearray()
     stride = len(rows[0]) if rows else 0
     prior = bytes(stride)
@@ -254,13 +259,13 @@ def _png_filter_rows(rows: list[bytes], ch: int, ftypes: list[int]) -> bytearray
         if ft == 0:
             raw += row
         elif ft == 1:  # Sub
-            raw += bytes((row[i] - (row[i - ch] if i >= ch else 0)) & 0xFF
+            raw += bytes((row[i] - (row[i - bpp] if i >= bpp else 0)) & 0xFF
                          for i in range(stride))
         elif ft == 2:  # Up
             raw += bytes((row[i] - prior[i]) & 0xFF for i in range(stride))
         elif ft == 3:  # Average
             raw += bytes(
-                (row[i] - ((row[i - ch] if i >= ch else 0) + prior[i]) // 2) & 0xFF
+                (row[i] - ((row[i - bpp] if i >= bpp else 0) + prior[i]) // 2) & 0xFF
                 for i in range(stride)
             )
         else:  # Paeth
@@ -268,9 +273,9 @@ def _png_filter_rows(rows: list[bytes], ch: int, ftypes: list[int]) -> bytearray
                 (
                     row[i]
                     - _paeth(
-                        row[i - ch] if i >= ch else 0,
+                        row[i - bpp] if i >= bpp else 0,
                         prior[i],
-                        prior[i - ch] if i >= ch else 0,
+                        prior[i - bpp] if i >= bpp else 0,
                     )
                 )
                 & 0xFF
@@ -278,6 +283,52 @@ def _png_filter_rows(rows: list[bytes], ch: int, ftypes: list[int]) -> bytearray
             )
         prior = row
     return raw
+
+
+def _png_legal_depth(depth: int, color_type: int) -> bool:
+    """Spec §11.2.2 table: gray allows 1/2/4/8/16, palette 1/2/4/8,
+    truecolor / gray+alpha / RGBA only 8/16."""
+    if color_type == 0:
+        return depth in (1, 2, 4, 8, 16)
+    if color_type == 3:
+        return depth in (1, 2, 4, 8)
+    return depth in (8, 16)
+
+
+def _png_pack_row(vals: list[int], depth: int) -> bytes:
+    """Pack one scanline's channel values into bytes: sub-byte samples
+    MSB-first with zero-padded final byte (spec §7.2), 16-bit samples
+    big-endian, 8-bit verbatim."""
+    if depth == 8:
+        return bytes(vals)
+    if depth == 16:
+        return b"".join(struct.pack(">H", v) for v in vals)
+    out = bytearray()
+    acc = bits = 0
+    for v in vals:
+        acc = (acc << depth) | (v & ((1 << depth) - 1))
+        bits += depth
+        if bits == 8:
+            out.append(acc)
+            acc = bits = 0
+    if bits:
+        out.append(acc << (8 - bits))
+    return bytes(out)
+
+
+def _png_unpack_row(rb: bytes, n_samples: int, depth: int) -> list[int]:
+    """Inverse of _png_pack_row: the first n_samples channel values of
+    a reconstructed scanline (trailing pad bits discarded)."""
+    if depth == 8:
+        return list(rb[:n_samples])
+    if depth == 16:
+        return [(rb[2 * k] << 8) | rb[2 * k + 1] for k in range(n_samples)]
+    mask = (1 << depth) - 1
+    out = []
+    for k in range(n_samples):
+        bit = k * depth
+        out.append((rb[bit >> 3] >> (8 - depth - (bit & 7))) & mask)
+    return out
 
 
 def encode_png(
@@ -290,8 +341,9 @@ def encode_png(
     idat_chunk: int = 48,
     ancillary: tuple[tuple[bytes, bytes], ...] = (),
     interlace: bool = False,
+    depth: int = 8,
 ) -> bytes:
-    """Spec-correct 8-bit PNG from a top-down row-major channel list
+    """Spec-correct PNG from a top-down row-major channel list
     (len = w*h*channels; palette images take index values + a palette).
     ``filters`` picks the per-row filter type (default cycles 0..4 so
     every filter appears); the compressed stream is split into
@@ -299,20 +351,27 @@ def encode_png(
     chunks are interleaved before IDAT — both legal per spec and both
     things a decoder must handle. interlace=True emits Adam7: seven
     independently-filtered reduced images (empty passes wholly absent,
-    prior row reset per pass)."""
+    prior row reset per pass). ``depth`` takes the full spec-legal set
+    per color type (1/2/4/8/16 gray, 1/2/4/8 palette, 8/16 otherwise);
+    sub-byte samples pack MSB-first, 16-bit big-endian."""
     ch = _PNG_CHANNELS[color_type]
+    if not _png_legal_depth(depth, color_type):
+        raise ValueError(f"illegal PNG depth {depth} for color type {color_type}")
     if len(values) != w * h * ch:
         raise ValueError(f"need {w * h * ch} values for {w}x{h} type-{color_type}")
     if color_type == 3 and palette is None:
         raise ValueError("palette images need a palette")
-    stride = w * ch
+    if any(v < 0 or v >= (1 << depth) for v in values):
+        raise ValueError(f"channel value out of range for depth {depth}")
+    bpp = max(1, ch * depth // 8)
 
     def ftype(y: int) -> int:
         return (filters[y % len(filters)] if filters is not None else y) % 5
 
     if not interlace:
-        rows = [bytes(values[y * stride:(y + 1) * stride]) for y in range(h)]
-        raw = _png_filter_rows(rows, ch, [ftype(y) for y in range(h)])
+        rows = [_png_pack_row(values[y * w * ch:(y + 1) * w * ch], depth)
+                for y in range(h)]
+        raw = _png_filter_rows(rows, bpp, [ftype(y) for y in range(h)])
     else:
         raw = bytearray()
         sl = 0  # global scanline counter across passes
@@ -321,15 +380,15 @@ def encode_png(
                 continue
             prow = []
             for y in range(y0, h, dy):
-                row = bytearray()
+                rvals: list[int] = []
                 for x in range(x0, w, dx):
                     base = (y * w + x) * ch
-                    row += bytes(values[base:base + ch])
-                prow.append(bytes(row))
-            raw += _png_filter_rows(prow, ch,
+                    rvals += values[base:base + ch]
+                prow.append(_png_pack_row(rvals, depth))
+            raw += _png_filter_rows(prow, bpp,
                                     [ftype(sl + j) for j in range(len(prow))])
             sl += len(prow)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0,
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0,
                        1 if interlace else 0)
     out = bytearray(PNG_SIG)
     out += _png_chunk(b"IHDR", ihdr)
@@ -351,9 +410,13 @@ def decode_png(payload: bytes) -> tuple[int, int, int, list[int]]:
     non-interlaced and Adam7-interlaced layouts (seven independently
     filtered reduced images scattered back onto the pixel grid).
     Palette images (type 3) come back de-palettized to RGB (len =
-    w*h*3); RGBA/gray+alpha keep their alpha channel. 8-bit only —
-    other depths raise NotImplementedError, truncated or CRC-corrupt
-    containers raise ValueError."""
+    w*h*3); RGBA/gray+alpha keep their alpha channel. ALL spec-legal
+    bit depths decode (1/2/4/8/16 per the §11.2.2 table): sub-byte
+    samples unpack MSB-first with pad bits discarded and come back as
+    raw 0..2^depth-1 values (palette indices select PLTE entries as
+    usual), 16-bit samples come back as 0..65535 ints. Illegal
+    depth/type combos, truncated, or CRC-corrupt containers raise
+    ValueError."""
     if payload[:8] != PNG_SIG:
         raise ValueError("not a PNG payload")
     pos, ihdr, palette, idat = 8, None, None, bytearray()
@@ -382,16 +445,21 @@ def decode_png(payload: bytes) -> tuple[int, int, int, list[int]]:
     w, h, depth, color_type, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError("nonstandard PNG compression/filter method")
-    if depth != 8:
-        raise NotImplementedError(f"only 8-bit PNG (depth={depth})")
     if interlace not in (0, 1):
         raise ValueError(f"invalid PNG interlace method {interlace}")
     if color_type not in _PNG_CHANNELS:
         raise ValueError(f"invalid PNG color type {color_type}")
+    if not _png_legal_depth(depth, color_type):
+        raise ValueError(
+            f"illegal PNG depth {depth} for color type {color_type}")
     if color_type == 3 and palette is None:
         raise ValueError("palette PNG missing PLTE chunk")
     ch = _PNG_CHANNELS[color_type]
-    stride = w * ch
+    bpp = max(1, ch * depth // 8)
+
+    def rstride_of(npx: int) -> int:
+        return (npx * ch * depth + 7) // 8
+
     raw = zlib.decompress(bytes(idat))
 
     def unfilter(off: int, n_rows: int, rstride: int) -> tuple[list[bytes], int]:
@@ -404,7 +472,7 @@ def decode_png(payload: bytes) -> tuple[int, int, int, list[int]]:
             recon = bytearray(rstride)
             for i in range(rstride):
                 x = line[i]
-                a = recon[i - ch] if i >= ch else 0
+                a = recon[i - bpp] if i >= bpp else 0
                 b = prior[i]
                 if ft == 1:
                     x += a
@@ -413,7 +481,7 @@ def decode_png(payload: bytes) -> tuple[int, int, int, list[int]]:
                 elif ft == 3:
                     x += (a + b) // 2
                 elif ft == 4:
-                    x += _paeth(a, b, prior[i - ch] if i >= ch else 0)
+                    x += _paeth(a, b, prior[i - bpp] if i >= bpp else 0)
                 recon[i] = x & 0xFF
             prior = bytes(recon)
             rows.append(bytes(recon))
@@ -421,10 +489,12 @@ def decode_png(payload: bytes) -> tuple[int, int, int, list[int]]:
         return rows, off
 
     if interlace == 0:
+        stride = rstride_of(w)
         if len(raw) != h * (1 + stride):
             raise ValueError(
                 f"PNG scanline data is {len(raw)}B, want {h * (1 + stride)}B")
         rows, _ = unfilter(0, h, stride)
+        row_vals = [_png_unpack_row(r, w * ch, depth) for r in rows]
     else:  # Adam7: seven independently-filtered reduced images
         passes = []
         expected = 0
@@ -433,26 +503,28 @@ def decode_png(payload: bytes) -> tuple[int, int, int, list[int]]:
             ph = len(range(y0, h, dy))
             if pw and ph:
                 passes.append((x0, y0, dx, dy, pw, ph))
-                expected += ph * (1 + pw * ch)
+                expected += ph * (1 + rstride_of(pw))
         if len(raw) != expected:
             raise ValueError(
                 f"Adam7 scanline data is {len(raw)}B, want {expected}B")
-        grid = [bytearray(stride) for _ in range(h)]
+        grid = [[0] * (w * ch) for _ in range(h)]
         off = 0
         for x0, y0, dx, dy, pw, ph in passes:
-            prows, off = unfilter(off, ph, pw * ch)
+            prows, off = unfilter(off, ph, rstride_of(pw))
             for j, y in enumerate(range(y0, h, dy)):
-                row = prows[j]
+                vals = _png_unpack_row(prows[j], pw * ch, depth)
                 for k, x in enumerate(range(x0, w, dx)):
-                    grid[y][x * ch:(x + 1) * ch] = row[k * ch:(k + 1) * ch]
-        rows = [bytes(r) for r in grid]
+                    grid[y][x * ch:(x + 1) * ch] = vals[k * ch:(k + 1) * ch]
+        row_vals = grid
     out: list[int] = []
-    for recon in rows:
+    for vals in row_vals:
         if color_type == 3:
-            for idx in recon:
+            for idx in vals:
+                if idx >= len(palette):
+                    raise ValueError("palette index out of range")
                 out += palette[idx]
         else:
-            out += recon
+            out += vals
     return w, h, color_type, out
 
 
@@ -1940,8 +2012,10 @@ def generate_media_png(spark: SparkSession, n: int, seed: int = 42) -> DataFrame
     d[(idx+13)%32]), RGBA adds alpha d[(idx+19)%32]; palette entry k is
     (d[k], d[(k+11)%32], d[(k+23)%32]) and pixel idx selects index
     d[(idx+3)%32] % 16 — all recomputable relationally by the oracle.
-    Every fifth image is stored ADAM7-INTERLACED: decoded pixels are
-    identical, so the same oracle also locks the seven-pass scatter."""
+    Every fifth image is stored ADAM7-INTERLACED, and every other
+    palette image is stored at depth 4 (two indices per packed byte):
+    decoded pixels are identical in both cases, so the same oracle
+    also locks the seven-pass scatter AND the sub-byte unpacking."""
     import pyarrow as pa
 
     def _gen(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
@@ -1981,6 +2055,7 @@ def generate_media_png(spark: SparkSession, n: int, seed: int = 42) -> DataFrame
                         encode_png(
                             w, h, vals, color_type=3, palette=pal, filters=filters,
                             ancillary=(text,), interlace=(i % 5 == 2),
+                            depth=(4 if i % 2 == 0 else 8),
                         )
                     )
                 metas.append(("image/png", w, h, None, None, "png"))

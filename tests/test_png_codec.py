@@ -13,8 +13,11 @@ tests pin the codec to the PUBLIC spec, not just to itself:
 - hypothesis round-trips cover all five color types x all five filter
   types x arbitrary dims/pixels/IDAT splits;
 - corruption (CRC flip, truncation, bad filter byte, wrong scanline
-  length) raises ValueError; honest gates (16-bit, Adam7) raise
-  NotImplementedError.
+  length) raises ValueError, as do spec-illegal depth/type combos;
+- every spec-legal bit depth decodes (1/2/4/8/16 per §11.2.2):
+  sub-byte packing is pinned by a hand-packed container independent
+  of encode_png, and hypothesis round-trips run depth x color type x
+  filters x interlace.
 
 Reference parity note: the reference repo has no media pipeline — this
 family is part of the beyond-reference LLM-training-data surface the
@@ -192,13 +195,23 @@ def test_bad_filter_byte_and_wrong_scanline_length_raise():
         decode_png(short)
 
 
-def test_honest_gate_16bit_and_hand_built_adam7():
+def test_full_depth_set_and_hand_built_adam7():
+    # r5 closed the depth gate: a hand-built 1x1 truecolor 16-bit
+    # container (filter byte + six zero sample bytes) now decodes
     ihdr16 = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
     p16 = PNG_SIG + _png_chunk(b"IHDR", ihdr16) + _png_chunk(
         b"IDAT", zlib.compress(bytes(7))
     ) + _png_chunk(b"IEND", b"")
-    with pytest.raises(NotImplementedError, match="8-bit"):
-        decode_png(p16)
+    assert decode_png(p16) == (1, 1, 2, [0, 0, 0])
+    # spec-ILLEGAL depth/type combos are container errors, not gates:
+    # depth 16 palette and depth 4 truecolor both violate §11.2.2
+    for depth, ct in ((16, 3), (4, 2), (3, 0)):
+        ihdr_bad = struct.pack(">IIBBBBB", 1, 1, depth, ct, 0, 0, 0)
+        pb = PNG_SIG + _png_chunk(b"IHDR", ihdr_bad) + _png_chunk(
+            b"IDAT", zlib.compress(bytes(7))
+        ) + _png_chunk(b"IEND", b"")
+        with pytest.raises(ValueError, match="depth"):
+            decode_png(pb)
     # a 1x1 Adam7 image has exactly one non-empty pass (pass 1) of one
     # scanline: filter byte + 3 channel bytes. The hand-built container
     # must now DECODE (the r5 interlace support), not gate.
@@ -332,3 +345,96 @@ def test_generated_interlaced_pngs_flag_and_match(spark):
         assert p[8 + 8 + 12] == 1  # Adam7 flag set in IHDR
         w, h, ct, px = decode_png(p)
         assert (w, h) == (r["meta"]["width"], r["meta"]["height"])
+
+
+# --------------------------------------------------------------------------
+# r5: full spec-legal depth set (1/2/4/8/16)
+# --------------------------------------------------------------------------
+
+
+def test_sub_byte_container_hand_packed_msb_first():
+    """5x2 gray at 2 bits/sample, built WITHOUT encode_png: samples
+    [0,1,2,3,0 / 3,2,1,0,3] pack MSB-first into ceil(5*2/8)=2 bytes per
+    row with the pad bits of the last byte zero (spec §7.2). Row 0
+    filter None, row 1 filter Up — at sub-byte depths the filter byte
+    distance is 1 BYTE (not one sample), so Up operates on the packed
+    bytes of the prior row."""
+    row0 = [0, 1, 2, 3, 0]
+    row1 = [3, 2, 1, 0, 3]
+
+    def pack2(samples):
+        b0 = (samples[0] << 6) | (samples[1] << 4) | (samples[2] << 2) | samples[3]
+        b1 = samples[4] << 6  # 6 pad bits, zero
+        return bytes([b0, b1])
+
+    p0, p1 = pack2(row0), pack2(row1)
+    up = bytes((p1[i] - p0[i]) & 0xFF for i in range(2))
+    raw = bytes([0]) + p0 + bytes([2]) + up
+    ihdr = struct.pack(">IIBBBBB", 5, 2, 2, 0, 0, 0, 0)
+    p = PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(
+        b"IDAT", zlib.compress(raw)
+    ) + _png_chunk(b"IEND", b"")
+    assert decode_png(p) == (5, 2, 0, row0 + row1)
+
+
+def test_one_bit_palette_round_trip():
+    """1-bit palette (the classic web mask/line-art PNG): two PLTE
+    entries, indices pack 8 per byte, decoded pixels de-palettize."""
+    pal = [(255, 0, 10), (0, 200, 30)]
+    idxs = [1, 0, 0, 1, 1, 1, 0, 1, 0] * 3  # 9x3, non-multiple-of-8 width
+    p = encode_png(9, 3, idxs, color_type=3, palette=pal, depth=1)
+    w, h, ct, px = decode_png(p)
+    assert (w, h, ct) == (9, 3, 3)
+    assert px == [c for i in idxs for c in pal[i]]
+
+
+@given(
+    st.sampled_from([(1, 0), (2, 0), (4, 0), (16, 0), (1, 3), (2, 3),
+                     (4, 3), (16, 2), (16, 4), (16, 6)]),
+    st.integers(1, 11),
+    st.integers(1, 7),
+    st.booleans(),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_depth_round_trip_property(depth_ct, w, h, interlace, seed):
+    """Every non-8-bit spec-legal (depth, color type) combo round-trips
+    exactly, plain and Adam7, across random dims/filters/samples —
+    including widths whose sub-byte rows end mid-byte."""
+    import random as _r
+
+    depth, ct = depth_ct
+    rng = _r.Random(seed)
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ct]
+    vals = [rng.randrange(1 << depth) for _ in range(w * h * ch)]
+    pal = ([(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+            for _ in range(1 << depth)] if ct == 3 else None)
+    filters = [rng.randrange(5) for _ in range(h)]
+    p = encode_png(w, h, vals, color_type=ct, palette=pal, depth=depth,
+                   filters=filters, interlace=interlace)
+    gw, gh, gct, px = decode_png(p)
+    want = [c for i in vals for c in pal[i]] if ct == 3 else vals
+    assert (gw, gh, gct, px) == (w, h, ct, want)
+
+
+def test_sixteen_bit_filter_distance_is_two_bytes_per_channel():
+    """Sub filter at depth 16: bpp = ch*2, so the 'left' byte for a
+    truecolor sample is 6 bytes back. A 2x1 RGB image with filter 1 and
+    known values pins the distance: second pixel stores deltas against
+    the first, byte-wise at offset 6."""
+    vals = [0x1234, 0x0001, 0xFFFF, 0x1230, 0x0102, 0x0E0F]
+    p = encode_png(2, 1, vals, color_type=2, depth=16, filters=[1])
+    # extract the raw scanline and hand-check the filtered bytes
+    pos, idat = 8, bytearray()
+    while pos < len(p):
+        (ln,) = struct.unpack_from(">I", p, pos)
+        if p[pos + 4:pos + 8] == b"IDAT":
+            idat += p[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+    raw = zlib.decompress(bytes(idat))
+    first = struct.pack(">HHH", *vals[:3])
+    second = struct.pack(">HHH", *vals[3:])
+    want = bytes([1]) + first + bytes((second[i] - first[i]) & 0xFF
+                                      for i in range(6))
+    assert raw == want
+    assert decode_png(p)[3] == vals
