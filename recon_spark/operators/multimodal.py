@@ -536,8 +536,13 @@ def decode_png(payload: bytes) -> tuple[int, int, int, list[int]]:
 # by hand from the GIF89a specification; the decoder handles dictionary
 # growth, the code == next_code self-reference case, and mid-stream
 # CLEAR resets, and the appendix-E four-pass interlace is decoded by
-# row re-permutation. Single-frame only (animation keeps an honest
-# NotImplementedError gate).
+# row re-permutation. Animation is fully supported: decode_gif_frames
+# enumerates every frame (rect offsets, GCE delays, per-frame local
+# color tables, interlaced frames), encode_gif_animation produces
+# multi-frame containers with the NETSCAPE loop extension, and
+# decode_gif returns the poster frame (first frame composited onto the
+# background color, honoring GCE transparency) for animated inputs —
+# no GIF gates left.
 # --------------------------------------------------------------------------
 
 GIF_SIGS = (b"GIF87a", b"GIF89a")
@@ -713,28 +718,41 @@ def encode_gif(
     return bytes(out)
 
 
-def decode_gif(payload: bytes) -> tuple[int, int, list[int]]:
-    """Parse a single-frame GIF to (w, h, top-down RGB list). REAL
-    decode, stdlib only: struct framing, extension-block skip, a
-    hand-implemented LZW decompressor (variable code width, CLEAR
-    resets, KwKwK case), and four-pass interlace reordering. Animated
-    GIFs raise NotImplementedError; truncated/invalid containers raise
-    ValueError."""
+def _gif_parse_frames(payload: bytes):
+    """Shared GIF parse core: walk every block of the container and
+    decode every frame. Returns (canvas_w, canvas_h, bg_rgb | None,
+    frames) where each frame is (left, top, fw, fh, delay_cs,
+    transparent_idx | None, rgb, idx) — rgb de-palettized top-down for
+    the frame's own rect, idx the raw palette indices (needed for
+    transparency compositing). The Graphic Control Extension preceding
+    an image supplies its delay/transparency and resets afterwards per
+    spec; other extensions (comment, application/NETSCAPE loop) are
+    skipped by sub-block framing."""
     if payload[:6] not in GIF_SIGS:
         raise ValueError("not a GIF payload")
-    w_s, h_s, packed, _, _ = struct.unpack_from("<HHBBB", payload, 6)
+    cw, chh, packed, bg_idx, _ = struct.unpack_from("<HHBBB", payload, 6)
     pos = 13
     gct = None
     if packed & 0x80:
         n = 2 << (packed & 0x07)
         gct = [tuple(payload[pos + 3 * k : pos + 3 * k + 3]) for k in range(n)]
         pos += 3 * n
+    bg_rgb = gct[bg_idx] if gct is not None and bg_idx < len(gct) else None
+    frames = []
+    delay, transparent = 0, None
     while pos < len(payload):
         block = payload[pos]
         if block == 0x3B:  # trailer
-            raise ValueError("GIF has no image data")
+            if not frames:
+                raise ValueError("GIF has no image data")
+            return cw, chh, bg_rgb, frames
         if block == 0x21:  # extension: label + sub-blocks
+            label = payload[pos + 1]
             pos += 2
+            if label == 0xF9 and payload[pos] >= 4:  # GCE (spec: size 4)
+                flags = payload[pos + 1]
+                delay = payload[pos + 2] | (payload[pos + 3] << 8)
+                transparent = payload[pos + 4] if flags & 1 else None
             while payload[pos]:
                 pos += 1 + payload[pos]
             pos += 1
@@ -759,8 +777,6 @@ def decode_gif(payload: bytes) -> tuple[int, int, list[int]]:
             data += payload[pos + 1 : pos + 1 + ln]
             pos += 1 + ln
         pos += 1
-        if pos < len(payload) and payload[pos] != 0x3B:
-            raise NotImplementedError("animated (multi-frame) GIF not supported")
         idx = _lzw_decode(min_code_size, bytes(data))
         if len(idx) != w * h:
             raise ValueError(f"GIF decoded {len(idx)} pixels, want {w * h}")
@@ -774,8 +790,108 @@ def decode_gif(payload: bytes) -> tuple[int, int, list[int]]:
             if i >= len(palette):
                 raise ValueError(f"GIF index {i} outside color table")
             out += palette[i]
-        return w, h, out
+        frames.append((left, top, w, h, delay, transparent, out, idx))
+        delay, transparent = 0, None
     raise ValueError("truncated GIF")
+
+
+def decode_gif_frames(
+    payload: bytes,
+) -> tuple[int, int, list[tuple[int, int, int, int, int, list[int]]]]:
+    """Parse an animated (or single-frame) GIF to (canvas_w, canvas_h,
+    frames), each frame (left, top, fw, fh, delay_cs, rgb) with rgb the
+    de-palettized top-down pixels of the frame's OWN rect — raw frames,
+    no inter-frame compositing (disposal-method playback is a
+    downstream concern; for curation pipelines the per-frame rects and
+    stats are the signal). delay_cs is the GCE delay in centiseconds."""
+    cw, chh, _, frames = _gif_parse_frames(payload)
+    return cw, chh, [(l, t, w, h, d, rgb) for l, t, w, h, d, _, rgb, _ in frames]
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, list[int]]:
+    """Parse a GIF to (w, h, top-down RGB list). REAL decode, stdlib
+    only: struct framing, extension-block skip, a hand-implemented LZW
+    decompressor (variable code width, CLEAR resets, KwKwK case), and
+    four-pass interlace reordering. A full-canvas opaque single frame
+    returns its pixels directly; otherwise (animated, offset rect, or
+    transparency) the POSTER frame is returned — the first frame
+    composited onto the background color (transparent pixels keep the
+    background), which is the standard thumbnail/preview semantic.
+    Truncated/invalid containers raise ValueError."""
+    cw, chh, bg_rgb, frames = _gif_parse_frames(payload)
+    left, top, fw, fh, _, transparent, rgb, idx = frames[0]
+    if (left, top, fw, fh) == (0, 0, cw, chh) and transparent is None:
+        return fw, fh, rgb
+    canvas = list(bg_rgb or (0, 0, 0)) * (cw * chh)
+    for y in range(fh):
+        cy = top + y
+        if cy >= chh:
+            break
+        for x in range(fw):
+            cx = left + x
+            if cx >= cw:
+                break
+            k = y * fw + x
+            if transparent is not None and idx[k] == transparent:
+                continue
+            o = (cy * cw + cx) * 3
+            canvas[o:o + 3] = rgb[3 * k:3 * k + 3]
+    return cw, chh, canvas
+
+
+def encode_gif_animation(
+    w: int,
+    h: int,
+    frames: list[tuple],
+    palette: list[tuple[int, int, int]],
+    loop: int = 0,
+    bg_index: int = 0,
+) -> bytes:
+    """Spec-correct animated GIF89a. ``frames`` is a list of
+    (left, top, fw, fh, indices, delay_cs, lct | None, interlace,
+    transparent_idx | None): each frame draws its own rect at (left,
+    top) with its local color table when given, the global ``palette``
+    otherwise. Emits the NETSCAPE 2.0 application extension (loop
+    count; 0 = forever) and a Graphic Control Extension per frame
+    (delay in centiseconds, optional transparency)."""
+    def table_bits(pal):
+        return max(2, (max(len(pal), 2) - 1).bit_length())
+
+    gbits = table_bits(palette)
+    gct = list(palette) + [(0, 0, 0)] * ((1 << gbits) - len(palette))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (gbits - 1), bg_index, 0)
+    out += b"".join(bytes(rgb) for rgb in gct)
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01" + struct.pack("<H", loop) + b"\x00"
+    for left, top, fw, fh, indices, delay, lct, interlace, transparent in frames:
+        if len(indices) != fw * fh:
+            raise ValueError(f"need {fw * fh} indices for {fw}x{fh} frame")
+        if left + fw > w or top + fh > h:
+            raise ValueError("frame rect exceeds canvas")
+        flags = 0x01 if transparent is not None else 0x00
+        out += b"\x21\xf9\x04" + bytes([flags]) + struct.pack("<H", delay)
+        out += bytes([transparent or 0, 0])
+        iflag = 0x40 if interlace else 0
+        if lct is not None:
+            lbits = table_bits(lct)
+            out += b"\x2c" + struct.pack(
+                "<HHHHB", left, top, fw, fh, iflag | 0x80 | (lbits - 1))
+            out += b"".join(
+                bytes(rgb) for rgb in
+                list(lct) + [(0, 0, 0)] * ((1 << lbits) - len(lct)))
+            mcs = lbits
+        else:
+            out += b"\x2c" + struct.pack("<HHHHB", left, top, fw, fh, iflag)
+            mcs = gbits
+        if interlace:
+            indices = [
+                v for r in _gif_interlace_order(fh)
+                for v in indices[r * fw:(r + 1) * fw]
+            ]
+        out.append(mcs)
+        out += _gif_subblocks(_lzw_encode(mcs, indices))
+    out += b"\x3b"
+    return bytes(out)
 
 
 def generate_media_real(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
@@ -1921,6 +2037,55 @@ def generate_media_gif(spark: SparkSession, n: int, seed: int = 42) -> DataFrame
                         interlace=(i % 5 == 2),  # four-pass rows, same pixels
                     )
                 )
+                metas.append(("image/gif", w, h, None, None, "gif"))
+            meta_arr = pa.StructArray.from_arrays(
+                [
+                    pa.array([m[0] for m in metas], pa.string()),
+                    pa.array([m[1] for m in metas], pa.int32()),
+                    pa.array([m[2] for m in metas], pa.int32()),
+                    pa.array([m[3] for m in metas], pa.int32()),
+                    pa.array([m[4] for m in metas], pa.int32()),
+                    pa.array([m[5] for m in metas], pa.string()),
+                ],
+                names=["media_type", "width", "height", "sample_rate", "duration_ms", "codec"],
+            )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary()), meta_arr],
+                ["media_id", "payload", "meta"],
+            )
+
+    return spark.range(0, n).mapInArrow(
+        _gen, f"media_id long, payload binary, meta struct<{MEDIA_META_DDL}>"
+    )
+
+
+def generate_media_gif_anim(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """Media table of GENUINE ANIMATED GIF89a containers: 2 + i%3
+    frames on a (10 + i%8) x (9 + i%6) canvas, frame f drawing the
+    inset rect (left, top, fw, fh) = (f, f, w-2f, h-2f) with delay
+    4 + 3f centiseconds, odd frames stored interlaced (same pixels),
+    NETSCAPE loop extension i%3. Palette entry k is (d[k], d[(k+11)%32],
+    d[(k+23)%32]) over sha256(f"{seed}:{media_id}"); pixel j of frame f
+    selects index d[(j + 3 + 5f) % 32] % 16 — every quantity a
+    relational oracle can recompute without a codec."""
+    import pyarrow as pa
+
+    def _gen(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            ids = batch.column("id").to_pylist()
+            payloads, metas = [], []
+            for i in ids:
+                d = hashlib.sha256(f"{seed}:{i}".encode()).digest()
+                w, h = 10 + i % 8, 9 + i % 6
+                pal = [(d[k], d[(k + 11) % 32], d[(k + 23) % 32]) for k in range(16)]
+                frames = []
+                for f in range(2 + i % 3):
+                    fw, fh = w - 2 * f, h - 2 * f
+                    idx = [d[(j + 3 + 5 * f) % 32] % 16 for j in range(fw * fh)]
+                    frames.append(
+                        (f, f, fw, fh, idx, 4 + 3 * f, None, f % 2 == 1, None))
+                payloads.append(
+                    encode_gif_animation(w, h, frames, pal, loop=i % 3))
                 metas.append(("image/gif", w, h, None, None, "gif"))
             meta_arr = pa.StructArray.from_arrays(
                 [

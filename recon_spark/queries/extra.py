@@ -1062,6 +1062,114 @@ FROM px ORDER BY media_id
 """
 
 
+_MEDIA_GIF_ANIM_N = 200
+
+
+def q_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated GIF frame enumeration (round 5): decode_gif_frames over
+    genuine multi-frame GIF89a containers — per-frame rects at inset
+    offsets, per-frame GCE delays, interlaced odd frames, NETSCAPE loop
+    extension — emitting one row per frame with its rect, delay, and
+    de-palettized pixel stats. The oracle recomputes every frame's
+    geometry and pixels relationally from the id arithmetic; any bug in
+    GCE parsing, frame-rect framing, per-frame LZW state, or the
+    interlace permutation inside an animation hash-fails."""
+    import pyarrow as pa
+
+    from recon_spark.operators.multimodal import (
+        decode_gif_frames,
+        generate_media_gif_anim,
+    )
+
+    def _gen(batches):
+        for batch in batches:
+            ids = batch.column("media_id").to_pylist()
+            out = {k: [] for k in ("media_id", "frame_idx", "f_left", "f_top",
+                                   "fw", "fh", "delay_cs", "n_values",
+                                   "px_sum", "px_min", "px_max")}
+            for mid, p in zip(ids, batch.column("payload").to_pylist()):
+                cw, ch, frames = decode_gif_frames(bytes(p))
+                for f, (left, top, fw, fh, delay, rgb) in enumerate(frames):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(f)
+                    out["f_left"].append(left)
+                    out["f_top"].append(top)
+                    out["fw"].append(fw)
+                    out["fh"].append(fh)
+                    out["delay_cs"].append(delay)
+                    out["n_values"].append(len(rgb))
+                    out["px_sum"].append(sum(rgb))
+                    out["px_min"].append(min(rgb))
+                    out["px_max"].append(max(rgb))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out["media_id"], pa.int64()),
+                    pa.array(out["frame_idx"], pa.int32()),
+                    pa.array(out["f_left"], pa.int32()),
+                    pa.array(out["f_top"], pa.int32()),
+                    pa.array(out["fw"], pa.int32()),
+                    pa.array(out["fh"], pa.int32()),
+                    pa.array(out["delay_cs"], pa.int32()),
+                    pa.array(out["n_values"], pa.int32()),
+                    pa.array(out["px_sum"], pa.int64()),
+                    pa.array(out["px_min"], pa.int32()),
+                    pa.array(out["px_max"], pa.int32()),
+                ],
+                list(out),
+            )
+
+    media = generate_media_gif_anim(spark, _MEDIA_GIF_ANIM_N)
+    return (
+        media.select("media_id", "payload")
+        .mapInArrow(
+            _gen,
+            "media_id long, frame_idx int, f_left int, f_top int, fw int, "
+            "fh int, delay_cs int, n_values int, px_sum long, px_min int, "
+            "px_max int",
+        )
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+SQL_MULTIMODAL_GIF_FRAMES = f"""
+WITH ids AS (SELECT unnest(generate_series(0, {_MEDIA_GIF_ANIM_N - 1})) AS media_id),
+cls AS (
+  SELECT media_id, 10 + media_id % 8 AS w, 9 + media_id % 6 AS h,
+         2 + media_id % 3 AS nf
+  FROM ids
+),
+dg AS (SELECT media_id, w, h, nf, sha256('42:' || media_id) AS dh FROM cls),
+db_t AS (
+  SELECT media_id, w, h, nf,
+         list_transform(generate_series(0, 31),
+           k -> CAST(concat('0x', substr(dh, 2 * k + 1, 2)) AS INT)) AS db
+  FROM dg
+),
+fr AS (
+  SELECT media_id, w, h, db, unnest(generate_series(0, nf - 1)) AS f
+  FROM db_t
+),
+px AS (
+  SELECT media_id, f, w - 2 * f AS fw, h - 2 * f AS fh,
+         flatten(list_transform(generate_series(0, (w - 2 * f) * (h - 2 * f) - 1),
+           j -> [db[(db[(j + 3 + 5 * f) % 32 + 1] % 16) + 1],
+                 db[((db[(j + 3 + 5 * f) % 32 + 1] % 16) + 11) % 32 + 1],
+                 db[((db[(j + 3 + 5 * f) % 32 + 1] % 16) + 23) % 32 + 1]])) AS p
+  FROM fr
+)
+SELECT media_id,
+       CAST(f AS INT) AS frame_idx,
+       CAST(f AS INT) AS f_left, CAST(f AS INT) AS f_top,
+       CAST(fw AS INT) AS fw, CAST(fh AS INT) AS fh,
+       CAST(4 + 3 * f AS INT) AS delay_cs,
+       CAST(len(p) AS INT) AS n_values,
+       CAST(list_aggregate(p, 'sum') AS BIGINT) AS px_sum,
+       CAST(list_aggregate(p, 'min') AS INT) AS px_min,
+       CAST(list_aggregate(p, 'max') AS INT) AS px_max
+FROM px ORDER BY media_id, frame_idx
+"""
+
+
 _MEDIA_TIFF_N = 300
 
 
@@ -1982,6 +2090,7 @@ QUERIES = {
     "multimodal_decode_audio": q_multimodal_decode_audio,
     "multimodal_decode_png": q_multimodal_decode_png,
     "multimodal_decode_gif": q_multimodal_decode_gif,
+    "multimodal_gif_frames": q_multimodal_gif_frames,
     "multimodal_decode_tiff": q_multimodal_decode_tiff,
     "multimodal_decode_jpeg": q_multimodal_decode_jpeg,
     "warc_media_decode": q_warc_media_decode,
@@ -2015,6 +2124,7 @@ ORACLES = {
     "multimodal_decode_audio": SQL_MULTIMODAL_DECODE_AUDIO,
     "multimodal_decode_png": SQL_MULTIMODAL_DECODE_PNG,
     "multimodal_decode_gif": SQL_MULTIMODAL_DECODE_GIF,
+    "multimodal_gif_frames": SQL_MULTIMODAL_GIF_FRAMES,
     "multimodal_decode_tiff": SQL_MULTIMODAL_DECODE_TIFF,
     "multimodal_decode_jpeg": SQL_MULTIMODAL_DECODE_JPEG,
     "warc_media_decode": SQL_WARC_MEDIA_DECODE,

@@ -147,7 +147,7 @@ def test_gif_roundtrip_property(w, h, npal, seed, ce):
     assert decode_image(g, {}) == want  # dispatch: REAL decode path
 
 
-def test_interlace_flag_and_animation_gate():
+def test_interlace_flag_and_spliced_second_frame():
     pal = [(0, 0, 0), (1, 1, 1)]
     # hand-setting the interlace flag on a 2x2 stream is benign: the
     # appendix-E permutation of rows [0, 1] is the identity, so the
@@ -156,12 +156,17 @@ def test_interlace_flag_and_animation_gate():
     desc_at = bytes(g).index(b"\x2c")
     g[desc_at + 9] |= 0x40
     assert decode_gif(bytes(g)) == decode_gif(encode_gif(2, 2, [0, 1, 1, 0], pal))
-    # two image blocks = animation: splice a second descriptor before trailer
+    # two image blocks = animation (r5 closed the gate): splicing a
+    # second descriptor before the trailer yields two parsed frames,
+    # and decode_gif returns the poster (first) frame's pixels
     one = encode_gif(1, 1, [0], pal)
     frame = one[one.index(b"\x2c") : -1]  # descriptor through block terminator
     multi = one[:-1] + frame + b"\x3b"
-    with pytest.raises(NotImplementedError, match="multi-frame"):
-        decode_gif(multi)
+    from recon_spark.operators.multimodal import decode_gif_frames
+
+    cw, ch, frames = decode_gif_frames(multi)
+    assert (cw, ch) == (1, 1) and len(frames) == 2
+    assert decode_gif(multi) == (1, 1, list(pal[0]))
 
 
 def test_truncated_and_invalid_containers_raise():
@@ -200,6 +205,18 @@ def test_decode_gif_query_matches_oracle(spark, ddb):
     from tests.conftest import SF_ORACLE, compare_query
 
     compare_query(spark, ddb, q_multimodal_decode_gif, SQL_MULTIMODAL_DECODE_GIF, SF_ORACLE)
+
+
+def test_gif_frames_query_matches_oracle(spark, ddb):
+    from recon_spark.queries.extra import (
+        SQL_MULTIMODAL_GIF_FRAMES,
+        q_multimodal_gif_frames,
+    )
+    from tests.conftest import SF_ORACLE, compare_query
+
+    compare_query(
+        spark, ddb, q_multimodal_gif_frames, SQL_MULTIMODAL_GIF_FRAMES, SF_ORACLE
+    )
 
 
 # --------------------------------------------------------------------------
@@ -260,3 +277,73 @@ def test_generated_interlaced_gifs_flag_and_match(spark):
         assert p[_descriptor_at(p) + 9] & 0x40
         w, h, px = decode_gif(p)
         assert (w, h) == (r["meta"]["width"], r["meta"]["height"])
+
+
+# --------------------------------------------------------------------------
+# r5: animation (multi-frame) support
+# --------------------------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(6, 20),
+    h=st.integers(6, 16),
+    nframes=st.integers(1, 4),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_animation_frames_round_trip_property(w, h, nframes, seed):
+    """Every frame of an animated GIF round-trips exactly: rect offsets,
+    per-frame delays, local color tables, interlaced frames, and GCT
+    frames mixed in one container, NETSCAPE loop extension skipped."""
+    import random
+
+    from recon_spark.operators.multimodal import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    rng = random.Random(seed)
+    gct = [tuple(rng.randrange(256) for _ in range(3)) for _ in range(16)]
+    frames = []
+    for f in range(nframes):
+        left, top = rng.randrange(w // 2), rng.randrange(h // 2)
+        fw, fh = rng.randrange(1, w - left + 1), rng.randrange(1, h - top + 1)
+        lct = ([tuple(rng.randrange(256) for _ in range(3)) for _ in range(8)]
+               if rng.random() < 0.4 else None)
+        n = len(lct) if lct else 16
+        idx = [rng.randrange(n) for _ in range(fw * fh)]
+        frames.append((left, top, fw, fh, idx, rng.randrange(500), lct,
+                       rng.random() < 0.3, None))
+    p = encode_gif_animation(w, h, frames, gct, loop=rng.randrange(4))
+    cw, ch, got = decode_gif_frames(p)
+    assert (cw, ch) == (w, h) and len(got) == nframes
+    for (l, t, fw, fh, idx, delay, lct, _, _), (gl, gt, gw, gh, gd, rgb) in zip(
+            frames, got):
+        table = lct if lct else gct
+        assert (gl, gt, gw, gh, gd) == (l, t, fw, fh, delay)
+        assert rgb == [c for i in idx for c in table[i]]
+
+
+def test_poster_frame_composite_with_transparency():
+    """decode_gif on an animated/offset/transparent container returns
+    the poster: background color under the first frame's transparent
+    pixels and outside its rect."""
+    from recon_spark.operators.multimodal import encode_gif_animation
+
+    pal = [(10, 10, 10), (200, 0, 0), (0, 200, 0), (9, 9, 9)]
+    # canvas 4x3, bg index 3; frame 0 is a 2x2 rect at (1,1) with index
+    # 1 transparent
+    frames = [
+        (1, 1, 2, 2, [0, 1, 1, 2], 5, None, False, 1),
+        (0, 0, 1, 1, [2], 5, None, False, None),
+    ]
+    p = encode_gif_animation(4, 3, frames, pal, bg_index=3)
+    w, h, px = decode_gif(p)
+    assert (w, h) == (4, 3)
+    grid = [tuple(px[3 * k:3 * k + 3]) for k in range(12)]
+    bg = pal[3]
+    assert grid == [
+        bg, bg, bg, bg,
+        bg, pal[0], bg, bg,   # (1,1)=idx0; (2,1)=idx1 transparent -> bg
+        bg, bg, pal[2], bg,   # (1,2)=idx1 transparent -> bg; (2,2)=idx2
+    ]
