@@ -956,8 +956,11 @@ def generate_media_real(spark: SparkSession, n: int, seed: int = 42) -> DataFram
 # documented ways: codes pack MSB-first, the symbol alphabet is fixed
 # at 8 bits (CLEAR=256, EOI=257, first free 258), and the code width
 # bumps one code EARLIER ("early change", at next_code == 2^width - 1).
-# Horizontal-differencing predictor (tag 317 = 2) supported. 8-bit
-# gray/RGB strips only; tiles and other depths keep an honest gate.
+# Horizontal-differencing predictor (tag 317 = 2) supported, and
+# multi-page containers decode page-by-page via the 0-terminated
+# next-IFD chain (cycle-guarded — real crawls contain TIFFs whose
+# next pointer loops). 8-bit gray/RGB strips only; tiles and other
+# depths keep an honest gate.
 # --------------------------------------------------------------------------
 
 TIFF_SIGS = (b"II*\x00", b"MM\x00*")
@@ -1118,23 +1121,11 @@ def _packbits_decode(data: bytes, expected: int) -> bytes:
     return bytes(out)
 
 
-def encode_tiff(
-    w: int,
-    h: int,
-    values: list[int],
-    samples: int = 3,
-    compression: int = 1,
-    predictor: int = 1,
-    rows_per_strip: int | None = None,
-) -> bytes:
-    """Baseline little-endian TIFF from top-down row-major 8-bit values
-    (len = w*h*samples; samples 1=gray or 3=RGB). compression 1=none,
-    5=LZW, 32773=PackBits; predictor 2 = horizontal differencing
-    (LZW/PackBits only, per spec). Multi-strip when rows_per_strip < h
-    so the strip-reassembly path is exercised."""
-    if len(values) != w * h * samples:
-        raise ValueError(f"need {w * h * samples} values")
-    rps = rows_per_strip or h
+def _tiff_page_strips(
+    w: int, h: int, values: list[int], samples: int,
+    compression: int, predictor: int, rps: int,
+) -> list[bytes]:
+    """One page's compressed strips (predictor applied pre-compression)."""
     raw = bytes(values)
     strips = []
     for y0 in range(0, h, rps):
@@ -1153,14 +1144,16 @@ def encode_tiff(
             strips.append(_packbits_encode(rows))
         else:
             strips.append(rows)
-    # layout: header(8) | strip data | IFD
-    offsets, pos = [], 8
-    for s in strips:
-        offsets.append(pos)
-        pos += len(s)
-    ifd_off = pos
-    n_strips = len(strips)
+    return strips
 
+
+def _tiff_ifd_blob(
+    w: int, h: int, samples: int, compression: int, predictor: int,
+    rps: int, offsets: list[int], counts: list[int],
+    ifd_off: int, next_ifd: int,
+) -> bytes:
+    """One little-endian 12-entry IFD (+ its after-IFD value arrays),
+    laid out starting at ifd_off, chaining to next_ifd (0 = last)."""
     def entry(tag: int, typ: int, cnt: int, val: int) -> bytes:
         return struct.pack("<HHII", tag, typ, cnt, val)
 
@@ -1190,29 +1183,92 @@ def encode_tiff(
     arr_long(273, offsets)
     entries.append(entry(277, 3, 1, samples))
     entries.append(entry(278, 4, 1, rps))
-    arr_long(279, [len(s) for s in strips])
+    arr_long(279, counts)
     entries.append(entry(284, 3, 1, 1))  # chunky planar config
     entries.append(entry(296, 3, 1, 2))  # resolution unit: inch
     entries.append(entry(317, 3, 1, predictor))
     assert len(entries) == 12  # extra_base above assumes exactly 12
-    out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
-    for s in strips:
-        out += s
-    out += struct.pack("<H", len(entries)) + b"".join(entries) + struct.pack("<I", 0)
-    out += extra
+    return (
+        struct.pack("<H", len(entries))
+        + b"".join(entries)
+        + struct.pack("<I", next_ifd)
+        + bytes(extra)
+    )
+
+
+def encode_tiff_multi(pages: list[tuple]) -> bytes:
+    """Multi-page baseline little-endian TIFF: ``pages`` is a list of
+    (w, h, values, samples, compression, predictor, rows_per_strip |
+    None) tuples; each page becomes one IFD in the chain (next-IFD
+    pointers linked, 0-terminated), with all strip data laid out after
+    the header and the IFDs after all strips. Layout: header(8) |
+    page-1 strips | ... | page-N strips | IFD-1(+arrays) | ... |
+    IFD-N(+arrays)."""
+    per_page = []
+    for w, h, values, samples, compression, predictor, rows_per_strip in pages:
+        if len(values) != w * h * samples:
+            raise ValueError(f"need {w * h * samples} values")
+        rps = rows_per_strip or h
+        strips = _tiff_page_strips(w, h, values, samples, compression,
+                                   predictor, rps)
+        per_page.append((w, h, samples, compression, predictor, rps, strips))
+    pos = 8
+    page_offsets = []
+    for *_, strips in per_page:
+        offs = []
+        for s in strips:
+            offs.append(pos)
+            pos += len(s)
+        page_offsets.append(offs)
+    # IFD blob size is deterministic: 2 + 12*12 + 4 plus value arrays
+    ifd_offs, cursor = [], pos
+    blobs_sizes = []
+    for (w, h, samples, compression, predictor, rps, strips) in per_page:
+        extra = 8 if samples == 3 else 0  # BitsPerSample triple + pad
+        if len(strips) > 1:
+            extra += 4 * len(strips) * 2  # offsets + counts arrays
+        size = 2 + 12 * 12 + 4 + extra
+        ifd_offs.append(cursor)
+        blobs_sizes.append(size)
+        cursor += size
+    out = bytearray(b"II*\x00" + struct.pack("<I", ifd_offs[0]))
+    for *_, strips in per_page:
+        for s in strips:
+            out += s
+    for i, (w, h, samples, compression, predictor, rps, strips) in enumerate(
+            per_page):
+        nxt = ifd_offs[i + 1] if i + 1 < len(per_page) else 0
+        blob = _tiff_ifd_blob(
+            w, h, samples, compression, predictor, rps,
+            page_offsets[i], [len(s) for s in strips], ifd_offs[i], nxt)
+        assert len(blob) == blobs_sizes[i]
+        out += blob
     return bytes(out)
 
 
-def decode_tiff(payload: bytes) -> tuple[int, int, int, list[int]]:
-    """Parse a baseline TIFF to (w, h, samples, top-down values). REAL
-    decode, stdlib only, BOTH byte orders: IFD walk, strip reassembly,
-    none/LZW/PackBits decompression, horizontal-differencing predictor
-    undo. 8-bit gray/RGB strips only — tiles, other depths, and other
-    compressions raise; truncated/invalid containers raise ValueError."""
-    if payload[:4] not in TIFF_SIGS:
-        raise ValueError("not a TIFF payload")
-    bo = "<" if payload[:2] == b"II" else ">"
-    (ifd_off,) = struct.unpack_from(f"{bo}I", payload, 4)
+def encode_tiff(
+    w: int,
+    h: int,
+    values: list[int],
+    samples: int = 3,
+    compression: int = 1,
+    predictor: int = 1,
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """Baseline little-endian TIFF from top-down row-major 8-bit values
+    (len = w*h*samples; samples 1=gray or 3=RGB). compression 1=none,
+    5=LZW, 32773=PackBits; predictor 2 = horizontal differencing
+    (LZW/PackBits only, per spec). Multi-strip when rows_per_strip < h
+    so the strip-reassembly path is exercised."""
+    return encode_tiff_multi(
+        [(w, h, values, samples, compression, predictor, rows_per_strip)])
+
+
+def _tiff_decode_ifd(
+    payload: bytes, bo: str, ifd_off: int
+) -> tuple[int, int, int, list[int], int]:
+    """Decode ONE IFD's image at ifd_off; returns (w, h, samples,
+    values, next_ifd_offset)."""
     if ifd_off + 2 > len(payload):
         raise ValueError("truncated TIFF IFD offset")
     (n_entries,) = struct.unpack_from(f"{bo}H", payload, ifd_off)
@@ -1235,8 +1291,6 @@ def decode_tiff(payload: bytes) -> tuple[int, int, int, list[int]]:
     (next_ifd,) = struct.unpack_from(
         f"{bo}I", payload, ifd_off + 2 + 12 * n_entries
     )
-    if next_ifd:
-        raise NotImplementedError("multi-page TIFF not supported")
     if 322 in tags or 323 in tags:
         raise NotImplementedError("tiled TIFF not supported")
     try:
@@ -1279,7 +1333,47 @@ def decode_tiff(payload: bytes) -> tuple[int, int, int, list[int]]:
         raw += strip
     if len(raw) != h * row_bytes:
         raise ValueError(f"TIFF strips yielded {len(raw)}B, want {h * row_bytes}B")
-    return w, h, samples, list(raw)
+    return w, h, samples, list(raw), next_ifd
+
+
+def decode_tiff_pages(
+    payload: bytes, max_pages: int = 1024
+) -> list[tuple[int, int, int, list[int]]]:
+    """Walk a (possibly multi-page) TIFF's IFD chain and decode every
+    page to (w, h, samples, top-down values). The chain is 0-terminated
+    per spec; a cycle or a chain longer than max_pages raises (a real
+    crawl WILL contain a TIFF whose next-IFD pointer loops)."""
+    if payload[:4] not in TIFF_SIGS:
+        raise ValueError("not a TIFF payload")
+    bo = "<" if payload[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack_from(f"{bo}I", payload, 4)
+    pages, seen = [], set()
+    while ifd_off:
+        if ifd_off in seen or len(pages) >= max_pages:
+            raise ValueError("TIFF IFD chain loops or exceeds page cap")
+        seen.add(ifd_off)
+        w, h, samples, vals, ifd_off = _tiff_decode_ifd(payload, bo, ifd_off)
+        pages.append((w, h, samples, vals))
+    if not pages:
+        raise ValueError("TIFF has no IFD")
+    return pages
+
+
+def decode_tiff(payload: bytes) -> tuple[int, int, int, list[int]]:
+    """Parse a baseline TIFF to (w, h, samples, top-down values). REAL
+    decode, stdlib only, BOTH byte orders: IFD walk, strip reassembly,
+    none/LZW/PackBits decompression, horizontal-differencing predictor
+    undo. Multi-page containers return the FIRST page (poster
+    semantics, same convention as animated GIF; decode_tiff_pages
+    enumerates the chain). 8-bit gray/RGB strips only — tiles, other
+    depths, and other compressions raise; truncated/invalid containers
+    raise ValueError."""
+    if payload[:4] not in TIFF_SIGS:
+        raise ValueError("not a TIFF payload")
+    bo = "<" if payload[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack_from(f"{bo}I", payload, 4)
+    w, h, samples, vals, _ = _tiff_decode_ifd(payload, bo, ifd_off)
+    return w, h, samples, vals
 
 
 # --------------------------------------------------------------------------

@@ -196,3 +196,60 @@ def test_decode_tiff_query_matches_oracle(spark, ddb):
     from tests.conftest import SF_ORACLE, compare_query
 
     compare_query(spark, ddb, q_multimodal_decode_tiff, SQL_MULTIMODAL_DECODE_TIFF, SF_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# r5: multi-page IFD chain
+# --------------------------------------------------------------------------
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    npages=st.integers(1, 5),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_multi_page_chain_round_trip(npages, seed):
+    """Every page of a chained-IFD TIFF round-trips — per-page dims,
+    gray/RGB mix, all three compressions, predictor, multi-strip — and
+    decode_tiff returns the first page (poster semantics)."""
+    import random
+
+    from recon_spark.operators.multimodal import (
+        decode_tiff_pages,
+        encode_tiff_multi,
+    )
+
+    rng = random.Random(seed)
+    spec, want = [], []
+    for _ in range(npages):
+        w, h = rng.randrange(1, 12), rng.randrange(1, 10)
+        s = rng.choice([1, 3])
+        comp = rng.choice([1, 5, 32773])
+        pred = rng.choice([1, 2]) if comp != 1 else 1
+        rps = rng.choice([None, 1, 2, 3])
+        vals = [rng.randrange(256) for _ in range(w * h * s)]
+        spec.append((w, h, vals, s, comp, pred, rps))
+        want.append((w, h, s, vals))
+    p = encode_tiff_multi(spec)
+    assert decode_tiff_pages(p) == want
+    assert decode_tiff(p) == want[0]
+
+
+def test_ifd_cycle_and_page_cap_raise():
+    import struct as _struct
+
+    from recon_spark.operators.multimodal import (
+        decode_tiff_pages,
+        encode_tiff_multi,
+    )
+
+    p = bytearray(encode_tiff_multi(
+        [(2, 2, [1] * 4, 1, 1, 1, None), (2, 2, [2] * 4, 1, 1, 1, None)]))
+    (ifd0,) = _struct.unpack_from("<I", p, 4)
+    (n0,) = _struct.unpack_from("<H", p, ifd0)
+    _struct.pack_into("<I", p, ifd0 + 2 + 12 * n0, ifd0)  # self-loop
+    with pytest.raises(ValueError, match="loops|page cap"):
+        decode_tiff_pages(bytes(p))
+    with pytest.raises(ValueError, match="loops|page cap"):
+        decode_tiff_pages(encode_tiff_multi(
+            [(1, 1, [0], 1, 1, 1, None)] * 3), max_pages=2)
