@@ -959,8 +959,9 @@ def generate_media_real(spark: SparkSession, n: int, seed: int = 42) -> DataFram
 # Horizontal-differencing predictor (tag 317 = 2) supported, and
 # multi-page containers decode page-by-page via the 0-terminated
 # next-IFD chain (cycle-guarded — real crawls contain TIFFs whose
-# next pointer loops). 8-bit gray/RGB strips only; tiles and other
-# depths keep an honest gate.
+# next pointer loops). Both layouts decode — strips AND §15 tiles —
+# at 8- or 16-bit depth, gray or RGB chunky; planar config 2 and
+# other depths/compressions keep an honest gate.
 # --------------------------------------------------------------------------
 
 TIFF_SIGS = (b"II*\x00", b"MM\x00*")
@@ -1121,36 +1122,86 @@ def _packbits_decode(data: bytes, expected: int) -> bytes:
     return bytes(out)
 
 
+def _tiff_samples_to_bytes(values: list[int], bits: int, bo: str = "<") -> bytes:
+    """Serialize sample values at the given depth in file byte order."""
+    if bits == 8:
+        return bytes(values)
+    return struct.pack(f"{bo}{len(values)}H", *values)
+
+
+def _tiff_apply_hdiff(
+    rows: bytes, nrows: int, rowpix: int, samples: int, bits: int, bo: str = "<"
+) -> bytes:
+    """Forward horizontal-differencing (predictor 2, TIFF 6.0 §14):
+    each sample becomes its delta vs the same-channel sample one pixel
+    left, per row, at the image's native depth (mod 2^bits)."""
+    n = rowpix * samples
+    if bits == 8:
+        buf = bytearray(rows)
+        for r in range(nrows):
+            base = r * n
+            for i in range(n - 1, samples - 1, -1):
+                buf[base + i] = (buf[base + i] - rows[base + i - samples]) & 0xFF
+        return bytes(buf)
+    buf = bytearray(rows)
+    fmt = f"{bo}{n}H"
+    for r in range(nrows):
+        vals = list(struct.unpack_from(fmt, rows, r * n * 2))
+        out = vals[:samples] + [
+            (vals[i] - vals[i - samples]) & 0xFFFF for i in range(samples, n)
+        ]
+        struct.pack_into(fmt, buf, r * n * 2, *out)
+    return bytes(buf)
+
+
+def _tiff_undo_hdiff(
+    buf: bytearray, nrows: int, rowpix: int, samples: int, sw: int, bo: str
+) -> None:
+    """In-place inverse of _tiff_apply_hdiff (sw = bytes per sample)."""
+    n = rowpix * samples
+    if sw == 1:
+        for r in range(nrows):
+            base = r * n
+            for i in range(samples, n):
+                buf[base + i] = (buf[base + i] + buf[base + i - samples]) & 0xFF
+        return
+    fmt = f"{bo}{n}H"
+    for r in range(nrows):
+        vals = list(struct.unpack_from(fmt, buf, r * n * 2))
+        for i in range(samples, n):
+            vals[i] = (vals[i] + vals[i - samples]) & 0xFFFF
+        struct.pack_into(fmt, buf, r * n * 2, *vals)
+
+
+def _tiff_compress(chunk: bytes, compression: int) -> bytes:
+    if compression == 5:
+        return _tiff_lzw_encode(chunk)
+    if compression == 32773:
+        return _packbits_encode(chunk)
+    return chunk
+
+
 def _tiff_page_strips(
     w: int, h: int, values: list[int], samples: int,
-    compression: int, predictor: int, rps: int,
+    compression: int, predictor: int, rps: int, bits: int = 8,
 ) -> list[bytes]:
     """One page's compressed strips (predictor applied pre-compression)."""
-    raw = bytes(values)
+    raw = _tiff_samples_to_bytes(values, bits)
+    sw = bits // 8
     strips = []
     for y0 in range(0, h, rps):
-        rows = raw[y0 * w * samples : min(y0 + rps, h) * w * samples]
+        nrow = min(y0 + rps, h) - y0
+        rows = raw[y0 * w * samples * sw : (y0 + nrow) * w * samples * sw]
         if predictor == 2:
-            buf = bytearray(rows)
-            nrow = len(rows) // (w * samples)
-            for r in range(nrow):
-                base = r * w * samples
-                for i in range(w * samples - 1, samples - 1, -1):
-                    buf[base + i] = (buf[base + i] - rows[base + i - samples]) & 0xFF
-            rows = bytes(buf)
-        if compression == 5:
-            strips.append(_tiff_lzw_encode(rows))
-        elif compression == 32773:
-            strips.append(_packbits_encode(rows))
-        else:
-            strips.append(rows)
+            rows = _tiff_apply_hdiff(rows, nrow, w, samples, bits)
+        strips.append(_tiff_compress(rows, compression))
     return strips
 
 
 def _tiff_ifd_blob(
     w: int, h: int, samples: int, compression: int, predictor: int,
     rps: int, offsets: list[int], counts: list[int],
-    ifd_off: int, next_ifd: int,
+    ifd_off: int, next_ifd: int, bits: int = 8,
 ) -> bytes:
     """One little-endian 12-entry IFD (+ its after-IFD value arrays),
     laid out starting at ifd_off, chaining to next_ifd (0 = last)."""
@@ -1173,10 +1224,10 @@ def _tiff_ifd_blob(
     entries.append(entry(256, 4, 1, w))
     entries.append(entry(257, 4, 1, h))
     if samples == 1:
-        entries.append(entry(258, 3, 1, 8))
+        entries.append(entry(258, 3, 1, bits))
     else:
         entries.append(entry(258, 3, 3, extra_base + len(extra)))
-        extra.extend(struct.pack("<HHH", 8, 8, 8))
+        extra.extend(struct.pack("<HHH", bits, bits, bits))
         extra.extend(b"\x00\x00")  # keep extra area word-aligned
     entries.append(entry(259, 3, 1, compression))
     entries.append(entry(262, 3, 1, 1 if samples == 1 else 2))
@@ -1199,19 +1250,23 @@ def _tiff_ifd_blob(
 def encode_tiff_multi(pages: list[tuple]) -> bytes:
     """Multi-page baseline little-endian TIFF: ``pages`` is a list of
     (w, h, values, samples, compression, predictor, rows_per_strip |
-    None) tuples; each page becomes one IFD in the chain (next-IFD
-    pointers linked, 0-terminated), with all strip data laid out after
-    the header and the IFDs after all strips. Layout: header(8) |
-    page-1 strips | ... | page-N strips | IFD-1(+arrays) | ... |
-    IFD-N(+arrays)."""
+    None[, bits]) tuples (bits defaults to 8; 16 packs each sample as a
+    little-endian SHORT); each page becomes one IFD in the chain
+    (next-IFD pointers linked, 0-terminated), with all strip data laid
+    out after the header and the IFDs after all strips. Layout:
+    header(8) | page-1 strips | ... | page-N strips | IFD-1(+arrays) |
+    ... | IFD-N(+arrays)."""
     per_page = []
-    for w, h, values, samples, compression, predictor, rows_per_strip in pages:
+    for page in pages:
+        w, h, values, samples, compression, predictor, rows_per_strip = page[:7]
+        bits = page[7] if len(page) > 7 else 8
         if len(values) != w * h * samples:
             raise ValueError(f"need {w * h * samples} values")
         rps = rows_per_strip or h
         strips = _tiff_page_strips(w, h, values, samples, compression,
-                                   predictor, rps)
-        per_page.append((w, h, samples, compression, predictor, rps, strips))
+                                   predictor, rps, bits)
+        per_page.append((w, h, samples, compression, predictor, rps, bits,
+                         strips))
     pos = 8
     page_offsets = []
     for *_, strips in per_page:
@@ -1223,7 +1278,7 @@ def encode_tiff_multi(pages: list[tuple]) -> bytes:
     # IFD blob size is deterministic: 2 + 12*12 + 4 plus value arrays
     ifd_offs, cursor = [], pos
     blobs_sizes = []
-    for (w, h, samples, compression, predictor, rps, strips) in per_page:
+    for (w, h, samples, compression, predictor, rps, bits, strips) in per_page:
         extra = 8 if samples == 3 else 0  # BitsPerSample triple + pad
         if len(strips) > 1:
             extra += 4 * len(strips) * 2  # offsets + counts arrays
@@ -1235,12 +1290,12 @@ def encode_tiff_multi(pages: list[tuple]) -> bytes:
     for *_, strips in per_page:
         for s in strips:
             out += s
-    for i, (w, h, samples, compression, predictor, rps, strips) in enumerate(
-            per_page):
+    for i, (w, h, samples, compression, predictor, rps, bits,
+            strips) in enumerate(per_page):
         nxt = ifd_offs[i + 1] if i + 1 < len(per_page) else 0
         blob = _tiff_ifd_blob(
             w, h, samples, compression, predictor, rps,
-            page_offsets[i], [len(s) for s in strips], ifd_offs[i], nxt)
+            page_offsets[i], [len(s) for s in strips], ifd_offs[i], nxt, bits)
         assert len(blob) == blobs_sizes[i]
         out += blob
     return bytes(out)
@@ -1254,14 +1309,104 @@ def encode_tiff(
     compression: int = 1,
     predictor: int = 1,
     rows_per_strip: int | None = None,
+    bits: int = 8,
 ) -> bytes:
-    """Baseline little-endian TIFF from top-down row-major 8-bit values
-    (len = w*h*samples; samples 1=gray or 3=RGB). compression 1=none,
-    5=LZW, 32773=PackBits; predictor 2 = horizontal differencing
-    (LZW/PackBits only, per spec). Multi-strip when rows_per_strip < h
-    so the strip-reassembly path is exercised."""
+    """Baseline little-endian TIFF from top-down row-major sample values
+    (len = w*h*samples; samples 1=gray or 3=RGB; bits 8 or 16).
+    compression 1=none, 5=LZW, 32773=PackBits; predictor 2 = horizontal
+    differencing (LZW/PackBits only, per spec). Multi-strip when
+    rows_per_strip < h so the strip-reassembly path is exercised."""
     return encode_tiff_multi(
-        [(w, h, values, samples, compression, predictor, rows_per_strip)])
+        [(w, h, values, samples, compression, predictor, rows_per_strip,
+          bits)])
+
+
+def encode_tiff_tiled(
+    w: int,
+    h: int,
+    values: list[int],
+    samples: int = 3,
+    compression: int = 1,
+    predictor: int = 1,
+    tile_w: int = 16,
+    tile_h: int = 16,
+    bits: int = 8,
+) -> bytes:
+    """Single-page little-endian TILED TIFF (TIFF 6.0 §15): the image is
+    cut into tile_w x tile_h tiles ordered left-to-right, top-to-bottom,
+    each padded to full tile size (spec: padding content arbitrary —
+    zeros here) and compressed independently; tags 322/323/324/325
+    replace the strip tags. The spec requires tile dims to be multiples
+    of 16 — callers wanting spec-legal output should honor that; the
+    encoder itself only requires positive dims so tests can exercise
+    dense tile grids on small images."""
+    if len(values) != w * h * samples:
+        raise ValueError(f"need {w * h * samples} values")
+    if tile_w <= 0 or tile_h <= 0:
+        raise ValueError("tile dims must be positive")
+    sw = bits // 8
+    raw = _tiff_samples_to_bytes(values, bits)
+    row_bytes = w * samples * sw
+    tile_row = tile_w * samples * sw
+    tiles = []
+    for ty in range(0, h, tile_h):
+        for tx in range(0, w, tile_w):
+            buf = bytearray(tile_h * tile_row)
+            for r in range(min(tile_h, h - ty)):
+                src = (ty + r) * row_bytes + tx * samples * sw
+                ncopy = min(tile_w, w - tx) * samples * sw
+                buf[r * tile_row : r * tile_row + ncopy] = raw[src : src + ncopy]
+            chunk = bytes(buf)
+            if predictor == 2:
+                chunk = _tiff_apply_hdiff(chunk, tile_h, tile_w, samples, bits)
+            tiles.append(_tiff_compress(chunk, compression))
+    # layout: header(8) | tile data | IFD | value arrays
+    offsets, pos = [], 8
+    for t in tiles:
+        offsets.append(pos)
+        pos += len(t)
+    ifd_off = pos
+    n_entries = 13
+    extra_base = ifd_off + 2 + 12 * n_entries + 4
+    extra = bytearray()
+    entries = []
+
+    def entry(tag: int, typ: int, cnt: int, val: int) -> None:
+        entries.append(struct.pack("<HHII", tag, typ, cnt, val))
+
+    def arr_long(tag: int, vals: list[int]) -> None:
+        if len(vals) == 1:
+            entry(tag, 4, 1, vals[0])
+        else:
+            entry(tag, 4, len(vals), extra_base + len(extra))
+            for v in vals:
+                extra.extend(struct.pack("<I", v))
+
+    entry(256, 4, 1, w)
+    entry(257, 4, 1, h)
+    if samples == 1:
+        entry(258, 3, 1, bits)
+    else:
+        entry(258, 3, 3, extra_base + len(extra))
+        extra.extend(struct.pack("<HHH", bits, bits, bits))
+        extra.extend(b"\x00\x00")
+    entry(259, 3, 1, compression)
+    entry(262, 3, 1, 1 if samples == 1 else 2)
+    entry(277, 3, 1, samples)
+    entry(284, 3, 1, 1)
+    entry(296, 3, 1, 2)
+    entry(317, 3, 1, predictor)
+    entry(322, 4, 1, tile_w)
+    entry(323, 4, 1, tile_h)
+    arr_long(324, offsets)
+    arr_long(325, [len(t) for t in tiles])
+    assert len(entries) == n_entries
+    out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
+    for t in tiles:
+        out += t
+    out += struct.pack("<H", n_entries) + b"".join(entries)
+    out += struct.pack("<I", 0) + extra
+    return bytes(out)
 
 
 def _tiff_decode_ifd(
@@ -1291,49 +1436,87 @@ def _tiff_decode_ifd(
     (next_ifd,) = struct.unpack_from(
         f"{bo}I", payload, ifd_off + 2 + 12 * n_entries
     )
-    if 322 in tags or 323 in tags:
-        raise NotImplementedError("tiled TIFF not supported")
     try:
         w, h = tags[256][0], tags[257][0]
-        offsets, counts = tags[273], tags[279]
     except KeyError as e:
         raise ValueError(f"TIFF missing required tag {e}")
     samples = tags.get(277, [1])[0]
     bits = tags.get(258, [8])
     compression = tags.get(259, [1])[0]
     predictor = tags.get(317, [1])[0]
-    rps = tags.get(278, [h])[0]
-    if samples not in (1, 3) or any(b != 8 for b in bits):
-        raise NotImplementedError(f"only 8-bit gray/RGB TIFF (spp={samples}, bits={bits})")
+    if samples not in (1, 3) or len(set(bits)) != 1 or bits[0] not in (8, 16):
+        raise NotImplementedError(
+            f"only 8/16-bit gray/RGB TIFF (spp={samples}, bits={bits})")
+    if tags.get(284, [1])[0] != 1:
+        raise NotImplementedError("planar (non-chunky) TIFF not supported")
     if compression not in (1, 5, 32773):
         raise NotImplementedError(f"TIFF compression {compression} not supported")
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor} not supported")
-    if len(offsets) != len(counts):
-        raise ValueError("TIFF strip offset/count mismatch")
-    row_bytes = w * samples
-    raw = bytearray()
-    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+    sw = bits[0] // 8
+    row_bytes = w * samples * sw
+
+    def chunk_at(off: int, cnt: int, expected: int) -> bytes:
         if off + cnt > len(payload):
-            raise ValueError("truncated TIFF strip")
-        strip = payload[off : off + cnt]
-        nrows = min(rps, h - si * rps)
+            raise ValueError("truncated TIFF strip/tile")
+        chunk = payload[off : off + cnt]
         if compression == 5:
-            strip = _tiff_lzw_decode(strip)
+            chunk = _tiff_lzw_decode(chunk)
         elif compression == 32773:
-            strip = _packbits_decode(strip, nrows * row_bytes)
-        if len(strip) < nrows * row_bytes:
-            raise ValueError("TIFF strip shorter than its rows")
-        strip = bytearray(strip[: nrows * row_bytes])
-        if predictor == 2:
-            for r in range(nrows):
-                base = r * row_bytes
-                for i in range(samples, row_bytes):
-                    strip[base + i] = (strip[base + i] + strip[base + i - samples]) & 0xFF
-        raw += strip
-    if len(raw) != h * row_bytes:
-        raise ValueError(f"TIFF strips yielded {len(raw)}B, want {h * row_bytes}B")
-    return w, h, samples, list(raw), next_ifd
+            chunk = _packbits_decode(chunk, expected)
+        if len(chunk) < expected:
+            raise ValueError("TIFF strip/tile shorter than its rows")
+        return chunk[:expected]
+
+    if 322 in tags or 324 in tags:
+        # tiled layout (TIFF 6.0 §15): fixed-size tiles padded at the
+        # right/bottom edges, ordered left-to-right then top-to-bottom;
+        # the predictor resets per tile row over the PADDED width.
+        try:
+            tw, tl = tags[322][0], tags[323][0]
+            offsets, counts = tags[324], tags[325]
+        except KeyError as e:
+            raise ValueError(f"tiled TIFF missing required tag {e}")
+        if tw <= 0 or tl <= 0:
+            raise ValueError("TIFF tile dims must be positive")
+        across = (w + tw - 1) // tw
+        down = (h + tl - 1) // tl
+        if len(offsets) != len(counts) or len(offsets) != across * down:
+            raise ValueError("TIFF tile offset/count mismatch")
+        tile_row = tw * samples * sw
+        raw = bytearray(h * row_bytes)
+        for ti, (off, cnt) in enumerate(zip(offsets, counts)):
+            buf = bytearray(chunk_at(off, cnt, tl * tile_row))
+            if predictor == 2:
+                _tiff_undo_hdiff(buf, tl, tw, samples, sw, bo)
+            tx, ty = (ti % across) * tw, (ti // across) * tl
+            ncopy = min(tw, w - tx) * samples * sw
+            for r in range(min(tl, h - ty)):
+                dst = (ty + r) * row_bytes + tx * samples * sw
+                raw[dst : dst + ncopy] = buf[r * tile_row : r * tile_row + ncopy]
+    else:
+        try:
+            offsets, counts = tags[273], tags[279]
+        except KeyError as e:
+            raise ValueError(f"TIFF missing required tag {e}")
+        rps = tags.get(278, [h])[0]
+        if len(offsets) != len(counts):
+            raise ValueError("TIFF strip offset/count mismatch")
+        raw = bytearray()
+        for si, (off, cnt) in enumerate(zip(offsets, counts)):
+            nrows = min(rps, h - si * rps)
+            strip = bytearray(chunk_at(off, cnt, nrows * row_bytes))
+            if predictor == 2:
+                _tiff_undo_hdiff(strip, nrows, w, samples, sw, bo)
+            raw += strip
+        if len(raw) != h * row_bytes:
+            raise ValueError(
+                f"TIFF strips yielded {len(raw)}B, want {h * row_bytes}B")
+    if sw == 1:
+        vals = list(raw)
+    else:
+        vals = list(struct.unpack(f"{bo}{w * h * samples}H", bytes(raw)))
+    return w, h, samples, vals, next_ifd
 
 
 def decode_tiff_pages(
@@ -1365,9 +1548,11 @@ def decode_tiff(payload: bytes) -> tuple[int, int, int, list[int]]:
     none/LZW/PackBits decompression, horizontal-differencing predictor
     undo. Multi-page containers return the FIRST page (poster
     semantics, same convention as animated GIF; decode_tiff_pages
-    enumerates the chain). 8-bit gray/RGB strips only — tiles, other
-    depths, and other compressions raise; truncated/invalid containers
-    raise ValueError."""
+    enumerates the chain). Both the strip and the TILED (§15) layouts
+    decode, at 8-bit (values 0..255) or 16-bit (values 0..65535, file
+    byte order) depth, gray or RGB chunky. Planar configuration 2,
+    other depths, and other compressions raise; truncated/invalid
+    containers raise ValueError."""
     if payload[:4] not in TIFF_SIGS:
         raise ValueError("not a TIFF payload")
     bo = "<" if payload[:2] == b"II" else ">"
@@ -2204,11 +2389,16 @@ def generate_media_gif_anim(spark: SparkSession, n: int, seed: int = 42) -> Data
 
 def generate_media_tiff(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     """Media table of GENUINE baseline TIFFs covering the three
-    baseline compressions: media_id % 3 == 0 → RGB + LZW + horizontal-
-    differencing predictor, 1 → RGB + PackBits, 2 → 8-bit gray
-    uncompressed split across multiple strips. RGB values follow the
-    generate_media_real derivation (d[idx%32], d[(idx+7)%32],
-    d[(idx+13)%32]); gray pixel idx is d[(idx+5)%32]."""
+    baseline compressions AND both layouts: media_id % 3 == 0 → RGB +
+    LZW + horizontal-differencing predictor (strips), 1 → RGB +
+    PackBits in the TILED layout (8x8 tiles over 4-11 x 4-9 images, so
+    every container has right/bottom edge tiles whose padding the
+    decoder must discard), 2 → 8-bit gray uncompressed split across
+    multiple strips. The decoded pixels are identical to the strip
+    form, so the same relational DuckDB oracle verifies the tile
+    reassembly. RGB values follow the generate_media_real derivation
+    (d[idx%32], d[(idx+7)%32], d[(idx+13)%32]); gray pixel idx is
+    d[(idx+5)%32]."""
     import pyarrow as pa
 
     def _gen(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
@@ -2235,7 +2425,9 @@ def generate_media_tiff(spark: SparkSession, n: int, seed: int = 42) -> DataFram
                         )
                     else:
                         payloads.append(
-                            encode_tiff(w, h, vals, samples=3, compression=32773)
+                            encode_tiff_tiled(w, h, vals, samples=3,
+                                              compression=32773,
+                                              tile_w=8, tile_h=8)
                         )
                 metas.append(("image/tiff", w, h, None, None, "tiff"))
             meta_arr = pa.StructArray.from_arrays(

@@ -158,18 +158,30 @@ def test_tiff_gates_and_corruption():
         decode_tiff(b"XX" + t[2:])
     with pytest.raises(ValueError):
         decode_tiff(t[:12])
-    # tiled gate: overwrite the ResolutionUnit entry with TileWidth (322)
+    # half-tiled container (TileWidth present, no TileOffsets) is invalid
     tiled = bytearray(t)
     at = tiled.index(struct.pack("<HHII", 296, 3, 1, 2))
     tiled[at : at + 12] = struct.pack("<HHII", 322, 3, 1, 16)
-    with pytest.raises(NotImplementedError, match="tiled"):
+    with pytest.raises(ValueError, match="missing required tag"):
         decode_tiff(bytes(tiled))
-    # 16-bit gate (gray image: BitsPerSample is the inline single SHORT)
+    # re-tagging an 8-bit image as 16-bit halves the pixel count the
+    # strip bytes can cover — the strip is now shorter than its rows
     b16 = bytearray(encode_tiff(3, 3, list(range(9)), samples=1))
     at = b16.index(struct.pack("<HHII", 258, 3, 1, 8))
     b16[at : at + 12] = struct.pack("<HHII", 258, 3, 1, 16)
-    with pytest.raises(NotImplementedError, match="8-bit"):
+    with pytest.raises(ValueError, match="shorter"):
         decode_tiff(bytes(b16))
+    # remaining honest gates: 12-bit depth and planar configuration 2
+    b12 = bytearray(encode_tiff(3, 3, list(range(9)), samples=1))
+    at = b12.index(struct.pack("<HHII", 258, 3, 1, 8))
+    b12[at : at + 12] = struct.pack("<HHII", 258, 3, 1, 12)
+    with pytest.raises(NotImplementedError, match="8/16-bit"):
+        decode_tiff(bytes(b12))
+    planar = bytearray(t)
+    at = planar.index(struct.pack("<HHII", 284, 3, 1, 1))
+    planar[at : at + 12] = struct.pack("<HHII", 284, 3, 1, 2)
+    with pytest.raises(NotImplementedError, match="planar"):
+        decode_tiff(bytes(planar))
 
 
 # --------------------------------------------------------------------------
@@ -253,3 +265,92 @@ def test_ifd_cycle_and_page_cap_raise():
     with pytest.raises(ValueError, match="loops|page cap"):
         decode_tiff_pages(encode_tiff_multi(
             [(1, 1, [0], 1, 1, 1, None)] * 3), max_pages=2)
+
+
+# --------------------------------------------------------------------------
+# r5: tiled layout (§15) + 16-bit depth
+# --------------------------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 35),
+    samples=st.sampled_from([1, 3]),
+    comp_pred=st.sampled_from([(1, 1), (5, 1), (5, 2), (32773, 1), (32773, 2)]),
+    tile=st.sampled_from([(16, 16), (8, 8), (16, 8)]),
+    bits=st.sampled_from([8, 16]),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_tiled_round_trip(w, h, samples, comp_pred, tile, bits, seed):
+    """Tiled containers round-trip across compression x predictor x
+    depth x tile grid — including edge tiles whose padding must be
+    discarded and predictor runs over the PADDED tile width."""
+    import random
+
+    from recon_spark.operators.multimodal import encode_tiff_tiled
+
+    comp, pred = comp_pred
+    rng = random.Random(seed)
+    vals = [rng.randrange(1 << bits) for _ in range(w * h * samples)]
+    p = encode_tiff_tiled(w, h, vals, samples, comp, pred, *tile, bits)
+    assert decode_tiff(p) == (w, h, samples, vals)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 10),
+    samples=st.sampled_from([1, 3]),
+    comp_pred=st.sampled_from([(1, 1), (5, 2), (32773, 2)]),
+    rps=st.sampled_from([None, 1, 3]),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_16bit_strip_round_trip(w, h, samples, comp_pred, rps, seed):
+    """16-bit strips round-trip — values near 65535 exercise the
+    predictor's mod-2^16 wraparound."""
+    import random
+
+    comp, pred = comp_pred
+    rng = random.Random(seed)
+    vals = [
+        rng.choice([rng.randrange(65536), 65535, 0])
+        for _ in range(w * h * samples)
+    ]
+    p = encode_tiff(w, h, vals, samples, comp, pred, rps, bits=16)
+    assert decode_tiff(p) == (w, h, samples, vals)
+
+
+def test_16bit_big_endian_hand_built():
+    """Hand-assembled big-endian (MM) 16-bit gray 2x1: samples are
+    big-endian SHORTs in strip data, IFD values in MM layout."""
+    px = struct.pack(">HH", 300, 65535)
+    ifd_off = 8 + len(px)
+    entries = [
+        (256, 3, 1, 2 << 16),  # width=2 (SHORT inline: high 16 bits in MM)
+        (257, 3, 1, 1 << 16),
+        (258, 3, 1, 16 << 16),
+        (259, 3, 1, 1 << 16),
+        (262, 3, 1, 1 << 16),
+        (273, 4, 1, 8),
+        (277, 3, 1, 1 << 16),
+        (278, 4, 1, 1),
+        (279, 4, 1, len(px)),
+    ]
+    out = bytearray(b"MM\x00*" + struct.pack(">I", ifd_off) + px)
+    out += struct.pack(">H", len(entries))
+    for tag, typ, cnt, val in entries:
+        out += struct.pack(">HHII", tag, typ, cnt, val)
+    out += struct.pack(">I", 0)
+    assert decode_tiff(bytes(out)) == (2, 1, 1, [300, 65535])
+
+
+def test_tile_grid_mismatch_raises():
+    from recon_spark.operators.multimodal import encode_tiff_tiled
+
+    p = bytearray(encode_tiff_tiled(20, 20, [1] * 400, 1, 1, 1, 16, 16))
+    # shrink TileWidth to 8: grid becomes 3x2=6 tiles but only 4 offsets
+    at = p.index(struct.pack("<HHII", 322, 4, 1, 16))
+    p[at : at + 12] = struct.pack("<HHII", 322, 4, 1, 8)
+    with pytest.raises(ValueError, match="tile offset/count mismatch"):
+        decode_tiff(bytes(p))
