@@ -12,7 +12,10 @@ The Spark-side contract a 100 TB multimodal training pipeline needs:
 
 Codec story (round 4, extended round 5): formats the Python STDLIB can
 decode are decoded for real — BMP and binary PPM via ``struct``
-parsing, WAV/PCM16 via the ``wave`` module, PNG via ``zlib``
+parsing, WAV/PCM16 via the ``wave`` module, G.711 µ-law/A-law WAVs via
+the closed-form ITU-T segment expansion (format codes the ``wave``
+module rejects, so the RIFF container is chunk-walked by hand), PNG
+via ``zlib``
 (chunk/CRC framing, inflate, all five scanline filters, all five
 color types at bit depth 8), GIF via a hand-implemented LZW
 (variable-width MSB..LSB-first codes, CLEAR resets, KwKwK), and
@@ -23,9 +26,10 @@ Huffman entropy coding, zigzag/quantization, batched 8x8 DCT/IDCT,
 4:4:4/4:2:2/4:2:0 YCbCr and DRI/RSTn restart intervals — lossy in
 general, but bit-exact under the documented all-ones-qtable
 block-constant contract the oracle uses) — with
-``generate_media_real`` / ``generate_media_png`` /
-``generate_media_gif`` / ``generate_media_tiff`` /
-``generate_media_jpeg`` emitting genuine containers whose
+``generate_media_real`` / ``generate_media_g711`` /
+``generate_media_png`` / ``generate_media_gif`` /
+``generate_media_tiff`` / ``generate_media_jpeg`` emitting genuine
+containers whose
 pixel/sample values are a deterministic function of a sha256 digest,
 so the DuckDB oracle can verify that the REAL container parse inverts
 generation byte-exactly. Formats that genuinely need an external
@@ -189,14 +193,152 @@ def encode_wav(sample_rate: int, samples: list[int]) -> bytes:
     return buf.getvalue()
 
 
+# --------------------------------------------------------------------------
+# G.711 µ-law / A-law (round 5). The telephony companding curves from
+# ITU-T G.711 — the one compressed-audio family that is pure closed-form
+# arithmetic, so it needs no codec wheel. Expansion follows the
+# canonical public-domain Sun Microsystems g711.c segment math (the same
+# tables every VoIP stack ships); the stdlib ``wave`` module only
+# accepts WAVE_FORMAT_PCM, so the container side is a minimal RIFF
+# chunk walker handling format codes 6 (A-law) and 7 (µ-law).
+# --------------------------------------------------------------------------
+
+
+def _ulaw2linear(b: int) -> int:
+    """Expand one µ-law byte to a signed 16-bit sample (G.711 µ-law:
+    complement, BIAS=0x84 segment math)."""
+    u = ~b & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+    return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+
+def _alaw2linear(b: int) -> int:
+    """Expand one A-law byte to a signed 16-bit sample (G.711 A-law:
+    XOR 0x55 toggle-mask, segment math; sign bit SET means positive)."""
+    a = b ^ 0x55
+    seg = (a & 0x70) >> 4
+    t = (a & 0x0F) << 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if (a & 0x80) else -t
+
+
+_ULAW_TABLE = [_ulaw2linear(b) for b in range(256)]
+_ALAW_TABLE = [_alaw2linear(b) for b in range(256)]
+
+
+def _linear2ulaw(x: int) -> int:
+    """Compress a signed 16-bit sample to one µ-law byte (Sun g711.c:
+    14-bit magnitude + BIAS, segment search, complement)."""
+    x >>= 2
+    if x < 0:
+        x, mask = -x, 0x7F
+    else:
+        mask = 0xFF
+    x = min(x, 8159) + (0x84 >> 2)
+    seg = 0
+    for bound in (0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF):
+        if x <= bound:
+            break
+        seg += 1
+    if seg >= 8:  # clipped max + bias overflows the last segment
+        return 0x7F ^ mask
+    return ((seg << 4) | ((x >> (seg + 1)) & 0x0F)) ^ mask
+
+
+def _linear2alaw(x: int) -> int:
+    """Compress a signed 16-bit sample to one A-law byte (Sun g711.c:
+    13-bit magnitude, segment search, XOR 0x55/0xD5 toggle mask)."""
+    x >>= 3
+    if x >= 0:
+        mask = 0xD5
+    else:
+        mask, x = 0x55, -x - 1
+    seg = 0
+    for bound in (0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF):
+        if x <= bound:
+            break
+        seg += 1
+    if seg >= 8:
+        return 0x7F ^ mask
+    aval = seg << 4
+    aval |= (x >> 1) & 0x0F if seg < 2 else (x >> seg) & 0x0F
+    return aval ^ mask
+
+
+_G711_CODES = {6: ("alaw", _ALAW_TABLE), 7: ("ulaw", _ULAW_TABLE)}
+
+
+def _riff_chunks(payload: bytes) -> Iterator[tuple[bytes, bytes]]:
+    """Walk a RIFF/WAVE container's chunks, honoring the spec's
+    word-alignment padding byte after odd-sized chunks."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if pos + 8 + size > len(payload):
+            raise ValueError(f"truncated RIFF chunk {cid!r}")
+        yield cid, payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+
+
+def encode_wav_g711(sample_rate: int, data: bytes, law: str) -> bytes:
+    """Minimal RIFF writer for WAVE_FORMAT_ALAW(6)/MULAW(7) — one
+    companded byte per sample, mono. Writes the 18-byte fmt chunk
+    (cbSize=0) plus the fact chunk the RIFF spec requires for non-PCM
+    formats, and the spec's pad byte after an odd-sized data chunk."""
+    code = {"ulaw": 7, "alaw": 6}[law]
+    fmt = struct.pack("<HHIIHHH", code, 1, sample_rate, sample_rate, 1, 8, 0)
+    body = bytearray(b"WAVE")
+    for cid, cdata in ((b"fmt ", fmt),
+                       (b"fact", struct.pack("<I", len(data))),
+                       (b"data", data)):
+        body += cid + struct.pack("<I", len(cdata)) + cdata
+        if len(cdata) & 1:
+            body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + bytes(body)
+
+
 def decode_wav(payload: bytes) -> tuple[int, list[int]]:
-    """Parse a PCM16 mono WAV to (sample_rate, signed int samples)."""
+    """Parse a mono WAV to (sample_rate, signed int samples). PCM16
+    goes through the stdlib ``wave`` module; G.711 µ-law/A-law (format
+    codes 7/6 — which ``wave`` rejects) are container-parsed by the
+    RIFF walker and expanded through the closed-form G.711 tables."""
+    fmt_code = None
+    for cid, cdata in _riff_chunks(payload):
+        if cid == b"fmt " and len(cdata) >= 16:
+            fmt_code = struct.unpack_from("<H", cdata, 0)[0]
+            break
+    if fmt_code in _G711_CODES:
+        return _decode_wav_g711(payload)
     with wave.open(io.BytesIO(payload), "rb") as wf:
         if wf.getsampwidth() != 2 or wf.getnchannels() != 1:
-            raise NotImplementedError("only PCM16 mono WAV")
+            raise NotImplementedError("only PCM16 or G.711 mono WAV")
         sr = wf.getframerate()
         raw = wf.readframes(wf.getnframes())
     return sr, list(struct.unpack(f"<{len(raw) // 2}h", raw))
+
+
+def _decode_wav_g711(payload: bytes) -> tuple[int, list[int]]:
+    fmt = data = None
+    for cid, cdata in _riff_chunks(payload):
+        if cid == b"fmt ":
+            fmt = cdata
+        elif cid == b"data":
+            data = cdata
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    code, channels, sr, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    _, table = _G711_CODES[code]
+    if channels != 1 or bits != 8:
+        raise NotImplementedError("only mono 8-bit G.711 WAV")
+    return sr, [table[b] for b in data]
 
 
 # --------------------------------------------------------------------------
@@ -2451,6 +2593,48 @@ def generate_media_tiff(spark: SparkSession, n: int, seed: int = 42) -> DataFram
     )
 
 
+def generate_media_g711(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """Media table of GENUINE G.711 WAV containers (format code 7 µ-law
+    for even media_id, 6 A-law for odd): ns = 40 + id % 32 companded
+    bytes, byte j = d[(j + 11) % 32] of the track's sha256 digest, at
+    8 kHz (the G.711 native rate). The decoded linear samples are the
+    closed-form segment expansion of those bytes — SQL-replicable, so
+    the oracle verifies the expansion arithmetic relationally."""
+    import pyarrow as pa
+
+    def _gen(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            ids = batch.column("id").to_pylist()
+            payloads, metas = [], []
+            for i in ids:
+                d = hashlib.sha256(f"{seed}:{i}".encode()).digest()
+                ns = 40 + i % 32
+                law = "ulaw" if i % 2 == 0 else "alaw"
+                data = bytes(d[(j + 11) % 32] for j in range(ns))
+                payloads.append(encode_wav_g711(8000, data, law))
+                metas.append(("audio/basic", None, None, 8000,
+                              ns * 1000 // 8000, law))
+            meta_arr = pa.StructArray.from_arrays(
+                [
+                    pa.array([m[0] for m in metas], pa.string()),
+                    pa.array([m[1] for m in metas], pa.int32()),
+                    pa.array([m[2] for m in metas], pa.int32()),
+                    pa.array([m[3] for m in metas], pa.int32()),
+                    pa.array([m[4] for m in metas], pa.int32()),
+                    pa.array([m[5] for m in metas], pa.string()),
+                ],
+                names=["media_type", "width", "height", "sample_rate", "duration_ms", "codec"],
+            )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary()), meta_arr],
+                ["media_id", "payload", "meta"],
+            )
+
+    return spark.range(0, n).mapInArrow(
+        _gen, f"media_id long, payload binary, meta struct<{MEDIA_META_DDL}>"
+    )
+
+
 def generate_media_png(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     """Media table of GENUINE PNG containers covering the three common
     color classes — media_id % 3 == 0 → truecolor RGB (type 2), 1 →
@@ -2745,9 +2929,11 @@ def resize_image(
 
 
 def decode_audio(payload: bytes, meta: dict, fake: bool = False, max_samples: int = 1024) -> list[int]:
-    """Decode an audio payload to signed samples. PCM16 mono WAV
-    decodes FOR REAL via the stdlib ``wave`` module; compressed formats
-    (MP3/AAC) still need a codec library and keep the honest gate. The
+    """Decode an audio payload to signed samples. WAV containers decode
+    FOR REAL — PCM16 via the stdlib ``wave`` module, G.711 µ-law/A-law
+    (format codes 7/6) via the closed-form ITU-T segment expansion;
+    perceptual formats (MP3/AAC) still need a codec library and keep
+    the honest gate. The
     fake decoder strides the first ``max_samples`` of the track
     (sample j = digest[j % 32] - 128), deterministic and
     SQL-replicable."""

@@ -881,6 +881,116 @@ FROM s ORDER BY media_id
 """
 
 
+_MEDIA_G711_N = 200
+
+
+def q_multimodal_decode_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real G.711 µ-law/A-law decode (round 5): genuine RIFF containers
+    with format codes 7/6 — which the stdlib wave module REJECTS, so
+    this exercises the manual RIFF walker plus the closed-form ITU-T
+    segment expansion. The law is derived from the container's fmt
+    code, not the metadata (independence check); per-track linear-
+    sample stats hash-fail on any expansion/sign/segment bug."""
+    import pyarrow as pa
+
+    from recon_spark.operators.multimodal import decode_wav, generate_media_g711
+
+    def _gen(batches):
+        import struct as _struct
+
+        from recon_spark.operators.multimodal import _riff_chunks
+
+        for batch in batches:
+            ids = batch.column("media_id").to_pylist()
+            cols = {k: [] for k in ("codec", "sample_rate", "n_samples",
+                                    "abs_sum", "first_s", "last_s")}
+            for p in batch.column("payload").to_pylist():
+                # read the fmt code via the chunk walk (not a fixed
+                # offset) so the check stays layout-independent
+                code = next(_struct.unpack_from("<H", c, 0)[0]
+                            for cid, c in _riff_chunks(bytes(p))
+                            if cid == b"fmt ")
+                sr, samples = decode_wav(bytes(p))
+                cols["codec"].append({7: "ulaw", 6: "alaw"}[code])
+                cols["sample_rate"].append(sr)
+                cols["n_samples"].append(len(samples))
+                cols["abs_sum"].append(sum(abs(s) for s in samples))
+                cols["first_s"].append(samples[0])
+                cols["last_s"].append(samples[-1])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(cols["codec"], pa.string()),
+                    pa.array(cols["sample_rate"], pa.int32()),
+                    pa.array(cols["n_samples"], pa.int32()),
+                    pa.array(cols["abs_sum"], pa.int64()),
+                    pa.array(cols["first_s"], pa.int32()),
+                    pa.array(cols["last_s"], pa.int32()),
+                ],
+                ["media_id", "codec", "sample_rate", "n_samples", "abs_sum",
+                 "first_s", "last_s"],
+            )
+
+    media = generate_media_g711(spark, _MEDIA_G711_N)
+    return (
+        media.select("media_id", "payload")
+        .mapInArrow(
+            _gen,
+            "media_id long, codec string, sample_rate int, n_samples int, "
+            "abs_sum long, first_s int, last_s int",
+        )
+        .orderBy("media_id")
+    )
+
+
+# the ITU-T G.711 segment expansion is closed-form arithmetic, so the
+# oracle recomputes the linear samples relationally (validated against
+# the Python tables for all 256 codes in tests/test_g711_codec.py)
+_SQL_ULAW = (
+    "CASE WHEN (255 - {b}) >= 128 "
+    "THEN 132 - (((255 - {b}) % 16) * 8 + 132) * (1 << (((255 - {b}) // 16) % 8)) "
+    "ELSE (((255 - {b}) % 16) * 8 + 132) * (1 << (((255 - {b}) // 16) % 8)) - 132 END"
+)
+_SQL_ALAW_MAG = (
+    "CASE WHEN (xor({b}, 85) // 16) % 8 = 0 THEN (xor({b}, 85) % 16) * 16 + 8 "
+    "WHEN (xor({b}, 85) // 16) % 8 = 1 THEN (xor({b}, 85) % 16) * 16 + 264 "
+    "ELSE ((xor({b}, 85) % 16) * 16 + 264) * (1 << ((xor({b}, 85) // 16) % 8 - 1)) END"
+)
+_SQL_ALAW = (
+    f"CASE WHEN xor({{b}}, 85) >= 128 THEN {_SQL_ALAW_MAG} "
+    f"ELSE -({_SQL_ALAW_MAG}) END"
+)
+
+SQL_MULTIMODAL_DECODE_G711 = f"""
+WITH ids AS (SELECT unnest(generate_series(0, {_MEDIA_G711_N - 1})) AS media_id),
+aud AS (SELECT media_id, 40 + media_id % 32 AS ns FROM ids),
+dg AS (SELECT media_id, ns, sha256('42:' || media_id) AS dh FROM aud),
+db_t AS (
+  SELECT media_id, ns,
+         list_transform(generate_series(0, 31),
+           k -> CAST(concat('0x', substr(dh, 2 * k + 1, 2)) AS INT)) AS db
+  FROM dg
+),
+s AS (
+  SELECT media_id, ns,
+         list_transform(generate_series(0, ns - 1),
+           j -> CASE WHEN media_id % 2 = 0
+                THEN {_SQL_ULAW.format(b='db[(j + 11) % 32 + 1]')}
+                ELSE {_SQL_ALAW.format(b='db[(j + 11) % 32 + 1]')}
+                END) AS samples
+  FROM db_t
+)
+SELECT media_id,
+       CASE WHEN media_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS codec,
+       CAST(8000 AS INT) AS sample_rate, CAST(ns AS INT) AS n_samples,
+       CAST(list_aggregate(list_transform(samples, x -> abs(x)), 'sum')
+            AS BIGINT) AS abs_sum,
+       CAST(samples[1] AS INT) AS first_s,
+       CAST(samples[ns] AS INT) AS last_s
+FROM s ORDER BY media_id
+"""
+
+
 _MEDIA_PNG_N = 300
 
 
@@ -2088,6 +2198,7 @@ QUERIES = {
     "multimodal_audio": q_multimodal_audio,
     "multimodal_decode_image": q_multimodal_decode_image,
     "multimodal_decode_audio": q_multimodal_decode_audio,
+    "multimodal_decode_g711": q_multimodal_decode_g711,
     "multimodal_decode_png": q_multimodal_decode_png,
     "multimodal_decode_gif": q_multimodal_decode_gif,
     "multimodal_gif_frames": q_multimodal_gif_frames,
@@ -2122,6 +2233,7 @@ ORACLES = {
     "multimodal_audio": SQL_MULTIMODAL_AUDIO,
     "multimodal_decode_image": SQL_MULTIMODAL_DECODE_IMAGE,
     "multimodal_decode_audio": SQL_MULTIMODAL_DECODE_AUDIO,
+    "multimodal_decode_g711": SQL_MULTIMODAL_DECODE_G711,
     "multimodal_decode_png": SQL_MULTIMODAL_DECODE_PNG,
     "multimodal_decode_gif": SQL_MULTIMODAL_DECODE_GIF,
     "multimodal_gif_frames": SQL_MULTIMODAL_GIF_FRAMES,
