@@ -1320,6 +1320,9 @@ def _tiff_compress(chunk: bytes, compression: int) -> bytes:
         return _tiff_lzw_encode(chunk)
     if compression == 32773:
         return _packbits_encode(chunk)
+    if compression in (8, 32946):
+        # Deflate (TIFF-TN2 / Adobe code 8, legacy 32946): zlib stream
+        return zlib.compress(chunk)
     return chunk
 
 
@@ -1591,7 +1594,7 @@ def _tiff_decode_ifd(
             f"only 8/16-bit gray/RGB TIFF (spp={samples}, bits={bits})")
     if tags.get(284, [1])[0] != 1:
         raise NotImplementedError("planar (non-chunky) TIFF not supported")
-    if compression not in (1, 5, 32773):
+    if compression not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(f"TIFF compression {compression} not supported")
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor} not supported")
@@ -1606,6 +1609,11 @@ def _tiff_decode_ifd(
             chunk = _tiff_lzw_decode(chunk)
         elif compression == 32773:
             chunk = _packbits_decode(chunk, expected)
+        elif compression in (8, 32946):
+            try:
+                chunk = zlib.decompress(chunk)
+            except zlib.error as e:
+                raise ValueError(f"corrupt TIFF Deflate strip/tile: {e}")
         if len(chunk) < expected:
             raise ValueError("TIFF strip/tile shorter than its rows")
         return chunk[:expected]

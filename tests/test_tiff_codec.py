@@ -354,3 +354,39 @@ def test_tile_grid_mismatch_raises():
     p[at : at + 12] = struct.pack("<HHII", 322, 4, 1, 8)
     with pytest.raises(ValueError, match="tile offset/count mismatch"):
         decode_tiff(bytes(p))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 20),
+    h=st.integers(1, 16),
+    samples=st.sampled_from([1, 3]),
+    comp=st.sampled_from([8, 32946]),
+    pred=st.sampled_from([1, 2]),
+    bits=st.sampled_from([8, 16]),
+    tiled=st.booleans(),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_deflate_round_trip(w, h, samples, comp, pred, bits, tiled, seed):
+    """Deflate compression (TIFF-TN2 code 8 + legacy Adobe 32946) is a
+    zlib stream per strip/tile — the most common real-crawl TIFF
+    compression after LZW; corrupt streams raise ValueError."""
+    import random
+
+    from recon_spark.operators.multimodal import encode_tiff_tiled
+
+    rng = random.Random(seed)
+    vals = [rng.randrange(1 << bits) for _ in range(w * h * samples)]
+    if tiled:
+        p = encode_tiff_tiled(w, h, vals, samples, comp, pred, 8, 8, bits)
+    else:
+        p = encode_tiff(w, h, vals, samples, comp, pred, 2, bits)
+    assert decode_tiff(p) == (w, h, samples, vals)
+
+
+def test_deflate_corrupt_stream_raises_valueerror():
+    p = bytearray(encode_tiff(4, 4, list(range(16)), samples=1, compression=8))
+    # strip data starts at offset 8; smash the zlib header
+    p[8] ^= 0xFF
+    with pytest.raises(ValueError, match="Deflate"):
+        decode_tiff(bytes(p))
