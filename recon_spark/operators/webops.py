@@ -591,3 +591,143 @@ def clean_text(
             "changed": cleaned != t,  # length can survive a rewrite ('a\tb')
         }
     )
+
+
+# --------------------------------------------------------------------------
+# robots.txt (RFC 9309) — parse + longest-match URL gating (round 5)
+# --------------------------------------------------------------------------
+
+
+def parse_robots(
+    df: DataFrame,
+    text_col: str = "robots_txt",
+    key_col: str = "host",
+) -> DataFrame:
+    """Parse robots.txt bodies to one row per (host, agent, rule, path)
+    — RFC 9309 group semantics re-expressed as DataFrame windows, no
+    Python anywhere:
+
+    - lines split + comment-stripped + trimmed inside codegen;
+    - a ``user-agent`` line whose PREVIOUS non-blank line was not also a
+      user-agent line STARTS a new group (consecutive user-agent lines
+      stack onto one group, per the RFC); the group id is a running sum
+      over a per-host window ordered by line number;
+    - every allow/disallow rule joins to ALL agents of its group;
+    - empty-path Disallow (the "allow everything" idiom) emits no rule;
+    - rules before any user-agent line are invalid and dropped
+      (group id 0).
+
+    Scale: the window partitions by host — one robots.txt is one row,
+    so a partition is one file's ~10²-line vector; there is no skew to
+    salt. The output rules dimension is tiny relative to the crawl
+    (≤ a few hundred rows per host) and is meant to be broadcast by
+    robots_filter. Reference context: recon's corrections registry
+    (recon/corrections.py) canonicalizes label variants via an explicit
+    rule table; robots rules are the crawl-level analog of an explicit
+    per-source gating table."""
+    from pyspark.sql import Window
+
+    lines = df.select(
+        key_col,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+    ).withColumn(
+        "line", F.trim(F.regexp_replace("line", "#.*$", ""))
+    ).where(F.col("line") != "")
+    parsed = lines.withColumns(
+        {
+            "directive": F.lower(F.regexp_extract("line", r"^([A-Za-z-]+)\s*:", 1)),
+            "value": F.trim(F.regexp_extract("line", r"^[A-Za-z-]+\s*:(.*)$", 1)),
+        }
+    ).where(F.col("directive").isin("user-agent", "allow", "disallow"))
+    w = Window.partitionBy(key_col).orderBy("line_no")
+    grouped = parsed.withColumn(
+        "is_ua", F.col("directive") == "user-agent"
+    ).withColumn(
+        "new_group",
+        (F.col("is_ua") & ~F.coalesce(F.lag("is_ua").over(w), F.lit(False)))
+        .cast("int"),
+    ).withColumn("group_id", F.sum("new_group").over(w))
+    agents = grouped.where(F.col("is_ua")).select(
+        key_col, "group_id", F.lower("value").alias("agent")
+    )
+    rules = grouped.where(~F.col("is_ua") & (F.col("value") != "")).select(
+        key_col,
+        "group_id",
+        F.col("directive").alias("rule"),
+        F.col("value").alias("path"),
+    )
+    return agents.join(rules, [key_col, "group_id"]).select(
+        key_col, "agent", "rule", "path"
+    )
+
+
+def _robots_path_regex(path: Column) -> Column:
+    """RFC 9309 pattern → anchored Java/RE2-safe regex: every regex
+    metachar is escaped EXCEPT ``*`` (→ ``.*``); a trailing ``$``
+    anchors end-of-path, anywhere else it is literal."""
+    anchored = path.endswith("$")
+    body = F.when(anchored, F.expr("substring(path, 1, length(path) - 1)")).otherwise(path)
+    escaped = F.regexp_replace(body, r"([.\[\]{}()+?^$\\|])", r"\\$1")
+    rx = F.regexp_replace(escaped, r"\*", ".*")
+    return F.concat(F.lit("^"), rx, F.when(anchored, F.lit("$")).otherwise(F.lit("")))
+
+
+def robots_filter(
+    urls: DataFrame,
+    rules: DataFrame,
+    agent: str = "*",
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """Gate crawl URLs through parsed robots rules for one user agent,
+    with RFC 9309 / Google precedence: the most specific (longest-
+    pattern) matching rule wins, allow beats disallow on ties, and a
+    URL with no matching rule — or a host with no robots at all — is
+    allowed. Group selection per host follows the RFC: if the host has
+    any rules for the named agent, ONLY those apply; otherwise the
+    ``*`` group applies.
+
+    Scale: the ONLY shuffle is building the per-host rules dimension
+    (tiny — one array of compiled rules per host), which is then
+    broadcast-hash-joined against the URL stream: the crawl-side table
+    never shuffles and never expands (no join fan-out — each URL stays
+    ONE row carrying its host's rule array). The winner is picked by
+    higher-order array expressions (filter → transform → array_max on a
+    (specificity, is_allow) struct), all JVM expression-level, so the
+    gate runs at scan speed at 10^12 rows. Wildcard patterns compile to
+    anchored regexes once, in the dimension."""
+    a = agent.lower()
+    per_host = rules.groupBy(host_col).agg(
+        F.max((F.col("agent") == a).cast("int")).alias("has_specific")
+    )
+    rules_arr = (
+        rules.join(per_host, host_col)
+        .where(
+            ((F.col("has_specific") == 1) & (F.col("agent") == a))
+            | ((F.col("has_specific") == 0) & (F.col("agent") == "*"))
+        )
+        .groupBy(host_col)
+        .agg(
+            F.collect_list(
+                F.struct(
+                    _robots_path_regex(F.col("path")).alias("path_re"),
+                    F.length("path").alias("spec"),
+                    (F.col("rule") == "allow").cast("int").alias("is_allow"),
+                )
+            ).alias("robots_rules")
+        )
+    )
+    gated = urls.join(F.broadcast(rules_arr), host_col, "left").withColumn(
+        "_winner",
+        F.expr(
+            f"""array_max(transform(
+                  filter(robots_rules, r -> regexp_like({path_col}, r.path_re)),
+                  r -> struct(r.spec AS spec, r.is_allow AS is_allow)))"""
+        ),
+    )
+    return gated.withColumn(
+        "allowed",
+        F.when(F.col("_winner").isNull(), F.lit(True)).otherwise(
+            F.col("_winner.is_allow") == 1
+        ),
+    ).drop("_winner", "robots_rules")

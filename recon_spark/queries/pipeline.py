@@ -1779,6 +1779,142 @@ GROUP BY host ORDER BY host
     )
 
 
+# robots.txt bodies synthesized per host, keyed on
+# (length(host) + ascii(host[5])) % 4 — the 5th char is the site digit
+# for siteK hosts, '.' for blog hosts, a hex digit for IPv6 hosts, so
+# every variant lands on every path family: v0 exercises
+# wildcard+anchor patterns on live /a paths, v1 multiple disallows +
+# the empty-Disallow idiom + an unknown directive, v2 stacked agent
+# lines and a specific-agent group that overrides '*' (blog /p hosts
+# land here, so allowed_any=True/allowed_gptbot=False rows exist),
+# v3 no robots at all (default allow)
+_ROBOTS_V0 = "# crawl policy\nUser-agent: *\nDisallow: /a\nAllow: /a/*3$\n"
+_ROBOTS_V1 = (
+    "User-agent: *\nDisallow: /login\nDisallow: /api\nDisallow:\n"
+    "Crawl-delay: 5\n"
+)
+_ROBOTS_V2 = (
+    "User-agent: gptbot\nUser-agent: ccbot\nDisallow: /\n\n"
+    "User-agent: *\nAllow: /p\nDisallow: /\n"
+)
+
+
+def _robots_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs_with_urls(spark, sf_dir).select(
+        "doc_id",
+        "host",
+        F.regexp_extract("url_norm", r"^[a-z]+://[^/?]*(/[^?]*)", 1).alias("path"),
+    )
+
+
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt gate over the crawl (round 5): synthesize one robots
+    body per host, PARSE it with webops.parse_robots (RFC 9309 group
+    windows — stacked user-agent lines, comment strip, empty-Disallow,
+    unknown directives), then gate every canonical URL through
+    webops.robots_filter twice — as a generic agent ('*') and as
+    gptbot, whose v2 hosts carry a specific-group total ban. The
+    oracle does NOT reuse the parser: it hard-codes the rule table
+    each variant must parse to and replays the longest-match/allow-
+    tie-break precedence in SQL, so a parser bug and a matcher bug
+    both hash-fail independently."""
+    from recon_spark.operators.webops import parse_robots, robots_filter
+
+    urls = _robots_urls(spark, sf_dir)
+    v = F.pmod(F.length("host") + F.ascii(F.substring("host", 5, 1)), F.lit(4))
+    robots = urls.select("host").distinct().withColumn(
+        "robots_txt",
+        F.when(v == 0, F.lit(_ROBOTS_V0))
+        .when(v == 1, F.lit(_ROBOTS_V1))
+        .when(v == 2, F.lit(_ROBOTS_V2))
+        .otherwise(F.lit("")),
+    )
+    rules = parse_robots(robots)
+    # robots_filter is map-only over the crawl side (broadcast rules
+    # array + HOF winner pick), so the two agents CHAIN — no crawl-vs-
+    # crawl join; the whole gate is two broadcast joins on one stream
+    any_ok = robots_filter(urls, rules, "*").withColumnRenamed(
+        "allowed", "allowed_any"
+    )
+    both = robots_filter(any_ok, rules, "gptbot").withColumnRenamed(
+        "allowed", "allowed_gptbot"
+    )
+    return both.select(
+        "doc_id", "host", "path", "allowed_any", "allowed_gptbot"
+    ).orderBy("doc_id")
+
+
+def _sql_robots_gate() -> str:
+    # the rule table each robots variant MUST parse to (independent of
+    # the parser), keyed by length(host) % 4
+    rules_values = """
+    (0, '*', 'disallow', '/a'), (0, '*', 'allow', '/a/*3$'),
+    (1, '*', 'disallow', '/login'), (1, '*', 'disallow', '/api'),
+    (2, 'gptbot', 'disallow', '/'), (2, 'ccbot', 'disallow', '/'),
+    (2, '*', 'allow', '/p'), (2, '*', 'disallow', '/')
+    """
+
+    def verdict(agent: str, out: str) -> str:
+        return f"""
+elig_{out} AS (
+  SELECT r.* FROM rules r
+  WHERE (r.v IN (SELECT v FROM rules WHERE agent = '{agent}')
+         AND r.agent = '{agent}')
+     OR (r.v NOT IN (SELECT v FROM rules WHERE agent = '{agent}')
+         AND r.agent = '*')
+),
+m_{out} AS (
+  SELECT u.doc_id, u.host, u.path,
+         r.rule, r.rpath,
+         row_number() OVER (
+           PARTITION BY u.doc_id
+           ORDER BY CASE WHEN r.rpath IS NULL THEN -1
+                         ELSE length(r.rpath) END DESC,
+                    CASE WHEN r.rule = 'allow' THEN 1 ELSE 0 END DESC
+         ) AS rn
+  FROM urls u
+  LEFT JOIN elig_{out} r
+    ON (length(u.host) + ascii(substring(u.host, 5, 1))) % 4 = r.v
+   AND regexp_matches(u.path, r.rx)
+),
+v_{out} AS (
+  SELECT doc_id, host, path,
+         (rpath IS NULL OR rule = 'allow') AS allowed_{out}
+  FROM m_{out} WHERE rn = 1
+)"""
+
+    return (
+        _SQL_URL_NORM_CTES
+        + f""",
+urls AS (
+  SELECT doc_id, host,
+         regexp_extract(url_norm, '^[a-z]+://[^/?]*(/[^?]*)', 1) AS path
+  FROM normed
+),
+rules_raw AS (
+  SELECT * FROM (VALUES {rules_values}) AS t(v, agent, rule, rpath)
+),
+rules AS (
+  -- the same pattern->regex construction robots_filter applies:
+  -- escape metachars except '*' (-> '.*'), trailing '$' anchors
+  SELECT v, agent, rule, rpath,
+         '^' || replace(regexp_replace(
+             CASE WHEN rpath LIKE '%$'
+                  THEN substring(rpath, 1, length(rpath) - 1)
+                  ELSE rpath END,
+             '([.\\[\\]{{}}()+?^$\\\\|])', '\\\\\\1', 'g'), '*', '.*')
+         || CASE WHEN rpath LIKE '%$' THEN '$' ELSE '' END AS rx
+  FROM rules_raw
+),
+{verdict('*', 'any')},
+{verdict('gptbot', 'gptbot')}
+SELECT a.doc_id, a.host, a.path, a.allowed_any, g.allowed_gptbot
+FROM v_any a JOIN v_gptbot g USING (doc_id, host, path)
+ORDER BY a.doc_id
+"""
+    )
+
+
 def q_clean_text_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-text cleanup audit (webops.clean_text): deterministic junk
     (tab/bell/BOM/zero-width + stray double spaces, keyed on doc_id%4
@@ -3011,6 +3147,7 @@ QUERIES = {
     "domain_stats": q_domain_stats,
     "dsir_resample": q_dsir_resample,
     "domain_blocklist": q_domain_blocklist,
+    "robots_gate": q_robots_gate,
     "clean_text_audit": q_clean_text_audit,
     "gopher_filter": q_gopher_filter,
     "curation_funnel": q_curation_funnel,
@@ -3068,6 +3205,7 @@ ORACLES = {
     "domain_stats": SQL_DOMAIN_STATS,
     "dsir_resample": SQL_DSIR_RESAMPLE,
     "domain_blocklist": _sql_domain_blocklist(),
+    "robots_gate": _sql_robots_gate(),
     "clean_text_audit": SQL_CLEAN_TEXT_AUDIT,
     "gopher_filter": SQL_GOPHER_FILTER,
     "curation_funnel": _sql_curation_funnel(),

@@ -1,0 +1,129 @@
+"""robots.txt parse + longest-match gating (round 5).
+
+RFC 9309 semantics pinned independently of the implementation:
+group formation (stacked user-agent lines, rules-before-any-agent
+dropped, unknown directives skipped without ending the group),
+empty-Disallow emitting no rule, wildcard/`$` pattern compilation,
+longest-match precedence with allow winning ties, specific-agent
+groups overriding `*`, and hosts with no rules defaulting to allow.
+"""
+
+import pytest
+
+from recon_spark.operators.webops import parse_robots, robots_filter
+
+ROBOTS_A = (
+    "# policy\n"
+    "Disallow: /orphan-rule-before-any-agent\n"
+    "User-agent: *\n"
+    "Disallow: /private\n"
+    "Allow: /private/ok\n"
+    "Crawl-delay: 10\n"
+    "Disallow:\n"
+    "\n"
+    "User-agent: GPTBot\n"
+    "User-agent: ccbot\n"
+    "Disallow: /\n"
+    "Allow: /pub*.html$\n"
+)
+
+
+@pytest.fixture(scope="module")
+def rules(spark):
+    robots = spark.createDataFrame(
+        [("a.com", ROBOTS_A), ("b.com", "User-agent: *\nDisallow: /x*y\n")],
+        ["host", "robots_txt"],
+    )
+    return parse_robots(robots).cache()
+
+
+def test_parse_groups_and_directives(spark, rules):
+    got = {
+        (r["host"], r["agent"], r["rule"], r["path"]) for r in rules.collect()
+    }
+    assert got == {
+        # orphan rule dropped; empty Disallow and Crawl-delay emit nothing
+        ("a.com", "*", "disallow", "/private"),
+        ("a.com", "*", "allow", "/private/ok"),
+        # stacked agent lines share one group; agent lowercased
+        ("a.com", "gptbot", "disallow", "/"),
+        ("a.com", "gptbot", "allow", "/pub*.html$"),
+        ("a.com", "ccbot", "disallow", "/"),
+        ("a.com", "ccbot", "allow", "/pub*.html$"),
+        ("b.com", "*", "disallow", "/x*y"),
+    }
+
+
+def _verdicts(spark, rules, agent):
+    urls = spark.createDataFrame(
+        [
+            (1, "a.com", "/private/secret"),
+            (2, "a.com", "/private/ok/page"),
+            (3, "a.com", "/open"),
+            (4, "a.com", "/pub-page.html"),
+            (5, "a.com", "/pub-page.html?x"),  # $ anchor: must NOT match
+            (6, "b.com", "/xAAAy"),
+            (7, "b.com", "/no-match-but-host-has-rules"),
+            (8, "c.com", "/anything"),  # no robots at all
+        ],
+        ["req_id", "host", "path"],
+    )
+    out = robots_filter(urls, rules, agent).collect()
+    return {r["req_id"]: r["allowed"] for r in out}
+
+
+def test_generic_agent_verdicts(spark, rules):
+    v = _verdicts(spark, rules, "*")
+    assert v == {
+        1: False,  # longest disallow /private
+        2: True,  # longer allow /private/ok beats /private
+        3: True,  # no rule matches -> allow (regression: row must SURVIVE)
+        4: True,  # '*' group has no /pub rule
+        5: True,
+        6: False,  # wildcard /x*y
+        7: True,  # host has rules but none match
+        8: True,  # no robots -> allow
+    }
+    assert len(v) == 8  # no URL dropped by the gate
+
+
+def test_specific_agent_group_overrides_star(spark, rules):
+    v = _verdicts(spark, rules, "GPTBot")  # case-insensitive agent
+    assert v == {
+        1: False,  # gptbot group: Disallow /
+        2: False,
+        3: False,
+        4: True,  # Allow /pub*.html$ (longer than '/') matches
+        5: False,  # $ anchor: query string breaks the match
+        6: False,  # b.com has no gptbot group -> '*' applies
+        7: True,
+        8: True,
+    }
+
+
+def test_robots_gate_query_matches_oracle(spark, ddb):
+    from recon_spark.queries.pipeline import _sql_robots_gate, q_robots_gate
+    from tests.conftest import SF_ORACLE, compare_query
+
+    compare_query(spark, ddb, q_robots_gate, _sql_robots_gate(), SF_ORACLE)
+
+
+def test_robots_gate_verdict_variety(spark):
+    """The synthesized corpus must exercise disagreement between the
+    generic and the gptbot verdicts, plus live anchored-wildcard
+    allows — otherwise the oracle proves less than it claims."""
+    from recon_spark.queries.pipeline import q_robots_gate
+    from tests.conftest import SF_ORACLE
+
+    rows = q_robots_gate(spark, SF_ORACLE).collect()
+    pairs = {(r["allowed_any"], r["allowed_gptbot"]) for r in rows}
+    assert {(True, True), (False, False), (True, False)} <= pairs
+    assert any(
+        r["path"].startswith("/a") and r["allowed_any"] for r in rows
+    )  # the Allow /a/*3$ rule fired
+
+
+def test_rules_side_is_broadcast(spark, rules):
+    urls = spark.createDataFrame([(1, "a.com", "/p")], ["req_id", "host", "path"])
+    plan = robots_filter(urls, rules, "*")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
