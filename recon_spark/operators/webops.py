@@ -731,3 +731,47 @@ def robots_filter(
             F.col("_winner.is_allow") == 1
         ),
     ).drop("_winner", "robots_rules")
+
+
+# --------------------------------------------------------------------------
+# sitemap.xml — frontier discovery (round 5)
+# --------------------------------------------------------------------------
+
+_SITEMAP_SCHEMA = (
+    "url ARRAY<STRUCT<loc: STRING, lastmod: STRING>>, "
+    "sitemap ARRAY<STRUCT<loc: STRING, lastmod: STRING>>"
+)
+
+_SITEMAP_ENTRIES = """
+CASE WHEN _sm.url IS NOT NULL AND _sm.sitemap IS NOT NULL
+       THEN concat(
+         transform(_sm.url,
+           x -> struct('url' AS kind, trim(x.loc) AS loc, x.lastmod AS lastmod)),
+         transform(_sm.sitemap,
+           x -> struct('sitemap' AS kind, trim(x.loc) AS loc, x.lastmod AS lastmod)))
+     WHEN _sm.url IS NOT NULL
+       THEN transform(_sm.url,
+         x -> struct('url' AS kind, trim(x.loc) AS loc, x.lastmod AS lastmod))
+     ELSE transform(_sm.sitemap,
+       x -> struct('sitemap' AS kind, trim(x.loc) AS loc, x.lastmod AS lastmod))
+END"""
+
+
+def parse_sitemaps(
+    df: DataFrame, xml_col: str = "body", key_col: str = "host"
+) -> DataFrame:
+    """Parse sitemap bodies — BOTH kinds, `<urlset>` page lists and
+    `<sitemapindex>` child-sitemap lists — to one row per entry:
+    (key, kind 'url'|'sitemap', loc, lastmod). Uses Spark's native XML
+    parser (`from_xml`), so real-world XML survives: entities unescape
+    (`&amp;` in query strings), whitespace inside `<loc>` trims,
+    namespace attributes are ignored, missing `<lastmod>` is NULL, and
+    an empty or unparseable body yields zero rows instead of a task
+    failure (crawled sitemaps are frequently garbage). Map-only: parse
+    + higher-order transforms + one explode, no shuffle, no Python —
+    at 10^8 sitemap fetches this runs at scan speed."""
+    return (
+        df.withColumn("_sm", F.from_xml(F.col(xml_col), _SITEMAP_SCHEMA))
+        .select(key_col, F.explode(F.expr(_SITEMAP_ENTRIES)).alias("e"))
+        .select(key_col, "e.kind", "e.loc", "e.lastmod")
+    )

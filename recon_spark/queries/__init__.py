@@ -37,6 +37,7 @@ ORACLES = {**CORE_ORACLES, **PIPELINE_ORACLES, **EXTRA_ORACLES, **GRAPH_ORACLES}
 # continuous sessionizer.
 _NEVER_DRIVER_SAMPLED = [
     "robots_gate",
+    "sitemap_coverage",
     "multimodal_decode_g711",
     "multimodal_gif_frames",
     "warc_media_tolerant",

@@ -1915,6 +1915,116 @@ ORDER BY a.doc_id
     )
 
 
+def q_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-vs-crawl reconciliation (round 5): per host, build a
+    genuine sitemap.xml listing every third crawled page (lastmod
+    derived from the doc id, `&` in query strings XML-escaped) plus two
+    never-crawled frontier URLs with whitespace-padded `<loc>` and no
+    `<lastmod>`; odd-length hosts also publish a `<sitemapindex>` with
+    two children. webops.parse_sitemaps must round-trip all of it
+    through Spark's REAL XML parser — entity unescape, loc trim,
+    missing-element NULLs, urlset/sitemapindex discrimination — and the
+    reconciliation counts (listed∩crawled, frontier, index children,
+    lastmod range) hash-fail if any of that drifts. The oracle never
+    touches XML: it recomputes the expected sets relationally from the
+    same derivation."""
+    from recon_spark.operators.webops import parse_sitemaps
+
+    urls = _docs_with_urls(spark, sf_dir).select("doc_id", "host", "url_norm")
+    listed = (
+        urls.where(F.col("doc_id") % 3 == 0)
+        .groupBy("host", "url_norm")
+        .agg(F.min("doc_id").alias("d"))
+    )
+    url_frag = F.concat(
+        F.lit("<url><loc>"),
+        F.regexp_replace("url_norm", "&", "&amp;"),
+        F.lit("</loc><lastmod>2026-01-"),
+        F.lpad((F.col("d") % 27 + 1).cast("string"), 2, "0"),
+        F.lit("</lastmod></url>"),
+    )
+    hosts = urls.select("host").distinct()
+    frontier_frag = F.concat(
+        F.lit("<url><loc>  https://"),
+        F.col("host"),
+        F.lit("/new/"),
+        F.col("j").cast("string"),
+        F.lit("  </loc></url>"),
+    )
+    frags = listed.select("host", url_frag.alias("frag")).unionByName(
+        hosts.select(
+            "host", F.explode(F.array(F.lit(0), F.lit(1))).alias("j")
+        ).select("host", frontier_frag.alias("frag"))
+    )
+    urlset_bodies = frags.groupBy("host").agg(
+        F.concat(
+            F.lit('<?xml version="1.0" encoding="UTF-8"?>'
+                  '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+            F.concat_ws("", F.collect_list("frag")),
+            F.lit("</urlset>"),
+        ).alias("body")
+    )
+    index_bodies = hosts.where(F.pmod(F.length("host"), F.lit(2)) == 1).select(
+        "host",
+        F.concat(
+            F.lit("<sitemapindex>"),
+            F.lit("<sitemap><loc>https://"), F.col("host"),
+            F.lit("/sitemap-0.xml</loc><lastmod>2026-03-01</lastmod></sitemap>"),
+            F.lit("<sitemap><loc>https://"), F.col("host"),
+            F.lit("/sitemap-1.xml</loc></sitemap>"),
+            F.lit("</sitemapindex>"),
+        ).alias("body"),
+    )
+    parsed = parse_sitemaps(urlset_bodies.unionByName(index_bodies))
+    crawl = urls.select("host", F.col("url_norm").alias("loc")).distinct()
+    joined = parsed.join(
+        crawl.withColumn("in_crawl", F.lit(1)), ["host", "loc"], "left"
+    )
+    is_url = F.col("kind") == "url"
+    return (
+        joined.groupBy("host")
+        .agg(
+            F.sum(is_url.cast("int")).alias("n_listed"),
+            F.sum((F.col("kind") == "sitemap").cast("int")).alias("n_index_children"),
+            F.sum((is_url & F.col("in_crawl").isNotNull()).cast("int")).alias("n_in_crawl"),
+            F.sum((is_url & F.col("in_crawl").isNull()).cast("int")).alias("n_frontier"),
+            F.min(F.when(is_url, F.col("lastmod"))).alias("min_lastmod"),
+            F.max(F.when(is_url, F.col("lastmod"))).alias("max_lastmod"),
+        )
+        .orderBy("host")
+    )
+
+
+SQL_SITEMAP_COVERAGE = (
+    _SQL_URL_NORM_CTES
+    + """,
+listed AS (
+  SELECT host, url_norm, min(doc_id) AS d
+  FROM normed WHERE doc_id % 3 = 0 GROUP BY host, url_norm
+),
+hosts AS (SELECT DISTINCT host FROM normed),
+per_host AS (
+  SELECT h.host,
+         count(l.url_norm) AS n_crawl_listed,
+         min('2026-01-' || lpad(CAST(l.d % 27 + 1 AS VARCHAR), 2, '0'))
+           AS min_lastmod,
+         max('2026-01-' || lpad(CAST(l.d % 27 + 1 AS VARCHAR), 2, '0'))
+           AS max_lastmod
+  FROM hosts h LEFT JOIN listed l ON h.host = l.host
+  GROUP BY h.host
+)
+SELECT host,
+       CAST(n_crawl_listed + 2 AS BIGINT) AS n_listed,
+       CAST(CASE WHEN length(host) % 2 = 1 THEN 2 ELSE 0 END AS BIGINT)
+         AS n_index_children,
+       CAST(n_crawl_listed AS BIGINT) AS n_in_crawl,
+       CAST(2 AS BIGINT) AS n_frontier,
+       min_lastmod, max_lastmod
+FROM per_host ORDER BY host
+"""
+)
+
+
 def q_clean_text_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-text cleanup audit (webops.clean_text): deterministic junk
     (tab/bell/BOM/zero-width + stray double spaces, keyed on doc_id%4
@@ -3148,6 +3258,7 @@ QUERIES = {
     "dsir_resample": q_dsir_resample,
     "domain_blocklist": q_domain_blocklist,
     "robots_gate": q_robots_gate,
+    "sitemap_coverage": q_sitemap_coverage,
     "clean_text_audit": q_clean_text_audit,
     "gopher_filter": q_gopher_filter,
     "curation_funnel": q_curation_funnel,
@@ -3206,6 +3317,7 @@ ORACLES = {
     "dsir_resample": SQL_DSIR_RESAMPLE,
     "domain_blocklist": _sql_domain_blocklist(),
     "robots_gate": _sql_robots_gate(),
+    "sitemap_coverage": SQL_SITEMAP_COVERAGE,
     "clean_text_audit": SQL_CLEAN_TEXT_AUDIT,
     "gopher_filter": SQL_GOPHER_FILTER,
     "curation_funnel": _sql_curation_funnel(),

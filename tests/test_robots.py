@@ -127,3 +127,67 @@ def test_rules_side_is_broadcast(spark, rules):
     urls = spark.createDataFrame([(1, "a.com", "/p")], ["req_id", "host", "path"])
     plan = robots_filter(urls, rules, "*")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+# --------------------------------------------------------------------------
+# sitemap.xml parse + frontier reconciliation
+# --------------------------------------------------------------------------
+
+
+def test_parse_sitemaps_real_xml_semantics(spark):
+    """Entity unescape, loc whitespace trim, missing lastmod -> NULL,
+    urlset/sitemapindex discrimination, garbage bodies -> zero rows."""
+    from recon_spark.operators.webops import parse_sitemaps
+
+    urlset = (
+        '<?xml version="1.0"?>'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>https://a.com/p?a=1&amp;b=2</loc>"
+        "<lastmod>2026-01-02</lastmod></url>"
+        "<url><loc>  https://a.com/q  </loc></url></urlset>"
+    )
+    index = (
+        "<sitemapindex><sitemap><loc>https://b.com/s0.xml</loc></sitemap>"
+        "<sitemap><loc>https://b.com/s1.xml</loc>"
+        "<lastmod>2026-01-05</lastmod></sitemap></sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [
+            ("a.com", urlset),
+            ("b.com", index),
+            ("c.com", "<urlset></urlset>"),
+            ("d.com", "HTTP 404 not found"),
+        ],
+        ["host", "body"],
+    )
+    got = {
+        (r["host"], r["kind"], r["loc"], r["lastmod"])
+        for r in parse_sitemaps(df).collect()
+    }
+    assert got == {
+        ("a.com", "url", "https://a.com/p?a=1&b=2", "2026-01-02"),
+        ("a.com", "url", "https://a.com/q", None),
+        ("b.com", "sitemap", "https://b.com/s0.xml", None),
+        ("b.com", "sitemap", "https://b.com/s1.xml", "2026-01-05"),
+    }
+
+
+def test_sitemap_coverage_query_matches_oracle(spark, ddb):
+    from recon_spark.queries.pipeline import SQL_SITEMAP_COVERAGE, q_sitemap_coverage
+    from tests.conftest import SF_ORACLE, compare_query
+
+    compare_query(spark, ddb, q_sitemap_coverage, SQL_SITEMAP_COVERAGE, SF_ORACLE)
+
+
+def test_sitemap_coverage_variety(spark):
+    """Hosts with listed-and-crawled pages, hosts with only frontier
+    entries, and index publishers must all appear — and the lastmod
+    range must survive the XML round trip where present."""
+    from recon_spark.queries.pipeline import q_sitemap_coverage
+    from tests.conftest import SF_ORACLE
+
+    rows = q_sitemap_coverage(spark, SF_ORACLE).collect()
+    assert any(r["n_in_crawl"] > 0 and r["min_lastmod"] for r in rows)
+    assert any(r["n_in_crawl"] == 0 and r["min_lastmod"] is None for r in rows)
+    assert any(r["n_index_children"] == 2 for r in rows)
+    assert all(r["n_frontier"] == 2 for r in rows)
