@@ -775,3 +775,30 @@ def parse_sitemaps(
         .select(key_col, F.explode(F.expr(_SITEMAP_ENTRIES)).alias("e"))
         .select(key_col, "e.kind", "e.loc", "e.lastmod")
     )
+
+
+# --------------------------------------------------------------------------
+# SURT keys + CDX capture index (round 5)
+# --------------------------------------------------------------------------
+
+
+def surt_key(host: Column, url_norm: Column) -> Column:
+    """Sort-friendly URI Reordering Transform key — the ordering Common
+    Crawl's CDX index files use (`com,example)/path?a=1`): host labels
+    reversed and comma-joined so one domain's captures sort
+    contiguously (the property range-partitioned index writes rely on:
+    a domain's pages land in one partition range instead of scattering
+    by subdomain spelling), `)` separator, then the lowercased
+    path+query from the canonical URL. Bracketed IPv6 hosts have no
+    label hierarchy and pass through unreversed. Pure expression —
+    split/reverse/array_join inside codegen, map-only at any scale."""
+    path_q = F.lower(F.regexp_extract(url_norm, r"^[a-z]+://[^/?]*(.*)$", 1))
+    rev = F.when(host.startswith("["), host).otherwise(
+        F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    )
+    # non-default port survives in the canonical authority -> SURT
+    # carries it (com,example:8080) per the CDX convention
+    port = F.regexp_extract(
+        F.regexp_extract(url_norm, r"^[a-z]+://([^/?]*)", 1), r"(:[0-9]+)$", 1
+    )
+    return F.concat(rev, port, F.lit(")"), path_q)

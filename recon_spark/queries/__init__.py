@@ -38,6 +38,7 @@ ORACLES = {**CORE_ORACLES, **PIPELINE_ORACLES, **EXTRA_ORACLES, **GRAPH_ORACLES}
 _NEVER_DRIVER_SAMPLED = [
     "robots_gate",
     "sitemap_coverage",
+    "cdx_index",
     "multimodal_decode_g711",
     "multimodal_gif_frames",
     "warc_media_tolerant",

@@ -2025,6 +2025,77 @@ FROM per_host ORDER BY host
 )
 
 
+def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX capture index (round 5): the Common-Crawl-native index row
+    per canonical URL — SURT key (reversed host labels, so one domain's
+    captures sort contiguously), 14-digit UTC capture timestamp of the
+    LATEST capture, content digest and length. One combinable
+    max(struct) per url_norm (newest capture wins, all payload columns
+    ride along — no second join back to the corpus, no window sort),
+    then pure string expressions; at 10^12 captures this is one
+    partial-aggregated shuffle keyed by canonical URL. The final
+    sort-by-SURT is exactly the ordering a range-partitioned CDX file
+    write would use."""
+    from recon_spark.operators.webops import surt_key
+
+    docs = _docs(spark, sf_dir).withColumns(
+        {
+            "url": F.expr(_URL_EXPR),
+            "warc_ts_s": (F.lit(1767225600) + 37 * F.col("doc_id")).cast("long"),
+        }
+    )
+    from recon_spark.operators.webops import normalize_url
+
+    normed = normalize_url(docs)
+    latest = (
+        normed.groupBy("url_norm", "host")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("warc_ts_s").alias("ts"),
+                    F.col("doc_id").alias("doc_id"),
+                    F.md5("text").alias("digest"),
+                    F.col("n_chars").alias("n_chars"),
+                )
+            ).alias("cap")
+        )
+    )
+    return latest.select(
+        surt_key(F.col("host"), F.col("url_norm")).alias("surt"),
+        F.date_format(F.timestamp_seconds(F.col("cap.ts")), "yyyyMMddHHmmss").alias("ts14"),
+        "url_norm",
+        F.col("cap.digest").alias("digest"),
+        F.col("cap.n_chars").alias("length"),
+    ).orderBy("surt", "ts14")
+
+
+SQL_CDX_INDEX = (
+    _SQL_URL_NORM_CTES
+    + """,
+latest AS (
+  SELECT url_norm, host,
+         max(struct_pack(
+           ts := warc_ts_s, doc_id := t.doc_id,
+           digest := md5(t.text), n_chars := t.n_chars)) AS cap
+  FROM (SELECT n.*, d.text
+        FROM normed n JOIN documents d USING (doc_id)) t
+  GROUP BY url_norm, host
+)
+SELECT CASE WHEN host LIKE '[%' THEN host
+       ELSE array_to_string(list_reverse(string_split(host, '.')), ',') END
+       || regexp_extract(regexp_extract(url_norm, '^[a-z]+://([^/?]*)', 1),
+                         '(:[0-9]+)$', 1)
+       || ')' || lower(regexp_extract(url_norm, '^[a-z]+://[^/?]*(.*)$', 1))
+         AS surt,
+       strftime(to_timestamp(cap.ts), '%Y%m%d%H%M%S') AS ts14,
+       url_norm,
+       cap.digest AS digest,
+       cap.n_chars AS length
+FROM latest ORDER BY surt, ts14
+"""
+)
+
+
 def q_clean_text_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-text cleanup audit (webops.clean_text): deterministic junk
     (tab/bell/BOM/zero-width + stray double spaces, keyed on doc_id%4
@@ -3259,6 +3330,7 @@ QUERIES = {
     "domain_blocklist": q_domain_blocklist,
     "robots_gate": q_robots_gate,
     "sitemap_coverage": q_sitemap_coverage,
+    "cdx_index": q_cdx_index,
     "clean_text_audit": q_clean_text_audit,
     "gopher_filter": q_gopher_filter,
     "curation_funnel": q_curation_funnel,
@@ -3318,6 +3390,7 @@ ORACLES = {
     "domain_blocklist": _sql_domain_blocklist(),
     "robots_gate": _sql_robots_gate(),
     "sitemap_coverage": SQL_SITEMAP_COVERAGE,
+    "cdx_index": SQL_CDX_INDEX,
     "clean_text_audit": SQL_CLEAN_TEXT_AUDIT,
     "gopher_filter": SQL_GOPHER_FILTER,
     "curation_funnel": _sql_curation_funnel(),

@@ -191,3 +191,57 @@ def test_sitemap_coverage_variety(spark):
     assert any(r["n_in_crawl"] == 0 and r["min_lastmod"] is None for r in rows)
     assert any(r["n_index_children"] == 2 for r in rows)
     assert all(r["n_frontier"] == 2 for r in rows)
+
+
+# --------------------------------------------------------------------------
+# SURT keys + CDX capture index
+# --------------------------------------------------------------------------
+
+
+def test_surt_key_semantics(spark):
+    """Label reversal, port carry, IPv6 passthrough, path lowercasing."""
+    from pyspark.sql import functions as F
+
+    from recon_spark.operators.webops import surt_key
+
+    df = spark.createDataFrame(
+        [
+            ("sub.example.co.uk", "https://sub.example.co.uk/A/B?x=1"),
+            ("example.com", "http://example.com:8081/p"),
+            ("[2001:db8::1]", "http://[2001:db8::1]:8080/api"),
+        ],
+        ["host", "url_norm"],
+    )
+    got = [r[0] for r in df.select(surt_key(F.col("host"), F.col("url_norm"))).collect()]
+    assert got == [
+        "uk,co,example,sub)/a/b?x=1",
+        "com,example:8081)/p",
+        "[2001:db8::1]:8080)/api",
+    ]
+
+
+def test_cdx_index_query_matches_oracle(spark, ddb):
+    from recon_spark.queries.pipeline import SQL_CDX_INDEX, q_cdx_index
+    from tests.conftest import SF_ORACLE, compare_query
+
+    compare_query(spark, ddb, q_cdx_index, SQL_CDX_INDEX, SF_ORACLE)
+
+
+def test_cdx_latest_capture_and_domain_contiguity(spark):
+    """One row per canonical URL (newest capture), and a domain's
+    captures sort contiguously under SURT order — the property a
+    range-partitioned index write relies on."""
+    from recon_spark.queries.pipeline import q_cdx_index
+    from tests.conftest import SF_ORACLE
+
+    rows = q_cdx_index(spark, SF_ORACLE).collect()
+    urls = [r["url_norm"] for r in rows]
+    assert len(urls) == len(set(urls))
+    surts = [r["surt"] for r in rows]  # query orders by surt
+    prefixes = [s.split(")")[0].split(":")[0] for s in surts]
+    seen, prev = set(), None
+    for p in prefixes:
+        if p != prev:
+            assert p not in seen  # a domain never reappears after a gap
+            seen.add(p)
+            prev = p
