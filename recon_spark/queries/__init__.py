@@ -39,6 +39,7 @@ _NEVER_DRIVER_SAMPLED = [
     "robots_gate",
     "sitemap_coverage",
     "cdx_index",
+    "frontier_plan",
     "multimodal_decode_g711",
     "multimodal_gif_frames",
     "warc_media_tolerant",

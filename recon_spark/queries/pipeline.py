@@ -2025,6 +2025,72 @@ FROM per_host ORDER BY host
 )
 
 
+def q_frontier_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier planning (round 5): the composition the three new
+    crawl ops exist for — sitemap-discovered URLs that were never
+    crawled, gated through robots before they are allowed to enter the
+    frontier. Reuses the robots_gate corpus (per-host robots variants)
+    and the sitemap_coverage corpus (2 frontier URLs per host), splits
+    each discovered loc into host+path with the same canonicalization
+    the crawl uses, and emits one row per candidate with its robots
+    verdict. Every stage is the map-only/broadcast shape its operator
+    docstring establishes; the composed plan still never shuffles the
+    URL stream."""
+    from recon_spark.operators.webops import parse_robots, parse_sitemaps, robots_filter
+
+    urls = _robots_urls(spark, sf_dir)
+    hosts = urls.select("host").distinct()
+    # frontier sitemaps: the sitemap_coverage staging's never-crawled URLs
+    bodies = hosts.select(
+        "host",
+        F.concat(
+            F.lit("<urlset>"),
+            F.lit("<url><loc>https://"), F.col("host"),
+            F.lit("/new/0</loc></url>"),
+            F.lit("<url><loc>https://"), F.col("host"),
+            F.lit("/new/1</loc></url>"),
+            F.lit("</urlset>"),
+        ).alias("body"),
+    )
+    discovered = parse_sitemaps(bodies).where(F.col("kind") == "url").select(
+        "host",
+        F.col("loc"),
+        F.regexp_extract("loc", r"^[a-z]+://[^/?]*(/.*)$", 1).alias("path"),
+    )
+    v = F.pmod(F.length("host") + F.ascii(F.substring("host", 5, 1)), F.lit(4))
+    robots = hosts.withColumn(
+        "robots_txt",
+        F.when(v == 0, F.lit(_ROBOTS_V0))
+        .when(v == 1, F.lit(_ROBOTS_V1))
+        .when(v == 2, F.lit(_ROBOTS_V2))
+        .otherwise(F.lit("")),
+    )
+    rules = parse_robots(robots)
+    return (
+        robots_filter(discovered, rules, "*")
+        .select("host", "loc", "allowed")
+        .orderBy("host", "loc")
+    )
+
+
+SQL_FRONTIER_PLAN = (
+    _SQL_URL_NORM_CTES
+    + """,
+hosts AS (SELECT DISTINCT host FROM normed),
+cand AS (
+  SELECT host, 'https://' || host || '/new/' || j AS loc
+  FROM hosts, (SELECT unnest([0, 1]) AS j)
+)
+SELECT host, loc,
+       -- variant semantics: only v2 ('*' group: Allow /p, Disallow /)
+       -- blocks a /new path; v0 (/a rules), v1 (/login,/api) and v3
+       -- (no robots) leave it allowed
+       (length(host) + ascii(substring(host, 5, 1))) % 4 <> 2 AS allowed
+FROM cand ORDER BY host, loc
+"""
+)
+
+
 def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDX capture index (round 5): the Common-Crawl-native index row
     per canonical URL — SURT key (reversed host labels, so one domain's
@@ -3331,6 +3397,7 @@ QUERIES = {
     "robots_gate": q_robots_gate,
     "sitemap_coverage": q_sitemap_coverage,
     "cdx_index": q_cdx_index,
+    "frontier_plan": q_frontier_plan,
     "clean_text_audit": q_clean_text_audit,
     "gopher_filter": q_gopher_filter,
     "curation_funnel": q_curation_funnel,
@@ -3391,6 +3458,7 @@ ORACLES = {
     "robots_gate": _sql_robots_gate(),
     "sitemap_coverage": SQL_SITEMAP_COVERAGE,
     "cdx_index": SQL_CDX_INDEX,
+    "frontier_plan": SQL_FRONTIER_PLAN,
     "clean_text_audit": SQL_CLEAN_TEXT_AUDIT,
     "gopher_filter": SQL_GOPHER_FILTER,
     "curation_funnel": _sql_curation_funnel(),

@@ -27,9 +27,14 @@ sys.path.insert(0, REPO)
 
 from pyspark.sql import functions as F  # noqa: E402
 
-URL_X = 1000    # 5M URLs through the robots gate (pure JVM)
-SITEMAP_X = 60  # 300k sitemap bodies x 3 entries through from_xml
-G711_N = 300_000  # staged G.711 WAV containers through Python expand
+# sized so each op runs 15s+ at 2 cores: the first cut used 5M/300k
+# inputs whose 2-4s timings were dominated by per-job fixed cost (even
+# the pure scan+length baselines read eff ~0.35), understating the
+# operators' own scaling
+URL_X = 4000      # 20M URLs through the robots gate (pure JVM)
+SITEMAP_X = 240   # 1.2M sitemap bodies x 3 entries through from_xml
+G711_N = 150_000  # staged G.711 tracks of 2500 samples each
+G711_SAMPLES = 2500
 N_LO, N_HI = 2, 8
 
 
@@ -88,10 +93,19 @@ def urls_x(spark, x: int):
 
 
 def run_robots(spark, x: int) -> dict:
+    """Timed section is scan -> gate -> agg over PRE-STAGED parquet:
+    the first cut synthesized the 20M URL strings inside the timed
+    stage, and the explode+concat string materialization is memory-
+    bus-bound on one box (even the scan+length baseline read eff
+    ~0.52) — the same lesson the media-decode protocol already
+    recorded. Staging separates the operator's scaling from the
+    generator's."""
     from recon_spark.operators.webops import parse_robots, robots_filter
     from recon_spark.queries.pipeline import _ROBOTS_V0, _ROBOTS_V1, _ROBOTS_V2
 
-    urls = urls_x(spark, x)
+    staged = os.environ["RECON_SCALE_URLS_PARQUET"]
+    _size_splits(spark, staged)
+    urls = spark.read.parquet(staged)
     hosts = spark.range(0, 13).select(
         F.concat(F.lit("site"), F.col("id").cast("string"),
                  F.lit(".example.com")).alias("host"),
@@ -104,38 +118,72 @@ def run_robots(spark, x: int) -> dict:
     out: dict = {}
     _timed(out, f"robots_scan_only_x{x}",
            lambda: urls.select("doc_id", F.length("path").alias("n")),
-           "pure-JVM scan+length baseline over the same URL stream")
+           "pure-JVM scan+length baseline over the same staged parquet")
     _timed(out, f"robots_gate_x{x}",
            lambda: robots_filter(urls, rules, "*").select(
                "doc_id", F.col("allowed").cast("int").alias("a")),
-           f"{x * 5000:,} URLs, 13 hosts x 3 robots variants, HOF regex winner")
+           f"{x * 5000:,} staged URLs, 13 hosts x 3 robots variants, "
+           "prefix fast path + HOF winner")
     return out
 
 
 def run_sitemaps(spark, x: int) -> dict:
     from recon_spark.operators.webops import parse_sitemaps
 
-    base = docs_x(spark, x)
-    bodies = base.select(
-        F.col("doc_id").alias("host_id"),
-        F.concat(
-            F.lit('<?xml version="1.0"?><urlset>'),
-            F.lit("<url><loc>https://h/p/"), (F.col("doc_id") % 997).cast("string"),
-            F.lit("?a=1&amp;b=2</loc><lastmod>2026-01-02</lastmod></url>"),
-            F.lit("<url><loc>  https://h/q/"), (F.col("doc_id") % 83).cast("string"),
-            F.lit("  </loc></url>"),
-            F.lit("<url><loc>https://h/r</loc></url></urlset>"),
-        ).alias("body"),
-    )
+    staged = os.environ["RECON_SCALE_SITEMAP_PARQUET"]
+    _size_splits(spark, staged)
+    bodies = spark.read.parquet(staged)
     out: dict = {}
     _timed(out, f"sitemap_scan_only_x{x}",
            lambda: bodies.select("host_id", F.length("body").alias("n")),
-           "pure-JVM scan+length baseline over the same bodies")
+           "pure-JVM scan+length baseline over the same staged parquet")
     _timed(out, f"sitemap_parse_x{x}",
            lambda: parse_sitemaps(bodies, key_col="host_id").select(
                "host_id", F.length("loc").alias("n")),
-           f"{x * 5000:,} sitemap bodies x 3 entries through from_xml")
+           f"{x * 5000:,} staged sitemap bodies x 3 entries through from_xml")
     return out
+
+
+def stage_urls(x: int) -> str:
+    import tempfile
+
+    from recon_spark.session import get_spark
+
+    staged = os.path.join(tempfile.gettempdir(), f"urls_scale_x{x}")
+    if not os.path.isdir(staged):
+        spark = get_spark(master="local[8]", shuffle_partitions=8)
+        spark.sparkContext.setLogLevel("ERROR")
+        urls_x(spark, x).repartition(64).write.mode("overwrite").parquet(staged)
+        spark.stop()
+    return staged
+
+
+def stage_sitemaps(x: int) -> str:
+    import tempfile
+
+    from recon_spark.session import get_spark
+
+    staged = os.path.join(tempfile.gettempdir(), f"sitemaps_scale_x{x}")
+    if not os.path.isdir(staged):
+        spark = get_spark(master="local[8]", shuffle_partitions=8)
+        spark.sparkContext.setLogLevel("ERROR")
+        base = docs_x(spark, x)
+        bodies = base.select(
+            F.col("doc_id").alias("host_id"),
+            F.concat(
+                F.lit('<?xml version="1.0"?><urlset>'),
+                F.lit("<url><loc>https://h/p/"),
+                (F.col("doc_id") % 997).cast("string"),
+                F.lit("?a=1&amp;b=2</loc><lastmod>2026-01-02</lastmod></url>"),
+                F.lit("<url><loc>  https://h/q/"),
+                (F.col("doc_id") % 83).cast("string"),
+                F.lit("  </loc></url>"),
+                F.lit("<url><loc>https://h/r</loc></url></urlset>"),
+            ).alias("body"),
+        )
+        bodies.repartition(64).write.mode("overwrite").parquet(staged)
+        spark.stop()
+    return staged
 
 
 def _warm_python_workers(spark) -> None:
@@ -206,18 +254,42 @@ def run_level(cores: int) -> dict:
 
 
 def stage_g711(n: int) -> str:
-    """Stage the G.711 containers once, shared by both levels."""
+    """Stage n G.711 containers of G711_SAMPLES companded bytes each
+    (the query generator's 40-72-sample clips are too small to time the
+    expansion — per-batch Python overhead dominates), once, shared by
+    both levels."""
+    import hashlib
     import tempfile
 
-    from recon_spark.operators.multimodal import generate_media_g711
+    import pyarrow as pa
+
+    from recon_spark.operators.multimodal import encode_wav_g711
     from recon_spark.session import get_spark
 
-    staged = os.path.join(tempfile.gettempdir(), f"g711_scale_{n}")
+    staged = os.path.join(
+        tempfile.gettempdir(), f"g711_scale_{n}x{G711_SAMPLES}")
     if not os.path.isdir(staged):
         spark = get_spark(master="local[8]", shuffle_partitions=8)
         spark.sparkContext.setLogLevel("ERROR")
-        generate_media_g711(spark, n).repartition(64).write.mode(
-            "overwrite").parquet(staged)
+
+        def _gen(batches):
+            for batch in batches:
+                ids = batch.column("id").to_pylist()
+                payloads = []
+                for i in ids:
+                    d = hashlib.sha256(f"g711:{i}".encode()).digest()
+                    data = (d * (G711_SAMPLES // 32 + 1))[:G711_SAMPLES]
+                    payloads.append(
+                        encode_wav_g711(8000, data,
+                                        "ulaw" if i % 2 == 0 else "alaw"))
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary())],
+                    ["media_id", "payload"],
+                )
+
+        spark.range(0, n).mapInArrow(
+            _gen, "media_id long, payload binary"
+        ).repartition(64).write.mode("overwrite").parquet(staged)
         spark.stop()
     return staged
 
@@ -228,6 +300,8 @@ def main() -> None:
         print(json.dumps(run_level(cores)))
         return
     os.environ["RECON_SCALE_G711_PARQUET"] = stage_g711(G711_N)
+    os.environ["RECON_SCALE_URLS_PARQUET"] = stage_urls(URL_X)
+    os.environ["RECON_SCALE_SITEMAP_PARQUET"] = stage_sitemaps(SITEMAP_X)
     levels = {}
     for cores in (N_LO, N_HI):
         r = subprocess.run(

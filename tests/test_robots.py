@@ -245,3 +245,23 @@ def test_cdx_latest_capture_and_domain_contiguity(spark):
             assert p not in seen  # a domain never reappears after a gap
             seen.add(p)
             prev = p
+
+
+def test_frontier_plan_query_matches_oracle(spark, ddb):
+    """The composed chain — sitemap-discovered URLs gated by robots —
+    against a SEMANTIC oracle that re-derives each variant's verdict
+    from first principles (only the v2 total-ban group blocks a /new
+    path), so a bug anywhere in parse->gate composition hash-fails."""
+    from recon_spark.queries.pipeline import SQL_FRONTIER_PLAN, q_frontier_plan
+    from tests.conftest import SF_ORACLE, compare_query
+
+    compare_query(spark, ddb, q_frontier_plan, SQL_FRONTIER_PLAN, SF_ORACLE)
+
+
+def test_frontier_plan_mixes_verdicts(spark):
+    from recon_spark.queries.pipeline import q_frontier_plan
+    from tests.conftest import SF_ORACLE
+
+    rows = q_frontier_plan(spark, SF_ORACLE).collect()
+    verdicts = {r["allowed"] for r in rows}
+    assert verdicts == {True, False}
