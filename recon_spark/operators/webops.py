@@ -695,7 +695,18 @@ def robots_filter(
     higher-order array expressions (filter → transform → array_max on a
     (specificity, is_allow) struct), all JVM expression-level, so the
     gate runs at scan speed at 10^12 rows. Wildcard patterns compile to
-    anchored regexes once, in the dimension."""
+    anchored regexes once, in the dimension.
+
+    Single-box ceiling note (measured, BENCH/BASELINE.md r5b): Spark
+    HigherOrderFunctions are interpreted, not whole-stage-codegen'd, so
+    the winner pick allocates per row; on ONE box that allocation
+    traffic caps 2->8 scaling (~0.62 incremental) while compute-bound
+    ops on the same host reach 0.87-1.05. On a real cluster each
+    executor brings its own memory controller, and the plan property
+    that matters at 10^12 rows holds: broadcast + map-only, zero
+    crawl-side shuffle. If a deployment needs the last 2x per node,
+    the codegen'd alternative is denormalizing the (bounded) per-host
+    rules into fixed-arity columns with a WHEN-chain winner."""
     a = agent.lower()
     per_host = rules.groupBy(host_col).agg(
         F.max((F.col("agent") == a).cast("int")).alias("has_specific")
