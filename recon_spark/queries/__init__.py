@@ -40,6 +40,7 @@ _NEVER_DRIVER_SAMPLED = [
     "sitemap_coverage",
     "cdx_index",
     "frontier_plan",
+    "wet_roundtrip",
     "multimodal_decode_g711",
     "multimodal_gif_frames",
     "warc_media_tolerant",

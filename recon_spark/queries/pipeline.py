@@ -3016,6 +3016,53 @@ def q_warc_real_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url")
 
 
+_WET_STAGING: dict = {}
+
+
+def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full CC text-distribution loop (round 5): raw messy WARC ->
+    read_warc -> html_to_text_v2 -> write_wet_files (WET ``conversion``
+    records, text/plain, streamed + atomically published) -> read_warc
+    again over the WET output. Verified against the SAME oracle as
+    warc_real_html: the round trip through the WET container must
+    preserve every byte of the extracted text (per-page md5), so a
+    framing, encoding, or Content-Length bug anywhere in the sink or
+    the re-ingest hash-fails. The write is one map-only job (manifest
+    forced, nothing but the manifest is collected); the read back is
+    one task per WET file."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from recon_spark.pages import extract_text_column_v2
+    from recon_spark.warc import read_warc, write_wet_files
+
+    key = os.path.abspath(sf_dir)
+    if key not in _WET_STAGING:
+        src_dir = _stage_warc_messy(spark, sf_dir)
+        wet_dir = tempfile.mkdtemp(prefix="recon_wet_")
+        atexit.register(shutil.rmtree, wet_dir, ignore_errors=True)
+        pages = extract_text_column_v2(
+            read_warc(spark, src_dir), content_type_col="content_type"
+        )
+        manifest = write_wet_files(
+            pages.repartition(4, "url"), wet_dir
+        ).collect()
+        assert sum(m["n_records"] for m in manifest) > 0
+        _WET_STAGING[key] = wet_dir
+    wet = read_warc(spark, _WET_STAGING[key])
+    text = F.decode("html", "utf-8")
+    return wet.where(F.col("rec_type") == "conversion").select(
+        "url",
+        (F.regexp_extract("url", r"/m/([0-9]+)$", 1).cast("long") % 4)
+        .cast("int")
+        .alias("case_id"),
+        F.length(text).cast("int").alias("n_chars"),
+        F.md5(F.encode(text, "utf-8")).alias("text_md5"),
+    ).orderBy("url")
+
+
 def _sql_messy_pages_ctes() -> str:
     """CTE fragment ``exd, ex`` reconstructing the EXPECTED extracted
     text of the messy WARC staging (duplicate injection included) from
@@ -3407,6 +3454,7 @@ QUERIES = {
     "warc_ingest": q_warc_ingest,
     "warc_to_triples": q_warc_to_triples,
     "warc_real_html": q_warc_real_html,
+    "wet_roundtrip": q_wet_roundtrip,
     "curation_funnel_warc": q_curation_funnel_warc,
 }
 
@@ -3468,5 +3516,8 @@ ORACLES = {
     "warc_ingest": SQL_WARC_INGEST,
     "warc_to_triples": _sql_warc_to_triples(),
     "warc_real_html": _sql_warc_real_html(),
+    # the WET round trip must preserve the extracted text byte-for-byte,
+    # so its oracle IS warc_real_html's
+    "wet_roundtrip": _sql_warc_real_html(),
     "curation_funnel_warc": _sql_curation_funnel_warc(),
 }

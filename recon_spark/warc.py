@@ -77,12 +77,14 @@ def _parse_warc_date(s: str) -> int:
 
 
 def serialize_warc_records(
-    records, file_id: str
+    records, file_id: str, record_type: str = "resource"
 ) -> Iterator[bytes]:
     """Stream (url, epoch_s, payload[, content_type]) records as
     WARC/1.0 framed bytes — one chunk per record, warcinfo first.
     content_type defaults to text/html; real crawls mix types (pages,
-    images, robots.txt), so the sink can carry any. Generator so the
+    images, robots.txt), so the sink can carry any. record_type
+    "conversion" is the WET shape (extracted plain text derived from a
+    capture — Common Crawl's *.warc.wet.gz files). Generator so the
     sink can write record-at-a-time with O(1 record) memory;
     deterministic: record ids derive from the file id + position, no
     clock or uuid."""
@@ -101,7 +103,7 @@ def serialize_warc_records(
         ctype = rec[3] if len(rec) > 3 and rec[3] is not None else "text/html"
         yield _format_record(
             [
-                ("WARC-Type", "resource"),
+                ("WARC-Type", record_type),
                 ("WARC-Record-ID", f"<urn:recon:{file_id}:{i}>"),
                 ("WARC-Date", _warc_date(ts_s)),
                 ("WARC-Target-URI", url),
@@ -295,7 +297,7 @@ def warc_record_batches(
     for path_, blob in zip(paths, contents):
         fname = os.path.basename(path_)
         for rec_type, url, ts_s, ctype, payload in parse_warc(bytes(blob)):
-            if rec_type not in ("resource", "response"):
+            if rec_type not in ("resource", "response", "conversion"):
                 continue
             if rec_type == "response" and ctype.startswith("application/http"):
                 payload = http_body(payload)
@@ -347,6 +349,7 @@ def write_warc_files(
     html_col: str = "html",
     compress: bool = True,
     ctype_col: str | None = None,
+    record_type: str = "resource",
 ) -> DataFrame:
     """Distributed WARC sink: each partition becomes one
     ``part-<pid>.warc[.gz]`` written executor-side; returns the manifest
@@ -402,7 +405,8 @@ def write_warc_files(
                 )
                 # record-at-a-time stream: peak memory is ONE record,
                 # not the partition (serialize -> compress -> write)
-                for chunk in serialize_warc_records(_records(), f"part-{pid:05d}"):
+                for chunk in serialize_warc_records(
+                        _records(), f"part-{pid:05d}", record_type):
                     sink.write(chunk)
                     n_records += 1
                 if compress:
@@ -428,4 +432,35 @@ def write_warc_files(
     cols = [url_col, ts_col, html_col] + ([ctype_col] if ctype_col else [])
     return df.select(*cols).mapInArrow(
         _gen, "path string, n_records long, n_bytes long"
+    )
+
+
+def write_wet_files(
+    df: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts_s",
+    text_col: str = "text",
+    compress: bool = True,
+) -> DataFrame:
+    """Distributed WET sink — Common Crawl's extracted-text companion
+    format (``*.warc.wet.gz``): one WARC ``conversion`` record per page
+    with Content-Type text/plain and the UTF-8 extracted text as the
+    payload. A thin shape over write_warc_files, so it inherits the
+    record-at-a-time streaming writer, the attempt-scoped atomic
+    publish, and the manifest-not-collect contract. read_warc reads the
+    output back (conversion records pass through with their payload
+    untouched — no HTTP envelope to strip), closing the
+    raw-crawl -> extract -> WET -> re-ingest loop."""
+    from pyspark.sql import functions as F
+
+    wet = df.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("warc_ts_s"),
+        F.encode(F.col(text_col), "utf-8").alias("body"),
+        F.lit("text/plain").alias("ctype"),
+    )
+    return write_warc_files(
+        wet, out_dir, url_col="url", ts_col="warc_ts_s", html_col="body",
+        compress=compress, ctype_col="ctype", record_type="conversion",
     )
