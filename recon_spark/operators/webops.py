@@ -823,3 +823,53 @@ def surt_key(host: Column, url_norm: Column) -> Column:
         F.regexp_extract(url_norm, r"^[a-z]+://([^/?]*)", 1), r"(:[0-9]+)$", 1
     )
     return F.concat(rev, port, F.lit(")"), path_q)
+
+
+# --------------------------------------------------------------------------
+# outlink harvest — the crawl link graph (round 5)
+# --------------------------------------------------------------------------
+
+
+def extract_links(
+    df: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """Harvest ``href`` outlinks from page HTML and resolve them against
+    the page URL (RFC 3986-lite: absolute pass through, protocol-
+    relative take the base scheme, rooted take the base authority,
+    relative take the base directory; javascript:/mailto:/fragment-only
+    hrefs drop). Emits one row per link: the input columns plus
+    ``link`` (resolved URL) and ``link_host``.
+
+    Map-only: regexp_extract_all + higher-order transform/filter + one
+    explode — the link graph of a 10^12-page crawl materializes at scan
+    speed with zero shuffles (the groupBy that builds host->host edge
+    weights is the caller's, and that shuffle carries host pairs, not
+    pages). The WAT format exists to distribute exactly this
+    derivation; computing it from the WARC directly skips a container
+    round trip."""
+    scheme = F.regexp_extract(F.col(url_col), r"^([a-z]+):", 1)
+    authority = F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/?]*)", 1)
+    # base directory: path up to and including the last '/'
+    base_dir = F.regexp_extract(F.col(url_col), r"^[a-z]+://[^/?]*((/[^?]*)?/)", 1)
+    base_dir = F.when(base_dir == "", F.lit("/")).otherwise(base_dir)
+    hrefs = F.expr(f"""regexp_extract_all({html_col}, 'href="([^"]*)"', 1)""")
+    resolved = F.transform(
+        hrefs,
+        lambda h: F.when(
+            h.rlike("^[a-z]+://"), h
+        )
+        .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
+        .when(h.startswith("/"), F.concat(scheme, F.lit("://"), authority, h))
+        .when(
+            h.rlike("^(javascript:|mailto:|#)") | (h == ""), F.lit(None)
+        )
+        .otherwise(
+            F.concat(scheme, F.lit("://"), authority, base_dir, h)
+        ),
+    )
+    out = df.withColumn(
+        "link", F.explode(F.filter(resolved, lambda x: x.isNotNull()))
+    )
+    return out.withColumn(
+        "link_host", F.regexp_extract("link", r"^[a-z]+://([^/?]*)", 1)
+    )

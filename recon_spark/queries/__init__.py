@@ -36,6 +36,8 @@ ORACLES = {**CORE_ORACLES, **PIPELINE_ORACLES, **EXTRA_ORACLES, **GRAPH_ORACLES}
 # html_to_text_v2, staging gained duplicate records), and the bucketed
 # continuous sessionizer.
 _NEVER_DRIVER_SAMPLED = [
+    "host_link_graph",
+    "host_pagerank",
     "robots_gate",
     "sitemap_coverage",
     "cdx_index",

@@ -106,26 +106,37 @@ def q_entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(_canonical_edges(spark, sf_dir))
 
 
-def _sql_pagerank() -> str:
+def _sql_pagerank(edges_cte: str | None = None, node_alias: str = "entity") -> str:
+    """PageRank iteration CTE chain over any prefix that defines
+    ``e(src, dst)`` / ``nodes(node)`` / ``nn(n)`` / ``outd(src, od)``
+    (default: the canonical entity edges; pipeline.py reuses it over
+    the crawl host graph)."""
     one_minus_d = repr(1.0 - DAMPING)  # exact IEEE literal, matches Spark
     d = repr(DAMPING)
+    # AS MATERIALIZED: each iteration references the previous one 2-3
+    # times; DuckDB's default inlining makes the plan tree (and its
+    # single-threaded optimizer pass) grow exponentially in the
+    # iteration count when the edge derivation itself is a nontrivial
+    # subtree (the crawl host graph's regex URL-normalization CTEs
+    # hang for minutes at sf0.001 without this; with it the chain is
+    # linear). Semantics are unchanged.
     parts = [
-        f"""r0 AS (
+        f"""r0 AS MATERIALIZED (
   SELECT node, round(1.0 / (SELECT n FROM nn), 6) AS rank FROM nodes
 )"""
     ]
     prev = "r0"
     for t in range(1, PR_ITERATIONS + 1):
-        parts.append(f"""c{t} AS (
+        parts.append(f"""c{t} AS MATERIALIZED (
   SELECT e.dst, sum(r.rank / o.od) AS contrib
   FROM e JOIN {prev} r ON e.src = r.node JOIN outd o ON e.src = o.src
   GROUP BY 1
 ),
-d{t} AS (
+d{t} AS MATERIALIZED (
   SELECT coalesce(sum(r.rank), 0.0) AS dm FROM {prev} r
   WHERE NOT EXISTS (SELECT 1 FROM outd o WHERE o.src = r.node)
 ),
-r{t} AS (
+r{t} AS MATERIALIZED (
   SELECT n.node,
          round({one_minus_d} / (SELECT n FROM nn)
                + {d} * (coalesce(c.contrib, 0.0)
@@ -134,9 +145,10 @@ r{t} AS (
 )""")
         prev = f"r{t}"
     return (
-        f"WITH {_sql_canonical_edges()},\n"
+        f"WITH {edges_cte or _sql_canonical_edges()},\n"
         + ",\n".join(parts)
-        + f"\nSELECT node AS entity, rank FROM {prev} ORDER BY rank DESC, entity"
+        + f"\nSELECT node AS {node_alias}, rank FROM {prev} "
+        + f"ORDER BY rank DESC, {node_alias}"
     )
 
 

@@ -2091,6 +2091,152 @@ FROM cand ORDER BY host, loc
 )
 
 
+def _linked_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages with synthesized anchor HTML covering the resolution
+    cases extract_links must handle: absolute, protocol-relative,
+    rooted, directory-relative, and a javascript: href that must drop.
+    Link targets derive from the page's own site number so the host
+    graph has deterministic structure (K -> K+1 and K -> K+2 rings)."""
+    urls = _docs_with_urls(spark, sf_dir).select("doc_id", "host", "url_norm")
+    k1 = ((F.col("doc_id") + 1) % 13).cast("string")
+    k2 = ((F.col("doc_id") + 2) % 13).cast("string")
+    html = F.concat(
+        F.lit('<html><body><a href="https://site'), k1,
+        F.lit('.example.com/x/'), F.col("doc_id").cast("string"),
+        F.lit('">a</a><a href="//site'), k2,
+        F.lit('.example.com/y">b</a><a href="/local/'),
+        F.col("doc_id").cast("string"),
+        F.lit('">c</a><a href="sub/page">d</a>'),
+        F.lit('<a href="javascript:void(0)">x</a></body></html>'),
+    )
+    return urls.withColumn("html", html)
+
+
+def q_host_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl link graph (round 5): harvest hrefs from page HTML
+    (webops.extract_links — absolute / protocol-relative / rooted /
+    directory-relative resolution against the canonical page URL,
+    javascript: dropped) and aggregate host -> host edge weights. The
+    harvest is map-only; the ONLY shuffle carries (src_host, dst_host)
+    pairs — at 10^12 pages the link fan-out never leaves its map task
+    unaggregated. The oracle replays the resolution rules relationally
+    over the same synthesized anchors."""
+    from recon_spark.operators.webops import extract_links
+
+    pages = _linked_pages(spark, sf_dir)
+    links = extract_links(pages, html_col="html", url_col="url_norm")
+    return (
+        links.groupBy(F.col("host").alias("src_host"),
+                      F.col("link_host").alias("dst_host"))
+        .agg(F.count(F.lit(1)).alias("n_links"),
+             F.countDistinct("link").alias("n_urls"))
+        .orderBy("src_host", "dst_host")
+    )
+
+
+SQL_HOST_LINK_GRAPH = (
+    _SQL_URL_NORM_CTES
+    + """,
+pages AS (
+  SELECT doc_id, host, url_norm,
+         regexp_extract(url_norm, '^([a-z]+):', 1) AS scheme,
+         regexp_extract(url_norm, '^[a-z]+://([^/?]*)', 1) AS auth,
+         CASE WHEN regexp_extract(url_norm,
+                 '^[a-z]+://[^/?]*((/[^?]*)?/)', 1) = '' THEN '/'
+              ELSE regexp_extract(url_norm,
+                 '^[a-z]+://[^/?]*((/[^?]*)?/)', 1) END AS base_dir
+  FROM normed
+),
+links AS (
+  SELECT host,
+         'https://site' || CAST((doc_id + 1) % 13 AS VARCHAR)
+           || '.example.com/x/' || CAST(doc_id AS VARCHAR) AS link
+  FROM pages
+  UNION ALL
+  SELECT host,
+         scheme || '://site' || CAST((doc_id + 2) % 13 AS VARCHAR)
+           || '.example.com/y' AS link
+  FROM pages
+  UNION ALL
+  SELECT host,
+         scheme || '://' || auth || '/local/' || CAST(doc_id AS VARCHAR)
+  FROM pages
+  UNION ALL
+  SELECT host, scheme || '://' || auth || base_dir || 'sub/page'
+  FROM pages
+)
+SELECT host AS src_host,
+       regexp_extract(link, '^[a-z]+://([^/?]*)', 1) AS dst_host,
+       CAST(count(*) AS BIGINT) AS n_links,
+       CAST(count(DISTINCT link) AS BIGINT) AS n_urls
+FROM links GROUP BY 1, 2 ORDER BY src_host, dst_host
+"""
+)
+
+
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level PageRank over the crawl link graph (round 5): the
+    classic crawl-prioritization signal, reusing operators/graph.py's
+    1-shuffle-per-iteration pagerank over host -> host edges harvested
+    by extract_links. Distinct edges with self-loops dropped, same
+    damping/rounding spec as entity_pagerank, so the SAME oracle
+    iteration chain replays it exactly over the host edge CTEs."""
+    from recon_spark.operators.graph import pagerank
+    from recon_spark.operators.webops import extract_links
+
+    pages = _linked_pages(spark, sf_dir)
+    links = extract_links(pages, html_col="html", url_col="url_norm")
+    edges = links.select(
+        F.col("host").alias("src"), F.col("link_host").alias("dst")
+    )
+    return pagerank(edges).withColumnRenamed("entity", "host_node")
+
+
+def _sql_host_pagerank() -> str:
+    from recon_spark.queries.graph import _sql_pagerank
+
+    host_edges = (
+        _SQL_URL_NORM_CTES.removeprefix("\nWITH ").removeprefix("WITH ")
+        + """,
+pages AS (
+  SELECT doc_id, host, url_norm,
+         regexp_extract(url_norm, '^([a-z]+):', 1) AS scheme,
+         regexp_extract(url_norm, '^[a-z]+://([^/?]*)', 1) AS auth,
+         CASE WHEN regexp_extract(url_norm,
+                 '^[a-z]+://[^/?]*((/[^?]*)?/)', 1) = '' THEN '/'
+              ELSE regexp_extract(url_norm,
+                 '^[a-z]+://[^/?]*((/[^?]*)?/)', 1) END AS base_dir
+  FROM normed
+),
+links AS (
+  SELECT host,
+         'https://site' || CAST((doc_id + 1) % 13 AS VARCHAR)
+           || '.example.com/x/' || CAST(doc_id AS VARCHAR) AS link
+  FROM pages
+  UNION ALL
+  SELECT host, scheme || '://site' || CAST((doc_id + 2) % 13 AS VARCHAR)
+           || '.example.com/y' FROM pages
+  UNION ALL
+  SELECT host, scheme || '://' || auth || '/local/' || CAST(doc_id AS VARCHAR)
+  FROM pages
+  UNION ALL
+  SELECT host, scheme || '://' || auth || base_dir || 'sub/page' FROM pages
+),
+he AS MATERIALIZED (
+  SELECT host AS src,
+         regexp_extract(link, '^[a-z]+://([^/?]*)', 1) AS dst
+  FROM links
+),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM he WHERE src <> dst),
+nodes AS MATERIALIZED (
+  SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+outd AS MATERIALIZED (
+  SELECT src, CAST(count(*) AS DOUBLE) AS od FROM e GROUP BY 1)"""
+    )
+    return _sql_pagerank(edges_cte=host_edges, node_alias="host_node")
+
+
 def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDX capture index (round 5): the Common-Crawl-native index row
     per canonical URL — SURT key (reversed host labels, so one domain's
@@ -3456,6 +3602,8 @@ QUERIES = {
     "warc_real_html": q_warc_real_html,
     "wet_roundtrip": q_wet_roundtrip,
     "curation_funnel_warc": q_curation_funnel_warc,
+    "host_link_graph": q_host_link_graph,
+    "host_pagerank": q_host_pagerank,
 }
 
 ORACLES = {
@@ -3520,4 +3668,6 @@ ORACLES = {
     # so its oracle IS warc_real_html's
     "wet_roundtrip": _sql_warc_real_html(),
     "curation_funnel_warc": _sql_curation_funnel_warc(),
+    "host_link_graph": SQL_HOST_LINK_GRAPH,
+    "host_pagerank": _sql_host_pagerank(),
 }

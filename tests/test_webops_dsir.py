@@ -642,3 +642,65 @@ def test_full_psl_loads_from_pyfiles_zip(tmp_path):
         capture_output=True, text=True, cwd=str(tmp_path), check=True,
     )
     assert int(r.stdout.strip()) == 9506
+
+
+# --------------------------------------------------------------------------
+# extract_links resolution rules (round 5)
+# --------------------------------------------------------------------------
+
+
+def test_extract_links_resolution_cases(spark):
+    """RFC 3986-lite href resolution against the page URL: absolute
+    pass-through, protocol-relative inherit scheme, rooted inherit
+    authority, directory-relative join to the base dir (with and
+    without a path on the page), and javascript:/mailto:/fragment/empty
+    hrefs drop."""
+    from recon_spark.operators.webops import extract_links
+
+    html = (
+        '<a href="https://abs.org/x">a</a>'
+        '<a href="//cdn.org/y">b</a>'
+        '<a href="/rooted">c</a>'
+        '<a href="rel/page">d</a>'
+        '<a href="javascript:void(0)">e</a>'
+        '<a href="mailto:x@y.z">f</a>'
+        '<a href="#frag">g</a>'
+        '<a href="">h</a>'
+    )
+    rows = extract_links(
+        spark.createDataFrame(
+            [("http://ex.org/dir/leaf", html), ("https://ex.org", html)],
+            "url string, html string",
+        )
+    ).collect()
+    by_page = {}
+    for r in rows:
+        by_page.setdefault(r.url, []).append((r.link, r.link_host))
+    # page with a directory path: relative joins to /dir/
+    assert by_page["http://ex.org/dir/leaf"] == [
+        ("https://abs.org/x", "abs.org"),
+        ("http://cdn.org/y", "cdn.org"),
+        ("http://ex.org/rooted", "ex.org"),
+        ("http://ex.org/dir/rel/page", "ex.org"),
+    ]
+    # page with no path: base dir falls back to '/'
+    assert by_page["https://ex.org"] == [
+        ("https://abs.org/x", "abs.org"),
+        ("https://cdn.org/y", "cdn.org"),
+        ("https://ex.org/rooted", "ex.org"),
+        ("https://ex.org/rel/page", "ex.org"),
+    ]
+
+
+def test_extract_links_plan_is_map_only(spark):
+    """The harvest itself must not shuffle: a 10^12-page crawl's link
+    fan-out stays in its scan task; only the caller's host-pair agg
+    exchanges data."""
+    from recon_spark.operators.webops import extract_links
+
+    df = extract_links(
+        spark.createDataFrame([("http://a.org/", "<a href=\"/x\">l</a>")],
+                              "url string, html string")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
