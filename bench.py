@@ -110,6 +110,11 @@ EXTENDED = [
     "sitemap_coverage",
     "cdx_index",
     "multimodal_decode_g711",
+    # round-5 final additions (frontier, WET round trip, link graph)
+    "frontier_plan",
+    "wet_roundtrip",
+    "host_link_graph",
+    "host_pagerank",
 ]
 
 
