@@ -115,6 +115,7 @@ EXTENDED = [
     "wet_roundtrip",
     "host_link_graph",
     "host_pagerank",
+    "multimodal_decode_jpeg_prog",
 ]
 
 

@@ -2101,20 +2101,13 @@ def _downsample_box(plane, fh: int, fv: int):
     return np.floor(plane.reshape(h // fv, fv, w // fh, fh).mean(axis=(1, 3)) + 0.5)
 
 
-def encode_jpeg(w: int, h: int, values: list[int], samples: int = 1,
-                qtable: list[int] | None = None,
-                qtable_chroma: list[int] | None = None,
-                subsample: str = "444", restart_interval: int = 0) -> bytes:
-    """Baseline JFIF JPEG from a top-down row-major value list
-    (grayscale w*h for samples=1, interleaved RGB w*h*3 for
-    samples=3). Quant tables are natural-order 64-lists (default
-    all-ones — the exactness-contract table); Huffman tables are built
-    per image from the scan's real symbol counts. subsample picks the
-    chroma layout ("444", "422", "420" — Y carries the 2x1/2x2
-    sampling factors, chroma is box-downsampled with floor(mean+0.5));
-    restart_interval > 0 emits DRI + RSTn markers every that many
-    MCUs with DC-predictor resets, the framing real crawl JPEGs use
-    for error resilience."""
+def _jpeg_plan(w: int, h: int, values: list[int], samples: int,
+               qtable: list[int] | None, qtable_chroma: list[int] | None,
+               subsample: str) -> dict:
+    """Shared encoder front half (baseline and progressive): color
+    transform, chroma box-downsample, MCU padding, forward DCT +
+    quantization. Returns the per-component zigzag coefficient grids
+    plus the interleaved-MCU unit list and frame geometry."""
     import numpy as np
 
     qt0 = np.asarray(qtable if qtable is not None else [1] * 64,
@@ -2162,7 +2155,50 @@ def encode_jpeg(w: int, h: int, values: list[int], samples: int = 1,
                             (ci, qb[(my * vi + r) * gbw + (mx * hi + c)].tolist()))
             mcus.append(units)
 
-    n_classes = 2 if samples == 3 else 1
+    return dict(qt0=qt0, qt1=qt1, grids=grids, mcus=mcus, tclass=tclass,
+                sampling=sampling, mcus_x=mcus_x, mcus_y=mcus_y,
+                n_classes=2 if samples == 3 else 1)
+
+
+def _jpeg_emit_headers(out: bytearray, w: int, h: int, samples: int,
+                       plan: dict, sof_marker: int, ri: int) -> None:
+    """APP0 + DQT(s) + SOF + optional DRI, shared by both encoders;
+    identical byte layout to the original baseline emitter."""
+    import numpy as np
+
+    out += _jpeg_seg(0xE0, b"JFIF\x00" + bytes([1, 1, 0]) +
+                     (1).to_bytes(2, "big") * 2 + bytes([0, 0]))
+    for tid, qt in enumerate([plan["qt0"], plan["qt1"]][:plan["n_classes"]]):
+        zzq = qt.reshape(64)[_JPEG_ZZ].astype(np.int64)
+        if np.any(zzq < 1) or np.any(zzq > 255):
+            raise ValueError("8-bit quant table entries must be in [1, 255]")
+        out += _jpeg_seg(0xDB, bytes([tid]) + bytes(int(v) for v in zzq))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([samples])
+    for ci in range(samples):
+        hi, vi = plan["sampling"][ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, plan["tclass"][ci]])
+    out += _jpeg_seg(sof_marker, sof)
+    if ri:
+        out += _jpeg_seg(0xDD, ri.to_bytes(2, "big"))
+
+
+def encode_jpeg(w: int, h: int, values: list[int], samples: int = 1,
+                qtable: list[int] | None = None,
+                qtable_chroma: list[int] | None = None,
+                subsample: str = "444", restart_interval: int = 0) -> bytes:
+    """Baseline JFIF JPEG from a top-down row-major value list
+    (grayscale w*h for samples=1, interleaved RGB w*h*3 for
+    samples=3). Quant tables are natural-order 64-lists (default
+    all-ones — the exactness-contract table); Huffman tables are built
+    per image from the scan's real symbol counts. subsample picks the
+    chroma layout ("444", "422", "420" — Y carries the 2x1/2x2
+    sampling factors, chroma is box-downsampled with floor(mean+0.5));
+    restart_interval > 0 emits DRI + RSTn markers every that many
+    MCUs with DC-predictor resets, the framing real crawl JPEGs use
+    for error resilience."""
+    plan = _jpeg_plan(w, h, values, samples, qtable, qtable_chroma, subsample)
+    mcus, tclass = plan["mcus"], plan["tclass"]
+    n_classes = plan["n_classes"]
     ri = int(restart_interval or 0)
 
     def _scan(dc_codes=None, ac_codes=None, freqs=None):
@@ -2200,20 +2236,7 @@ def encode_jpeg(w: int, h: int, values: list[int], samples: int = 1,
     scan = _scan(dc_codes, ac_codes)
 
     out = bytearray(b"\xff\xd8")  # SOI
-    out += _jpeg_seg(0xE0, b"JFIF\x00" + bytes([1, 1, 0]) +
-                     (1).to_bytes(2, "big") * 2 + bytes([0, 0]))
-    for tid, qt in enumerate([qt0, qt1][:n_classes]):
-        zzq = qt.reshape(64)[_JPEG_ZZ].astype(np.int64)
-        if np.any(zzq < 1) or np.any(zzq > 255):
-            raise ValueError("8-bit quant table entries must be in [1, 255]")
-        out += _jpeg_seg(0xDB, bytes([tid]) + bytes(int(v) for v in zzq))
-    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([samples])
-    for ci in range(samples):
-        hi, vi = sampling[ci]
-        sof += bytes([ci + 1, (hi << 4) | vi, tclass[ci]])
-    out += _jpeg_seg(0xC0, sof)
-    if ri:
-        out += _jpeg_seg(0xDD, ri.to_bytes(2, "big"))
+    _jpeg_emit_headers(out, w, h, samples, plan, 0xC0, ri)
     for cls, tid, bits, huffval in tables:
         out += _jpeg_seg(0xC4, bytes([(cls << 4) | tid]) +
                          bytes(bits[1:17]) + bytes(huffval))
@@ -2226,18 +2249,485 @@ def encode_jpeg(w: int, h: int, values: list[int], samples: int = 1,
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
+def _jpeg_scan_end(payload: bytes, p: int) -> int:
+    """Position of the first marker after an entropy-coded segment:
+    skips stuffed 0xFF 0x00 pairs, RSTn markers, and 0xFF fill bytes."""
+    while p < len(payload) - 1:
+        if payload[p] != 0xFF:
+            p += 1
+            continue
+        b = payload[p + 1]
+        if b == 0x00 or 0xD0 <= b <= 0xD7:
+            p += 2
+        elif b == 0xFF:
+            p += 1
+        else:
+            return p
+    raise ValueError("truncated JPEG (no marker after scan)")
+
+
+def _read_ac_first(br: "_JpegBitReader", ac_map: dict, zz: list[int],
+                   ss: int, se: int, al: int, eobrun: int) -> int:
+    """Progressive AC first scan, one block (T.81 G.1.2.2): spectral
+    band [ss..se] at precision al, with cross-block EOB runs (EOBn
+    symbols carry log2(run) extension bits). Returns the new eobrun."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _read_huff_symbol(br, ac_map)
+        r, s = sym >> 4, sym & 0x0F
+        if s:
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC run past end of band")
+            zz[k] = _jpeg_vdecode(br.read(s), s) << al
+            k += 1
+        elif r != 15:
+            eobrun = 1 << r
+            if r:
+                eobrun += br.read(r)
+            return eobrun - 1
+        else:
+            k += 16  # ZRL
+    return 0
+
+
+def _read_ac_refine(br: "_JpegBitReader", ac_map: dict, zz: list[int],
+                    ss: int, se: int, al: int, eobrun: int) -> int:
+    """Progressive AC refinement scan, one block (T.81 G.1.2.3):
+    already-nonzero coefficients in the band receive a correction bit
+    at weight 2^al; newly-nonzero ones arrive as run-length symbols of
+    size 1 plus a sign bit, the run counting only still-zero history.
+    Correction bits keep flowing while inside an EOB run. Returns the
+    new eobrun."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _read_huff_symbol(br, ac_map)
+            r, s = sym >> 4, sym & 0x0F
+            val = 0
+            if s:
+                if s != 1:
+                    raise ValueError("invalid JPEG AC-refine symbol size")
+                val = p1 if br.read(1) else m1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += br.read(r)
+                break
+            while k <= se:
+                if zz[k]:
+                    if br.read(1) and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if k > se:
+                if val:
+                    raise ValueError("JPEG AC-refine run past end of band")
+                break
+            if val:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if zz[k] and br.read(1) and (zz[k] & p1) == 0:
+                zz[k] += p1 if zz[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_decode_scan(payload: bytes, data_pos: int, seg: bytes,
+                      comps: list, grids: list, dc_maps: dict, ac_maps: dict,
+                      restart: int, progressive: bool, w: int, h: int,
+                      mcus_x: int, mcus_y: int, max_h: int, max_v: int) -> int:
+    """Decode ONE scan's entropy-coded segment into the per-component
+    coefficient grids (zigzag order) and return the payload position of
+    the marker that follows it. Handles interleaved (ns > 1, MCU order
+    over the padded grid) and non-interleaved (ns == 1, the component's
+    own ceil-block grid) scans, baseline full-block reads, all four
+    progressive scan kinds, and RSTn restarts (predictor + EOB-run
+    reset every `restart` MCUs/blocks)."""
+    ns = seg[0]
+    if len(seg) != 4 + 2 * ns:
+        raise ValueError("malformed JPEG scan header")
+    cid_index = {c[0]: i for i, c in enumerate(comps)}
+    scomps = []  # (component index, dc table id, ac table id)
+    for i in range(ns):
+        cid, tsel = seg[1 + 2 * i], seg[2 + 2 * i]
+        if cid not in cid_index:
+            raise ValueError(f"JPEG scan references unknown component {cid}")
+        scomps.append((cid_index[cid], tsel >> 4, tsel & 0x0F))
+    ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+    ah, al = a >> 4, a & 0x0F
+    if progressive:
+        if se > 63 or (ss == 0) != (se == 0):
+            raise ValueError("invalid progressive JPEG spectral band")
+        if ss > 0 and ns != 1:
+            raise ValueError("progressive JPEG AC scan must be single-component")
+        if ah and al != ah - 1:
+            raise ValueError("invalid JPEG successive-approximation step")
+    else:
+        ss, se, ah, al = 0, 63, 0, 0
+
+    if ns > 1:
+        units = mcus_x * mcus_y
+    else:
+        ci0 = scomps[0][0]
+        _, _, hi, vi = comps[ci0]
+        cw, ch = -(-(w * hi) // max_h), -(-(h * vi) // max_v)
+        cbw, cbh = -(-cw // 8), -(-ch // 8)
+        units = cbw * cbh
+    br = _JpegBitReader(payload, data_pos)
+    preds = [0] * ns
+    eobrun = 0
+    rst = 0
+    for ui in range(units):
+        if restart and ui and ui % restart == 0:
+            br.expect_rst(rst % 8)
+            rst += 1
+            preds = [0] * ns
+            eobrun = 0
+        if ns > 1:
+            mx, my = ui % mcus_x, ui // mcus_x
+            blocks = []
+            for si, (ci, _td, _ta) in enumerate(scomps):
+                _, _, hi, vi = comps[ci]
+                gbw = mcus_x * hi
+                for r in range(vi):
+                    for c in range(hi):
+                        blocks.append(
+                            (si, grids[ci][(my * vi + r) * gbw + (mx * hi + c)]))
+        else:
+            _, _, hi, _vi = comps[scomps[0][0]]
+            gbw = mcus_x * hi
+            blocks = [(0, grids[scomps[0][0]][(ui // cbw) * gbw + ui % cbw])]
+        for si, zz in blocks:
+            _ci, td, ta = scomps[si]
+            if not progressive:
+                full, preds[si] = _read_block(br, preds[si],
+                                              dc_maps[td], ac_maps[ta])
+                zz[:] = full
+            elif ss == 0 and ah == 0:  # DC first
+                s = _read_huff_symbol(br, dc_maps[td])
+                diff = _jpeg_vdecode(br.read(s), s) if s else 0
+                preds[si] += diff
+                zz[0] = preds[si] << al
+            elif ss == 0:  # DC refinement: one raw bit per block
+                if br.read(1):
+                    zz[0] |= 1 << al
+            elif ah == 0:
+                eobrun = _read_ac_first(br, ac_maps[ta], zz, ss, se, al, eobrun)
+            else:
+                eobrun = _read_ac_refine(br, ac_maps[ta], zz, ss, se, al, eobrun)
+    return _jpeg_scan_end(payload, br.pos)
+
+
+def _jpeg_point_ac(v: int, al: int) -> int:
+    """T.81 AC point transform: divide by 2^al truncating toward zero
+    (DC uses a plain arithmetic shift instead — G.1.2.1/G.1.2.2)."""
+    return (v >> al) if v >= 0 else -((-v) >> al)
+
+
+class _JpegScanSink:
+    """Dual-mode symbol/bit sink for one progressive scan: with
+    ``freqs`` it only counts Huffman symbols (the table-build pass);
+    with ``bw``/``codes`` it writes the entropy segment. Both passes
+    run the identical control flow, so the stream the second pass
+    writes matches the tables the first pass sized."""
+
+    def __init__(self, freqs: dict | None = None, bw=None, codes: dict | None = None):
+        self.freqs, self.bw, self.codes = freqs, bw, codes
+
+    def sym(self, tid: int, s: int) -> None:
+        if self.freqs is not None:
+            f = self.freqs.setdefault(tid, {})
+            f[s] = f.get(s, 0) + 1
+        else:
+            c, ln = self.codes[tid][s]
+            self.bw.write(c, ln)
+
+    def bits(self, v: int, n: int) -> None:
+        if n and self.bw is not None:
+            self.bw.write(v, n)
+
+    def rst(self, idx: int) -> None:
+        if self.bw is not None:
+            self.bw.emit_marker(0xD0 + idx)
+
+
+def _enc_dc_scan(sink: "_JpegScanSink", segments: list, ah: int, al: int,
+                 tids: list[int]) -> None:
+    """DC scan encoder, first (ah == 0: shifted-domain differential
+    coding) or refinement (one raw bit per block). ``segments`` is the
+    restart segmentation; each element is a flat (class-keyed) list of
+    (ci, zz) blocks in scan order."""
+    for si, segm in enumerate(segments):
+        if si:
+            sink.rst((si - 1) % 8)
+        preds: dict[int, int] = {}
+        for ci, zz in segm:
+            if ah:
+                sink.bits((zz[0] >> al) & 1, 1)
+                continue
+            v = zz[0] >> al
+            diff = v - preds.get(ci, 0)
+            preds[ci] = v
+            s = _jpeg_csize(diff)
+            sink.sym(tids[ci], s)
+            if s:
+                sink.bits(_jpeg_vbits(diff, s), s)
+
+
+def _enc_ac_first_scan(sink: "_JpegScanSink", segments: list, ss: int,
+                       se: int, al: int, tid: int) -> None:
+    """AC first scan encoder (T.81 G.1.2.2): band run-length coding at
+    precision al with cross-block EOB runs, flushed before any new
+    symbol, at the 0x7FFF cap, and at restart/scan boundaries."""
+    for si, segm in enumerate(segments):
+        if si:
+            sink.rst((si - 1) % 8)
+        eobrun = 0
+
+        def flush() -> None:
+            nonlocal eobrun
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                sink.sym(tid, nb << 4)
+                sink.bits(eobrun & ((1 << nb) - 1), nb)
+                eobrun = 0
+
+        for _ci, zz in segm:
+            r = 0
+            for k in range(ss, se + 1):
+                v = _jpeg_point_ac(zz[k], al)
+                if v == 0:
+                    r += 1
+                    continue
+                flush()
+                while r > 15:
+                    sink.sym(tid, 0xF0)
+                    r -= 16
+                s = _jpeg_csize(v)
+                sink.sym(tid, (r << 4) | s)
+                sink.bits(_jpeg_vbits(v, s), s)
+                r = 0
+            if r:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush()
+        flush()
+
+
+def _enc_ac_refine_scan(sink: "_JpegScanSink", segments: list, ss: int,
+                        se: int, al: int, tid: int) -> None:
+    """AC refinement scan encoder (T.81 G.1.2.3): correction bits for
+    already-nonzero coefficients buffer behind the next Huffman symbol
+    — block-local bits flush after that block's own symbol, bits from
+    completed EOB-run blocks flush after the EOBn symbol — and newly-
+    nonzero coefficients emit (run << 4 | 1) + a sign bit, the run
+    counting zero-history positions only."""
+    for si, segm in enumerate(segments):
+        if si:
+            sink.rst((si - 1) % 8)
+        eobrun = 0
+        pend: list[int] = []  # correction bits from completed EOB-run blocks
+
+        def flush_eob() -> None:
+            nonlocal eobrun
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                sink.sym(tid, nb << 4)
+                sink.bits(eobrun & ((1 << nb) - 1), nb)
+                for b in pend:
+                    sink.bits(b, 1)
+                pend.clear()
+                eobrun = 0
+
+        for _ci, zz in segm:
+            absv = [0] * (se + 1)
+            eob_k = ss - 1  # index of the last newly-nonzero coefficient
+            for k in range(ss, se + 1):
+                t = abs(zz[k]) >> al
+                absv[k] = t
+                if t == 1:
+                    eob_k = k
+            r = 0
+            local: list[int] = []  # corrections since this block's last symbol
+            for k in range(ss, se + 1):
+                t = absv[k]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob_k:
+                    flush_eob()
+                    sink.sym(tid, 0xF0)
+                    r -= 16
+                    for b in local:
+                        sink.bits(b, 1)
+                    local.clear()
+                if t > 1:
+                    local.append(t & 1)
+                    continue
+                flush_eob()
+                sink.sym(tid, (r << 4) | 1)
+                sink.bits(1 if zz[k] >= 0 else 0, 1)
+                for b in local:
+                    sink.bits(b, 1)
+                local.clear()
+                r = 0
+            if r or local:
+                eobrun += 1
+                pend.extend(local)
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+
+
+# libjpeg's standard progressive scan scripts (jcparam.c shape): DC
+# first with one point-transform step, spectral-selection AC firsts,
+# then successive-approximation refinements down to full precision.
+_JPEG_PROG_SCRIPT_GRAY = [
+    ((0,), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0,), 0, 0, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+_JPEG_PROG_SCRIPT_COLOR = [
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+
+
+def encode_jpeg_progressive(w: int, h: int, values: list[int],
+                            samples: int = 1,
+                            qtable: list[int] | None = None,
+                            qtable_chroma: list[int] | None = None,
+                            subsample: str = "444",
+                            restart_interval: int = 0,
+                            scan_script: list | None = None) -> bytes:
+    """Progressive (SOF2) JFIF JPEG with the same pixel contract as
+    encode_jpeg — identical color transform, chroma box-downsample,
+    forward DCT, and quantization (shared _jpeg_plan), so a full
+    decode of the progressive container reconstructs coefficient-
+    identical data to the baseline container of the same image. The
+    scan script defaults to libjpeg's standard spectral-selection +
+    successive-approximation shape; each entry is (component indices,
+    Ss, Se, Ah, Al). Huffman tables are rebuilt optimal per scan and
+    re-emitted as DHT id 0 (id 0/1 per class for interleaved DC
+    scans) before each SOS — the mid-stream table redefinition real
+    optimized progressive files carry. restart_interval applies to
+    every scan (MCU units for interleaved DC scans, block units for
+    the rest), resetting DC predictors and EOB runs."""
+    plan = _jpeg_plan(w, h, values, samples, qtable, qtable_chroma, subsample)
+    grids, mcus, tclass = plan["grids"], plan["mcus"], plan["tclass"]
+    mcus_x, mcus_y = plan["mcus_x"], plan["mcus_y"]
+    ri = int(restart_interval or 0)
+    if scan_script is None:
+        scan_script = (_JPEG_PROG_SCRIPT_COLOR if samples == 3
+                       else _JPEG_PROG_SCRIPT_GRAY)
+
+    max_h = max(hi for _qb, _gbw, hi, _vi in grids)
+    max_v = max(vi for _qb, _gbw, _hi, vi in grids)
+
+    def _units(comp_idxs: tuple, interleaved: bool) -> list:
+        """Scan-order unit list: each unit is a list of (ci, zz)."""
+        if interleaved:
+            out = []
+            for mcu in mcus:
+                out.append([(ci, zz) for ci, zz in mcu if ci in comp_idxs])
+            return out
+        ci = comp_idxs[0]
+        qb, gbw, hi, vi = grids[ci]
+        cw, ch = -(-(w * hi) // max_h), -(-(h * vi) // max_v)
+        cbw, cbh = -(-cw // 8), -(-ch // 8)
+        return [[(ci, qb[r * gbw + c].tolist())]
+                for r in range(cbh) for c in range(cbw)]
+
+    def _segments(units: list) -> list:
+        """Restart segmentation: flat (ci, zz) lists per segment."""
+        if not ri:
+            return [[b for u in units for b in u]]
+        return [[b for u in units[i:i + ri] for b in u]
+                for i in range(0, len(units), ri)]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    _jpeg_emit_headers(out, w, h, samples, plan, 0xC2, ri)
+    for comp_idxs, ss, se, ah, al in scan_script:
+        interleaved = len(comp_idxs) > 1
+        segments = _segments(_units(comp_idxs, interleaved))
+        dc_scan = ss == 0
+        tids = [tclass[ci] for ci in range(samples)]  # class = table id
+
+        def _run(sink: "_JpegScanSink") -> None:
+            if dc_scan:
+                _enc_dc_scan(sink, segments, ah, al, tids)
+            elif ah == 0:
+                _enc_ac_first_scan(sink, segments, ss, se, al, 0)
+            else:
+                _enc_ac_refine_scan(sink, segments, ss, se, al, 0)
+
+        needs_tables = not (dc_scan and ah)  # DC refine is raw bits only
+        codes: dict[int, dict] = {}
+        if needs_tables:
+            freqs: dict[int, dict] = {}
+            _run(_JpegScanSink(freqs=freqs))
+            cls = 0 if dc_scan else 1
+            for tid in sorted(freqs):
+                bits, huffval = _build_huffman(freqs[tid])
+                out += _jpeg_seg(0xC4, bytes([(cls << 4) | tid]) +
+                                 bytes(bits[1:17]) + bytes(huffval))
+                codes[tid] = _huff_codes(bits, huffval)
+        bw = _JpegBitWriter()
+        _run(_JpegScanSink(bw=bw, codes=codes))
+        data = bw.flush()
+        sos = bytes([len(comp_idxs)])
+        for ci in comp_idxs:
+            td = tclass[ci] if (dc_scan and not ah) else 0
+            sos += bytes([ci + 1, td << 4])  # Ta is always table 0 here
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _jpeg_seg(0xDA, sos)
+        out += data
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, list[int]]:
-    """Real baseline JPEG decode: marker walk, DQT/DHT/SOF0/DRI parse,
-    canonical Huffman entropy decode with byte un-stuffing and RSTn
-    restart handling (byte re-align + DC-predictor reset), dequantize,
-    batched IDCT, pixel reconstruction floor(x + 128.5) clip [0, 255],
-    chroma upsampling by sample replication for subsampled layouts
-    (4:2:0 / 4:2:2 — the exact inverse of the encoder's box average on
-    grid-aligned constant regions), crop, and (for 3 components) the
-    YCbCr->RGB inverse defined next to the forward transform above.
+    """Real DCT JPEG decode, baseline (SOF0/1) AND progressive (SOF2):
+    marker walk with mid-stream DQT/DHT/DRI updates, multi-scan
+    accumulation into per-component coefficient grids, canonical
+    Huffman entropy decode with byte un-stuffing and RSTn restart
+    handling (byte re-align + DC-predictor and EOB-run reset). For
+    progressive frames all four T.81 Annex G scan kinds are decoded —
+    DC first (point transform << Al), DC refinement (one raw bit per
+    block), AC first with spectral selection and cross-block EOB runs,
+    and AC refinement with correction bits — then the shared tail:
+    dequantize, batched IDCT, pixel reconstruction floor(x + 128.5)
+    clip [0, 255], chroma upsampling by sample replication (the exact
+    inverse of the encoder's box average on grid-aligned constant
+    regions), crop, and (for 3 components) the defined YCbCr->RGB
+    inverse. Interleaved scans cover the MCU-padded grid; a
+    non-interleaved scan covers only its component's own
+    ceil(cw/8) x ceil(ch/8) blocks (T.81 A.2), which is how baseline
+    multi-scan (one scan per component) decodes through the same loop.
     Returns (w, h, n_components, pixels) with pixels gray w*h or
-    interleaved RGB w*h*3. Progressive, sampling factors > 2, 12-bit,
-    arithmetic-coded, and multi-scan JPEGs raise NotImplementedError;
+    interleaved RGB w*h*3. Sampling factors > 2, 12-bit, arithmetic-
+    coded, lossless, and hierarchical JPEGs raise NotImplementedError;
     malformed containers raise ValueError."""
     import numpy as np
 
@@ -2250,16 +2740,28 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, list[int]]:
     comps: list[tuple[int, int, int, int]] = []  # (comp id, qtab id, hi, vi)
     w = h = 0
     restart = 0
+    progressive = False
+    grids: list[list] = []
+    mcus_x = mcus_y = max_h = max_v = 0
+    saw_scan = False
     while True:
-        if pos + 4 > len(payload):
-            raise ValueError("truncated JPEG (no SOS/EOI)")
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG (no EOI)")
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
         marker = payload[pos + 1]
-        if marker in (0xC2,):
-            raise NotImplementedError("progressive JPEG not supported")
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / stray RST
+            pos += 2
+            continue
         if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"JPEG SOF{marker & 0x0F} not supported")
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG segment header")
         ln = int.from_bytes(payload[pos + 2:pos + 4], "big")
         seg = payload[pos + 4:pos + 2 + ln]
         if len(seg) != ln - 2:
@@ -2285,7 +2787,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, list[int]]:
                 p += 17 + nsym
         elif marker == 0xDD:
             restart = int.from_bytes(seg, "big")
-        elif marker in (0xC0, 0xC1):
+        elif marker in (0xC0, 0xC1, 0xC2):
+            if comps:
+                raise ValueError("multiple JPEG frames")
+            progressive = marker == 0xC2
             if seg[0] != 8:
                 raise NotImplementedError("only 8-bit JPEG precision supported")
             h = int.from_bytes(seg[1:3], "big")
@@ -2300,45 +2805,26 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, list[int]]:
                     raise NotImplementedError(
                         f"JPEG sampling factors {hi}x{vi} not supported")
                 comps.append((cid, tq, hi, vi))
+            if w == 0 or h == 0:
+                raise ValueError("JPEG frame with zero dimension")
+            max_h = max(c[2] for c in comps)
+            max_v = max(c[3] for c in comps)
+            mcus_x, mcus_y = -(-w // (8 * max_h)), -(-h // (8 * max_v))
+            grids = [
+                [[0] * 64 for _ in range(mcus_x * hi * mcus_y * vi)]
+                for _, _, hi, vi in comps
+            ]
         elif marker == 0xDA:
-            break
+            if not comps:
+                raise ValueError("JPEG SOS before SOF")
+            pos = _jpeg_decode_scan(
+                payload, pos + 2 + ln, seg, comps, grids, dc_maps, ac_maps,
+                restart, progressive, w, h, mcus_x, mcus_y, max_h, max_v)
+            saw_scan = True
+            continue
         pos += 2 + ln
-    if not comps or w == 0 or h == 0:
-        raise ValueError("JPEG SOS before SOF")
-    ns = seg[0]
-    if ns != len(comps):
-        raise NotImplementedError("multi-scan JPEG not supported")
-    if len(comps) == 1:
-        # a single-component scan is non-interleaved: MCU = one data
-        # unit, the SOF sampling factors don't shape the scan (T.81)
-        comps = [(comps[0][0], comps[0][1], 1, 1)]
-    scan_tabs = {}
-    for ci in range(ns):
-        cid, tsel = seg[1 + 2 * ci], seg[2 + 2 * ci]
-        scan_tabs[cid] = (tsel >> 4, tsel & 0x0F)
-    max_h = max(c[2] for c in comps)
-    max_v = max(c[3] for c in comps)
-    mcus_x, mcus_y = -(-w // (8 * max_h)), -(-h // (8 * max_v))
-    grids: list[list] = [
-        [None] * (mcus_x * hi * mcus_y * vi) for _, _, hi, vi in comps
-    ]
-    br = _JpegBitReader(payload, pos + 2 + ln)
-    preds = [0] * len(comps)
-    rst = 0
-    for mi in range(mcus_x * mcus_y):
-        if restart and mi and mi % restart == 0:
-            br.expect_rst(rst % 8)
-            rst += 1
-            preds = [0] * len(comps)
-        mx, my = mi % mcus_x, mi // mcus_x
-        for ci, (cid, _tq, hi, vi) in enumerate(comps):
-            td, ta = scan_tabs[cid]
-            gbw = mcus_x * hi
-            for r in range(vi):
-                for c in range(hi):
-                    zz, preds[ci] = _read_block(br, preds[ci],
-                                                dc_maps[td], ac_maps[ta])
-                    grids[ci][(my * vi + r) * gbw + (mx * hi + c)] = zz
+    if not saw_scan:
+        raise ValueError("truncated JPEG (no SOS/EOI)")
     planes = []
     for ci, (cid, tq, hi, vi) in enumerate(comps):
         gbw, gbh = mcus_x * hi, mcus_y * vi
@@ -2406,6 +2892,85 @@ def generate_media_jpeg(spark: SparkSession, n: int, seed: int = 42) -> DataFram
                         for x in range(w)
                     ]
                     payloads.append(encode_jpeg(w, h, vals, samples=1))
+                metas.append(("image/jpeg", w, h, None, None, "jpeg"))
+            meta_arr = pa.StructArray.from_arrays(
+                [
+                    pa.array([m[0] for m in metas], pa.string()),
+                    pa.array([m[1] for m in metas], pa.int32()),
+                    pa.array([m[2] for m in metas], pa.int32()),
+                    pa.array([m[3] for m in metas], pa.int32()),
+                    pa.array([m[4] for m in metas], pa.int32()),
+                    pa.array([m[5] for m in metas], pa.string()),
+                ],
+                names=[
+                    "media_type", "width", "height", "sample_rate",
+                    "duration_ms", "codec",
+                ],
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(payloads, pa.binary()),
+                    meta_arr,
+                ],
+                ["media_id", "payload", "meta"],
+            )
+
+    return spark.range(n).mapInArrow(
+        _gen, f"media_id long, payload binary, meta struct<{MEDIA_META_DDL}>"
+    )
+
+
+def generate_media_jpeg_prog(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """Media table of GENUINE PROGRESSIVE (SOF2) JPEGs — the same four
+    image classes, dims, and digest-derived per-block-constant pixels
+    as generate_media_jpeg, encoded through encode_jpeg_progressive's
+    libjpeg-shape scan script (spectral selection + successive
+    approximation, optimized per-scan DHTs) instead of one baseline
+    scan. Because the pixel contract is identical, the SAME relational
+    oracle locks this table: any bug in the progressive scan decode
+    (point transforms, EOB runs, refinement correction bits, per-scan
+    table redefinition, restarts inside progressive scans — classes 2
+    and 3 carry restart_interval) hash-fails against it. media_id % 4:
+    0 -> small gray non-multiple-of-8; 1 -> 4:4:4 color; 2 -> wide
+    gray WITH restart_interval=3; 3 -> 4:2:0 color restart_interval=2."""
+    import pyarrow as pa
+
+    def _gen(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            ids = batch.column("id").to_pylist()
+            payloads, metas = [], []
+            for i in ids:
+                d = hashlib.sha256(f"{seed}:{i}".encode()).digest()
+                m = i % 4
+                if m == 0:
+                    w, h = 9 + i % 8, 9 + i % 6
+                elif m == 1:
+                    w, h = 8 + i % 9, 8 + i % 5
+                elif m == 2:
+                    w, h = 17 + i % 8, 10 + i % 6
+                else:
+                    w, h = 17 + i % 16, 11 + i % 10
+                if m in (1, 3):
+                    bsz = 16 if m == 3 else 8
+                    vals = []
+                    for y in range(h):
+                        for x in range(w):
+                            k = (x // bsz) + 2 * (y // bsz)
+                            vals += [d[k % 32], d[(k + 7) % 32], d[(k + 13) % 32]]
+                    payloads.append(encode_jpeg_progressive(
+                        w, h, vals, samples=3,
+                        subsample="420" if m == 3 else "444",
+                        restart_interval=2 if m == 3 else 0))
+                else:
+                    vals = [
+                        d[(5 + (x // 8) + 2 * (y // 8)) % 32]
+                        for y in range(h)
+                        for x in range(w)
+                    ]
+                    payloads.append(encode_jpeg_progressive(
+                        w, h, vals, samples=1,
+                        restart_interval=3 if m == 2 else 0))
                 metas.append(("image/jpeg", w, h, None, None, "jpeg"))
             meta_arr = pa.StructArray.from_arrays(
                 [
@@ -2735,7 +3300,8 @@ def _decode_dims(meta: dict, fake: bool) -> tuple[int, int]:
 
 def decode_image(payload: bytes, meta: dict, fake: bool = False) -> list[int]:
     """Decode an image payload to a flat pixel list. BMP, binary PPM,
-    PNG, GIF, baseline TIFF, and baseline JPEG decode FOR REAL via
+    PNG, GIF, baseline TIFF, and JPEG (baseline, multi-scan baseline,
+    and progressive) decode FOR REAL via
     stdlib parsing (top-down row-major channel values; RGB formats
     give len = w*h*3, RGBA PNG w*h*4, palette PNG/GIF de-palettized to
     w*h*3, gray JPEG/TIFF w*h); formats whose codecs are not

@@ -1393,9 +1393,34 @@ def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     restart/subsample/color-transform bug hash-fails. Map-only plan:
     generate -> decode in one Arrow stage, no shuffle before the final
     presentation sort."""
+    from recon_spark.operators.multimodal import generate_media_jpeg
+
+    return _jpeg_decode_stats(generate_media_jpeg(spark, _MEDIA_JPEG_N))
+
+
+def q_multimodal_decode_jpeg_prog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE (SOF2) JPEG decode over genuine multi-scan
+    containers (round 5): the same four image classes and pixel
+    contract as q_multimodal_decode_jpeg, but every payload carries a
+    libjpeg-shape progressive scan script — spectral selection,
+    successive approximation (DC/AC first + refinement scans,
+    cross-block EOB runs, correction bits), per-scan optimized DHT
+    redefinition, and restart intervals inside progressive scans for
+    classes 2 and 3. Because the contract pins the decoded pixels to
+    the SAME values as the baseline classes, the oracle is reused
+    verbatim: a decoder bug anywhere in the Annex-G scan machinery
+    hash-fails against a query that never decodes anything."""
+    from recon_spark.operators.multimodal import generate_media_jpeg_prog
+
+    return _jpeg_decode_stats(generate_media_jpeg_prog(spark, _MEDIA_JPEG_N))
+
+
+def _jpeg_decode_stats(media: DataFrame) -> DataFrame:
+    """Shared decode -> per-image pixel-stats body for the baseline
+    and progressive JPEG queries (map-only, one Arrow stage)."""
     import pyarrow as pa
 
-    from recon_spark.operators.multimodal import decode_jpeg, generate_media_jpeg
+    from recon_spark.operators.multimodal import decode_jpeg
 
     _CLS = {0: "gray_small", 1: "color", 2: "gray_wide", 3: "color_420_rst"}
 
@@ -1430,7 +1455,6 @@ def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "px_sum", "px_min", "px_max"],
             )
 
-    media = generate_media_jpeg(spark, _MEDIA_JPEG_N)
     return (
         media.select("media_id", "payload")
         .mapInArrow(
@@ -2204,6 +2228,7 @@ QUERIES = {
     "multimodal_gif_frames": q_multimodal_gif_frames,
     "multimodal_decode_tiff": q_multimodal_decode_tiff,
     "multimodal_decode_jpeg": q_multimodal_decode_jpeg,
+    "multimodal_decode_jpeg_prog": q_multimodal_decode_jpeg_prog,
     "warc_media_decode": q_warc_media_decode,
     "warc_media_tolerant": q_warc_media_tolerant,
     "dedup_cluster": q_dedup_cluster,
@@ -2239,6 +2264,9 @@ ORACLES = {
     "multimodal_gif_frames": SQL_MULTIMODAL_GIF_FRAMES,
     "multimodal_decode_tiff": SQL_MULTIMODAL_DECODE_TIFF,
     "multimodal_decode_jpeg": SQL_MULTIMODAL_DECODE_JPEG,
+    # the progressive payloads pin the SAME pixel contract, so the
+    # baseline oracle locks the Annex-G scan decode verbatim
+    "multimodal_decode_jpeg_prog": SQL_MULTIMODAL_DECODE_JPEG,
     "warc_media_decode": SQL_WARC_MEDIA_DECODE,
     "warc_media_tolerant": SQL_WARC_MEDIA_TOLERANT,
     "dedup_cluster": SQL_DEDUP_CLUSTER,

@@ -339,9 +339,13 @@ def test_corrupt_restart_marker_raises():
 
 def test_gates_and_corruption():
     good = encode_jpeg(8, 8, [9] * 64)
-    # progressive: swap SOF0 (FFC0) for SOF2 (FFC2)
+    # swapping SOF0 (FFC0) for SOF2 (FFC2) yields a structurally
+    # progressive frame whose scan header (Ss=0, Se=63) is illegal for
+    # progressive mode — the decoder (which DOES decode genuine
+    # progressive JPEGs, tests/test_jpeg_progressive.py) must reject
+    # the frankenstein container loudly, not misparse it
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError, match="spectral band"):
         decode_jpeg(prog)
     # a DRI announcing restarts the scan doesn't contain: the decoder
     # must fail loudly at the missing RST marker, not misparse
