@@ -116,6 +116,8 @@ EXTENDED = [
     "host_link_graph",
     "host_pagerank",
     "multimodal_decode_jpeg_prog",
+    "anchor_text_aliases",
+    "wat_roundtrip",
 ]
 
 

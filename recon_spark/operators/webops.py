@@ -847,29 +847,96 @@ def extract_links(
     pages). The WAT format exists to distribute exactly this
     derivation; computing it from the WARC directly skips a container
     round trip."""
-    scheme = F.regexp_extract(F.col(url_col), r"^([a-z]+):", 1)
-    authority = F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/?]*)", 1)
-    # base directory: path up to and including the last '/'
-    base_dir = F.regexp_extract(F.col(url_col), r"^[a-z]+://[^/?]*((/[^?]*)?/)", 1)
-    base_dir = F.when(base_dir == "", F.lit("/")).otherwise(base_dir)
     hrefs = F.expr(f"""regexp_extract_all({html_col}, 'href="([^"]*)"', 1)""")
-    resolved = F.transform(
-        hrefs,
-        lambda h: F.when(
-            h.rlike("^[a-z]+://"), h
-        )
-        .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
-        .when(h.startswith("/"), F.concat(scheme, F.lit("://"), authority, h))
-        .when(
-            h.rlike("^(javascript:|mailto:|#)") | (h == ""), F.lit(None)
-        )
-        .otherwise(
-            F.concat(scheme, F.lit("://"), authority, base_dir, h)
-        ),
-    )
+    resolved = F.transform(hrefs, _href_resolver(url_col))
     out = df.withColumn(
         "link", F.explode(F.filter(resolved, lambda x: x.isNotNull()))
     )
     return out.withColumn(
         "link_host", F.regexp_extract("link", r"^[a-z]+://([^/?]*)", 1)
+    )
+
+
+def _href_resolver(url_col: str):
+    """RFC 3986-lite href resolution against the page URL, as a lambda
+    for JVM higher-order transforms — the single definition shared by
+    extract_links (href-only) and extract_anchors (href + anchor text):
+    absolute hrefs pass through, protocol-relative take the base
+    scheme, rooted take the base authority, everything else resolves
+    against the base directory; javascript:/mailto:/fragment-only/empty
+    hrefs map to NULL (callers filter)."""
+    scheme = F.regexp_extract(F.col(url_col), r"^([a-z]+):", 1)
+    authority = F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/?]*)", 1)
+    # base directory: path up to and including the last '/'
+    base_dir = F.regexp_extract(F.col(url_col), r"^[a-z]+://[^/?]*((/[^?]*)?/)", 1)
+    base_dir = F.when(base_dir == "", F.lit("/")).otherwise(base_dir)
+
+    def resolve(h):
+        return (
+            F.when(h.rlike("^[a-z]+://"), h)
+            .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
+            .when(h.startswith("/"), F.concat(scheme, F.lit("://"), authority, h))
+            .when(h.rlike("^(javascript:|mailto:|#)") | (h == ""), F.lit(None))
+            .otherwise(F.concat(scheme, F.lit("://"), authority, base_dir, h))
+        )
+
+    return resolve
+
+
+def outlink_array(html_col: str, url_col: str):
+    """Per-page resolved-outlink ARRAY column (no explode): the shape a
+    WAT metadata record carries — one JSON list of outlinks per page.
+    Same harvest + resolution as extract_links, duplicates preserved in
+    document order so the WAT round trip is lossless for link stats."""
+    hrefs = F.expr(f"""regexp_extract_all({html_col}, 'href="([^"]*)"', 1)""")
+    return F.filter(
+        F.transform(hrefs, _href_resolver(url_col)), lambda x: x.isNotNull()
+    )
+
+
+def extract_anchors(
+    df: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """Harvest (link, anchor text) pairs from ``<a href="...">text</a>``
+    elements — the signal extract_links drops. Anchor text is the web's
+    crowd-sourced alias dictionary: the surfaces millions of authors
+    use to refer to a target are exactly the mention->entity evidence
+    an entity linker needs (the reference's alias table,
+    /root/reference/recon/linker.py:23-36, is hand-curated; at crawl
+    scale it is MINED from anchors — the Wikipedia-anchor-statistics
+    construction used by classic linkers).
+
+    Map-only like extract_links: one regexp_extract_all over whole
+    anchor elements, then per-element regexp_extract for href and inner
+    text via a JVM higher-order transform — zero Python, zero shuffles;
+    the groupBy that turns pairs into an alias dictionary is the
+    caller's and carries (target, alias) pairs, never pages. Anchors
+    whose inner text contains markup (``<a><b>x</b></a>``) don't match
+    the flat-text element pattern and are skipped — at crawl scale
+    flat-text anchors dominate and alias mining wants clean surfaces
+    anyway. Emits input columns plus ``link``, ``link_host``,
+    ``anchor`` (raw inner text; normalization is the caller's policy).
+    """
+    elems = F.expr(
+        f"""regexp_extract_all({html_col}, '<a [^>]*href="[^"]*"[^>]*>[^<]*</a>', 0)"""
+    )
+    resolve = _href_resolver(url_col)
+    pairs = F.transform(
+        elems,
+        lambda a: F.struct(
+            resolve(F.regexp_extract(a, 'href="([^"]*)"', 1)).alias("link"),
+            F.regexp_extract(a, ">([^<]*)</a>$", 1).alias("anchor"),
+        ),
+    )
+    out = df.withColumn(
+        "_anchor_pair",
+        F.explode(F.filter(pairs, lambda p: p.getField("link").isNotNull())),
+    )
+    return (
+        out.withColumn("link", F.col("_anchor_pair.link"))
+        .withColumn("anchor", F.col("_anchor_pair.anchor"))
+        .drop("_anchor_pair")
+        .withColumn(
+            "link_host", F.regexp_extract("link", r"^[a-z]+://([^/?]*)", 1)
+        )
     )

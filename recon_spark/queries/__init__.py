@@ -36,6 +36,8 @@ ORACLES = {**CORE_ORACLES, **PIPELINE_ORACLES, **EXTRA_ORACLES, **GRAPH_ORACLES}
 # html_to_text_v2, staging gained duplicate records), and the bucketed
 # continuous sessionizer.
 _NEVER_DRIVER_SAMPLED = [
+    "anchor_text_aliases",
+    "wat_roundtrip",
     "multimodal_decode_jpeg_prog",
     "host_link_graph",
     "host_pagerank",

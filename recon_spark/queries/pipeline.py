@@ -2237,6 +2237,196 @@ outd AS MATERIALIZED (
     return _sql_pagerank(edges_cte=host_edges, node_alias="host_node")
 
 
+# --- anchor-text alias mining (round 5) -------------------------------------
+
+# fixture KB: entity page slugs + their base surfaces (E_SPARK/E_TABLE/
+# E_HASHMAP/E_ROW match gazetteer.ALIASES ids so the mined dictionary
+# reads as an extension of the linker's hand-curated table)
+_KB_ENTITIES = ("E_SPARK", "E_TABLE", "E_HASHMAP", "E_ROW", "E_QUERY")
+_KB_SURFACES = ("spark", "table", "hash table", "row", "query")
+
+
+def _anchor_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages whose HTML carries anchors to KB entity pages with alias
+    variants as anchor text, plus the three negatives extract_anchors
+    + the host gate must drop: an off-KB-host anchor, a javascript:
+    anchor, and (every 7th doc) an empty-text anchor. Variant v1
+    (upper-case) must MERGE with v0 under the query's lower(trim())
+    normalization — proving the normalization is live — while v2
+    ('<surf> engine') stays a distinct alias."""
+    docs = _docs_with_urls(spark, sf_dir).select("doc_id", "host", "url_norm")
+    idx = (F.col("doc_id") % 5 + 1).cast("int")
+    ent = F.element_at(F.array(*[F.lit(e) for e in _KB_ENTITIES]), idx)
+    surf = F.element_at(F.array(*[F.lit(s) for s in _KB_SURFACES]), idx)
+    v = F.expr("(doc_id DIV 5) % 3")
+    alias = (
+        F.when(v == 0, surf)
+        .when(v == 1, F.upper(surf))
+        .otherwise(F.concat(surf, F.lit(" engine")))
+    )
+    html = F.concat(
+        F.lit('<a href="https://kb.example.org/entity/'), ent,
+        F.lit('">'), alias, F.lit("</a>"),
+        F.lit('<a href="https://othersite.com/entity/E_NOISE">spark</a>'),
+        F.lit('<a href="javascript:void(0)">spark</a>'),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit('<a href="https://kb.example.org/entity/'), ent,
+                F.lit('"></a>'),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return docs.withColumn("html", html)
+
+
+def q_anchor_text_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-mined entity alias dictionary (round 5): the anchor-text
+    statistics construction classic entity linkers build from Wikipedia
+    links, computed from the crawl itself — extract_anchors harvests
+    (link, anchor text) pairs map-only, the KB host gate keeps anchors
+    into entity pages, and ONE combinable aggregation to (entity,
+    alias) grain yields per-alias mention counts + distinct linking
+    hosts (cross-host support separates global aliases from one site's
+    idiolect). The only window runs over DICTIONARY rows (≪ pages —
+    bounded by |entities| x |surfaces|, not corpus size), ranking
+    aliases per entity for the linker's top-k. At 10^12 pages nothing
+    but (entity, alias) pairs ever shuffles. The oracle re-derives
+    every variant, the v1-merges-into-v0 normalization, and the three
+    negative classes relationally."""
+    from recon_spark.operators.webops import extract_anchors
+
+    pages = _anchor_pages(spark, sf_dir)
+    anchors = extract_anchors(pages, html_col="html", url_col="url_norm")
+    kb = (
+        anchors.where(F.col("link_host") == "kb.example.org")
+        .select(
+            F.regexp_extract("link", r"/entity/([A-Z_]+)$", 1).alias("entity"),
+            F.lower(F.trim("anchor")).alias("alias"),
+            "host",
+        )
+        .where(F.length("alias") > 0)
+    )
+    per = kb.groupBy("entity", "alias").agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.countDistinct("host").alias("n_hosts"),
+    )
+    w = Window.partitionBy("entity").orderBy(
+        F.col("n_mentions").desc(), F.col("alias")
+    )
+    return (
+        per.withColumn("alias_rank", F.row_number().over(w))
+        .select("entity", "alias", "n_mentions", "n_hosts", "alias_rank")
+        .orderBy("entity", "alias_rank")
+    )
+
+
+def _sql_anchor_text_aliases() -> str:
+    ents = ", ".join(f"'{e}'" for e in _KB_ENTITIES)
+    surfs = ", ".join(f"'{s}'" for s in _KB_SURFACES)
+    return (
+        _SQL_URL_NORM_CTES
+        + f""",
+base AS (
+  SELECT doc_id, host,
+         [{ents}][CAST(doc_id % 5 AS INT) + 1] AS entity,
+         [{surfs}][CAST(doc_id % 5 AS INT) + 1] AS surf,
+         (doc_id // 5) % 3 AS v
+  FROM normed
+),
+-- the off-host, javascript:, and empty-text anchors never mint a
+-- mention; v1's upper-case variant folds back onto surf under lower()
+mentions AS (
+  SELECT entity,
+         lower(trim(CASE v WHEN 0 THEN surf WHEN 1 THEN upper(surf)
+                    ELSE surf || ' engine' END)) AS alias,
+         host
+  FROM base
+),
+per AS (
+  SELECT entity, alias, CAST(count(*) AS BIGINT) AS n_mentions,
+         CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+  FROM mentions GROUP BY 1, 2
+)
+SELECT entity, alias, n_mentions, n_hosts,
+       CAST(row_number() OVER (
+         PARTITION BY entity ORDER BY n_mentions DESC, alias) AS INT
+       ) AS alias_rank
+FROM per ORDER BY entity, alias_rank
+"""
+    )
+
+
+# --- WAT metadata round trip (round 5) ---------------------------------------
+
+_WAT_STAGING: dict = {}
+
+
+def q_wat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CC metadata-distribution loop (round 5): pages -> per-page
+    outlink ARRAY (webops.outlink_array, map-only, duplicates kept in
+    document order) -> JSON metadata payload -> write_wat_files (WARC
+    ``metadata`` records, application/json, streamed + atomically
+    published) -> read_warc over the WAT output -> from_json ->
+    host->host link graph. Verified against the SAME oracle as
+    host_link_graph: the round trip through the WAT container must
+    preserve every outlink of every page exactly, so a framing,
+    JSON-encode, Content-Length, or re-ingest bug anywhere hash-fails
+    against the from-first-principles link derivation. Write is one
+    map-only job (only the manifest is collected); read back is one
+    task per WAT file, and only (src_host, dst_host) pairs shuffle."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from recon_spark.operators.webops import outlink_array
+    from recon_spark.warc import read_warc, write_wat_files
+
+    key = os.path.abspath(sf_dir)
+    if key not in _WAT_STAGING:
+        pages = _linked_pages(spark, sf_dir).withColumn(
+            "warc_ts_s", (F.lit(1767225600) + 37 * F.col("doc_id")).cast("long")
+        )
+        meta = pages.select(
+            F.col("url_norm").alias("url"),
+            "warc_ts_s",
+            F.to_json(
+                F.struct(
+                    F.col("url_norm").alias("url"),
+                    F.col("host"),
+                    outlink_array("html", "url_norm").alias("outlinks"),
+                )
+            ).alias("meta_json"),
+        )
+        wat_dir = tempfile.mkdtemp(prefix="recon_wat_")
+        atexit.register(shutil.rmtree, wat_dir, ignore_errors=True)
+        manifest = write_wat_files(meta.repartition(4, "url"), wat_dir).collect()
+        assert sum(m["n_records"] for m in manifest) > 0
+        _WAT_STAGING[key] = wat_dir
+    wat = read_warc(spark, _WAT_STAGING[key])
+    parsed = wat.where(F.col("rec_type") == "metadata").select(
+        F.from_json(
+            F.decode("html", "utf-8"),
+            "url string, host string, outlinks array<string>",
+        ).alias("m")
+    )
+    links = parsed.select(
+        F.col("m.host").alias("src_host"), F.explode("m.outlinks").alias("link")
+    )
+    return (
+        links.groupBy(
+            "src_host",
+            F.regexp_extract("link", r"^[a-z]+://([^/?]*)", 1).alias("dst_host"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.countDistinct("link").alias("n_urls"),
+        )
+        .orderBy("src_host", "dst_host")
+    )
+
+
 def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDX capture index (round 5): the Common-Crawl-native index row
     per canonical URL — SURT key (reversed host labels, so one domain's
@@ -3604,6 +3794,8 @@ QUERIES = {
     "curation_funnel_warc": q_curation_funnel_warc,
     "host_link_graph": q_host_link_graph,
     "host_pagerank": q_host_pagerank,
+    "anchor_text_aliases": q_anchor_text_aliases,
+    "wat_roundtrip": q_wat_roundtrip,
 }
 
 ORACLES = {
@@ -3670,4 +3862,8 @@ ORACLES = {
     "curation_funnel_warc": _sql_curation_funnel_warc(),
     "host_link_graph": SQL_HOST_LINK_GRAPH,
     "host_pagerank": _sql_host_pagerank(),
+    "anchor_text_aliases": _sql_anchor_text_aliases(),
+    # the WAT container round trip must preserve every outlink, so the
+    # from-first-principles link-derivation oracle locks it
+    "wat_roundtrip": SQL_HOST_LINK_GRAPH,
 }

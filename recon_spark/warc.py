@@ -297,7 +297,9 @@ def warc_record_batches(
     for path_, blob in zip(paths, contents):
         fname = os.path.basename(path_)
         for rec_type, url, ts_s, ctype, payload in parse_warc(bytes(blob)):
-            if rec_type not in ("resource", "response", "conversion"):
+            if rec_type not in (
+                "resource", "response", "conversion", "metadata"
+            ):
                 continue
             if rec_type == "response" and ctype.startswith("application/http"):
                 payload = http_body(payload)
@@ -432,6 +434,38 @@ def write_warc_files(
     cols = [url_col, ts_col, html_col] + ([ctype_col] if ctype_col else [])
     return df.select(*cols).mapInArrow(
         _gen, "path string, n_records long, n_bytes long"
+    )
+
+
+def write_wat_files(
+    df: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts_s",
+    meta_col: str = "meta_json",
+    compress: bool = True,
+) -> DataFrame:
+    """Distributed WAT sink — Common Crawl's metadata companion format
+    (``*.warc.wat.gz``): one WARC ``metadata`` record per page with
+    Content-Type application/json and caller-built JSON metadata
+    (outlinks, title, envelope fields — webops.outlink_array +
+    F.to_json build the canonical payload) as the UTF-8 body. Thin
+    shape over write_warc_files like write_wet_files, so it inherits
+    the record-streamed writer, attempt-scoped atomic publish, and
+    manifest-not-collect contract; read_warc re-ingests the output
+    (``metadata`` records pass through payload-untouched), closing
+    WARC + WAT + WET + CDX — the full Common Crawl distribution set."""
+    from pyspark.sql import functions as F
+
+    wat = df.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("warc_ts_s"),
+        F.encode(F.col(meta_col), "utf-8").alias("body"),
+        F.lit("application/json").alias("ctype"),
+    )
+    return write_warc_files(
+        wat, out_dir, url_col="url", ts_col="warc_ts_s", html_col="body",
+        compress=compress, ctype_col="ctype", record_type="metadata",
     )
 
 

@@ -44,6 +44,7 @@ def _allowed_staging_roots() -> set:
     allowed.update(qp._WARC_STAGING.values())
     allowed.update(qp._WARC_MESSY_STAGING.values())
     allowed.update(qp._WET_STAGING.values())
+    allowed.update(qp._WAT_STAGING.values())
     from recon_spark.queries import extra as qe
 
     allowed.update(qe._WARC_MEDIA_STAGING.values())

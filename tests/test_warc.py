@@ -379,3 +379,48 @@ def test_wet_roundtrip_query_matches_oracle(spark, ddb):
     from tests.conftest import SF_ORACLE, compare_query
 
     compare_query(spark, ddb, q_wet_roundtrip, _sql_warc_real_html(), SF_ORACLE)
+
+
+def test_wat_sink_writes_metadata_records(spark, tmp_path):
+    """write_wat_files emits WARC 'metadata' records with
+    application/json payloads that read_warc round-trips exactly —
+    WARC + WAT + WET + CDX closes the Common Crawl distribution set."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from recon_spark.warc import parse_warc, read_warc, write_wat_files
+
+    rows = [
+        ("https://a.com/1", 100, json.dumps({"url": "https://a.com/1",
+                                             "outlinks": ["https://b.com/x"]})),
+        ("https://b.com/2", 200, json.dumps({"url": "https://b.com/2",
+                                             "outlinks": []})),
+    ]
+    df = spark.createDataFrame(rows, ["url", "warc_ts_s", "meta_json"])
+    out = str(tmp_path / "wat")
+    manifest = write_wat_files(df.repartition(1), out).collect()
+    assert sum(m["n_records"] for m in manifest) == 2
+    import glob
+    import gzip as _gzip
+
+    (path,) = glob.glob(out + "/*.warc.gz")
+    recs = [r for r in parse_warc(_gzip.open(path, "rb").read())
+            if r[0] != "warcinfo"]
+    assert all(t == "metadata" for t, *_ in recs)
+    assert all(ct == "application/json" for _, _, _, ct, _ in recs)
+    back = {
+        r["url"]: json.loads(bytes(r["html"]).decode("utf-8"))
+        for r in read_warc(spark, out)
+        .where(F.col("rec_type") == "metadata")
+        .collect()
+    }
+    assert back["https://a.com/1"]["outlinks"] == ["https://b.com/x"]
+    assert back["https://b.com/2"]["outlinks"] == []
+
+
+def test_wat_roundtrip_query_matches_oracle(spark, ddb):
+    from recon_spark.queries.pipeline import SQL_HOST_LINK_GRAPH, q_wat_roundtrip
+    from tests.conftest import SF_ORACLE, compare_query
+
+    compare_query(spark, ddb, q_wat_roundtrip, SQL_HOST_LINK_GRAPH, SF_ORACLE)

@@ -704,3 +704,65 @@ def test_extract_links_plan_is_map_only(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_extract_anchors_pairs(spark):
+    """(link, anchor text) pairing: text travels with ITS href through
+    the shared resolver; javascript:/empty hrefs drop WITH their text;
+    markup-bearing anchors (<a><b>x</b></a>) skip the flat-text element
+    pattern; empty anchor TEXT survives harvest (filtering '' aliases
+    is the mining query's policy, not the parser's)."""
+    from recon_spark.operators.webops import extract_anchors
+
+    html = (
+        '<a href="https://abs.org/x">Apache Spark</a>'
+        '<a href="/rooted">  padded  </a>'
+        '<a href="javascript:void(0)">dropped with href</a>'
+        '<a href="https://kb.org/e">中文 alias</a>'
+        '<a href="https://kb.org/empty"></a>'
+        '<a href="https://kb.org/markup"><b>bold</b></a>'
+    )
+    rows = extract_anchors(
+        spark.createDataFrame(
+            [("http://ex.org/dir/leaf", html)], "url string, html string"
+        )
+    ).collect()
+    got = [(r.link, r.link_host, r.anchor) for r in rows]
+    assert got == [
+        ("https://abs.org/x", "abs.org", "Apache Spark"),
+        ("http://ex.org/rooted", "ex.org", "  padded  "),
+        ("https://kb.org/e", "kb.org", "中文 alias"),
+        ("https://kb.org/empty", "kb.org", ""),
+    ]
+
+
+def test_extract_anchors_plan_is_map_only(spark):
+    """Alias mining at 10^12 pages only works if the harvest never
+    shuffles pages — the (entity, alias) agg is the caller's."""
+    from recon_spark.operators.webops import extract_anchors
+
+    df = extract_anchors(
+        spark.createDataFrame([("http://a.org/", '<a href="/x">l</a>')],
+                              "url string, html string")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_anchor_alias_query_normalization_is_live(spark):
+    """The v1 (upper-case) variant must fold into the base surface under
+    lower(trim()) — per entity the dictionary holds exactly 2 aliases
+    and the base surface outranks '<surf> engine' ~2:1."""
+    from recon_spark.queries.pipeline import q_anchor_text_aliases
+    from tests.conftest import SF_SMOKE
+
+    rows = q_anchor_text_aliases(spark, SF_SMOKE).collect()
+    by_ent = {}
+    for r in rows:
+        by_ent.setdefault(r.entity, []).append(r)
+    for ent, rs in by_ent.items():
+        assert len(rs) == 2, (ent, rs)
+        top, second = rs[0], rs[1]
+        assert top.alias_rank == 1 and second.alias_rank == 2
+        assert second.alias == top.alias + " engine"
+        assert top.n_mentions > second.n_mentions
