@@ -118,6 +118,7 @@ EXTENDED = [
     "multimodal_decode_jpeg_prog",
     "anchor_text_aliases",
     "wat_roundtrip",
+    "triples_mined_aliases",
 ]
 
 

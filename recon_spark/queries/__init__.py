@@ -38,6 +38,7 @@ ORACLES = {**CORE_ORACLES, **PIPELINE_ORACLES, **EXTRA_ORACLES, **GRAPH_ORACLES}
 _NEVER_DRIVER_SAMPLED = [
     "anchor_text_aliases",
     "wat_roundtrip",
+    "triples_mined_aliases",
     "multimodal_decode_jpeg_prog",
     "host_link_graph",
     "host_pagerank",

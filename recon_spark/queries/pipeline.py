@@ -2427,6 +2427,115 @@ def q_wat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_triples_mined_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG canonicalization through a CRAWL-MINED alias dictionary
+    (round 5): the full self-supervised composition — anchor-text
+    statistics mined from the crawl (extract_anchors over the KB-anchor
+    pages) replace the hand-curated alias table
+    (/root/reference/recon/linker.py:23-36) in the canonical-triple
+    materialization. Best entity per ALIAS wins by (mention support
+    desc, entity asc) — the rank-1 selection the reference's linker
+    applies to its curated scores, applied to mined counts instead.
+    The dictionary is dictionary-sized (bounded by surfaces x
+    entities), so both canonicalization joins BROADCAST; raw triples
+    never shuffle for linking — the only wide exchange is the final
+    (subj, pred, obj) rollup, same as triples_canonical. Multi-word
+    mined aliases ('hash table', '<surf> engine') simply never match
+    unigram triple slots — unlinkable surfaces keep their surface form,
+    per the canonicalize_triples contract. The oracle re-derives the
+    mined dictionary, the rank-1 pick, and both coalesce joins
+    relationally."""
+    from recon_spark.operators.extraction import extract_triples_tokens
+    from recon_spark.operators.webops import extract_anchors
+
+    pages = _anchor_pages(spark, sf_dir)
+    anchors = extract_anchors(pages, html_col="html", url_col="url_norm")
+    mined = (
+        anchors.where(F.col("link_host") == "kb.example.org")
+        .select(
+            F.regexp_extract("link", r"/entity/([A-Z_]+)$", 1).alias("entity"),
+            F.lower(F.trim("anchor")).alias("alias"),
+        )
+        .where(F.length("alias") > 0)
+        .groupBy("alias", "entity")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+    )
+    best = (
+        mined.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("alias").orderBy(
+                    F.col("n_mentions").desc(), F.col("entity")
+                )
+            ),
+        )
+        .where("rk = 1")
+        .select("alias", "entity")
+    )
+    t = extract_triples_tokens(_docs(spark, sf_dir))
+    t = (
+        t.join(
+            F.broadcast(best).withColumnRenamed("entity", "subj_id"),
+            t.subj == F.col("alias"),
+            "left",
+        )
+        .drop("alias")
+        .join(
+            F.broadcast(best).withColumnRenamed("entity", "obj_id"),
+            t.obj == F.col("alias"),
+            "left",
+        )
+        .drop("alias")
+    )
+    return (
+        t.select(
+            F.coalesce("subj_id", "subj").alias("subj"),
+            "pred",
+            F.coalesce("obj_id", "obj").alias("obj"),
+        )
+        .groupBy("subj", "pred", "obj")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("subj", "pred", "obj")
+    )
+
+
+def _sql_triples_mined_aliases() -> str:
+    from recon_spark.queries.core import _sql_triples_base
+
+    ents = ", ".join(f"'{e}'" for e in _KB_ENTITIES)
+    surfs = ", ".join(f"'{s}'" for s in _KB_SURFACES)
+    return f"""
+WITH abase AS (
+  SELECT doc_id,
+         [{ents}][CAST(doc_id % 5 AS INT) + 1] AS entity,
+         [{surfs}][CAST(doc_id % 5 AS INT) + 1] AS surf,
+         (doc_id // 5) % 3 AS v
+  FROM main.documents
+),
+mined AS (
+  SELECT lower(trim(CASE v WHEN 0 THEN surf WHEN 1 THEN upper(surf)
+                    ELSE surf || ' engine' END)) AS alias,
+         entity, count(*) AS n_mentions
+  FROM abase GROUP BY 1, 2
+),
+best AS (
+  SELECT alias, entity FROM (
+    SELECT alias, entity,
+           row_number() OVER (
+             PARTITION BY alias ORDER BY n_mentions DESC, entity) AS rk
+    FROM mined
+  ) WHERE rk = 1
+),
+{_sql_triples_base().lstrip().lstrip(',').strip()}
+SELECT coalesce(bs.entity, t.subj) AS subj, t.pred,
+       coalesce(bo.entity, t.obj) AS obj, CAST(count(*) AS BIGINT) AS n
+FROM triples t
+LEFT JOIN best bs ON t.subj = bs.alias
+LEFT JOIN best bo ON t.obj = bo.alias
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
 def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDX capture index (round 5): the Common-Crawl-native index row
     per canonical URL — SURT key (reversed host labels, so one domain's
@@ -3796,6 +3905,7 @@ QUERIES = {
     "host_pagerank": q_host_pagerank,
     "anchor_text_aliases": q_anchor_text_aliases,
     "wat_roundtrip": q_wat_roundtrip,
+    "triples_mined_aliases": q_triples_mined_aliases,
 }
 
 ORACLES = {
@@ -3866,4 +3976,5 @@ ORACLES = {
     # the WAT container round trip must preserve every outlink, so the
     # from-first-principles link-derivation oracle locks it
     "wat_roundtrip": SQL_HOST_LINK_GRAPH,
+    "triples_mined_aliases": _sql_triples_mined_aliases(),
 }

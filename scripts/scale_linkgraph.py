@@ -1,8 +1,11 @@
-"""N->4N scaling evidence for the round-5 link-graph addition:
+"""N->4N scaling evidence for the round-5 link-graph additions:
 extract_links (regexp_extract_all href harvest + higher-order
-resolution against the page URL, pure JVM) and the full
-host_link_graph shape (harvest -> host-pair aggregate; the ONLY
-shuffle carries (src_host, dst_host) pairs, never pages).
+resolution against the page URL, pure JVM), the full host_link_graph
+shape (harvest -> host-pair aggregate; the ONLY shuffle carries
+(src_host, dst_host) pairs, never pages), extract_anchors (the
+(link, anchor text) pair variant feeding alias mining), and the full
+anchor_alias_dictionary shape (harvest -> (target, alias) combinable
+agg -> ranking window over dictionary rows only).
 
 Protocol = scripts/scale_r5b_ops.py: deterministic staged parquet (no
 external data), each op timed at two parallelism levels in FRESH JVMs,
@@ -140,6 +143,31 @@ def run_level(cores: int) -> dict:
            .groupBy("host", "link_host")
            .agg(F.count(F.lit(1)).alias("n_links")),
            "harvest + host-pair aggregate (the full query shape)")
+    from pyspark.sql import Window
+
+    from recon_spark.operators.webops import extract_anchors
+
+    _timed(out, "extract_anchors",
+           lambda: extract_anchors(pages).select(
+               "link_host", F.length("anchor").alias("n")),
+           f"{PAGES:,} staged ~2KB pages x 12 flat-text anchors")
+
+    def _alias_dict():
+        anchors = extract_anchors(
+            pages.withColumn(
+                "host", F.regexp_extract("url", r"^[a-z]+://([^/?]*)", 1))
+        )
+        per = anchors.groupBy(
+            F.col("link_host").alias("target"),
+            F.lower(F.trim("anchor")).alias("alias"),
+        ).agg(F.count(F.lit(1)).alias("n_mentions"),
+              F.countDistinct("host").alias("n_hosts"))
+        w = Window.partitionBy("target").orderBy(
+            F.col("n_mentions").desc(), F.col("alias"))
+        return per.withColumn("alias_rank", F.row_number().over(w))
+
+    _timed(out, "anchor_alias_dictionary", _alias_dict,
+           "harvest + (target, alias) agg + dictionary ranking window")
     spark.stop()
     return out
 

@@ -354,3 +354,14 @@ def test_curation_funnel_warc_gates_evaluate_once(spark):
         f"PSL matcher duplicated across the funnel plan: {n_inset} INSET "
         f"probes vs {ref.count('INSET')} per evaluation site"
     )
+
+
+def test_mined_alias_canonicalization_joins_are_broadcast(spark):
+    """triples_mined_aliases: the mined dictionary is dictionary-sized,
+    so BOTH canonicalization joins must broadcast — raw triples never
+    shuffle for linking (the only wide exchange is the final rollup)."""
+    from recon_spark.queries.pipeline import q_triples_mined_aliases
+
+    plan = plan_of(q_triples_mined_aliases(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
