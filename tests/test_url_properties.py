@@ -217,3 +217,117 @@ def test_registered_domain_full_psl_matches_python_reference(spark):
     }
     for h in hosts:
         assert got[h] == _psl_reference(h, rules), h
+
+
+# --------------------------------------------------------------------------
+# extract_anchors property: the Spark element+pair harvest (one
+# regexp_extract_all over flat-text <a> elements + per-element HOF
+# extraction) must agree with an INDEPENDENT index-based Python scanner
+# + the documented resolution rules on component-built HTML mixing
+# valid anchors, markup anchors, single-quoted hrefs, href-less tags,
+# dangling opens, and noise. Generation stays inside the operator's
+# documented domain: no '<'/'"' inside attribute junk or anchor text
+# (the flat-text element contract).
+# --------------------------------------------------------------------------
+
+_ANCHOR_TEXT = st.text(alphabet="ab z9>.é", min_size=0, max_size=8)
+_HREFS = st.sampled_from([
+    "https://abs.org/x", "http://other.net/p?q=1", "//cdn.org/y",
+    "/rooted/p", "rel/page", "sub", "javascript:void(0)", "mailto:x@y.z",
+    "#frag", "",
+])
+_PAGE_URLS = st.sampled_from([
+    "http://ex.org", "https://ex.org/", "https://ex.org/dir/leaf",
+    "http://h.io/a/b/", "https://h.io/a?q=1",
+])
+
+
+@st.composite
+def anchor_htmls(draw):
+    parts = []
+    for _ in range(draw(st.integers(min_value=0, max_value=6))):
+        kind = draw(st.integers(min_value=0, max_value=4))
+        if kind == 0:
+            href = draw(_HREFS)
+            text = draw(_ANCHOR_TEXT)
+            pre = draw(st.sampled_from(["", "class=c ", "id=z7 "]))
+            post = draw(st.sampled_from(["", " rel=nofollow"]))
+            parts.append(f'<a {pre}href="{href}"{post}>{text}</a>')
+        elif kind == 1:  # markup in the text -> flat-text contract skips
+            parts.append('<a href="https://skip.me/x"><b>bold</b></a>')
+        elif kind == 2:  # single-quoted href -> documented skip
+            parts.append("<a href='https://skip.me/q'>t</a>")
+        elif kind == 3:  # noise
+            parts.append(draw(st.sampled_from(
+                ["<p>lorem ipsum</p>", "plain text ", "<div >x</div>"])))
+        else:  # href-less tag / dangling open -> skipped
+            parts.append(draw(st.sampled_from(
+                ['<a name="n">no href</a>',
+                 '<a href="https://x.y/z">dangling'])))
+    return "".join(parts)
+
+
+def _py_anchor_pairs(html: str) -> list:
+    """Index-based scanner (no regex): non-overlapping left-to-right
+    '<a ' candidates; a candidate matches iff its opening tag carries
+    href="...", its inner text contains no '<', and the text run is
+    closed by a literal '</a>'."""
+    out = []
+    i = 0
+    while True:
+        j = html.find("<a ", i)
+        if j == -1:
+            return out
+        k = html.find(">", j)
+        if k == -1:
+            return out
+        tag = html[j:k]
+        h0 = tag.find('href="')
+        h1 = tag.find('"', h0 + 6) if h0 != -1 else -1
+        if h0 == -1 or h1 == -1:
+            i = j + 1
+            continue
+        t1 = html.find("<", k + 1)
+        if t1 == -1 or not html.startswith("</a>", t1):
+            i = j + 1
+            continue
+        out.append((tag[h0 + 6 : h1], html[k + 1 : t1]))
+        i = t1 + 4
+
+
+def _py_resolve(href: str, page_url: str):
+    """Documented RFC 3986-lite resolution, replayed in plain Python."""
+    scheme = re.match(r"^([a-z]+):", page_url).group(1)
+    auth = re.match(r"^[a-z]+://([^/?]*)", page_url).group(1)
+    m = re.match(r"^[a-z]+://[^/?]*((/[^?]*)?/)", page_url)
+    base_dir = m.group(1) if m else "/"
+    if re.match(r"^[a-z]+://", href):
+        return href
+    if href.startswith("//"):
+        return f"{scheme}:{href}"
+    if href.startswith("/"):
+        return f"{scheme}://{auth}{href}"
+    if href == "" or re.match(r"^(javascript:|mailto:|#)", href):
+        return None
+    return f"{scheme}://{auth}{base_dir}{href}"
+
+
+@given(st.lists(st.tuples(_PAGE_URLS, anchor_htmls()), min_size=1, max_size=25))
+@settings(max_examples=30, deadline=None)
+def test_extract_anchors_matches_python_reference(spark, batch):
+    from recon_spark.operators.webops import extract_anchors
+
+    df = spark.createDataFrame(
+        [(i, u, h) for i, (u, h) in enumerate(batch)],
+        "id long, url string, html string",
+    )
+    got: dict[int, list] = {}
+    for r in extract_anchors(df).collect():
+        got.setdefault(r.id, []).append((r.link, r.anchor))
+    for i, (u, h) in enumerate(batch):
+        want = [
+            (_py_resolve(href, u), text)
+            for href, text in _py_anchor_pairs(h)
+            if _py_resolve(href, u) is not None
+        ]
+        assert got.get(i, []) == want, (u, h)
