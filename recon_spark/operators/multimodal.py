@@ -1102,8 +1102,9 @@ def generate_media_real(spark: SparkSession, n: int, seed: int = 42) -> DataFram
 # multi-page containers decode page-by-page via the 0-terminated
 # next-IFD chain (cycle-guarded — real crawls contain TIFFs whose
 # next pointer loops). Both layouts decode — strips AND §15 tiles —
-# at 8- or 16-bit depth, gray or RGB chunky; planar config 2 and
-# other depths/compressions keep an honest gate.
+# at 8- or 16-bit depth, gray or RGB, chunky AND PlanarConfiguration 2
+# (separate component planes, strips only; r5); tiled-planar and other
+# depths/compressions keep an honest gate.
 # --------------------------------------------------------------------------
 
 TIFF_SIGS = (b"II*\x00", b"MM\x00*")
@@ -1329,11 +1330,26 @@ def _tiff_compress(chunk: bytes, compression: int) -> bytes:
 def _tiff_page_strips(
     w: int, h: int, values: list[int], samples: int,
     compression: int, predictor: int, rps: int, bits: int = 8,
+    planar: int = 1,
 ) -> list[bytes]:
-    """One page's compressed strips (predictor applied pre-compression)."""
-    raw = _tiff_samples_to_bytes(values, bits)
+    """One page's compressed strips (predictor applied pre-compression).
+    planar=2 (PlanarConfiguration 2) emits SamplesPerPixel x
+    StripsPerImage strips — all of component 0's strips first, then
+    component 1's, etc. (TIFF 6.0 §PlanarConfiguration); the predictor
+    differences within each single-component plane."""
     sw = bits // 8
     strips = []
+    if planar == 2 and samples > 1:
+        for p in range(samples):
+            praw = _tiff_samples_to_bytes(values[p::samples], bits)
+            for y0 in range(0, h, rps):
+                nrow = min(y0 + rps, h) - y0
+                rows = praw[y0 * w * sw : (y0 + nrow) * w * sw]
+                if predictor == 2:
+                    rows = _tiff_apply_hdiff(rows, nrow, w, 1, bits)
+                strips.append(_tiff_compress(rows, compression))
+        return strips
+    raw = _tiff_samples_to_bytes(values, bits)
     for y0 in range(0, h, rps):
         nrow = min(y0 + rps, h) - y0
         rows = raw[y0 * w * samples * sw : (y0 + nrow) * w * samples * sw]
@@ -1346,7 +1362,7 @@ def _tiff_page_strips(
 def _tiff_ifd_blob(
     w: int, h: int, samples: int, compression: int, predictor: int,
     rps: int, offsets: list[int], counts: list[int],
-    ifd_off: int, next_ifd: int, bits: int = 8,
+    ifd_off: int, next_ifd: int, bits: int = 8, planar: int = 1,
 ) -> bytes:
     """One little-endian 12-entry IFD (+ its after-IFD value arrays),
     laid out starting at ifd_off, chaining to next_ifd (0 = last)."""
@@ -1380,7 +1396,7 @@ def _tiff_ifd_blob(
     entries.append(entry(277, 3, 1, samples))
     entries.append(entry(278, 4, 1, rps))
     arr_long(279, counts)
-    entries.append(entry(284, 3, 1, 1))  # chunky planar config
+    entries.append(entry(284, 3, 1, planar))  # 1 = chunky, 2 = planar
     entries.append(entry(296, 3, 1, 2))  # resolution unit: inch
     entries.append(entry(317, 3, 1, predictor))
     assert len(entries) == 12  # extra_base above assumes exactly 12
@@ -1405,13 +1421,14 @@ def encode_tiff_multi(pages: list[tuple]) -> bytes:
     for page in pages:
         w, h, values, samples, compression, predictor, rows_per_strip = page[:7]
         bits = page[7] if len(page) > 7 else 8
+        planar = page[8] if len(page) > 8 else 1
         if len(values) != w * h * samples:
             raise ValueError(f"need {w * h * samples} values")
         rps = rows_per_strip or h
         strips = _tiff_page_strips(w, h, values, samples, compression,
-                                   predictor, rps, bits)
+                                   predictor, rps, bits, planar)
         per_page.append((w, h, samples, compression, predictor, rps, bits,
-                         strips))
+                         planar, strips))
     pos = 8
     page_offsets = []
     for *_, strips in per_page:
@@ -1423,7 +1440,8 @@ def encode_tiff_multi(pages: list[tuple]) -> bytes:
     # IFD blob size is deterministic: 2 + 12*12 + 4 plus value arrays
     ifd_offs, cursor = [], pos
     blobs_sizes = []
-    for (w, h, samples, compression, predictor, rps, bits, strips) in per_page:
+    for (w, h, samples, compression, predictor, rps, bits, planar,
+         strips) in per_page:
         extra = 8 if samples == 3 else 0  # BitsPerSample triple + pad
         if len(strips) > 1:
             extra += 4 * len(strips) * 2  # offsets + counts arrays
@@ -1435,12 +1453,13 @@ def encode_tiff_multi(pages: list[tuple]) -> bytes:
     for *_, strips in per_page:
         for s in strips:
             out += s
-    for i, (w, h, samples, compression, predictor, rps, bits,
+    for i, (w, h, samples, compression, predictor, rps, bits, planar,
             strips) in enumerate(per_page):
         nxt = ifd_offs[i + 1] if i + 1 < len(per_page) else 0
         blob = _tiff_ifd_blob(
             w, h, samples, compression, predictor, rps,
-            page_offsets[i], [len(s) for s in strips], ifd_offs[i], nxt, bits)
+            page_offsets[i], [len(s) for s in strips], ifd_offs[i], nxt,
+            bits, planar)
         assert len(blob) == blobs_sizes[i]
         out += blob
     return bytes(out)
@@ -1464,6 +1483,27 @@ def encode_tiff(
     return encode_tiff_multi(
         [(w, h, values, samples, compression, predictor, rows_per_strip,
           bits)])
+
+
+def encode_tiff_planar(
+    w: int,
+    h: int,
+    values: list[int],
+    samples: int = 3,
+    compression: int = 1,
+    predictor: int = 1,
+    rows_per_strip: int | None = None,
+    bits: int = 8,
+) -> bytes:
+    """PlanarConfiguration=2 little-endian TIFF: each component's rows
+    in its own strips (all of plane 0's strips, then plane 1's, ...),
+    predictor differencing within the single-component plane. Same
+    top-down interleaved ``values`` input as encode_tiff — the planar
+    split is the container's concern, so encode/decode round-trips are
+    value-identical with the chunky twin."""
+    return encode_tiff_multi(
+        [(w, h, values, samples, compression, predictor, rows_per_strip,
+          bits, 2)])
 
 
 def encode_tiff_tiled(
@@ -1592,8 +1632,15 @@ def _tiff_decode_ifd(
     if samples not in (1, 3) or len(set(bits)) != 1 or bits[0] not in (8, 16):
         raise NotImplementedError(
             f"only 8/16-bit gray/RGB TIFF (spp={samples}, bits={bits})")
-    if tags.get(284, [1])[0] != 1:
-        raise NotImplementedError("planar (non-chunky) TIFF not supported")
+    planar = tags.get(284, [1])[0]
+    if planar not in (1, 2):
+        raise ValueError(f"bad TIFF PlanarConfiguration {planar}")
+    if planar == 2 and (322 in tags or 324 in tags):
+        # planar TILED is a spec corner real crawls essentially never
+        # produce (planar writers are strip-era scanners/geo tools)
+        raise NotImplementedError("tiled planar TIFF not supported")
+    if samples == 1:
+        planar = 1  # spec: PlanarConfiguration is meaningless at spp=1
     if compression not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(f"TIFF compression {compression} not supported")
     if predictor not in (1, 2):
@@ -1652,6 +1699,40 @@ def _tiff_decode_ifd(
         rps = tags.get(278, [h])[0]
         if len(offsets) != len(counts):
             raise ValueError("TIFF strip offset/count mismatch")
+        if planar == 2:
+            # PlanarConfiguration 2: SamplesPerPixel x StripsPerImage
+            # strips, ALL of component 0's first, then component 1's,
+            # ... (TIFF 6.0); each strip carries single-component rows,
+            # so the predictor differences at stride 1 within the plane
+            # and the planes interleave back sample-by-sample at the end
+            spp_strips = (h + rps - 1) // rps
+            if len(offsets) != samples * spp_strips:
+                raise ValueError(
+                    f"planar TIFF wants {samples * spp_strips} strips, "
+                    f"has {len(offsets)}")
+            plane_row = w * sw
+            vals = [0] * (w * h * samples)
+            for p in range(samples):
+                praw = bytearray()
+                for si in range(spp_strips):
+                    idx = p * spp_strips + si
+                    nrows = min(rps, h - si * rps)
+                    strip = bytearray(
+                        chunk_at(offsets[idx], counts[idx],
+                                 nrows * plane_row))
+                    if predictor == 2:
+                        _tiff_undo_hdiff(strip, nrows, w, 1, sw, bo)
+                    praw += strip
+                if len(praw) != h * plane_row:
+                    raise ValueError(
+                        f"planar TIFF plane {p}: {len(praw)}B, "
+                        f"want {h * plane_row}B")
+                if sw == 1:
+                    vals[p::samples] = list(praw)
+                else:
+                    vals[p::samples] = struct.unpack(
+                        f"{bo}{w * h}H", bytes(praw))
+            return w, h, samples, vals, next_ifd
         raw = bytearray()
         for si, (off, cnt) in enumerate(zip(offsets, counts)):
             nrows = min(rps, h - si * rps)
@@ -3105,7 +3186,9 @@ def generate_media_gif_anim(spark: SparkSession, n: int, seed: int = 42) -> Data
 def generate_media_tiff(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     """Media table of GENUINE baseline TIFFs covering the three
     baseline compressions AND both layouts: media_id % 3 == 0 → RGB +
-    LZW + horizontal-differencing predictor (strips), 1 → RGB +
+    LZW + horizontal-differencing predictor (multi-strip; every OTHER
+    one of these is PlanarConfiguration=2 with separate component
+    planes, decoding to identical pixels), 1 → RGB +
     PackBits in the TILED layout (8x8 tiles over 4-11 x 4-9 images, so
     every container has right/bottom edge tiles whose padding the
     decoder must discard), 2 → 8-bit gray uncompressed split across
@@ -3134,9 +3217,15 @@ def generate_media_tiff(spark: SparkSession, n: int, seed: int = 42) -> DataFram
                     for idx in range(w * h):
                         vals += [d[idx % 32], d[(idx + 7) % 32], d[(idx + 13) % 32]]
                     if i % 3 == 0:
+                        # every other LZW-class container is written
+                        # PlanarConfiguration=2 (separate component
+                        # planes, predictor per plane) — decoded pixels
+                        # are identical to the chunky twin, so the SAME
+                        # relational oracle locks the plane reassembly
+                        enc = encode_tiff_planar if i % 6 == 0 else encode_tiff
                         payloads.append(
-                            encode_tiff(w, h, vals, samples=3, compression=5,
-                                        predictor=2)
+                            enc(w, h, vals, samples=3, compression=5,
+                                predictor=2, rows_per_strip=3)
                         )
                     else:
                         payloads.append(

@@ -171,17 +171,100 @@ def test_tiff_gates_and_corruption():
     b16[at : at + 12] = struct.pack("<HHII", 258, 3, 1, 16)
     with pytest.raises(ValueError, match="shorter"):
         decode_tiff(bytes(b16))
-    # remaining honest gates: 12-bit depth and planar configuration 2
+    # remaining honest gates: 12-bit depth and planar TILED layout
     b12 = bytearray(encode_tiff(3, 3, list(range(9)), samples=1))
     at = b12.index(struct.pack("<HHII", 258, 3, 1, 8))
     b12[at : at + 12] = struct.pack("<HHII", 258, 3, 1, 12)
     with pytest.raises(NotImplementedError, match="8/16-bit"):
         decode_tiff(bytes(b12))
+    # a chunky container mis-DECLARED planar is corruption, not a gate:
+    # the strip count no longer matches samples x strips-per-plane
     planar = bytearray(t)
     at = planar.index(struct.pack("<HHII", 284, 3, 1, 1))
     planar[at : at + 12] = struct.pack("<HHII", 284, 3, 1, 2)
-    with pytest.raises(NotImplementedError, match="planar"):
+    with pytest.raises(ValueError, match="planar TIFF wants"):
         decode_tiff(bytes(planar))
+    # tiled + planar keeps the honest gate
+    from recon_spark.operators.multimodal import encode_tiff_tiled
+
+    tp = bytearray(encode_tiff_tiled(8, 8, list(range(192)) + [0] * 0, 3))
+    at = tp.index(struct.pack("<HHII", 284, 3, 1, 1))
+    tp[at : at + 12] = struct.pack("<HHII", 284, 3, 1, 2)
+    with pytest.raises(NotImplementedError, match="tiled planar"):
+        decode_tiff(bytes(tp))
+
+
+# --------------------------------------------------------------------------
+# PlanarConfiguration 2 (separate component planes) — round 5
+# --------------------------------------------------------------------------
+
+
+@given(
+    w=st.integers(min_value=1, max_value=9),
+    h=st.integers(min_value=1, max_value=9),
+    comp=st.sampled_from([1, 5, 32773, 8]),
+    pred=st.sampled_from([1, 2]),
+    rps=st.sampled_from([None, 2]),
+    bits=st.sampled_from([8, 16]),
+    data=st.data(),
+)
+@settings(max_examples=40, deadline=None)
+def test_planar_roundtrip_matches_chunky(w, h, comp, pred, rps, bits, data):
+    """A PlanarConfiguration=2 encoding of ANY image decodes to exactly
+    the values of its chunky twin — plane split/reassembly, per-plane
+    predictor, and multi-strip planes are pure container concerns."""
+    if pred == 2 and comp == 1:
+        comp = 5  # predictor rides a compression per spec
+    mx = (1 << bits) - 1
+    vals = data.draw(
+        st.lists(st.integers(min_value=0, max_value=mx),
+                 min_size=w * h * 3, max_size=w * h * 3)
+    )
+    from recon_spark.operators.multimodal import encode_tiff_planar
+
+    planar = decode_tiff(encode_tiff_planar(w, h, vals, 3, comp, pred, rps, bits))
+    chunky = decode_tiff(encode_tiff(w, h, vals, 3, comp, pred, rps, bits))
+    assert planar == (w, h, 3, vals)
+    assert planar == chunky
+
+
+def test_planar_big_endian_hand_built():
+    """Hand-assembled BIG-endian planar container: 2x2 RGB, one strip
+    per plane, uncompressed — locks byte order + plane order without
+    the encoder in the loop."""
+    w, h = 2, 2
+    planes = [bytes([10, 20, 30, 40]), bytes([1, 2, 3, 4]),
+              bytes([200, 210, 220, 230])]
+    out = bytearray(b"MM\x00*")
+    out += struct.pack(">I", 8 + 12)  # IFD after header + strip data
+    offs = []
+    for pl in planes:
+        offs.append(len(out))
+        out += pl
+    def entry(tag, typ, cnt, val):
+        return struct.pack(">HHII", tag, typ, cnt, val)
+    def entry_s(tag, cnt, val):  # SHORT value: left-justified per spec
+        return struct.pack(">HHIHH", tag, 3, cnt, val, 0)
+    ifd_off = len(out)
+    extra_base = ifd_off + 2 + 12 * 9 + 4
+    entries = [
+        entry(256, 4, 1, w), entry(257, 4, 1, h),
+        entry(258, 3, 3, extra_base),  # triple lives after the IFD
+        entry_s(259, 1, 1), entry_s(262, 1, 2),
+        entry(273, 4, 3, extra_base + 8),
+        entry_s(277, 1, 3), entry_s(284, 1, 2),
+        entry(279, 4, 3, extra_base + 20),
+    ]
+    out += struct.pack(">H", len(entries)) + b"".join(sorted(entries))
+    out += struct.pack(">I", 0)
+    out += struct.pack(">HHH", 8, 8, 8) + b"\x00\x00"
+    out += struct.pack(">III", *offs)
+    out += struct.pack(">III", 4, 4, 4)
+    got = decode_tiff(bytes(out))
+    want = [0] * 12
+    for p in range(3):
+        want[p::3] = list(planes[p])
+    assert got == (w, h, 3, want)
 
 
 # --------------------------------------------------------------------------
@@ -201,6 +284,10 @@ def test_generate_media_tiff_payloads_are_genuine(spark):
         assert (w, h) == (r["meta"]["width"], r["meta"]["height"])
         assert spp == (1 if r["media_id"] % 3 == 2 else 3)
         assert len(px) == w * h * spp
+        # every other LZW-class container must really be planar —
+        # tag 284 value 2 in the (little-endian, SHORT) IFD entry
+        is_planar = struct.pack("<HHIHH", 284, 3, 1, 2, 0) in p
+        assert is_planar == (r["media_id"] % 6 == 0)
 
 
 def test_decode_tiff_query_matches_oracle(spark, ddb):
