@@ -993,7 +993,119 @@ FROM g ORDER BY pred
 """
 
 
+# --------------------------------------------------------------------------
+# SPARQL layer over the materialized KG (operators/sparql.py): the same
+# canonical triple table the engine materializes, queried with compiled
+# SPARQL instead of hand-written joins. Each oracle is the hand-translated
+# relational equivalent, so the comparison checks the COMPILER, not just
+# the data.
+# --------------------------------------------------------------------------
+
+def _canonical_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from recon_spark.queries.core import canonicalize_triples
+
+    return canonicalize_triples(
+        spark, extract_triples_tokens(_docs(spark, sf_dir))
+    ).select("subj", "pred", "obj")
+
+
+def _sql_canonical_kg() -> str:
+    """CTE chain ending in ``kg`` = distinct canonical (subj, pred, obj)."""
+    from recon_spark.queries.core import _sql_triples_base
+
+    return f"""{_sql_triples_base()},
+best AS (
+  SELECT alias, entity_id FROM (
+    SELECT alias, entity_id,
+           row_number() OVER (PARTITION BY alias ORDER BY score DESC, entity_id) AS rk
+    FROM {sql_alias_values()}
+  ) WHERE rk = 1
+),
+kg AS (
+  SELECT DISTINCT coalesce(bs.entity_id, t.subj) AS subj, t.pred,
+         coalesce(bo.entity_id, t.obj) AS obj
+  FROM triples t
+  LEFT JOIN best bs ON t.subj = bs.alias
+  LEFT JOIN best bo ON t.obj = bo.alias
+)"""
+
+
+SPARQL_STAR = (
+    "SELECT ?s ?probe ?sink WHERE { ?s <scan> ?probe . ?s <join> ?sink . "
+    "FILTER(?probe != ?sink) } ORDER BY ?s ?probe ?sink"
+)
+
+
+def q_sparql_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic star-join BGP: entities that both scan and join, with the
+    two object role fillers distinct. Exercises literal-predicate
+    pushdown + shared-subject join in the compiled plan."""
+    from recon_spark.operators.sparql import compile_sparql
+
+    return compile_sparql(_canonical_kg(spark, sf_dir), SPARQL_STAR)
+
+
+SQL_SPARQL_STAR = f"""
+WITH {_sql_canonical_kg()}
+SELECT a.subj AS s, a.obj AS probe, b.obj AS sink
+FROM kg a JOIN kg b ON a.subj = b.subj
+WHERE a.pred = 'scan' AND b.pred = 'join' AND a.obj <> b.obj
+ORDER BY s, probe, sink
+"""
+
+
+SPARQL_PATH = (
+    "SELECT DISTINCT ?a ?p ?c WHERE { ?a <merge> ?b . ?b ?p ?c . "
+    "FILTER(?a != ?c) } ORDER BY ?a ?p ?c"
+)
+
+
+def q_sparql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop path traversal with a variable in predicate position and
+    an acyclicity filter — the path-query shape of link prediction."""
+    from recon_spark.operators.sparql import compile_sparql
+
+    return compile_sparql(_canonical_kg(spark, sf_dir), SPARQL_PATH)
+
+
+SQL_SPARQL_PATH = f"""
+WITH {_sql_canonical_kg()}
+SELECT DISTINCT a.subj AS a, b.pred AS p, b.obj AS c
+FROM kg a JOIN kg b ON a.obj = b.subj
+WHERE a.pred = 'merge' AND a.subj <> b.obj
+ORDER BY a, p, c
+"""
+
+
+SPARQL_OPTIONAL_AGG = (
+    "SELECT ?s (COUNT(?x) AS ?n_sorted) (MAX(?g) AS ?top_group) WHERE "
+    "{ ?s <group> ?g . OPTIONAL { ?s <sort> ?x } } GROUP BY ?s ORDER BY ?s"
+)
+
+
+def q_sparql_optional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIONAL enrichment + grouped aggregates: per grouping entity,
+    how many sort edges exist (0 when the OPTIONAL finds none — COUNT
+    over a possibly-null variable) and the max grouped object."""
+    from recon_spark.operators.sparql import compile_sparql
+
+    return compile_sparql(_canonical_kg(spark, sf_dir), SPARQL_OPTIONAL_AGG)
+
+
+SQL_SPARQL_OPTIONAL_AGG = f"""
+WITH {_sql_canonical_kg()}
+SELECT g.subj AS s, count(s2.obj) AS n_sorted, max(g.obj) AS top_group
+FROM (SELECT subj, obj FROM kg WHERE pred = 'group') g
+LEFT JOIN (SELECT subj, obj FROM kg WHERE pred = 'sort') s2
+       ON g.subj = s2.subj
+GROUP BY 1 ORDER BY s
+"""
+
+
 QUERIES = {
+    "sparql_star": q_sparql_star,
+    "sparql_path": q_sparql_path,
+    "sparql_optional_agg": q_sparql_optional_agg,
     "entity_pagerank": q_entity_pagerank,
     "kg_random_walks": q_kg_random_walks,
     "kg_kcore": q_kg_kcore,
@@ -1016,6 +1128,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sparql_star": SQL_SPARQL_STAR,
+    "sparql_path": SQL_SPARQL_PATH,
+    "sparql_optional_agg": SQL_SPARQL_OPTIONAL_AGG,
     "entity_pagerank": SQL_ENTITY_PAGERANK,
     "kg_random_walks": _sql_kg_random_walks(),
     "kg_kcore": _sql_kg_kcore(),

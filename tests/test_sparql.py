@@ -1,0 +1,379 @@
+"""SPARQL-BGP compiler tests.
+
+The compiled DataFrame result is checked against an INDEPENDENT
+nested-loop evaluator written in a deliberately different style
+(binding-dict substitution, no joins), over both hand-built micro graphs
+and the real canonical KG at sf0.001 — plus parser error cases and a
+plan audit (no cartesian product in connected BGPs, literal positions
+pushed into the scan)."""
+
+from __future__ import annotations
+
+import pytest
+
+from recon_spark.operators.sparql import (
+    Lit,
+    SparqlError,
+    Var,
+    compile_sparql,
+    parse_sparql,
+)
+
+# --------------------------------------------------------------------------
+# Independent reference evaluator (bindings-substitution style)
+# --------------------------------------------------------------------------
+
+
+def _match(pattern, triple, binding):
+    """Try to extend binding so pattern matches triple; None on conflict."""
+    b = dict(binding)
+    for term, value in zip((pattern.s, pattern.p, pattern.o), triple):
+        if isinstance(term, Lit):
+            if term.value != value:
+                return None
+        else:
+            if term.name in b:
+                if b[term.name] != value:
+                    return None
+            else:
+                b[term.name] = value
+    return b
+
+
+def _eval_bgp(triples, patterns, binding):
+    """All bindings extending `binding` that satisfy every pattern."""
+    if not patterns:
+        return [binding]
+    out = []
+    for t in triples:
+        b = _match(patterns[0], t, binding)
+        if b is not None:
+            out.extend(_eval_bgp(triples, patterns[1:], b))
+    return out
+
+
+def _eval_filters(bindings, filters):
+    import operator
+
+    ops = {
+        "=": operator.eq,
+        "!=": operator.ne,
+        "<": operator.lt,
+        "<=": operator.le,
+        ">": operator.gt,
+        ">=": operator.ge,
+    }
+
+    def val(term, b):
+        return b[term.name] if isinstance(term, Var) else term.value
+
+    return [
+        b
+        for b in bindings
+        if all(ops[f.op](val(f.lhs, b), val(f.rhs, b)) for f in filters)
+    ]
+
+
+def reference_eval(triples, text):
+    """Evaluate the SPARQL subset over a list of (s, p, o) string tuples.
+
+    Returns a sorted list of result tuples in SELECT order (None for
+    unbound OPTIONAL variables), ignoring ORDER BY (callers compare as
+    multisets) but honoring DISTINCT / aggregates / LIMIT-less queries.
+    """
+    q = parse_sparql(text)
+    bindings = _eval_filters(
+        _eval_bgp(triples, list(q.patterns), {}), list(q.filters)
+    )
+    for opt in q.optionals:
+        extended = []
+        for b in bindings:
+            exts = _eval_filters(
+                _eval_bgp(triples, list(opt.patterns), b), list(opt.filters)
+            )
+            if exts:
+                extended.extend(exts)
+            else:
+                padded = dict(b)
+                for p in opt.patterns:
+                    for v in p.vars:
+                        padded.setdefault(v, None)
+                extended.append(padded)
+        bindings = extended
+
+    if q.aggregates:
+        keys = list(q.group_by) if q.group_by else list(q.plain_vars)
+        groups = {}
+        for b in bindings:
+            groups.setdefault(tuple(b.get(k) for k in keys), []).append(b)
+        rows = []
+        for kv, grp in groups.items():
+            out = dict(zip(keys, kv))
+            for a in q.aggregates:
+                if a.func == "count":
+                    out[a.alias] = (
+                        len(grp)
+                        if a.var is None
+                        else sum(1 for g in grp if g.get(a.var) is not None)
+                    )
+                else:
+                    vals = [g[a.var] for g in grp if g.get(a.var) is not None]
+                    out[a.alias] = (
+                        (min(vals) if a.func == "min" else max(vals))
+                        if vals
+                        else None
+                    )
+            rows.append(tuple(out[c] for c in q.select))
+    else:
+        sel = sorted({v for b in bindings for v in b}) if q.select_star else q.select
+        rows = [tuple(b.get(c) for c in sel) for b in bindings]
+
+    if q.distinct:
+        rows = list(set(rows))
+    return sorted(rows, key=lambda r: tuple("" if x is None else str(x) for x in r))
+
+
+def _spark_rows(df):
+    return sorted(
+        [tuple(r) for r in df.collect()],
+        key=lambda r: tuple("" if x is None else str(x) for x in r),
+    )
+
+
+# --------------------------------------------------------------------------
+# Fixtures
+# --------------------------------------------------------------------------
+
+MICRO = [
+    ("a", "knows", "b"),
+    ("a", "knows", "c"),
+    ("b", "knows", "c"),
+    ("c", "knows", "a"),
+    ("a", "likes", "x"),
+    ("b", "likes", "x"),
+    ("b", "likes", "y"),
+    ("x", "type", "thing"),
+    ("y", "type", "thing"),
+    ("a", "type", "person"),
+    ("b", "type", "person"),
+    ("c", "type", "robot"),
+]
+
+
+@pytest.fixture(scope="module")
+def micro_graph(spark):
+    return spark.createDataFrame(MICRO, "subj string, pred string, obj string")
+
+
+# --------------------------------------------------------------------------
+# Parser
+# --------------------------------------------------------------------------
+
+
+def test_parse_shapes():
+    q = parse_sparql(
+        'SELECT DISTINCT ?s (COUNT(?o) AS ?n) WHERE { ?s <knows> ?o . '
+        'FILTER(?s != "c") OPTIONAL { ?o <likes> ?z } } '
+        "GROUP BY ?s ORDER BY DESC(?n) ?s LIMIT 5"
+    )
+    assert q.distinct and q.limit == 5
+    assert q.select == ("s", "n")
+    assert q.patterns[0].p == Lit("knows")
+    assert q.aggregates[0].func == "count" and q.aggregates[0].alias == "n"
+    assert q.filters[0].rhs == Lit("c")
+    assert q.optionals[0].patterns[0].s == Var("o")
+    assert q.order_by == (("n", True), ("s", False))
+    assert q.group_by == ("s",)
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "SELECT WHERE { ?s ?p ?o }",  # empty select
+        "SELECT ?s { ?s ?p ?o }",  # missing WHERE
+        "SELECT ?s WHERE { }",  # no patterns
+        "SELECT ?s WHERE { ?s ?p }",  # short triple
+        "SELECT ?s WHERE { ?s ?p ?o",  # unclosed
+        "SELECT ?s WHERE { ?s ?p ?o } LIMIT x",  # bad limit
+        "SELECT (SUM(?o) AS ?n) WHERE { ?s ?p ?o }",  # unsupported agg
+        "SELECT (MIN(*) AS ?n) WHERE { ?s ?p ?o }",  # MIN(*)
+        "SELECT ?s WHERE { ?s ?p ?o } ORDER BY",  # empty order
+        "SELECT ?s WHERE { OPTIONAL { ?s ?p ?o } }",  # optional only
+        "SELECT ?s WHERE { ?s ?p ?o . OPTIONAL { OPTIONAL { ?a ?b ?c } } }",
+    ],
+)
+def test_parse_errors(bad):
+    with pytest.raises(SparqlError):
+        parse_sparql(bad)
+
+
+def test_escaped_literal_and_iri():
+    q = parse_sparql(r"""SELECT ?s WHERE { ?s <p> "O\'Reilly \"x\"" }""")
+    assert q.patterns[0].o == Lit('O\'Reilly "x"')
+
+
+# --------------------------------------------------------------------------
+# Compile vs reference evaluator
+# --------------------------------------------------------------------------
+
+QUERIES = [
+    # plain scans and literal positions
+    "SELECT ?s ?o WHERE { ?s <knows> ?o }",
+    'SELECT ?s WHERE { ?s <type> "person" }',
+    "SELECT ?p ?o WHERE { <a> ?p ?o }",
+    # star join + filter
+    "SELECT ?s ?x ?y WHERE { ?s <knows> ?x . ?s <likes> ?y . FILTER(?x != ?y) }",
+    # path join, variable predicate in the middle
+    "SELECT DISTINCT ?a ?c WHERE { ?a <knows> ?b . ?b ?p ?c . FILTER(?a != ?c) }",
+    # repeated variable inside one pattern (cycle through a single scan)
+    "SELECT ?x WHERE { ?x <knows> ?x }",
+    # triangle
+    "SELECT ?a ?b ?c WHERE { ?a <knows> ?b . ?b <knows> ?c . ?c <knows> ?a }",
+    # ground-pattern existence check
+    'SELECT ?s WHERE { <a> <knows> <b> . ?s <type> "robot" }',
+    # OPTIONAL with inner filter
+    "SELECT ?s ?z WHERE { ?s <knows> ?o . OPTIONAL { ?s <likes> ?z . "
+    'FILTER(?z != "x") } }',
+    # implicit grouping
+    "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s ?p ?o }",
+    # explicit GROUP BY + MIN/MAX + count over optional (non-null only)
+    "SELECT ?s (COUNT(?z) AS ?nz) (MIN(?o) AS ?lo) (MAX(?o) AS ?hi) WHERE "
+    "{ ?s <knows> ?o . OPTIONAL { ?s <likes> ?z } } GROUP BY ?s",
+    # global aggregate (no keys)
+    "SELECT (COUNT(*) AS ?n) WHERE { ?s <likes> ?o }",
+    # DISTINCT + comparisons
+    'SELECT DISTINCT ?s WHERE { ?s ?p ?o . FILTER(?o >= "thing") }',
+    # SELECT *
+    "SELECT * WHERE { ?s <likes> ?o }",
+]
+
+
+@pytest.mark.parametrize("text", QUERIES)
+def test_compile_matches_reference_on_micro(micro_graph, text):
+    got = _spark_rows(compile_sparql(micro_graph, text))
+    want = reference_eval(MICRO, text)
+    assert got == want, f"query {text!r}: {got} != {want}"
+
+
+def test_order_by_and_limit(micro_graph):
+    df = compile_sparql(
+        micro_graph,
+        "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s <knows> ?o } "
+        "ORDER BY DESC(?n) ?s LIMIT 2",
+    )
+    assert [tuple(r) for r in df.collect()] == [("a", 2), ("b", 1)]
+
+
+def test_disconnected_bgp_refused(micro_graph):
+    text = "SELECT ?a ?x WHERE { ?a <knows> ?b . ?x <likes> ?y }"
+    with pytest.raises(SparqlError, match="cartesian"):
+        compile_sparql(micro_graph, text)
+    # explicit opt-in computes the product
+    n = compile_sparql(micro_graph, text, allow_product=True).count()
+    assert n == 4 * 3
+
+
+def test_unbound_references_refused(micro_graph):
+    with pytest.raises(SparqlError, match="unbound"):
+        compile_sparql(micro_graph, "SELECT ?z WHERE { ?s <knows> ?o }")
+    with pytest.raises(SparqlError, match="unbound"):
+        compile_sparql(
+            micro_graph, "SELECT ?s WHERE { ?s <knows> ?o . FILTER(?z != ?s) }"
+        )
+
+
+def test_optional_must_share_variable(micro_graph):
+    with pytest.raises(SparqlError, match="shares no variable"):
+        compile_sparql(
+            micro_graph,
+            "SELECT ?s WHERE { ?s <knows> ?o . OPTIONAL { ?a <likes> ?b } }",
+        )
+
+
+# --------------------------------------------------------------------------
+# Randomized cross-check (seeded, deterministic)
+# --------------------------------------------------------------------------
+
+
+def test_randomized_graphs_match_reference(spark):
+    import random
+
+    rng = random.Random(42)
+    nodes = [f"n{i}" for i in range(8)]
+    preds = ["p", "q", "r"]
+    texts = [
+        "SELECT ?a ?b WHERE { ?a <p> ?b . ?b <q> ?c }",
+        "SELECT DISTINCT ?a WHERE { ?a ?x ?b . ?b ?y ?a . FILTER(?a < ?b) }",
+        "SELECT ?a (COUNT(?b) AS ?n) WHERE { ?a <p> ?b . "
+        "OPTIONAL { ?b <r> ?z } } GROUP BY ?a",
+    ]
+    for trial in range(4):
+        triples = sorted(
+            {
+                (rng.choice(nodes), rng.choice(preds), rng.choice(nodes))
+                for _ in range(40)
+            }
+        )
+        g = spark.createDataFrame(triples, "subj string, pred string, obj string")
+        for text in texts:
+            got = _spark_rows(compile_sparql(g, text))
+            want = reference_eval(triples, text)
+            assert got == want, f"trial {trial}, query {text!r}"
+
+
+# --------------------------------------------------------------------------
+# Plan audit
+# --------------------------------------------------------------------------
+
+
+def test_plan_pushes_literals_and_avoids_cartesians(micro_graph):
+    df = compile_sparql(
+        micro_graph,
+        "SELECT ?s ?x ?y WHERE { ?s <knows> ?x . ?s <likes> ?y }",
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "CartesianProduct" not in plan and "knows" in plan and "likes" in plan
+    # both pattern scans carry their literal predicate below the join
+    joins = plan.count("Join")
+    assert joins == 1
+
+
+def test_order_patterns_starts_selective():
+    from recon_spark.operators.sparql import _order_patterns, parse_sparql
+
+    q = parse_sparql(
+        "SELECT ?a WHERE { ?a ?p ?b . ?a <knows> ?b . <a> <knows> ?b }"
+    )
+    ordered = _order_patterns(q.patterns, allow_product=False)
+    assert ordered[0].n_bound == 2  # fully anchored pattern first
+    assert ordered[1].n_bound == 1
+
+
+# --------------------------------------------------------------------------
+# The real KG at sf0.001: compiled SPARQL == hand-written DataFrame joins
+# --------------------------------------------------------------------------
+
+
+def test_sparql_on_canonical_kg(spark):
+    from pyspark.sql import functions as F
+
+    from recon_spark.operators.extraction import extract_triples_tokens
+    from recon_spark.queries.core import canonicalize_triples
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kg = canonicalize_triples(spark, extract_triples_tokens(docs)).select(
+        "subj", "pred", "obj"
+    )
+    got = _spark_rows(
+        compile_sparql(
+            kg,
+            "SELECT ?s ?a ?b WHERE { ?s <scan> ?a . ?s <join> ?b . "
+            "FILTER(?a != ?b) }",
+        )
+    )
+    scans = kg.where("pred = 'scan'").select("subj", F.col("obj").alias("a"))
+    joins = kg.where("pred = 'join'").select("subj", F.col("obj").alias("b"))
+    want = _spark_rows(
+        scans.join(joins, "subj").where("a != b").select("subj", "a", "b")
+    )
+    assert got == want and len(got) > 0
