@@ -1,0 +1,765 @@
+"""REAL stdlib FLAC codec (RFC 9639) — lossless crawl audio, wheel-free.
+
+FLAC is the one mainstream *audio* format a crawl shard carries that is
+decodable exactly without a codec wheel: its compression layer is
+integer prediction + Rice-coded residuals, all bit arithmetic — no
+perceptual transform.  This module hand-implements the container and
+the bitstream:
+
+decode side (``decode_flac``):
+- ``fLaC`` magic + metadata-block walk (STREAMINFO mandatory, others
+  skipped), STREAMINFO field unpack (block sizes, 20-bit sample rate,
+  channels, bits-per-sample, 36-bit total samples, payload MD5)
+- frame header: 14-bit sync, blocking strategy, all block-size codes
+  (incl. the 8/16-bit tail forms), all sample-rate codes (incl. the
+  u8-kHz / u16-Hz / u16-daHz tail forms, cross-checked vs STREAMINFO),
+  channel assignment (independent + the three stereo-decorrelation
+  modes), sample-size codes, the UTF-8-style coded frame number
+  (full 36-bit range), and the header CRC-8 (poly 0x07)
+- subframes: CONSTANT, VERBATIM, FIXED orders 0..4, LPC orders 1..32
+  (signed quantized coefficients, arithmetic-shift prediction), wasted
+  -bits unary prefix, +1 effective depth on the side channel
+- residual: both partitioned-Rice methods (4-bit and 5-bit params),
+  partition orders 0..15, escape partitions (5-bit raw width, two's-
+  complement raw residuals, width 0 = all zero), zigzag decode
+- stereo reconstruction: left/side, right/side, mid/side (the
+  ``(mid << 1) | (side & 1)`` odd-bit carry), frame CRC-16 (poly
+  0x8005), and a final whole-stream MD5 check against STREAMINFO
+
+encode side (``encode_flac``) is a genuine spec-conformant encoder
+twin (any conformant FLAC decoder reads its output): per-subframe
+type policy, real wasted-bits detection, per-partition optimal Rice
+parameter search, escape forcing, and all four channel modes.  Used by
+``generate_media_flac`` to emit containers whose PCM samples are a
+deterministic function of a sha256 digest, so the DuckDB oracle
+recomputes the decoded samples relationally (FLAC is lossless — decode
+MUST invert generation bit-exactly, MD5-pinned end to end).
+
+Reference parity note: the reference repo has no media path at all —
+this extends SURVEY §2's multimodal family (multimodal.py) with the
+same container-parsed-stats contract used for PNG/GIF/TIFF/JPEG/G.711.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+from recon_spark.operators.multimodal import MEDIA_META_DDL
+
+# ---------------------------------------------------------------- bits
+
+class BitWriter:
+    """MSB-first bit packer (FLAC is big-endian at the bit level)."""
+
+    def __init__(self) -> None:
+        self._buf = bytearray()
+        self._acc = 0
+        self._nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        if nbits == 0:
+            return
+        value &= (1 << nbits) - 1
+        self._acc = (self._acc << nbits) | value
+        self._nbits += nbits
+        while self._nbits >= 8:
+            self._nbits -= 8
+            self._buf.append((self._acc >> self._nbits) & 0xFF)
+        self._acc &= (1 << self._nbits) - 1
+
+    def write_signed(self, value: int, nbits: int) -> None:
+        self.write(value & ((1 << nbits) - 1), nbits)
+
+    def write_unary(self, q: int) -> None:
+        # q zero bits then a terminating 1 (Rice quotient form)
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)
+
+    def align(self) -> None:
+        if self._nbits:
+            self.write(0, 8 - self._nbits)
+
+    def bytes(self) -> bytes:
+        assert self._nbits == 0, "unaligned"
+        return bytes(self._buf)
+
+
+class BitReader:
+    """MSB-first bit reader with hard EOF errors (corrupt ≠ garbage)."""
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self._d = data
+        self._byte = pos
+        self._bit = 0
+
+    def tell_byte(self) -> int:
+        assert self._bit == 0
+        return self._byte
+
+    def read(self, nbits: int) -> int:
+        out = 0
+        need = nbits
+        while need > 0:
+            if self._byte >= len(self._d):
+                raise ValueError("flac: truncated bitstream")
+            avail = 8 - self._bit
+            take = min(avail, need)
+            cur = self._d[self._byte]
+            out = (out << take) | ((cur >> (avail - take)) & ((1 << take) - 1))
+            self._bit += take
+            need -= take
+            if self._bit == 8:
+                self._bit = 0
+                self._byte += 1
+        return out
+
+    def read_signed(self, nbits: int) -> int:
+        v = self.read(nbits)
+        if nbits and v >= (1 << (nbits - 1)):
+            v -= 1 << nbits
+        return v
+
+    def read_unary(self) -> int:
+        q = 0
+        while True:
+            if self.read(1):
+                return q
+            q += 1
+            if q > 1 << 20:
+                raise ValueError("flac: runaway unary code")
+
+    def align(self) -> None:
+        if self._bit:
+            self._bit = 0
+            self._byte += 1
+
+
+# ---------------------------------------------------------------- CRCs
+
+def crc8(data: bytes) -> int:
+    """CRC-8, poly x^8+x^2+x+1 (0x07), init 0 — FLAC frame-header CRC."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def crc16(data: bytes) -> int:
+    """CRC-16, poly x^16+x^15+x^2+1 (0x8005), init 0 — FLAC frame CRC."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+# ------------------------------------------------- coded (UTF-8-style) numbers
+
+def utf8_num_encode(n: int) -> bytes:
+    """FLAC's UTF-8-style coded number, extended to 36 bits (7 bytes)."""
+    if n < 0 or n >= 1 << 36:
+        raise ValueError("coded number out of range")
+    if n < 0x80:
+        return bytes([n])
+    for nbytes, hdr in ((2, 0xC0), (3, 0xE0), (4, 0xF0), (5, 0xF8), (6, 0xFC), (7, 0xFE)):
+        payload_bits = 6 * (nbytes - 1) + (7 - nbytes if nbytes < 7 else 0)
+        if n < 1 << payload_bits:
+            out = bytearray(nbytes)
+            for i in range(nbytes - 1, 0, -1):
+                out[i] = 0x80 | (n & 0x3F)
+                n >>= 6
+            out[0] = hdr | n
+            return bytes(out)
+    raise ValueError("unreachable")
+
+
+def utf8_num_decode(r: BitReader) -> int:
+    b0 = r.read(8)
+    if b0 < 0x80:
+        return b0
+    nbytes = 0
+    for i in range(8):
+        if not (b0 >> (7 - i)) & 1:
+            nbytes = i
+            break
+    else:
+        raise ValueError("flac: bad coded-number lead byte")
+    if nbytes < 2:
+        raise ValueError("flac: bad coded-number lead byte")
+    n = b0 & ((1 << (7 - nbytes)) - 1)
+    for _ in range(nbytes - 1):
+        b = r.read(8)
+        if b & 0xC0 != 0x80:
+            raise ValueError("flac: bad coded-number continuation")
+        n = (n << 6) | (b & 0x3F)
+    return n
+
+
+# ---------------------------------------------------------------- decode
+
+_FIXED_COEFS = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+
+# sample-rate code table (index 1..11 are fixed rates; 0/12/13/14 special)
+_SR_TABLE = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+             7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000}
+_BPS_TABLE = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+def parse_streaminfo(payload: bytes) -> dict:
+    """Walk the metadata blocks; return STREAMINFO fields + frame offset."""
+    if payload[:4] != b"fLaC":
+        raise ValueError("flac: bad magic")
+    pos = 4
+    info: dict | None = None
+    while True:
+        if pos + 4 > len(payload):
+            raise ValueError("flac: truncated metadata")
+        hdr = payload[pos]
+        last, btype = hdr >> 7, hdr & 0x7F
+        blen = int.from_bytes(payload[pos + 1:pos + 4], "big")
+        body = payload[pos + 4:pos + 4 + blen]
+        if len(body) != blen:
+            raise ValueError("flac: truncated metadata block")
+        if btype == 0:
+            if blen != 34:
+                raise ValueError("flac: STREAMINFO must be 34 bytes")
+            r = BitReader(body)
+            info = {
+                "min_block": r.read(16), "max_block": r.read(16),
+                "min_frame": r.read(24), "max_frame": r.read(24),
+                "sample_rate": r.read(20),
+                "channels": r.read(3) + 1, "bps": r.read(5) + 1,
+                "total_samples": r.read(36), "md5": body[18:34],
+            }
+        elif btype == 127:
+            raise ValueError("flac: invalid metadata block type 127")
+        pos += 4 + blen
+        if last:
+            break
+    if info is None:
+        raise ValueError("flac: missing STREAMINFO")
+    info["frames_at"] = pos
+    return info
+
+
+def _decode_residual(r: BitReader, block_size: int, order: int) -> list[int]:
+    method = r.read(2)
+    if method > 1:
+        raise ValueError("flac: reserved residual method")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    po = r.read(4)
+    nparts = 1 << po
+    # spec: block size must divide evenly into 2^po partitions and the
+    # first partition ((block_size >> po) - order samples) must be >= 0
+    if block_size % nparts != 0 or (block_size >> po) < order:
+        raise ValueError("flac: bad partition order")
+    out: list[int] = []
+    for p in range(nparts):
+        count = (block_size >> po) - (order if p == 0 else 0)
+        param = r.read(pbits)
+        if param == escape:
+            raw = r.read(5)
+            out.extend(r.read_signed(raw) if raw else 0 for _ in range(count))
+        else:
+            for _ in range(count):
+                q = r.read_unary()
+                v = (q << param) | r.read(param)
+                out.append((v >> 1) ^ -(v & 1))
+    return out
+
+
+def _decode_subframe(r: BitReader, block_size: int, bps: int) -> list[int]:
+    if r.read(1):
+        raise ValueError("flac: bad subframe pad bit")
+    stype = r.read(6)
+    wasted = 0
+    if r.read(1):
+        wasted = 1 + r.read_unary()
+    ebps = bps - wasted
+    if ebps <= 0:
+        raise ValueError("flac: wasted bits exceed depth")
+    if stype == 0:  # CONSTANT
+        v = r.read_signed(ebps)
+        out = [v] * block_size
+    elif stype == 1:  # VERBATIM
+        out = [r.read_signed(ebps) for _ in range(block_size)]
+    elif 8 <= stype <= 12:  # FIXED order 0..4
+        order = stype - 8
+        if order > block_size:
+            raise ValueError("flac: fixed order exceeds block size")
+        out = [r.read_signed(ebps) for _ in range(order)]
+        res = _decode_residual(r, block_size, order)
+        coefs = _FIXED_COEFS[order]
+        for i in range(order, block_size):
+            pred = sum(c * out[i - 1 - j] for j, c in enumerate(coefs))
+            out.append(res[i - order] + pred)
+    elif stype >= 32:  # LPC, order = (stype & 31) + 1
+        order = (stype & 31) + 1
+        if order > block_size:
+            raise ValueError("flac: lpc order exceeds block size")
+        out = [r.read_signed(ebps) for _ in range(order)]
+        prec = r.read(4)
+        if prec == 15:
+            raise ValueError("flac: invalid lpc precision")
+        prec += 1
+        shift = r.read_signed(5)
+        if shift < 0:
+            raise ValueError("flac: negative lpc shift")
+        coefs = [r.read_signed(prec) for _ in range(order)]
+        res = _decode_residual(r, block_size, order)
+        for i in range(order, block_size):
+            pred = sum(c * out[i - 1 - j] for j, c in enumerate(coefs)) >> shift
+            out.append(res[i - order] + pred)
+    else:
+        raise ValueError(f"flac: reserved subframe type {stype}")
+    if wasted:
+        out = [v << wasted for v in out]
+    return out
+
+
+def decode_flac(payload: bytes, verify_md5: bool = True) -> tuple[int, int, list[list[int]]]:
+    """Decode a FLAC stream -> (sample_rate, bps, per-channel samples).
+
+    Verifies every frame-header CRC-8, every frame CRC-16, and (by
+    default) the STREAMINFO MD5 of the decoded PCM — a corrupt stream
+    raises ValueError rather than returning wrong samples.
+    """
+    info = parse_streaminfo(payload)
+    nch, bps = info["channels"], info["bps"]
+    chans: list[list[int]] = [[] for _ in range(nch)]
+    pos = info["frames_at"]
+    got = 0
+    while got < info["total_samples"]:
+        frame_start = pos
+        r = BitReader(payload, pos)
+        if r.read(14) != 0b11111111111110:
+            raise ValueError("flac: lost frame sync")
+        if r.read(1):
+            raise ValueError("flac: reserved frame bit set")
+        r.read(1)  # blocking strategy (coded number disambiguates)
+        bs_code = r.read(4)
+        sr_code = r.read(4)
+        ch_code = r.read(4)
+        ss_code = r.read(3)
+        if r.read(1):
+            raise ValueError("flac: reserved frame bit set")
+        utf8_num_decode(r)  # frame/sample number (ordering not enforced here)
+        if bs_code == 0:
+            raise ValueError("flac: reserved block size code")
+        elif bs_code == 1:
+            block_size = 192
+        elif bs_code <= 5:
+            block_size = 576 << (bs_code - 2)
+        elif bs_code == 6:
+            block_size = r.read(8) + 1
+        elif bs_code == 7:
+            block_size = r.read(16) + 1
+        else:
+            block_size = 256 << (bs_code - 8)
+        if sr_code == 0:
+            frame_sr = info["sample_rate"]
+        elif sr_code in _SR_TABLE:
+            frame_sr = _SR_TABLE[sr_code]
+        elif sr_code == 12:
+            frame_sr = r.read(8) * 1000
+        elif sr_code == 13:
+            frame_sr = r.read(16)
+        elif sr_code == 14:
+            frame_sr = r.read(16) * 10
+        else:
+            raise ValueError("flac: invalid sample rate code")
+        if frame_sr != info["sample_rate"]:
+            raise ValueError("flac: frame sample rate contradicts STREAMINFO")
+        if ss_code == 0:
+            frame_bps = bps
+        elif ss_code in _BPS_TABLE:
+            frame_bps = _BPS_TABLE[ss_code]
+        else:
+            raise ValueError("flac: reserved sample size code")
+        if frame_bps != bps:
+            raise ValueError("flac: frame bit depth contradicts STREAMINFO")
+        r.align()
+        hdr_end = r.tell_byte()
+        if crc8(payload[frame_start:hdr_end]) != r.read(8):
+            raise ValueError("flac: frame header CRC-8 mismatch")
+
+        if ch_code <= 7:
+            frame_nch = ch_code + 1
+            sides = ()
+        elif ch_code == 8:   # left/side
+            frame_nch, sides = 2, (1,)
+        elif ch_code == 9:   # right/side (side is channel 0)
+            frame_nch, sides = 2, (0,)
+        elif ch_code == 10:  # mid/side
+            frame_nch, sides = 2, (1,)
+        else:
+            raise ValueError("flac: reserved channel assignment")
+        if frame_nch != nch:
+            raise ValueError("flac: frame channel count contradicts STREAMINFO")
+
+        subs = [
+            _decode_subframe(r, block_size, bps + (1 if c in sides else 0))
+            for c in range(frame_nch)
+        ]
+        r.align()
+        body_end = r.tell_byte()
+        stored_crc = BitReader(payload, body_end).read(16)
+        if crc16(payload[frame_start:body_end]) != stored_crc:
+            raise ValueError("flac: frame CRC-16 mismatch")
+        pos = body_end + 2
+
+        if ch_code == 8:
+            left, side = subs
+            subs = [left, [l - s for l, s in zip(left, side)]]
+        elif ch_code == 9:
+            side, right = subs
+            subs = [[rr + s for rr, s in zip(right, side)], right]
+        elif ch_code == 10:
+            mid, side = subs
+            subs = [
+                [(((m << 1) | (s & 1)) + s) >> 1 for m, s in zip(mid, side)],
+                [(((m << 1) | (s & 1)) - s) >> 1 for m, s in zip(mid, side)],
+            ]
+        for c in range(nch):
+            chans[c].extend(subs[c])
+        got += block_size
+    if got != info["total_samples"]:
+        raise ValueError("flac: sample count mismatch")
+    if verify_md5:
+        nbytes = (bps + 7) // 8
+        h = hashlib.md5()
+        for i in range(got):
+            for c in range(nch):
+                h.update(int(chans[c][i]).to_bytes(nbytes, "little", signed=True))
+        if h.digest() != info["md5"]:
+            raise ValueError("flac: decoded PCM fails STREAMINFO MD5")
+    return info["sample_rate"], bps, chans
+
+# ---------------------------------------------------------------- encode
+
+def _zigzag(v: int) -> int:
+    return (v << 1) if v >= 0 else (-(v << 1) - 1)
+
+
+def _signed_width(vals: list[int]) -> int:
+    """Smallest n with every v in [-2^(n-1), 2^(n-1)) — 0 if all zero."""
+    n = 0
+    for v in vals:
+        need = v.bit_length() + 1 if v >= 0 else (-v - 1).bit_length() + 1
+        if v == 0:
+            need = 0
+        n = max(n, need)
+    return n
+
+
+def _best_rice_param(res: list[int], pbits: int) -> int:
+    escape = (1 << pbits) - 1
+    best_k, best_bits = 0, None
+    for k in range(escape):
+        bits = sum((_zigzag(v) >> k) for v in res) + len(res) * (k + 1)
+        if best_bits is None or bits < best_bits:
+            best_k, best_bits = k, bits
+    return best_k
+
+
+def _write_residual(w: BitWriter, res: list[int], order: int, block_size: int,
+                    po: int, rice2: bool, force_escape: bool) -> None:
+    if block_size % (1 << po) != 0 or (block_size >> po) < max(order, 1):
+        po = 0
+    pbits = 5 if rice2 else 4
+    escape = (1 << pbits) - 1
+    w.write(1 if rice2 else 0, 2)
+    w.write(po, 4)
+    at = 0
+    for p in range(1 << po):
+        count = (block_size >> po) - (order if p == 0 else 0)
+        part = res[at:at + count]
+        at += count
+        if force_escape and p == 0:
+            w.write(escape, pbits)
+            raw = _signed_width(part)
+            w.write(raw, 5)
+            for v in part:
+                w.write_signed(v, raw)
+        else:
+            k = _best_rice_param(part, pbits)
+            w.write(k, pbits)
+            for v in part:
+                z = _zigzag(v)
+                w.write_unary(z >> k)
+                w.write(z & ((1 << k) - 1), k)
+    assert at == len(res)
+
+
+_LPC_COEFS, _LPC_SHIFT, _LPC_PREC = [4, -2], 1, 4  # pred = (4a[i-1]-2a[i-2])>>1
+
+
+def _encode_subframe(w: BitWriter, samples: list[int], bps: int, sel: int,
+                     po: int, rice2: bool, force_escape: bool) -> None:
+    n = len(samples)
+    # wasted-bits detection: common trailing zeros across the subframe
+    wasted = 0
+    if any(samples):
+        wasted = min(
+            min((v & -v).bit_length() - 1 for v in samples if v), bps - 1
+        )
+    enc = [v >> wasted for v in samples] if wasted else list(samples)
+    ebps = bps - wasted
+
+    def _header(stype: int) -> None:
+        w.write(0, 1)
+        w.write(stype, 6)
+        if wasted:
+            w.write(1, 1)
+            w.write_unary(wasted - 1)
+        else:
+            w.write(0, 1)
+
+    if all(v == enc[0] for v in enc):
+        _header(0)
+        w.write_signed(enc[0], ebps)
+        return
+    mode = sel % 4
+    order = {0: 0, 1: 1, 2: 2, 3: 2}[mode]
+    if order >= n:
+        mode, order = 0, 0
+    if mode == 0:  # VERBATIM
+        _header(1)
+        for v in enc:
+            w.write_signed(v, ebps)
+        return
+    if mode in (1, 2):  # FIXED
+        _header(8 + order)
+        coefs, shift = _FIXED_COEFS[order], 0
+    else:  # LPC order 2
+        _header(32 + (2 - 1))
+        coefs, shift = _LPC_COEFS, _LPC_SHIFT
+    for v in enc[:order]:
+        w.write_signed(v, ebps)
+    res = []
+    for i in range(order, n):
+        pred = sum(c * enc[i - 1 - j] for j, c in enumerate(coefs)) >> shift
+        res.append(enc[i] - pred)
+    if mode == 3:
+        w.write(_LPC_PREC - 1, 4)
+        w.write_signed(_LPC_SHIFT, 5)
+        for c in _LPC_COEFS:
+            w.write_signed(c, _LPC_PREC)
+    _write_residual(w, res, order, n, po, rice2, force_escape)
+
+
+def encode_flac(sample_rate: int, bps: int, chans: list[list[int]],
+                block_size: int = 16, stereo_mode: str = "independent",
+                type_sel: int = 0, partition_order: int = 0,
+                rice2: bool = False, force_escape: bool = False,
+                sr_in_frame: bool = False, bps_from_streaminfo: bool = False,
+                ) -> bytes:
+    """Spec-conformant FLAC encoder twin (see module docstring).
+
+    ``stereo_mode``: independent | left_side | right_side | mid_side
+    (ignored for mono).  ``type_sel`` rotates the subframe-type policy
+    (VERBATIM / FIXED-1 / FIXED-2 / LPC-2) per (frame, channel);
+    constant subframes are always detected.  Rice parameters are chosen
+    optimally per partition; ``force_escape`` stores partition 0 of
+    every residual as raw two's-complement (the escape path).
+    """
+    nch = len(chans)
+    total = len(chans[0])
+    assert all(len(c) == total for c in chans)
+    if nch == 1:
+        stereo_mode = "independent"
+
+    # STREAMINFO
+    si = BitWriter()
+    si.write(block_size, 16)
+    si.write(block_size, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(sample_rate, 20)
+    si.write(nch - 1, 3)
+    si.write(bps - 1, 5)
+    si.write(total, 36)
+    nbytes = (bps + 7) // 8
+    h = hashlib.md5()
+    for i in range(total):
+        for c in range(nch):
+            h.update(int(chans[c][i]).to_bytes(nbytes, "little", signed=True))
+    out = bytearray(b"fLaC")
+    out.append(0x80)  # last-metadata-block, type 0 (STREAMINFO)
+    body = si.bytes() + h.digest()
+    out += len(body).to_bytes(3, "big") + body
+
+    ch_code = {"independent": nch - 1, "left_side": 8,
+               "right_side": 9, "mid_side": 10}[stereo_mode]
+    frame_idx = 0
+    for start in range(0, total, block_size):
+        bs = min(block_size, total - start)
+        w = BitWriter()
+        w.write(0b11111111111110, 14)
+        w.write(0, 1)
+        w.write(0, 1)  # fixed blocking strategy
+        w.write(7 if bs > 256 else 6, 4)
+        if sr_in_frame and sample_rate < 1 << 16:
+            w.write(13, 4)
+        else:
+            w.write(0, 4)
+        w.write(ch_code, 4)
+        if bps_from_streaminfo:
+            w.write(0, 3)
+        else:
+            w.write({8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}[bps], 3)
+        w.write(0, 1)
+        for b in utf8_num_encode(frame_idx):
+            w.write(b, 8)
+        if bs > 256:
+            w.write(bs - 1, 16)
+        else:
+            w.write(bs - 1, 8)
+        if sr_in_frame and sample_rate < 1 << 16:
+            w.write(sample_rate, 16)
+        hdr = w.bytes()
+        w.write(crc8(hdr), 8)
+
+        L = chans[0][start:start + bs]
+        if nch == 2:
+            R = chans[1][start:start + bs]
+        if stereo_mode == "independent":
+            subs = [(chans[c][start:start + bs], bps) for c in range(nch)]
+        elif stereo_mode == "left_side":
+            subs = [(L, bps), ([l - r for l, r in zip(L, R)], bps + 1)]
+        elif stereo_mode == "right_side":
+            subs = [([l - r for l, r in zip(L, R)], bps + 1), (R, bps)]
+        else:  # mid_side
+            subs = [([(l + r) >> 1 for l, r in zip(L, R)], bps),
+                    ([l - r for l, r in zip(L, R)], bps + 1)]
+        for c, (vals, sub_bps) in enumerate(subs):
+            _encode_subframe(w, vals, sub_bps, type_sel + frame_idx + c,
+                             partition_order, rice2, force_escape)
+        w.align()
+        frame = w.bytes()
+        out += frame + crc16(frame).to_bytes(2, "big")
+        frame_idx += 1
+    return bytes(out)
+
+
+# ------------------------------------------------------------- generator
+
+def _track_spec(i: int, seed: int) -> tuple[dict, list[list[int]]]:
+    """Deterministic per-track parameters + PCM, shared with the oracle.
+
+    Derivation (SQL-replicable; d = sha256(f"{seed}:{i}") bytes):
+      ns   = 40 + i % 32 samples
+      bps  = 16 if i even else 8
+      nch  = 1 if i % 3 == 0 else 2
+      sr   = [8000, 16000, 22050, 44100][i % 4]
+      hi(j,ch) = d[(2j + 5*ch) % 32]; lo(j,ch) = d[(2j + 5*ch + 13) % 32]
+      wasted track (i % 6 == 2): samples carry 2 trailing zero bits
+        bps16: (hi - 128) * 4          bps8: ((hi % 32) - 16) * 4
+      normal:
+        bps16: hi*256 + lo - 32768     bps8: hi - 128
+      constant-R track (stereo and i % 5 == 0): channel 1 is the
+        constant d[3]*256 + d[17] - 32768 (bps16) / d[3] - 128 (bps8)
+    Encoder-side policies (invisible to the oracle — FLAC is lossless):
+    stereo mode i%4, subframe-type rotation i, partition order i%3,
+    rice2 when i%7==5, escape partitions when i%7==3, frame-carried
+    sample rate when i%8==1, STREAMINFO-deferred bit depth when i%9==4.
+    """
+    d = hashlib.sha256(f"{seed}:{i}".encode()).digest()
+    ns = 40 + i % 32
+    bps = 16 if i % 2 == 0 else 8
+    nch = 1 if i % 3 == 0 else 2
+    sr = [8000, 16000, 22050, 44100][i % 4]
+    wasted = i % 6 == 2
+    chans = []
+    for ch in range(nch):
+        vals = []
+        for j in range(ns):
+            hi = d[(2 * j + 5 * ch) % 32]
+            lo = d[(2 * j + 5 * ch + 13) % 32]
+            if bps == 16:
+                vals.append((hi - 128) * 4 if wasted else hi * 256 + lo - 32768)
+            else:
+                vals.append(((hi % 32) - 16) * 4 if wasted else hi - 128)
+        chans.append(vals)
+    if nch == 2 and i % 5 == 0:
+        const = d[3] * 256 + d[17] - 32768 if bps == 16 else d[3] - 128
+        chans[1] = [const] * ns
+    spec = {
+        "ns": ns, "bps": bps, "nch": nch, "sr": sr,
+        "stereo_mode": ["independent", "left_side", "right_side", "mid_side"][i % 4],
+        "type_sel": i, "partition_order": i % 3,
+        "rice2": i % 7 == 5, "force_escape": i % 7 == 3,
+        "sr_in_frame": i % 8 == 1, "bps_from_streaminfo": i % 9 == 4,
+    }
+    return spec, chans
+
+
+def generate_media_flac(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """Media table of GENUINE FLAC containers (see ``_track_spec`` for
+    the digest-derived PCM + the per-track codec-policy rotation).
+    Every container round-trips through any conformant FLAC decoder;
+    the DuckDB oracle recomputes the lossless samples relationally."""
+    import pyarrow as pa
+
+    def _gen(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            ids = batch.column("id").to_pylist()
+            payloads, metas = [], []
+            for i in ids:
+                spec, chans = _track_spec(i, seed)
+                payloads.append(encode_flac(
+                    spec["sr"], spec["bps"], chans, block_size=16,
+                    stereo_mode=spec["stereo_mode"], type_sel=spec["type_sel"],
+                    partition_order=spec["partition_order"], rice2=spec["rice2"],
+                    force_escape=spec["force_escape"],
+                    sr_in_frame=spec["sr_in_frame"],
+                    bps_from_streaminfo=spec["bps_from_streaminfo"],
+                ))
+                metas.append(("audio/flac", None, None, spec["sr"],
+                              spec["ns"] * 1000 // spec["sr"], "flac"))
+            meta_arr = pa.StructArray.from_arrays(
+                [
+                    pa.array([m[0] for m in metas], pa.string()),
+                    pa.array([m[1] for m in metas], pa.int32()),
+                    pa.array([m[2] for m in metas], pa.int32()),
+                    pa.array([m[3] for m in metas], pa.int32()),
+                    pa.array([m[4] for m in metas], pa.int32()),
+                    pa.array([m[5] for m in metas], pa.string()),
+                ],
+                names=["media_type", "width", "height", "sample_rate",
+                       "duration_ms", "codec"],
+            )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary()),
+                 meta_arr],
+                ["media_id", "payload", "meta"],
+            )
+
+    return spark.range(0, n).mapInArrow(
+        _gen, f"media_id long, payload binary, meta struct<{MEDIA_META_DDL}>"
+    )
+
+
+def first_frame_channel_mode(payload: bytes) -> str:
+    """Channel assignment of the first frame — container-parsed (not
+    derived from the decoded PCM), so a query can verify the encoder
+    honored its stereo-decorrelation policy independently."""
+    info = parse_streaminfo(payload)
+    r = BitReader(payload, info["frames_at"])
+    if r.read(14) != 0b11111111111110:
+        raise ValueError("flac: lost frame sync")
+    r.read(2)   # reserved + blocking strategy
+    r.read(8)   # block size + sample rate codes
+    ch_code = r.read(4)
+    if ch_code <= 7:
+        return "independent"
+    return {8: "left_side", 9: "right_side", 10: "mid_side"}[ch_code]

@@ -991,6 +991,135 @@ FROM s ORDER BY media_id
 """
 
 
+_MEDIA_FLAC_N = 200
+
+
+def q_multimodal_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real FLAC decode (round 5): genuine RFC 9639 containers covering
+    CONSTANT/VERBATIM/FIXED/LPC subframes, both Rice methods + escape
+    partitions, wasted bits, and all four channel modes (the stereo
+    mode is container-parsed from the first frame header, not assumed
+    — independence check vs the generator's policy). FLAC is lossless,
+    so per-channel sample stats must invert the digest derivation
+    bit-exactly; every frame CRC and the stream MD5 are verified on the
+    way (a corrupt container would kill the row, not skew a stat)."""
+    import pyarrow as pa
+
+    from recon_spark.operators.flac import (
+        decode_flac,
+        first_frame_channel_mode,
+        generate_media_flac,
+    )
+
+    def _gen(batches):
+        for batch in batches:
+            ids = batch.column("media_id").to_pylist()
+            cols = {k: [] for k in ("sr", "bps", "nch", "ns", "mode",
+                                    "a0", "f0", "l0", "a1", "f1", "l1")}
+            for p in batch.column("payload").to_pylist():
+                sr, bps, chans = decode_flac(bytes(p))  # verifies CRCs + MD5
+                cols["sr"].append(sr)
+                cols["bps"].append(bps)
+                cols["nch"].append(len(chans))
+                cols["ns"].append(len(chans[0]))
+                cols["mode"].append(first_frame_channel_mode(bytes(p)))
+                cols["a0"].append(sum(abs(s) for s in chans[0]))
+                cols["f0"].append(chans[0][0])
+                cols["l0"].append(chans[0][-1])
+                if len(chans) == 2:
+                    cols["a1"].append(sum(abs(s) for s in chans[1]))
+                    cols["f1"].append(chans[1][0])
+                    cols["l1"].append(chans[1][-1])
+                else:
+                    # 0 sentinels, not NULLs: nullable ints round-trip as
+                    # NaN floats through pandas and break the value hash
+                    cols["a1"].append(0)
+                    cols["f1"].append(0)
+                    cols["l1"].append(0)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(cols["sr"], pa.int32()),
+                    pa.array(cols["bps"], pa.int32()),
+                    pa.array(cols["nch"], pa.int32()),
+                    pa.array(cols["ns"], pa.int32()),
+                    pa.array(cols["mode"], pa.string()),
+                    pa.array(cols["a0"], pa.int64()),
+                    pa.array(cols["f0"], pa.int32()),
+                    pa.array(cols["l0"], pa.int32()),
+                    pa.array(cols["a1"], pa.int64()),
+                    pa.array(cols["f1"], pa.int32()),
+                    pa.array(cols["l1"], pa.int32()),
+                ],
+                ["media_id", "sample_rate", "bps", "n_channels", "n_samples",
+                 "stereo_mode", "abs_sum_0", "first_0", "last_0",
+                 "abs_sum_1", "first_1", "last_1"],
+            )
+
+    media = generate_media_flac(spark, _MEDIA_FLAC_N)
+    return (
+        media.select("media_id", "payload")
+        .mapInArrow(
+            _gen,
+            "media_id long, sample_rate int, bps int, n_channels int, "
+            "n_samples int, stereo_mode string, abs_sum_0 long, first_0 int, "
+            "last_0 int, abs_sum_1 long, first_1 int, last_1 int",
+        )
+        .orderBy("media_id")
+    )
+
+
+# FLAC is lossless, so the oracle recomputes the decoded PCM straight
+# from the digest derivation in flac._track_spec (which the container
+# generation AND this SQL both follow — a bitstream bug anywhere in
+# subframe/residual/stereo decode breaks the sample stats).
+_FLAC_CH_EXPR = """list_transform(generate_series(0, ns - 1), j -> CASE
+    WHEN bps = 16 AND wasted THEN (db[(2 * j + {off}) % 32 + 1] - 128) * 4
+    WHEN bps = 16 THEN db[(2 * j + {off}) % 32 + 1] * 256
+                       + db[(2 * j + {off} + 13) % 32 + 1] - 32768
+    WHEN wasted THEN ((db[(2 * j + {off}) % 32 + 1] % 32) - 16) * 4
+    ELSE db[(2 * j + {off}) % 32 + 1] - 128 END)"""
+
+SQL_MULTIMODAL_DECODE_FLAC = f"""
+WITH ids AS (SELECT unnest(generate_series(0, {_MEDIA_FLAC_N - 1})) AS media_id),
+p AS (
+  SELECT media_id, 40 + media_id % 32 AS ns,
+         CASE WHEN media_id % 2 = 0 THEN 16 ELSE 8 END AS bps,
+         CASE WHEN media_id % 3 = 0 THEN 1 ELSE 2 END AS nch,
+         (media_id % 6 = 2) AS wasted,
+         [8000, 16000, 22050, 44100][CAST(media_id % 4 AS INT) + 1] AS sr,
+         ['independent', 'left_side', 'right_side', 'mid_side']
+             [CAST(media_id % 4 AS INT) + 1] AS mode_policy
+  FROM ids),
+dg AS (SELECT *, sha256('42:' || media_id) AS dh FROM p),
+db_t AS (
+  SELECT *, list_transform(generate_series(0, 31),
+      k -> CAST(concat('0x', substr(dh, 2 * k + 1, 2)) AS INT)) AS db
+  FROM dg),
+ch AS (
+  SELECT media_id, ns, bps, nch, sr, mode_policy,
+         {_FLAC_CH_EXPR.format(off=0)} AS ch0,
+         CASE WHEN nch = 1 THEN NULL
+              WHEN media_id % 5 = 0 THEN list_transform(
+                  generate_series(0, ns - 1), j -> CASE
+                    WHEN bps = 16 THEN db[4] * 256 + db[18] - 32768
+                    ELSE db[4] - 128 END)
+              ELSE {_FLAC_CH_EXPR.format(off=5)} END AS ch1
+  FROM db_t)
+SELECT media_id, CAST(sr AS INT) AS sample_rate, CAST(bps AS INT) AS bps,
+       CAST(nch AS INT) AS n_channels, CAST(ns AS INT) AS n_samples,
+       CASE WHEN nch = 2 THEN mode_policy ELSE 'independent' END AS stereo_mode,
+       CAST(list_aggregate(list_transform(ch0, x -> abs(x)), 'sum')
+            AS BIGINT) AS abs_sum_0,
+       CAST(ch0[1] AS INT) AS first_0, CAST(ch0[ns] AS INT) AS last_0,
+       CAST(coalesce(list_aggregate(list_transform(ch1, x -> abs(x)), 'sum'),
+                     0) AS BIGINT) AS abs_sum_1,
+       CAST(coalesce(ch1[1], 0) AS INT) AS first_1,
+       CAST(coalesce(ch1[ns], 0) AS INT) AS last_1
+FROM ch ORDER BY media_id
+"""
+
+
 _MEDIA_PNG_N = 300
 
 
@@ -2223,6 +2352,7 @@ QUERIES = {
     "multimodal_decode_image": q_multimodal_decode_image,
     "multimodal_decode_audio": q_multimodal_decode_audio,
     "multimodal_decode_g711": q_multimodal_decode_g711,
+    "multimodal_decode_flac": q_multimodal_decode_flac,
     "multimodal_decode_png": q_multimodal_decode_png,
     "multimodal_decode_gif": q_multimodal_decode_gif,
     "multimodal_gif_frames": q_multimodal_gif_frames,
@@ -2259,6 +2389,7 @@ ORACLES = {
     "multimodal_decode_image": SQL_MULTIMODAL_DECODE_IMAGE,
     "multimodal_decode_audio": SQL_MULTIMODAL_DECODE_AUDIO,
     "multimodal_decode_g711": SQL_MULTIMODAL_DECODE_G711,
+    "multimodal_decode_flac": SQL_MULTIMODAL_DECODE_FLAC,
     "multimodal_decode_png": SQL_MULTIMODAL_DECODE_PNG,
     "multimodal_decode_gif": SQL_MULTIMODAL_DECODE_GIF,
     "multimodal_gif_frames": SQL_MULTIMODAL_GIF_FRAMES,
