@@ -1120,6 +1120,108 @@ FROM ch ORDER BY media_id
 """
 
 
+_MEDIA_PROBE_N = 240
+
+
+def q_multimodal_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only media probe over a mixed 8-format shard (round 5):
+    the pre-decode triage pass a 100 TB pipeline runs before spending
+    decode compute — format, dims, frame/page counts, sample rate and
+    a duration estimate from a few hundred header bytes per payload,
+    never touching entropy-coded data (GIF frames are counted by the
+    structural sub-block walk, TIFF pages by the IFD chain, MP3
+    duration by the frame-HEADER walk over a format whose decode stays
+    honestly gated). Every probed field is closed-form in media_id, so
+    the oracle recomputes the whole mixed shard relationally."""
+    import pyarrow as pa
+
+    from recon_spark.operators.probe import generate_media_probe, probe_media
+
+    def _gen(batches):
+        keys = ("format", "variant", "width", "height", "sample_rate",
+                "channels", "bps", "n_frames", "duration_ms")
+        for batch in batches:
+            ids = batch.column("media_id").to_pylist()
+            cols = {k: [] for k in keys}
+            for p in batch.column("payload").to_pylist():
+                r = probe_media(bytes(p))
+                for k in keys:
+                    cols[k].append(r[k])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()),
+                 pa.array(cols["format"], pa.string()),
+                 pa.array(cols["variant"], pa.string())]
+                + [pa.array(cols[k], pa.int32())
+                   for k in keys[2:]],
+                ["media_id", *keys],
+            )
+
+    media = generate_media_probe(spark, _MEDIA_PROBE_N)
+    return (
+        media.mapInArrow(
+            _gen,
+            "media_id long, format string, variant string, width int, "
+            "height int, sample_rate int, channels int, bps int, "
+            "n_frames int, duration_ms int",
+        )
+        .orderBy("media_id")
+    )
+
+
+SQL_MULTIMODAL_PROBE = f"""
+WITH ids AS (SELECT unnest(generate_series(0, {_MEDIA_PROBE_N - 1})) AS media_id),
+p AS (
+  SELECT media_id,
+         ['bmp','png','gif','tiff','jpeg','wav','flac','mp3']
+             [CAST(media_id % 8 AS INT) + 1] AS fmt,
+         media_id // 8 AS g
+  FROM ids),
+s AS (
+  SELECT media_id, fmt,
+    CASE WHEN fmt = 'gif' THEN 4 + media_id % 5
+         WHEN fmt IN ('bmp','png','jpeg','tiff') THEN 3 + media_id % 5
+         ELSE 0 END AS width,
+    CASE WHEN fmt = 'gif' THEN 3 + media_id % 4
+         WHEN fmt IN ('bmp','png','jpeg','tiff') THEN 2 + media_id % 4
+         ELSE 0 END AS height,
+    CASE WHEN fmt = 'gif' THEN 1 + g % 4
+         WHEN fmt = 'tiff' THEN 1 + g % 3
+         WHEN fmt = 'wav' THEN 30 + media_id % 20
+         WHEN fmt = 'flac' THEN 50 + media_id % 30
+         WHEN fmt = 'mp3' THEN 3 + g % 6
+         ELSE 1 END AS n_frames,
+    CASE WHEN fmt = 'wav' THEN 8000
+         WHEN fmt = 'flac' THEN [8000, 16000, 32000][CAST(g % 3 AS INT) + 1]
+         WHEN fmt = 'mp3' THEN [44100, 48000, 32000][CAST(g % 3 AS INT) + 1]
+         ELSE 0 END AS sample_rate,
+    CASE WHEN fmt IN ('bmp','png','gif') THEN 3
+         WHEN fmt = 'mp3' THEN 2
+         ELSE 1 END AS channels,
+    CASE WHEN fmt = 'wav' AND g % 3 = 0 THEN 16
+         WHEN fmt = 'flac' AND media_id % 16 = 6 THEN 16
+         WHEN fmt = 'mp3' THEN 0
+         ELSE 8 END AS bps,
+    CASE WHEN fmt = 'png' AND media_id % 16 = 1 THEN 'adam7'
+         WHEN fmt = 'jpeg' AND media_id % 16 = 4 THEN 'sof2'
+         WHEN fmt = 'jpeg' THEN 'sof0'
+         WHEN fmt = 'gif' AND g % 4 > 0 THEN 'animated'
+         WHEN fmt = 'tiff' AND g % 3 > 0 THEN 'multipage'
+         WHEN fmt = 'wav' THEN ['pcm16','ulaw','alaw'][CAST(g % 3 AS INT) + 1]
+         WHEN fmt = 'mp3' THEN 'mpeg1l3'
+         ELSE '' END AS variant
+  FROM p)
+SELECT media_id, fmt AS format, variant,
+       CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+       CAST(sample_rate AS INT) AS sample_rate,
+       CAST(channels AS INT) AS channels, CAST(bps AS INT) AS bps,
+       CAST(n_frames AS INT) AS n_frames,
+       CAST(CASE WHEN fmt IN ('wav','flac') THEN n_frames * 1000 // sample_rate
+                 WHEN fmt = 'mp3' THEN n_frames * 1152 * 1000 // sample_rate
+                 ELSE 0 END AS INT) AS duration_ms
+FROM s ORDER BY media_id
+"""
+
+
 _MEDIA_PNG_N = 300
 
 
@@ -2353,6 +2455,7 @@ QUERIES = {
     "multimodal_decode_audio": q_multimodal_decode_audio,
     "multimodal_decode_g711": q_multimodal_decode_g711,
     "multimodal_decode_flac": q_multimodal_decode_flac,
+    "multimodal_probe": q_multimodal_probe,
     "multimodal_decode_png": q_multimodal_decode_png,
     "multimodal_decode_gif": q_multimodal_decode_gif,
     "multimodal_gif_frames": q_multimodal_gif_frames,
@@ -2390,6 +2493,7 @@ ORACLES = {
     "multimodal_decode_audio": SQL_MULTIMODAL_DECODE_AUDIO,
     "multimodal_decode_g711": SQL_MULTIMODAL_DECODE_G711,
     "multimodal_decode_flac": SQL_MULTIMODAL_DECODE_FLAC,
+    "multimodal_probe": SQL_MULTIMODAL_PROBE,
     "multimodal_decode_png": SQL_MULTIMODAL_DECODE_PNG,
     "multimodal_decode_gif": SQL_MULTIMODAL_DECODE_GIF,
     "multimodal_gif_frames": SQL_MULTIMODAL_GIF_FRAMES,
