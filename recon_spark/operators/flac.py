@@ -557,13 +557,19 @@ def _encode_subframe(w: BitWriter, samples: list[int], bps: int, sel: int,
     _write_residual(w, res, order, n, po, rice2, force_escape)
 
 
-def encode_flac(sample_rate: int, bps: int, chans: list[list[int]],
-                block_size: int = 16, stereo_mode: str = "independent",
-                type_sel: int = 0, partition_order: int = 0,
-                rice2: bool = False, force_escape: bool = False,
-                sr_in_frame: bool = False, bps_from_streaminfo: bool = False,
-                ) -> bytes:
-    """Spec-conformant FLAC encoder twin (see module docstring).
+def encode_flac_parts(sample_rate: int, bps: int, chans: list[list[int]],
+                      block_size: int = 16, stereo_mode: str = "independent",
+                      type_sel: int = 0, partition_order: int = 0,
+                      rice2: bool = False, force_escape: bool = False,
+                      sr_in_frame: bool = False,
+                      bps_from_streaminfo: bool = False,
+                      ) -> tuple[bytes, list[bytes]]:
+    """Spec-conformant FLAC encoder, exploded into container-agnostic
+    parts: (34-byte STREAMINFO body incl. the PCM MD5, [frame bytes]).
+    ``encode_flac`` assembles the native container from these; the
+    Ogg-FLAC encapsulation (operators/ogg.py) maps the SAME parts onto
+    Ogg packets per the FLAC-to-Ogg mapping, so both containers carry
+    bit-identical frames.
 
     ``stereo_mode``: independent | left_side | right_side | mid_side
     (ignored for mono).  ``type_sel`` rotates the subframe-type policy
@@ -593,10 +599,8 @@ def encode_flac(sample_rate: int, bps: int, chans: list[list[int]],
     for i in range(total):
         for c in range(nch):
             h.update(int(chans[c][i]).to_bytes(nbytes, "little", signed=True))
-    out = bytearray(b"fLaC")
-    out.append(0x80)  # last-metadata-block, type 0 (STREAMINFO)
-    body = si.bytes() + h.digest()
-    out += len(body).to_bytes(3, "big") + body
+    streaminfo_body = si.bytes() + h.digest()
+    frames: list[bytes] = []
 
     ch_code = {"independent": nch - 1, "left_side": 8,
                "right_side": 9, "mid_side": 10}[stereo_mode]
@@ -646,8 +650,21 @@ def encode_flac(sample_rate: int, bps: int, chans: list[list[int]],
                              partition_order, rice2, force_escape)
         w.align()
         frame = w.bytes()
-        out += frame + crc16(frame).to_bytes(2, "big")
+        frames.append(frame + crc16(frame).to_bytes(2, "big"))
         frame_idx += 1
+    return streaminfo_body, frames
+
+
+def encode_flac(sample_rate: int, bps: int, chans: list[list[int]],
+                **kwargs) -> bytes:
+    """Native FLAC container: fLaC magic + STREAMINFO (marked last
+    metadata block) + frames. See ``encode_flac_parts`` for options."""
+    body, frames = encode_flac_parts(sample_rate, bps, chans, **kwargs)
+    out = bytearray(b"fLaC")
+    out.append(0x80)  # last-metadata-block, type 0 (STREAMINFO)
+    out += len(body).to_bytes(3, "big") + body
+    for f in frames:
+        out += f
     return bytes(out)
 
 

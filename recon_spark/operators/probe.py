@@ -298,6 +298,21 @@ def _probe_mp3(p: bytes) -> dict:
     return out
 
 
+def _probe_ogg(p: bytes) -> dict:
+    """Ogg-FLAC: reassemble only the FIRST packet (the mapping header,
+    which embeds the native STREAMINFO) — audio pages never parsed."""
+    from recon_spark.operators.ogg import ogg_packets
+
+    _, first = next(iter(ogg_packets(p)))
+    if first[:5] != b"\x7fFLAC":
+        raise ValueError("ogg: first packet is not a FLAC mapping "
+                         "(other Ogg codecs not probed)")
+    out = _probe_flac(first[9:])
+    out["format"] = "ogg"
+    out["variant"] = "flac"
+    return out
+
+
 def probe_media(payload: bytes) -> dict:
     """Signature-dispatch header probe (see module docstring). Returns
     {format, variant, width, height, sample_rate, channels, bps,
@@ -320,6 +335,8 @@ def probe_media(payload: bytes) -> dict:
         return _probe_wav(payload)
     if payload[:4] == b"fLaC":
         return _probe_flac(payload)
+    if payload[:4] == b"OggS":
+        return _probe_ogg(payload)
     if payload[:3] == b"ID3" or (
         len(payload) >= 2 and payload[0] == 0xFF and payload[1] >> 5 == 7
     ):

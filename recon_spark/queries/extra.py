@@ -1120,6 +1120,78 @@ FROM ch ORDER BY media_id
 """
 
 
+def q_multimodal_decode_ogg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg-FLAC decode (round 5): RFC 3533 page framing (per-page
+    CRC-32, lacing reassembly across pages, continuation flags — the
+    generator's 2..6 segment cap forces multi-page streams and packet
+    spans) wrapped around the SAME digest-derived FLAC frames as
+    multimodal_decode_flac, so the lossless contract — and therefore
+    the ORACLE — is shared verbatim: a bug anywhere in the page walk,
+    packet reassembly, or mapping unwrap breaks the sample stats."""
+    import pyarrow as pa
+
+    from recon_spark.operators.ogg import (
+        decode_ogg_flac,
+        generate_media_ogg,
+        ogg_flac_first_frame_mode,
+    )
+
+    def _gen(batches):
+        for batch in batches:
+            ids = batch.column("media_id").to_pylist()
+            cols = {k: [] for k in ("sr", "bps", "nch", "ns", "mode",
+                                    "a0", "f0", "l0", "a1", "f1", "l1")}
+            for p in batch.column("payload").to_pylist():
+                sr, bps, chans = decode_ogg_flac(bytes(p))
+                cols["sr"].append(sr)
+                cols["bps"].append(bps)
+                cols["nch"].append(len(chans))
+                cols["ns"].append(len(chans[0]))
+                cols["mode"].append(ogg_flac_first_frame_mode(bytes(p)))
+                cols["a0"].append(sum(abs(s) for s in chans[0]))
+                cols["f0"].append(chans[0][0])
+                cols["l0"].append(chans[0][-1])
+                if len(chans) == 2:
+                    cols["a1"].append(sum(abs(s) for s in chans[1]))
+                    cols["f1"].append(chans[1][0])
+                    cols["l1"].append(chans[1][-1])
+                else:
+                    cols["a1"].append(0)
+                    cols["f1"].append(0)
+                    cols["l1"].append(0)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(cols["sr"], pa.int32()),
+                    pa.array(cols["bps"], pa.int32()),
+                    pa.array(cols["nch"], pa.int32()),
+                    pa.array(cols["ns"], pa.int32()),
+                    pa.array(cols["mode"], pa.string()),
+                    pa.array(cols["a0"], pa.int64()),
+                    pa.array(cols["f0"], pa.int32()),
+                    pa.array(cols["l0"], pa.int32()),
+                    pa.array(cols["a1"], pa.int64()),
+                    pa.array(cols["f1"], pa.int32()),
+                    pa.array(cols["l1"], pa.int32()),
+                ],
+                ["media_id", "sample_rate", "bps", "n_channels", "n_samples",
+                 "stereo_mode", "abs_sum_0", "first_0", "last_0",
+                 "abs_sum_1", "first_1", "last_1"],
+            )
+
+    media = generate_media_ogg(spark, _MEDIA_FLAC_N)
+    return (
+        media.select("media_id", "payload")
+        .mapInArrow(
+            _gen,
+            "media_id long, sample_rate int, bps int, n_channels int, "
+            "n_samples int, stereo_mode string, abs_sum_0 long, first_0 int, "
+            "last_0 int, abs_sum_1 long, first_1 int, last_1 int",
+        )
+        .orderBy("media_id")
+    )
+
+
 _MEDIA_PROBE_N = 240
 
 
@@ -2456,6 +2528,7 @@ QUERIES = {
     "multimodal_decode_g711": q_multimodal_decode_g711,
     "multimodal_decode_flac": q_multimodal_decode_flac,
     "multimodal_probe": q_multimodal_probe,
+    "multimodal_decode_ogg": q_multimodal_decode_ogg,
     "multimodal_decode_png": q_multimodal_decode_png,
     "multimodal_decode_gif": q_multimodal_decode_gif,
     "multimodal_gif_frames": q_multimodal_gif_frames,
@@ -2494,6 +2567,9 @@ ORACLES = {
     "multimodal_decode_g711": SQL_MULTIMODAL_DECODE_G711,
     "multimodal_decode_flac": SQL_MULTIMODAL_DECODE_FLAC,
     "multimodal_probe": SQL_MULTIMODAL_PROBE,
+    # Ogg-FLAC carries the SAME digest-derived PCM, losslessly, so the
+    # FLAC oracle locks the whole page/packet/mapping layer verbatim
+    "multimodal_decode_ogg": SQL_MULTIMODAL_DECODE_FLAC,
     "multimodal_decode_png": SQL_MULTIMODAL_DECODE_PNG,
     "multimodal_decode_gif": SQL_MULTIMODAL_DECODE_GIF,
     "multimodal_gif_frames": SQL_MULTIMODAL_GIF_FRAMES,
