@@ -1192,6 +1192,248 @@ def q_multimodal_decode_ogg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WARC_AUDIO_N = 200
+
+
+def _stage_warc_media_audio(spark: SparkSession) -> str:
+    """Stage once per session: a .warc.gz shard mixing html pages with
+    five media classes (media_id % 5): genuine FLAC, Ogg-FLAC, MP3
+    frame sequences, G.711 WAVs, and PNGs — the shard the probe-then-
+    decode triage chain runs over."""
+    import atexit
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+
+    from recon_spark.warc import write_warc_files
+
+    key = "audio"
+    if key not in _WARC_MEDIA_STAGING:
+        out_dir = tempfile.mkdtemp(prefix="recon_warc_audio_")
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+
+        def _gen(batches):
+            import hashlib
+
+            from recon_spark.operators import multimodal as M
+            from recon_spark.operators.flac import _track_spec, encode_flac
+            from recon_spark.operators.ogg import encode_ogg_flac
+            from recon_spark.operators.probe import encode_mp3_frames
+
+            for batch in batches:
+                ids = batch.column("id").to_pylist()
+                urls, tss, payloads, ctypes = [], [], [], []
+                for i in ids:
+                    d = hashlib.sha256(f"42:{i}".encode()).digest()
+                    cls = i % 5
+                    if cls in (0, 1):
+                        spec, chans = _track_spec(i, 42)
+                        kw = dict(
+                            block_size=16, stereo_mode=spec["stereo_mode"],
+                            type_sel=spec["type_sel"],
+                            partition_order=spec["partition_order"],
+                            rice2=spec["rice2"],
+                            force_escape=spec["force_escape"],
+                        )
+                        if cls == 0:
+                            p, ct = encode_flac(
+                                spec["sr"], spec["bps"], chans, **kw
+                            ), "audio/flac"
+                        else:
+                            p, ct = encode_ogg_flac(
+                                spec["sr"], spec["bps"], chans,
+                                max_segs_per_page=2 + i % 5, **kw
+                            ), "audio/ogg"
+                    elif cls == 2:
+                        p = encode_mp3_frames(3 + i % 6, 128, 44100,
+                                              f"42:{i}".encode(),
+                                              id3=i % 2 == 0)
+                        ct = "audio/mpeg"
+                    elif cls == 3:
+                        p = M.encode_wav_g711(
+                            8000, bytes(d[k % 32] for k in range(30 + i % 20)),
+                            "ulaw" if i % 2 == 0 else "alaw")
+                        ct = "audio/wav"
+                    else:
+                        w, h = 3 + i % 5, 2 + i % 4
+                        p = M.encode_png(
+                            w, h, [d[k % 32] for k in range(w * h * 3)],
+                            color_type=2)
+                        ct = "image/png"
+                    urls.append(f"https://media.ex/m/{i}")
+                    tss.append(_MEDIA_EPOCH + i)
+                    payloads.append(p)
+                    ctypes.append(ct)
+                    urls.append(f"https://media.ex/page/{i}")
+                    tss.append(_MEDIA_EPOCH + i)
+                    payloads.append(
+                        f"<html><body><p>page {i}</p></body></html>".encode())
+                    ctypes.append("text/html")
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(urls, pa.string()),
+                        pa.array(tss, pa.int64()),
+                        pa.array(payloads, pa.binary()),
+                        pa.array(ctypes, pa.string()),
+                    ],
+                    ["url", "warc_ts_s", "html", "content_type"],
+                )
+
+        docs = spark.range(_WARC_AUDIO_N).mapInArrow(
+            _gen,
+            "url string, warc_ts_s long, html binary, content_type string",
+        ).repartition(8, "url")
+        write_warc_files(docs, out_dir, ctype_col="content_type").count()
+        _WARC_MEDIA_STAGING[key] = out_dir
+    return _WARC_MEDIA_STAGING[key]
+
+
+# triage predicate: decode only lossless audio short enough to afford
+_TRIAGE_MAX_MS = 4
+
+
+def q_warc_media_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-then-decode over raw crawl bytes (round 5) — the budget
+    pattern the header probe exists for: read_warc over a mixed shard
+    (html + FLAC + Ogg-FLAC + MP3 + G.711 WAV + PNG), prune html on
+    Content-Type, PROBE every media record (headers only — MP3 gets
+    duration without a codec, images get dims without pixel work),
+    then spend decode compute ONLY on rows the triage predicate
+    selects (lossless audio with probed duration under the cutoff
+    here); decoded rows carry the exact PCM abs_sum, triaged-out rows
+    ride through with probe stats alone. One map-only chain: scan ->
+    record parse -> filter -> probe -> selective decode, no shuffle
+    before the presentation sort. The oracle recomputes probe fields
+    AND the selectively-decoded sums relationally, so both a probe bug
+    and a wrongly-budgeted decode hash-fail."""
+    import pyarrow as pa
+
+    from recon_spark.operators.flac import decode_flac
+    from recon_spark.operators.ogg import decode_ogg_flac
+    from recon_spark.operators.probe import probe_media
+    from recon_spark.warc import read_warc
+
+    out_dir = _stage_warc_media_audio(spark)
+    recs = read_warc(spark, out_dir).where(
+        F.col("content_type") != "text/html"
+    )
+
+    def _gen(batches):
+        keys = ("format", "variant", "sample_rate", "n_frames",
+                "duration_ms", "decoded", "abs_sum")
+        for batch in batches:
+            urls = batch.column("url").to_pylist()
+            cols = {k: [] for k in keys}
+            for p in batch.column("html").to_pylist():
+                p = bytes(p)
+                r = probe_media(p)
+                decode = (r["format"] in ("flac", "ogg")
+                          and r["duration_ms"] < _TRIAGE_MAX_MS)
+                if decode:
+                    chans = (decode_flac(p) if r["format"] == "flac"
+                             else decode_ogg_flac(p))[2]
+                    abs_sum = sum(abs(s) for c in chans for s in c)
+                else:
+                    abs_sum = 0
+                cols["format"].append(r["format"])
+                cols["variant"].append(r["variant"])
+                cols["sample_rate"].append(r["sample_rate"])
+                cols["n_frames"].append(r["n_frames"])
+                cols["duration_ms"].append(r["duration_ms"])
+                cols["decoded"].append(1 if decode else 0)
+                cols["abs_sum"].append(abs_sum)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(urls, pa.string()),
+                    pa.array(cols["format"], pa.string()),
+                    pa.array(cols["variant"], pa.string()),
+                    pa.array(cols["sample_rate"], pa.int32()),
+                    pa.array(cols["n_frames"], pa.int32()),
+                    pa.array(cols["duration_ms"], pa.int32()),
+                    pa.array(cols["decoded"], pa.int32()),
+                    pa.array(cols["abs_sum"], pa.int64()),
+                ],
+                ["url", *keys],
+            )
+
+    return (
+        recs.select("url", "html")
+        .mapInArrow(
+            _gen,
+            "url string, format string, variant string, sample_rate int, "
+            "n_frames int, duration_ms int, decoded int, abs_sum long",
+        )
+        .withColumn(
+            "media_id",
+            F.regexp_extract("url", r"/m/([0-9]+)$", 1).cast("long"),
+        )
+        .select("media_id", "format", "variant", "sample_rate", "n_frames",
+                "duration_ms", "decoded", "abs_sum")
+        .orderBy("media_id")
+    )
+
+
+SQL_WARC_MEDIA_TRIAGE = f"""
+WITH ids AS (SELECT unnest(generate_series(0, {_WARC_AUDIO_N - 1})) AS media_id),
+p AS (
+  SELECT media_id, media_id % 5 AS cls,
+         40 + media_id % 32 AS fns,
+         CASE WHEN media_id % 2 = 0 THEN 16 ELSE 8 END AS fbps,
+         CASE WHEN media_id % 3 = 0 THEN 1 ELSE 2 END AS fnch,
+         (media_id % 6 = 2) AS wasted,
+         [8000, 16000, 22050, 44100][CAST(media_id % 4 AS INT) + 1] AS fsr
+  FROM ids),
+dg AS (SELECT *, sha256('42:' || media_id) AS dh FROM p),
+db_t AS (
+  SELECT *, list_transform(generate_series(0, 31),
+      k -> CAST(concat('0x', substr(dh, 2 * k + 1, 2)) AS INT)) AS db
+  FROM dg),
+probe AS (
+  SELECT media_id, cls, fns, fbps, fnch, fsr, wasted, db,
+    CASE cls WHEN 0 THEN 'flac' WHEN 1 THEN 'ogg' WHEN 2 THEN 'mp3'
+             WHEN 3 THEN 'wav' ELSE 'png' END AS format,
+    CASE cls WHEN 1 THEN 'flac' WHEN 2 THEN 'mpeg1l3'
+             WHEN 3 THEN CASE WHEN media_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END
+             ELSE '' END AS variant,
+    CASE WHEN cls IN (0, 1) THEN fsr WHEN cls = 2 THEN 44100
+         WHEN cls = 3 THEN 8000 ELSE 0 END AS sample_rate,
+    CASE WHEN cls IN (0, 1) THEN fns WHEN cls = 2 THEN 3 + media_id % 6
+         WHEN cls = 3 THEN 30 + media_id % 20 ELSE 1 END AS n_frames,
+    CASE WHEN cls IN (0, 1) THEN fns * 1000 // fsr
+         WHEN cls = 2 THEN (3 + media_id % 6) * 1152 * 1000 // 44100
+         WHEN cls = 3 THEN (30 + media_id % 20) * 1000 // 8000
+         ELSE 0 END AS duration_ms
+  FROM db_t),
+dec AS (
+  SELECT *, CASE WHEN format IN ('flac', 'ogg')
+                  AND duration_ms < {_TRIAGE_MAX_MS}
+             THEN 1 ELSE 0 END AS decoded
+  FROM probe),
+pcm AS (
+  SELECT media_id, decoded, format, variant, sample_rate, n_frames,
+         duration_ms,
+    CASE WHEN decoded = 0 THEN CAST(0 AS BIGINT) ELSE
+      CAST(list_aggregate(list_transform(
+        {_FLAC_CH_EXPR.format(off=0).replace('ns - 1', 'fns - 1').replace('bps = 16', 'fbps = 16')},
+        x -> abs(x)), 'sum')
+      + CASE WHEN fnch = 1 THEN 0
+             WHEN media_id % 5 = 0 THEN fns * abs(
+               CASE WHEN fbps = 16 THEN db[4] * 256 + db[18] - 32768
+                    ELSE db[4] - 128 END)
+             ELSE list_aggregate(list_transform(
+               {_FLAC_CH_EXPR.format(off=5).replace('ns - 1', 'fns - 1').replace('bps = 16', 'fbps = 16')},
+               x -> abs(x)), 'sum') END AS BIGINT)
+    END AS abs_sum
+  FROM dec)
+SELECT media_id, format, variant, CAST(sample_rate AS INT) AS sample_rate,
+       CAST(n_frames AS INT) AS n_frames,
+       CAST(duration_ms AS INT) AS duration_ms,
+       CAST(decoded AS INT) AS decoded, abs_sum
+FROM pcm ORDER BY media_id
+"""
+
+
 _MEDIA_PROBE_N = 240
 
 
@@ -2529,6 +2771,7 @@ QUERIES = {
     "multimodal_decode_flac": q_multimodal_decode_flac,
     "multimodal_probe": q_multimodal_probe,
     "multimodal_decode_ogg": q_multimodal_decode_ogg,
+    "warc_media_triage": q_warc_media_triage,
     "multimodal_decode_png": q_multimodal_decode_png,
     "multimodal_decode_gif": q_multimodal_decode_gif,
     "multimodal_gif_frames": q_multimodal_gif_frames,
@@ -2570,6 +2813,7 @@ ORACLES = {
     # Ogg-FLAC carries the SAME digest-derived PCM, losslessly, so the
     # FLAC oracle locks the whole page/packet/mapping layer verbatim
     "multimodal_decode_ogg": SQL_MULTIMODAL_DECODE_FLAC,
+    "warc_media_triage": SQL_WARC_MEDIA_TRIAGE,
     "multimodal_decode_png": SQL_MULTIMODAL_DECODE_PNG,
     "multimodal_decode_gif": SQL_MULTIMODAL_DECODE_GIF,
     "multimodal_gif_frames": SQL_MULTIMODAL_GIF_FRAMES,

@@ -192,3 +192,32 @@ def test_probe_query_matches_oracle(spark, ddb):
     from tests.conftest import SF_ORACLE, compare_query
 
     compare_query(spark, ddb, q_multimodal_probe, SQL_MULTIMODAL_PROBE, SF_ORACLE)
+
+
+def test_warc_media_triage_matches_oracle(spark, ddb):
+    """Probe-then-decode budget chain over a mixed WARC shard: probe
+    fields for all five media classes AND the selectively-decoded PCM
+    sums must both match the relational recomputation (a wrongly-
+    budgeted decode — too many or too few rows decoded — hash-fails
+    on the decoded/abs_sum columns)."""
+    from recon_spark.queries.extra import SQL_WARC_MEDIA_TRIAGE, q_warc_media_triage
+    from tests.conftest import SF_ORACLE, compare_query
+
+    compare_query(spark, ddb, q_warc_media_triage, SQL_WARC_MEDIA_TRIAGE,
+                  SF_ORACLE)
+
+
+def test_triage_selectivity_is_real(spark):
+    """The budget predicate must actually split the shard: some rows
+    decoded, most not, and no non-lossless format ever decoded."""
+    from recon_spark.queries.extra import q_warc_media_triage
+
+    rows = q_warc_media_triage(spark, "/root/testdata/sf0.001").collect()
+    decoded = [r for r in rows if r.decoded == 1]
+    assert 0 < len(decoded) < len(rows) / 2
+    assert all(r.format in ("flac", "ogg") for r in decoded)
+    assert all(r.abs_sum == 0 for r in rows if r.decoded == 0)
+    assert all(r.abs_sum > 0 for r in decoded)
+    # mp3 rows carry probe-derived duration without any decode
+    mp3 = [r for r in rows if r.format == "mp3"]
+    assert mp3 and all(r.duration_ms > 0 and r.decoded == 0 for r in mp3)
