@@ -119,6 +119,12 @@ EXTENDED = [
     "anchor_text_aliases",
     "wat_roundtrip",
     "triples_mined_aliases",
+    # round-5 resumed-session additions (audio codecs + probe triage)
+    "multimodal_decode_flac",
+    "multimodal_decode_ogg",
+    "multimodal_probe",
+    "warc_media_triage",
+    "audio_quality_gate",
 ]
 
 

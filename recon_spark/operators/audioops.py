@@ -1,0 +1,63 @@
+"""Audio curation metrics — the audio analog of the Gopher text gate.
+
+Speech/audio corpus curation gates on signal statistics the way text
+curation gates on word statistics (textstats.py:gopher_quality_filter):
+a track that is mostly silence, hard-clipped, or DC-stuck is dropped
+before it costs feature-extraction compute. ``audio_metrics`` computes
+the classic gate inputs over decoded PCM with INTEGER-ONLY arithmetic,
+so the DuckDB oracle replicates every value bit-exactly (no float
+accumulation order to drift):
+
+- peak          max |s|
+- sum_sq        sum of s^2 (the integer RMS numerator)
+- n_clip        samples at or beyond full-scale-minus-1 (hard clipping:
+                consumer encoders saturate at the rail, so counting
+                near-rail samples catches both saturation and wrap)
+- n_silent      samples with |s| below full_scale >> 6 (a -36 dBFS-ish
+                integer threshold)
+- zcross        sign transitions (strictly-negative boundary) — the
+                cheap voiced/unvoiced + DC-stuck discriminator
+
+The pass rule mirrors the Gopher gate's shape: integer-ratio
+comparisons (n_clip * 50 < n and n_silent * 2 < n, i.e. under 2%
+clipping and under 50% silence), so pass/fail is exact, not
+float-rounded.
+"""
+
+from __future__ import annotations
+
+
+def audio_metrics(samples: list[int], bps: int) -> dict:
+    """Integer gate metrics over one channel of PCM (see module doc)."""
+    fs = 1 << (bps - 1)
+    clip_at = fs - 1
+    silent_below = fs >> 6
+    n = len(samples)
+    peak = 0
+    sum_sq = 0
+    n_clip = 0
+    n_silent = 0
+    zcross = 0
+    prev_neg = None
+    for s in samples:
+        a = -s if s < 0 else s
+        if a > peak:
+            peak = a
+        sum_sq += s * s
+        if a >= clip_at:
+            n_clip += 1
+        if a < silent_below:
+            n_silent += 1
+        neg = s < 0
+        if prev_neg is not None and neg != prev_neg:
+            zcross += 1
+        prev_neg = neg
+    return {"n_samples": n, "peak": peak, "sum_sq": sum_sq,
+            "n_clip": n_clip, "n_silent": n_silent, "zcross": zcross}
+
+
+def audio_gate(m: dict) -> bool:
+    """The integer-ratio pass rule: under 2% clipped AND under 50%
+    silent. Exact by construction — both sides are integers."""
+    n = m["n_samples"]
+    return m["n_clip"] * 50 < n and m["n_silent"] * 2 < n

@@ -1434,6 +1434,91 @@ FROM pcm ORDER BY media_id
 """
 
 
+def q_audio_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio curation gate (round 5) — the audio analog of the Gopher
+    text gate: decoded FLAC PCM scored with integer-only metrics (peak,
+    sum-of-squares, clipping count at the rail, silence count below a
+    -36 dBFS-ish threshold, zero crossings) and passed through the
+    exact integer-ratio rule (<2% clipped, <50% silent). The wasted-bit
+    tracks (low-amplitude by construction) genuinely FAIL the silence
+    rule and near-rail 8-bit samples genuinely trip the clipping rule,
+    so both gate branches are exercised by the ordinary fixture set.
+    All arithmetic is integer, so the oracle recomputes every metric
+    and the verdict bit-exactly from the digest derivation."""
+    import pyarrow as pa
+
+    from recon_spark.operators.audioops import audio_gate, audio_metrics
+    from recon_spark.operators.flac import decode_flac, generate_media_flac
+
+    def _gen(batches):
+        keys = ("n_samples", "peak", "sum_sq", "n_clip", "n_silent",
+                "zcross", "passed")
+        for batch in batches:
+            ids = batch.column("media_id").to_pylist()
+            cols = {k: [] for k in keys}
+            for p in batch.column("payload").to_pylist():
+                sr, bps, chans = decode_flac(bytes(p))
+                m = audio_metrics(chans[0], bps)
+                for k in keys[:-1]:
+                    cols[k].append(m[k])
+                cols["passed"].append(1 if audio_gate(m) else 0)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64())]
+                + [pa.array(cols[k],
+                            pa.int64() if k == "sum_sq" else pa.int32())
+                   for k in keys],
+                ["media_id", *keys],
+            )
+
+    media = generate_media_flac(spark, _MEDIA_FLAC_N)
+    return (
+        media.select("media_id", "payload")
+        .mapInArrow(
+            _gen,
+            "media_id long, n_samples int, peak int, sum_sq long, "
+            "n_clip int, n_silent int, zcross int, passed int",
+        )
+        .orderBy("media_id")
+    )
+
+
+SQL_AUDIO_QUALITY_GATE = f"""
+WITH ids AS (SELECT unnest(generate_series(0, {_MEDIA_FLAC_N - 1})) AS media_id),
+p AS (
+  SELECT media_id, 40 + media_id % 32 AS ns,
+         CASE WHEN media_id % 2 = 0 THEN 16 ELSE 8 END AS bps,
+         (media_id % 6 = 2) AS wasted
+  FROM ids),
+dg AS (SELECT *, sha256('42:' || media_id) AS dh FROM p),
+db_t AS (
+  SELECT *, list_transform(generate_series(0, 31),
+      k -> CAST(concat('0x', substr(dh, 2 * k + 1, 2)) AS INT)) AS db
+  FROM dg),
+ch AS (
+  SELECT media_id, ns, bps,
+         CASE WHEN bps = 16 THEN 32768 ELSE 128 END AS fs,
+         {_FLAC_CH_EXPR.format(off=0)} AS ch0
+  FROM db_t),
+m AS (
+  SELECT media_id, ns, fs, ch0,
+    list_max(list_transform(ch0, x -> abs(x))) AS peak,
+    CAST(list_aggregate(list_transform(ch0, x -> CAST(x AS BIGINT) * x),
+                        'sum') AS BIGINT) AS sum_sq,
+    len(list_filter(ch0, x -> abs(x) >= fs - 1)) AS n_clip,
+    len(list_filter(ch0, x -> abs(x) < fs // 64)) AS n_silent,
+    coalesce(list_aggregate(list_transform(generate_series(1, ns - 1),
+        j -> CASE WHEN (ch0[j] < 0) <> (ch0[j + 1] < 0)
+             THEN 1 ELSE 0 END), 'sum'), 0) AS zcross
+  FROM ch)
+SELECT media_id, CAST(ns AS INT) AS n_samples, CAST(peak AS INT) AS peak,
+       sum_sq, CAST(n_clip AS INT) AS n_clip,
+       CAST(n_silent AS INT) AS n_silent, CAST(zcross AS INT) AS zcross,
+       CAST(CASE WHEN n_clip * 50 < ns AND n_silent * 2 < ns
+            THEN 1 ELSE 0 END AS INT) AS passed
+FROM m ORDER BY media_id
+"""
+
+
 _MEDIA_PROBE_N = 240
 
 
@@ -2772,6 +2857,7 @@ QUERIES = {
     "multimodal_probe": q_multimodal_probe,
     "multimodal_decode_ogg": q_multimodal_decode_ogg,
     "warc_media_triage": q_warc_media_triage,
+    "audio_quality_gate": q_audio_quality_gate,
     "multimodal_decode_png": q_multimodal_decode_png,
     "multimodal_decode_gif": q_multimodal_decode_gif,
     "multimodal_gif_frames": q_multimodal_gif_frames,
@@ -2814,6 +2900,7 @@ ORACLES = {
     # FLAC oracle locks the whole page/packet/mapping layer verbatim
     "multimodal_decode_ogg": SQL_MULTIMODAL_DECODE_FLAC,
     "warc_media_triage": SQL_WARC_MEDIA_TRIAGE,
+    "audio_quality_gate": SQL_AUDIO_QUALITY_GATE,
     "multimodal_decode_png": SQL_MULTIMODAL_DECODE_PNG,
     "multimodal_decode_gif": SQL_MULTIMODAL_DECODE_GIF,
     "multimodal_gif_frames": SQL_MULTIMODAL_GIF_FRAMES,

@@ -177,6 +177,24 @@ def run_level(cores: int) -> dict:
                _gen, "media_id long, abs_sum long"),
            f"{FLAC_N:,} pre-staged genuine FLAC streams, "
            f"{FLAC_SAMPLES:,} samples/ch, mono/stereo + policy rotation")
+
+    def _gen_probe(batches):
+        from recon_spark.operators.probe import probe_media
+
+        for batch in batches:
+            ids = batch.column("media_id").to_pylist()
+            ns = [probe_media(bytes(p))["n_frames"]
+                  for p in batch.column("payload").to_pylist()]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(ns, pa.int64())],
+                ["media_id", "n_frames"],
+            )
+
+    _timed(out, f"flac_probe_x{FLAC_N}",
+           lambda: media.select("media_id", "payload").mapInArrow(
+               _gen_probe, "media_id long, n_frames long"),
+           "header-only probe over the SAME staged payloads — the "
+           "decode/probe time ratio is the triage budget headroom")
     spark.stop()
     return out
 

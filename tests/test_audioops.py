@@ -1,0 +1,69 @@
+"""Audio curation metrics + gate (round 5) — integer-exact by design."""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from recon_spark.operators.audioops import audio_gate, audio_metrics
+
+
+def test_metrics_golden():
+    # bps=8: fs=128, clip at |s|>=127, silent below 2
+    m = audio_metrics([0, 127, -128, 1, -1, 50], bps=8)
+    assert m["n_samples"] == 6
+    assert m["peak"] == 128
+    assert m["sum_sq"] == 0 + 127**2 + 128**2 + 1 + 1 + 2500
+    assert m["n_clip"] == 2          # 127 and -128
+    assert m["n_silent"] == 3        # 0, 1, -1
+    # signs: + + - + - +  (0 counts as non-negative) -> 4 transitions
+    assert m["zcross"] == 4
+
+
+def test_gate_branches():
+    # clean: no clipping, little silence
+    clean = audio_metrics([40, -40] * 30, bps=8)
+    assert audio_gate(clean)
+    # clipped: 2 rail samples in 60 -> 2*50 >= 60 fails
+    clipped = audio_metrics([40, -40] * 29 + [127, -128], bps=8)
+    assert not audio_gate(clipped)
+    # silent: over half the samples under the threshold
+    silent = audio_metrics([0] * 31 + [40] * 29, bps=8)
+    assert not audio_gate(silent)
+
+
+@given(st.lists(st.integers(min_value=-32768, max_value=32767),
+                min_size=1, max_size=120))
+@settings(max_examples=100, deadline=None)
+def test_metrics_match_naive_reference(samples):
+    m = audio_metrics(samples, bps=16)
+    assert m["peak"] == max(abs(s) for s in samples)
+    assert m["sum_sq"] == sum(s * s for s in samples)
+    assert m["n_clip"] == sum(1 for s in samples if abs(s) >= 32767)
+    assert m["n_silent"] == sum(1 for s in samples if abs(s) < 512)
+    assert m["zcross"] == sum(
+        1 for a, b in zip(samples, samples[1:]) if (a < 0) != (b < 0))
+
+
+def test_wasted_bit_tracks_fail_silence_gate():
+    """The digest PCM's wasted-bit tracks are low-amplitude by
+    construction (|s| <= 512 at 16-bit) — the silence rule must
+    catch them, proving the gate bites on realistic fixtures."""
+    from recon_spark.operators.flac import _track_spec
+
+    failed = checked = 0
+    for i in range(0, 60):
+        spec, chans = _track_spec(i, 42)
+        if spec["bps"] != 16 or i % 6 != 2:
+            continue
+        checked += 1
+        if not audio_gate(audio_metrics(chans[0], 16)):
+            failed += 1
+    assert checked > 0 and failed == checked
+
+
+def test_audio_gate_query_matches_oracle(spark, ddb):
+    from recon_spark.queries.extra import SQL_AUDIO_QUALITY_GATE, q_audio_quality_gate
+    from tests.conftest import SF_ORACLE, compare_query
+
+    compare_query(spark, ddb, q_audio_quality_gate, SQL_AUDIO_QUALITY_GATE,
+                  SF_ORACLE)
