@@ -125,6 +125,7 @@ EXTENDED = [
     "multimodal_probe",
     "warc_media_triage",
     "audio_quality_gate",
+    "audio_fingerprint_dedup",
 ]
 
 

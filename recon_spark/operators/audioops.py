@@ -61,3 +61,36 @@ def audio_gate(m: dict) -> bool:
     silent. Exact by construction — both sides are integers."""
     n = m["n_samples"]
     return m["n_clip"] * 50 < n and m["n_silent"] * 2 < n
+
+
+_FP_FRAMES = 17  # 17 energy frames -> 16 delta-sign bits
+
+
+def audio_fingerprint(samples: list[int]) -> int:
+    """16-bit energy-delta-sign fingerprint (the Chromaprint idea
+    reduced to its integer core): split the track into 17 equal-share
+    frames (boundaries k*n//17, so every length partitions
+    deterministically), compute each frame's integer energy (sum of
+    squares), and emit bit k = energy[k+1] > energy[k].
+
+    AMPLITUDE-INVARIANT by construction: scaling every sample by c
+    multiplies every energy by c^2 and preserves all comparisons — a
+    re-encoded / volume-normalized copy of a track fingerprints
+    identically, which is exactly the near-duplicate class exact
+    hashing misses. Dedup then becomes a 2-byte-key aggregation (the
+    simhash scale shape: map-side fingerprint, short-key shuffle,
+    never pairwise audio comparison).
+    """
+    n = len(samples)
+    if n < _FP_FRAMES:
+        raise ValueError(f"fingerprint needs >= {_FP_FRAMES} samples")
+    energies = []
+    for k in range(_FP_FRAMES):
+        lo = k * n // _FP_FRAMES
+        hi = (k + 1) * n // _FP_FRAMES
+        energies.append(sum(s * s for s in samples[lo:hi]))
+    fp = 0
+    for k in range(_FP_FRAMES - 1):
+        if energies[k + 1] > energies[k]:
+            fp |= 1 << k
+    return fp

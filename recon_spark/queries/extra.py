@@ -1519,6 +1519,115 @@ FROM m ORDER BY media_id
 """
 
 
+_AUDIO_FP_N = 200
+
+
+def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate detection (round 5) — the dedup family
+    extended to the audio column: every 4th track is an amplitude-
+    doubled re-encode of its predecessor (the volume-normalized-copy
+    class exact byte/sample hashing misses), decoded from genuine FLAC
+    and reduced map-side to a 16-bit energy-delta-sign fingerprint
+    (amplitude-invariant by construction), then ONE 2-byte-key
+    aggregation + a broadcast join-back mark the clusters — the
+    simhash scale shape: audio bytes never shuffle, pairwise
+    comparison never happens. The oracle recomputes every fingerprint
+    from the digest PCM (integer energies, exact) and replays the
+    grouping."""
+    import pyarrow as pa
+
+    from recon_spark.operators.audioops import audio_fingerprint
+    from recon_spark.operators.flac import decode_flac, encode_flac
+
+    def _gen_media(batches):
+        import hashlib
+
+        for batch in batches:
+            ids = batch.column("id").to_pylist()
+            payloads = []
+            for i in ids:
+                b = i - 1 if i % 4 == 1 else i
+                d = hashlib.sha256(f"42:{b}".encode()).digest()
+                ns = 40 + b % 32
+                scale = 2 if i % 4 == 1 else 1
+                pcm = [(d[(j + b % 7) % 32] - 128) * 128 * scale
+                       for j in range(ns)]
+                payloads.append(encode_flac(8000, 16, [pcm], block_size=16,
+                                            type_sel=i))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary())],
+                ["media_id", "payload"],
+            )
+
+    def _gen_fp(batches):
+        for batch in batches:
+            ids = batch.column("media_id").to_pylist()
+            fps = []
+            for p in batch.column("payload").to_pylist():
+                _, _, chans = decode_flac(bytes(p))
+                fps.append(audio_fingerprint(chans[0]))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(fps, pa.int32())],
+                ["media_id", "fingerprint"],
+            )
+
+    media = spark.range(0, _AUDIO_FP_N).mapInArrow(
+        _gen_media, "media_id long, payload binary")
+    fps = media.mapInArrow(_gen_fp, "media_id long, fingerprint int")
+    counts = fps.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).cast("int").alias("cluster_size"))
+    return (
+        fps.join(F.broadcast(counts), "fingerprint")
+        .select(
+            "media_id", "fingerprint", "cluster_size",
+            (F.col("cluster_size") > 1).cast("int").alias("is_dup"),
+        )
+        .orderBy("media_id")
+    )
+
+
+SQL_AUDIO_FINGERPRINT_DEDUP = f"""
+WITH ids AS (SELECT unnest(generate_series(0, {_AUDIO_FP_N - 1})) AS media_id),
+p AS (
+  SELECT media_id,
+         CASE WHEN media_id % 4 = 1 THEN media_id - 1 ELSE media_id END AS b
+  FROM ids),
+dg AS (SELECT media_id, b, 40 + b % 32 AS ns, sha256('42:' || b) AS dh FROM p),
+db_t AS (
+  SELECT *, list_transform(generate_series(0, 31),
+      k -> CAST(concat('0x', substr(dh, 2 * k + 1, 2)) AS INT)) AS db
+  FROM dg),
+pcm AS (
+  -- the BASE track's PCM: the amplitude-doubled copy fingerprints
+  -- identically (energies scale by 4, every comparison is preserved),
+  -- which is exactly the invariance the operator exists for
+  SELECT media_id, ns,
+         list_transform(generate_series(0, ns - 1),
+             j -> (db[(j + b % 7) % 32 + 1] - 128) * 128) AS s
+  FROM db_t),
+en AS (
+  SELECT media_id, ns,
+         list_transform(generate_series(0, 16), k ->
+           coalesce(list_aggregate(list_transform(
+             generate_series(k * ns // 17 + 1, ((k + 1) * ns) // 17),
+             j -> CAST(s[j] AS BIGINT) * s[j]), 'sum'), 0)) AS e
+  FROM pcm),
+fp AS (
+  SELECT media_id,
+         CAST(coalesce(list_aggregate(list_transform(generate_series(0, 15),
+             k -> CASE WHEN e[k + 2] > e[k + 1]
+                  THEN CAST(1 AS BIGINT) << k ELSE 0 END), 'sum'), 0)
+              AS INT) AS fingerprint
+  FROM en),
+cl AS (SELECT fingerprint, CAST(count(*) AS INT) AS cluster_size
+       FROM fp GROUP BY 1)
+SELECT fp.media_id, fp.fingerprint, cl.cluster_size,
+       CAST(CASE WHEN cl.cluster_size > 1 THEN 1 ELSE 0 END AS INT) AS is_dup
+FROM fp JOIN cl USING (fingerprint)
+ORDER BY fp.media_id
+"""
+
+
 _MEDIA_PROBE_N = 240
 
 
@@ -2858,6 +2967,7 @@ QUERIES = {
     "multimodal_decode_ogg": q_multimodal_decode_ogg,
     "warc_media_triage": q_warc_media_triage,
     "audio_quality_gate": q_audio_quality_gate,
+    "audio_fingerprint_dedup": q_audio_fingerprint_dedup,
     "multimodal_decode_png": q_multimodal_decode_png,
     "multimodal_decode_gif": q_multimodal_decode_gif,
     "multimodal_gif_frames": q_multimodal_gif_frames,
@@ -2901,6 +3011,7 @@ ORACLES = {
     "multimodal_decode_ogg": SQL_MULTIMODAL_DECODE_FLAC,
     "warc_media_triage": SQL_WARC_MEDIA_TRIAGE,
     "audio_quality_gate": SQL_AUDIO_QUALITY_GATE,
+    "audio_fingerprint_dedup": SQL_AUDIO_FINGERPRINT_DEDUP,
     "multimodal_decode_png": SQL_MULTIMODAL_DECODE_PNG,
     "multimodal_decode_gif": SQL_MULTIMODAL_DECODE_GIF,
     "multimodal_gif_frames": SQL_MULTIMODAL_GIF_FRAMES,

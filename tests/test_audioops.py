@@ -67,3 +67,61 @@ def test_audio_gate_query_matches_oracle(spark, ddb):
 
     compare_query(spark, ddb, q_audio_quality_gate, SQL_AUDIO_QUALITY_GATE,
                   SF_ORACLE)
+
+
+def test_fingerprint_golden_and_bounds():
+    from recon_spark.operators.audioops import _FP_FRAMES, audio_fingerprint
+
+    # 34 samples -> frames of exactly 2; energies strictly increasing
+    # -> all 16 bits set
+    s = []
+    for k in range(_FP_FRAMES):
+        s += [k + 1, k + 1]
+    assert audio_fingerprint(s) == (1 << 16) - 1
+    # strictly decreasing -> no bits
+    assert audio_fingerprint(s[::-1]) == 0
+    with pytest.raises(ValueError, match="needs"):
+        audio_fingerprint([1] * 16)
+
+
+@given(st.lists(st.integers(min_value=-16000, max_value=16000),
+                min_size=34, max_size=120),
+       st.integers(min_value=1, max_value=3))
+@settings(max_examples=100, deadline=None)
+def test_fingerprint_matches_naive_and_is_scale_invariant(samples, c):
+    from recon_spark.operators.audioops import audio_fingerprint
+
+    n = len(samples)
+    energies = [
+        sum(v * v for v in samples[k * n // 17:(k + 1) * n // 17])
+        for k in range(17)
+    ]
+    fp = sum(1 << k for k in range(16) if energies[k + 1] > energies[k])
+    assert audio_fingerprint(samples) == fp
+    assert audio_fingerprint([c * v for v in samples]) == fp
+
+
+def test_fingerprint_dedup_query_matches_oracle(spark, ddb):
+    from recon_spark.queries.extra import (
+        SQL_AUDIO_FINGERPRINT_DEDUP,
+        q_audio_fingerprint_dedup,
+    )
+    from tests.conftest import SF_ORACLE, compare_query
+
+    compare_query(spark, ddb, q_audio_fingerprint_dedup,
+                  SQL_AUDIO_FINGERPRINT_DEDUP, SF_ORACLE)
+
+
+def test_fingerprint_dedup_finds_every_injected_pair(spark):
+    """Every amplitude-doubled re-encode must land in its base track's
+    cluster (recall = 1.0 on the injected class), and the join-back
+    must be a broadcast, never a sort-merge."""
+    from recon_spark.queries.extra import q_audio_fingerprint_dedup
+
+    df = q_audio_fingerprint_dedup(spark, "/root/testdata/sf0.001")
+    rows = {r.media_id: r for r in df.collect()}
+    for i in range(1, 200, 4):
+        assert rows[i].fingerprint == rows[i - 1].fingerprint, i
+        assert rows[i].is_dup == 1 and rows[i - 1].is_dup == 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
