@@ -126,6 +126,7 @@ EXTENDED = [
     "warc_media_triage",
     "audio_quality_gate",
     "audio_fingerprint_dedup",
+    "audio_id3_tags",
 ]
 
 

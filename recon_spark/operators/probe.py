@@ -359,17 +359,80 @@ def probe_media_safe(payload: bytes) -> dict:
 
 # ------------------------------------------------------------- generators
 
+def encode_id3v2(frames: list[tuple[str, str]],
+                 utf16_ids: tuple[str, ...] = ()) -> bytes:
+    """Real ID3v2.3 tag: 10-byte header (syncsafe size) + text frames
+    (4-byte id, BE32 size, 2 flag bytes, encoding byte 0 = latin-1 or
+    1 = UTF-16 with BOM, then the text). ``utf16_ids`` selects which
+    frame ids are stored UTF-16 so both encodings appear in fixtures."""
+    body = bytearray()
+    for fid, text in frames:
+        if fid in utf16_ids:
+            payload = b"\x01" + text.encode("utf-16")  # BOM included
+        else:
+            payload = b"\x00" + text.encode("latin-1")
+        body += fid.encode("ascii") + struct.pack(">I", len(payload))
+        body += b"\x00\x00" + payload
+    sz = len(body)
+    if sz >= 1 << 28:
+        raise ValueError("id3: tag too large for syncsafe size")
+    return (b"ID3\x03\x00\x00"
+            + bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                     (sz >> 7) & 0x7F, sz & 0x7F])
+            + bytes(body))
+
+
+def parse_id3v2(p: bytes) -> dict[str, str]:
+    """Text frames of an ID3v2.3 tag -> {frame_id: text}. Handles both
+    text encodings (0 latin-1, 1 UTF-16/BOM), stops at zero padding,
+    skips non-text frames. Returns {} when no tag is present."""
+    if p[:3] != b"ID3":
+        return {}
+    if p[3] != 3:
+        raise ValueError(f"id3: unsupported major version {p[3]}")
+    sz = 0
+    for b in p[6:10]:
+        if b & 0x80:
+            raise ValueError("id3: bad syncsafe size")
+        sz = (sz << 7) | b
+    out: dict[str, str] = {}
+    pos, end = 10, 10 + sz
+    while pos + 10 <= end:
+        fid = p[pos:pos + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # zero padding
+        flen = struct.unpack_from(">I", p, pos + 4)[0]
+        payload = p[pos + 10:pos + 10 + flen]
+        if len(payload) != flen:
+            raise ValueError("id3: truncated frame")
+        if fid[:1] == b"T" and flen >= 1:
+            enc, text = payload[0], payload[1:]
+            if enc == 0:
+                out[fid.decode("ascii")] = text.decode("latin-1")
+            elif enc == 1:
+                out[fid.decode("ascii")] = text.decode("utf-16")
+            # other encodings (v2.4 utf-8 etc.) skipped, not errors
+        pos += 10 + flen
+    return out
+
+
 def encode_mp3_frames(n_frames: int, bitrate_kbps: int, sample_rate: int,
                       seed_tag: bytes, id3: bool = False,
-                      mode_mono: bool = False) -> bytes:
+                      mode_mono: bool = False,
+                      id3_frames: list[tuple[str, str]] | None = None,
+                      utf16_ids: tuple[str, ...] = ()) -> bytes:
     """Spec-valid MPEG-1 Layer III frame sequence: correct per-frame
     headers (sync/version/layer/bitrate/rate/alternating padding) and
     digest filler for the audio payload — a conformant parser walks it;
-    the probe never reads past the headers."""
+    the probe never reads past the headers. ``id3_frames`` prepends a
+    REAL ID3v2.3 tag with the given text frames; bare ``id3=True``
+    keeps the legacy opaque-filler tag (the skip path)."""
     bidx = _MP3_BITRATES.index(bitrate_kbps)
     ridx = _MP3_RATES.index(sample_rate)
     out = bytearray()
-    if id3:
+    if id3_frames is not None:
+        out += encode_id3v2(id3_frames, utf16_ids)
+    elif id3:
         tag = hashlib.sha256(seed_tag + b":id3").digest()
         sz = 20 + tag[0] % 40
         body = (tag * (sz // 32 + 1))[:sz]

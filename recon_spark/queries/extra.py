@@ -1628,6 +1628,102 @@ ORDER BY fp.media_id
 """
 
 
+_AUDIO_ID3_N = 200
+
+
+def q_audio_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio metadata mining (round 5): real ID3v2.3 tags parsed off
+    MP3 frame sequences — the caption/metadata pairing pass an audio
+    training pipeline runs (title/artist/album become the text side of
+    an audio-text pair) on a format whose AUDIO stays honestly
+    undecodable here. Both ID3 text encodings appear (TALB is UTF-16
+    with BOM on odd tracks, latin-1 otherwise — decoded text must be
+    identical) and the frame-header walk still yields duration from
+    the same payload. Tag strings are digest hex substrings, so the
+    oracle rebuilds every one with substr(sha256(...))."""
+    import pyarrow as pa
+
+    from recon_spark.operators.probe import (
+        encode_mp3_frames,
+        parse_id3v2,
+        probe_media,
+    )
+
+    def _gen_media(batches):
+        import hashlib
+
+        for batch in batches:
+            ids = batch.column("id").to_pylist()
+            payloads = []
+            for i in ids:
+                dh = hashlib.sha256(f"42:{i}".encode()).hexdigest()
+                frames = [("TIT2", "t-" + dh[:8]),
+                          ("TPE1", "a-" + dh[8:14]),
+                          ("TALB", "b-" + dh[14:18])]
+                payloads.append(encode_mp3_frames(
+                    3 + i % 6, 128, [44100, 48000, 32000][i % 3],
+                    f"42:{i}".encode(), id3_frames=frames,
+                    utf16_ids=("TALB",) if i % 2 == 1 else ()))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary())],
+                ["media_id", "payload"],
+            )
+
+    def _gen_tags(batches):
+        for batch in batches:
+            ids = batch.column("media_id").to_pylist()
+            cols = {k: [] for k in ("title", "artist", "album",
+                                    "n_frames", "duration_ms")}
+            for p in batch.column("payload").to_pylist():
+                p = bytes(p)
+                tags = parse_id3v2(p)
+                r = probe_media(p)
+                cols["title"].append(tags.get("TIT2", ""))
+                cols["artist"].append(tags.get("TPE1", ""))
+                cols["album"].append(tags.get("TALB", ""))
+                cols["n_frames"].append(r["n_frames"])
+                cols["duration_ms"].append(r["duration_ms"])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(cols["title"], pa.string()),
+                    pa.array(cols["artist"], pa.string()),
+                    pa.array(cols["album"], pa.string()),
+                    pa.array(cols["n_frames"], pa.int32()),
+                    pa.array(cols["duration_ms"], pa.int32()),
+                ],
+                ["media_id", "title", "artist", "album", "n_frames",
+                 "duration_ms"],
+            )
+
+    media = spark.range(0, _AUDIO_ID3_N).mapInArrow(
+        _gen_media, "media_id long, payload binary")
+    return (
+        media.mapInArrow(
+            _gen_tags,
+            "media_id long, title string, artist string, album string, "
+            "n_frames int, duration_ms int",
+        )
+        .orderBy("media_id")
+    )
+
+
+SQL_AUDIO_ID3_TAGS = f"""
+WITH ids AS (SELECT unnest(generate_series(0, {_AUDIO_ID3_N - 1})) AS media_id),
+dg AS (SELECT media_id, sha256('42:' || media_id) AS dh,
+              3 + media_id % 6 AS nf,
+              [44100, 48000, 32000][CAST(media_id % 3 AS INT) + 1] AS sr
+       FROM ids)
+SELECT media_id,
+       't-' || substr(dh, 1, 8) AS title,
+       'a-' || substr(dh, 9, 6) AS artist,
+       'b-' || substr(dh, 15, 4) AS album,
+       CAST(nf AS INT) AS n_frames,
+       CAST(nf * 1152 * 1000 // sr AS INT) AS duration_ms
+FROM dg ORDER BY media_id
+"""
+
+
 _MEDIA_PROBE_N = 240
 
 
@@ -2968,6 +3064,7 @@ QUERIES = {
     "warc_media_triage": q_warc_media_triage,
     "audio_quality_gate": q_audio_quality_gate,
     "audio_fingerprint_dedup": q_audio_fingerprint_dedup,
+    "audio_id3_tags": q_audio_id3_tags,
     "multimodal_decode_png": q_multimodal_decode_png,
     "multimodal_decode_gif": q_multimodal_decode_gif,
     "multimodal_gif_frames": q_multimodal_gif_frames,
@@ -3012,6 +3109,7 @@ ORACLES = {
     "warc_media_triage": SQL_WARC_MEDIA_TRIAGE,
     "audio_quality_gate": SQL_AUDIO_QUALITY_GATE,
     "audio_fingerprint_dedup": SQL_AUDIO_FINGERPRINT_DEDUP,
+    "audio_id3_tags": SQL_AUDIO_ID3_TAGS,
     "multimodal_decode_png": SQL_MULTIMODAL_DECODE_PNG,
     "multimodal_decode_gif": SQL_MULTIMODAL_DECODE_GIF,
     "multimodal_gif_frames": SQL_MULTIMODAL_GIF_FRAMES,

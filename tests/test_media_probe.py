@@ -221,3 +221,69 @@ def test_triage_selectivity_is_real(spark):
     # mp3 rows carry probe-derived duration without any decode
     mp3 = [r for r in rows if r.format == "mp3"]
     assert mp3 and all(r.duration_ms > 0 and r.decoded == 0 for r in mp3)
+
+
+# --------------------------------------------------------------------------
+# ID3v2.3 tag codec
+# --------------------------------------------------------------------------
+
+
+def test_id3_round_trip_both_encodings():
+    from recon_spark.operators.probe import encode_id3v2, parse_id3v2
+
+    frames = [("TIT2", "hello"), ("TPE1", "müller"), ("TALB", "albüm")]
+    tag = encode_id3v2(frames, utf16_ids=("TALB",))
+    assert tag[:5] == b"ID3\x03\x00"
+    got = parse_id3v2(tag)
+    assert got == dict(frames)
+    # the UTF-16 frame really is UTF-16 (BOM present after enc byte 1)
+    at = tag.find(b"TALB") + 10
+    assert tag[at] == 1 and tag[at + 1:at + 3] in (b"\xff\xfe", b"\xfe\xff")
+
+
+def test_id3_hand_built_tag_parses():
+    from recon_spark.operators.probe import parse_id3v2
+
+    # hand-laid-out v2.3 tag: one latin-1 TIT2 "Hi" + 4 padding bytes
+    frame = b"TIT2" + struct.pack(">I", 3) + b"\x00\x00" + b"\x00Hi"
+    body = frame + b"\x00\x00\x00\x00"
+    tag = b"ID3\x03\x00\x00" + bytes([0, 0, 0, len(body)]) + body
+    assert parse_id3v2(tag) == {"TIT2": "Hi"}
+
+
+def test_id3_skips_non_text_and_rejects_corruption():
+    from recon_spark.operators.probe import parse_id3v2
+
+    apic = b"APIC" + struct.pack(">I", 4) + b"\x00\x00" + b"\x89PNG"
+    tit2 = b"TIT2" + struct.pack(">I", 2) + b"\x00\x00" + b"\x00A"
+    body = apic + tit2
+    tag = b"ID3\x03\x00\x00" + bytes([0, 0, 0, len(body)]) + body
+    assert parse_id3v2(tag) == {"TIT2": "A"}  # APIC skipped, not an error
+    assert parse_id3v2(b"no tag here") == {}
+    with pytest.raises(ValueError, match="version"):
+        parse_id3v2(b"ID3\x04\x00\x00\x00\x00\x00\x00")
+    with pytest.raises(ValueError, match="truncated"):
+        parse_id3v2(tag[:-1])
+
+
+def test_id3_coexists_with_frame_walk():
+    """A real tag followed by real frames: tags parse AND the probe's
+    frame walk still lands on EOF with the right count."""
+    from recon_spark.operators.probe import (
+        encode_mp3_frames,
+        parse_id3v2,
+        probe_media,
+    )
+
+    p = encode_mp3_frames(5, 192, 48000, b"x",
+                          id3_frames=[("TIT2", "t"), ("TPE1", "a")])
+    assert parse_id3v2(p) == {"TIT2": "t", "TPE1": "a"}
+    r = probe_media(p)
+    assert r["n_frames"] == 5 and r["sample_rate"] == 48000
+
+
+def test_id3_query_matches_oracle(spark, ddb):
+    from recon_spark.queries.extra import SQL_AUDIO_ID3_TAGS, q_audio_id3_tags
+    from tests.conftest import SF_ORACLE, compare_query
+
+    compare_query(spark, ddb, q_audio_id3_tags, SQL_AUDIO_ID3_TAGS, SF_ORACLE)
