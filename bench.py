@@ -127,6 +127,7 @@ EXTENDED = [
     "audio_quality_gate",
     "audio_fingerprint_dedup",
     "audio_id3_tags",
+    "audio_flac_tags",
 ]
 
 

@@ -656,13 +656,20 @@ def encode_flac_parts(sample_rate: int, bps: int, chans: list[list[int]],
 
 
 def encode_flac(sample_rate: int, bps: int, chans: list[list[int]],
+                tags: list[tuple[str, str]] | None = None,
                 **kwargs) -> bytes:
-    """Native FLAC container: fLaC magic + STREAMINFO (marked last
-    metadata block) + frames. See ``encode_flac_parts`` for options."""
+    """Native FLAC container: fLaC magic + STREAMINFO + an optional
+    VORBIS_COMMENT block (``tags``; STREAMINFO then drops its
+    last-metadata flag) + frames. See ``encode_flac_parts`` for
+    options."""
     body, frames = encode_flac_parts(sample_rate, bps, chans, **kwargs)
     out = bytearray(b"fLaC")
-    out.append(0x80)  # last-metadata-block, type 0 (STREAMINFO)
+    out.append(0x00 if tags is not None else 0x80)  # type 0 STREAMINFO
     out += len(body).to_bytes(3, "big") + body
+    if tags is not None:
+        vc = encode_vorbis_comment(tags)
+        out.append(0x80 | 4)  # last-metadata-block, type 4
+        out += len(vc).to_bytes(3, "big") + vc
     for f in frames:
         out += f
     return bytes(out)
@@ -780,3 +787,57 @@ def first_frame_channel_mode(payload: bytes) -> str:
     if ch_code <= 7:
         return "independent"
     return {8: "left_side", 9: "right_side", 10: "mid_side"}[ch_code]
+
+
+def encode_vorbis_comment(tags: list[tuple[str, str]],
+                          vendor: str = "recon_spark") -> bytes:
+    """VORBIS_COMMENT metadata block body (FLAC block type 4; the
+    format is little-endian, unlike everything else in FLAC): vendor
+    length/string, comment count, then length-prefixed KEY=value
+    entries (keys ASCII, values UTF-8)."""
+    out = bytearray()
+    vb = vendor.encode("utf-8")
+    out += len(vb).to_bytes(4, "little") + vb
+    out += len(tags).to_bytes(4, "little")
+    for k, v in tags:
+        entry = f"{k}={v}".encode("utf-8")
+        out += len(entry).to_bytes(4, "little") + entry
+    return bytes(out)
+
+
+def parse_flac_tags(payload: bytes) -> dict[str, str]:
+    """VORBIS_COMMENT tags of a FLAC stream -> {KEY: value} (keys are
+    case-insensitive per the Vorbis spec — normalized to upper). {}
+    when the stream carries no comment block."""
+    if payload[:4] != b"fLaC":
+        raise ValueError("flac: bad magic")
+    pos = 4
+    out: dict[str, str] = {}
+    while True:
+        hdr = payload[pos]
+        last, btype = hdr >> 7, hdr & 0x7F
+        blen = int.from_bytes(payload[pos + 1:pos + 4], "big")
+        body = payload[pos + 4:pos + 4 + blen]
+        if len(body) != blen:
+            raise ValueError("flac: truncated metadata block")
+        if btype == 4:
+            at = 0
+            vlen = int.from_bytes(body[at:at + 4], "little")
+            at += 4 + vlen
+            count = int.from_bytes(body[at:at + 4], "little")
+            at += 4
+            for _ in range(count):
+                elen = int.from_bytes(body[at:at + 4], "little")
+                at += 4
+                entry = body[at:at + elen].decode("utf-8")
+                at += elen
+                if "=" not in entry:
+                    raise ValueError("flac: comment entry lacks '='")
+                k, v = entry.split("=", 1)
+                out[k.upper()] = v
+            if at > len(body):
+                raise ValueError("flac: truncated comment block")
+        pos += 4 + blen
+        if last:
+            break
+    return out

@@ -1724,6 +1724,96 @@ FROM dg ORDER BY media_id
 """
 
 
+def q_audio_flac_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC-native metadata mining (round 5): VORBIS_COMMENT blocks —
+    the ID3 analog for the lossless container, completing metadata
+    extraction across both audio tag systems — parsed together with
+    the header-probed STREAMINFO fields, off containers that still
+    decode + MD5-verify with the tag block present (the metadata walk
+    must not disturb the frame offset). Tag values exercise UTF-8 and
+    the '='-in-value edge; keys are case-folded per the Vorbis spec
+    (written lowercase, reported upper)."""
+    import pyarrow as pa
+
+    from recon_spark.operators.flac import (
+        _track_spec,
+        encode_flac,
+        parse_flac_tags,
+    )
+    from recon_spark.operators.probe import probe_media
+
+    def _gen_media(batches):
+        import hashlib
+
+        for batch in batches:
+            ids = batch.column("id").to_pylist()
+            payloads = []
+            for i in ids:
+                dh = hashlib.sha256(f"42:{i}".encode()).hexdigest()
+                spec, chans = _track_spec(i, 42)
+                payloads.append(encode_flac(
+                    spec["sr"], spec["bps"], chans, block_size=16,
+                    tags=[("title", "t-" + dh[:8]),
+                          ("ARTIST", "a-" + dh[8:14])],
+                    stereo_mode=spec["stereo_mode"],
+                    type_sel=spec["type_sel"],
+                    partition_order=spec["partition_order"],
+                    rice2=spec["rice2"], force_escape=spec["force_escape"],
+                ))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary())],
+                ["media_id", "payload"],
+            )
+
+    def _gen_tags(batches):
+        for batch in batches:
+            ids = batch.column("media_id").to_pylist()
+            cols = {k: [] for k in ("title", "artist", "sample_rate",
+                                    "n_samples")}
+            for p in batch.column("payload").to_pylist():
+                p = bytes(p)
+                tags = parse_flac_tags(p)
+                r = probe_media(p)
+                cols["title"].append(tags.get("TITLE", ""))
+                cols["artist"].append(tags.get("ARTIST", ""))
+                cols["sample_rate"].append(r["sample_rate"])
+                cols["n_samples"].append(r["n_frames"])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(cols["title"], pa.string()),
+                    pa.array(cols["artist"], pa.string()),
+                    pa.array(cols["sample_rate"], pa.int32()),
+                    pa.array(cols["n_samples"], pa.int32()),
+                ],
+                ["media_id", "title", "artist", "sample_rate", "n_samples"],
+            )
+
+    media = spark.range(0, _MEDIA_FLAC_N).mapInArrow(
+        _gen_media, "media_id long, payload binary")
+    return (
+        media.mapInArrow(
+            _gen_tags,
+            "media_id long, title string, artist string, sample_rate int, "
+            "n_samples int",
+        )
+        .orderBy("media_id")
+    )
+
+
+SQL_AUDIO_FLAC_TAGS = f"""
+WITH ids AS (SELECT unnest(generate_series(0, {_MEDIA_FLAC_N - 1})) AS media_id),
+dg AS (SELECT media_id, sha256('42:' || media_id) AS dh FROM ids)
+SELECT media_id,
+       't-' || substr(dh, 1, 8) AS title,
+       'a-' || substr(dh, 9, 6) AS artist,
+       CAST([8000, 16000, 22050, 44100][CAST(media_id % 4 AS INT) + 1]
+            AS INT) AS sample_rate,
+       CAST(40 + media_id % 32 AS INT) AS n_samples
+FROM dg ORDER BY media_id
+"""
+
+
 _MEDIA_PROBE_N = 240
 
 
@@ -3065,6 +3155,7 @@ QUERIES = {
     "audio_quality_gate": q_audio_quality_gate,
     "audio_fingerprint_dedup": q_audio_fingerprint_dedup,
     "audio_id3_tags": q_audio_id3_tags,
+    "audio_flac_tags": q_audio_flac_tags,
     "multimodal_decode_png": q_multimodal_decode_png,
     "multimodal_decode_gif": q_multimodal_decode_gif,
     "multimodal_gif_frames": q_multimodal_gif_frames,
@@ -3110,6 +3201,7 @@ ORACLES = {
     "audio_quality_gate": SQL_AUDIO_QUALITY_GATE,
     "audio_fingerprint_dedup": SQL_AUDIO_FINGERPRINT_DEDUP,
     "audio_id3_tags": SQL_AUDIO_ID3_TAGS,
+    "audio_flac_tags": SQL_AUDIO_FLAC_TAGS,
     "multimodal_decode_png": SQL_MULTIMODAL_DECODE_PNG,
     "multimodal_decode_gif": SQL_MULTIMODAL_DECODE_GIF,
     "multimodal_gif_frames": SQL_MULTIMODAL_GIF_FRAMES,

@@ -353,3 +353,51 @@ def test_decode_flac_query_matches_oracle(spark, ddb):
         spark, ddb, q_multimodal_decode_flac, SQL_MULTIMODAL_DECODE_FLAC,
         SF_ORACLE,
     )
+
+
+# --------------------------------------------------------------------------
+# VORBIS_COMMENT tags (round 5)
+# --------------------------------------------------------------------------
+
+
+def test_vorbis_comment_hand_built_block():
+    from recon_spark.operators.flac import parse_flac_tags
+
+    # hand-laid-out: STREAMINFO (not last) + type-4 block with one
+    # comment "TITLE=Hi" and vendor "v"
+    payload, _ = _hand_container()
+    info_block = payload[4:4 + 4 + 34]
+    vc = (b"\x01\x00\x00\x00" + b"v"
+          + b"\x01\x00\x00\x00"
+          + b"\x08\x00\x00\x00" + b"TITLE=Hi")
+    tagged = (b"fLaC"
+              + bytes([info_block[0] & 0x7F]) + info_block[1:]
+              + bytes([0x80 | 4]) + len(vc).to_bytes(3, "big") + vc
+              + payload[4 + 4 + 34:])
+    assert parse_flac_tags(tagged) == {"TITLE": "Hi"}
+    assert decode_flac(tagged)[2] == [[10, -3, 7, 7]]
+
+
+def test_vorbis_comment_round_trip_edges():
+    from recon_spark.operators.flac import encode_flac, parse_flac_tags
+
+    spec, chans = _track_spec(5, 42)
+    p = encode_flac(spec["sr"], spec["bps"], chans,
+                    tags=[("title", "héllo"), ("Artist", "x=y"),
+                          ("EMPTY", "")],
+                    stereo_mode=spec["stereo_mode"])
+    tags = parse_flac_tags(p)
+    # keys case-fold to upper; '=' in the value survives; UTF-8 decodes
+    assert tags == {"TITLE": "héllo", "ARTIST": "x=y", "EMPTY": ""}
+    # the tag block must not disturb decode or the MD5 pin
+    assert decode_flac(p)[2] == chans
+    # untagged containers report no tags, not an error
+    assert parse_flac_tags(encode_flac(8000, 8, [[1, 2, 3]])) == {}
+
+
+def test_flac_tags_query_matches_oracle(spark, ddb):
+    from recon_spark.queries.extra import SQL_AUDIO_FLAC_TAGS, q_audio_flac_tags
+    from tests.conftest import SF_ORACLE, compare_query
+
+    compare_query(spark, ddb, q_audio_flac_tags, SQL_AUDIO_FLAC_TAGS,
+                  SF_ORACLE)
