@@ -128,6 +128,7 @@ EXTENDED = [
     "audio_fingerprint_dedup",
     "audio_id3_tags",
     "audio_flac_tags",
+    "audio_chunks",
 ]
 
 

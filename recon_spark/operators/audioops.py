@@ -94,3 +94,32 @@ def audio_fingerprint(samples: list[int]) -> int:
         if energies[k + 1] > energies[k]:
             fp |= 1 << k
     return fp
+
+
+def audio_windows(samples: list[int], bps: int, win: int = 8
+                  ) -> list[dict]:
+    """Fixed-window segmentation with silence flags — the audio analog
+    of doc chunking (textstats' doc_chunks): ASR-style pipelines cut
+    tracks into training windows and trim leading/trailing silence
+    before feature extraction. Integer-only, window w covers samples
+    [w*win, min((w+1)*win, n)): per-window sum of squares and a silent
+    flag (mean square below the gate threshold squared, computed as
+    the exact integer comparison sum_sq < n_w * (fs >> 6)^2), plus a
+    kept flag marking the silence-trimmed span [first non-silent
+    window, last non-silent window]."""
+    fs = 1 << (bps - 1)
+    thr_sq = (fs >> 6) ** 2
+    n = len(samples)
+    wins = []
+    for w in range((n + win - 1) // win):
+        part = samples[w * win:(w + 1) * win]
+        sum_sq = sum(s * s for s in part)
+        wins.append({"win_idx": w, "n_samples": len(part),
+                     "sum_sq": sum_sq,
+                     "silent": sum_sq < len(part) * thr_sq})
+    non_silent = [w["win_idx"] for w in wins if not w["silent"]]
+    lo = min(non_silent) if non_silent else -1
+    hi = max(non_silent) if non_silent else -2
+    for w in wins:
+        w["kept"] = lo <= w["win_idx"] <= hi
+    return wins

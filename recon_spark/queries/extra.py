@@ -1814,6 +1814,111 @@ FROM dg ORDER BY media_id
 """
 
 
+def q_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence-aware audio segmentation (round 5) — the audio analog of
+    doc_chunks: FLAC-decoded tracks cut into fixed 8-sample training
+    windows with integer-exact per-window energy and silence flags,
+    and a kept flag marking the silence-TRIMMED span (leading/trailing
+    silent windows dropped, interior silence kept — the ASR-style
+    segmentation rule). The wasted-bit tracks are low-amplitude by
+    construction, so trimmed-away windows genuinely occur in the
+    fixture set. One row per window; every value integer, every flag
+    recomputed by the oracle from the digest PCM."""
+    import pyarrow as pa
+
+    from recon_spark.operators.audioops import audio_windows
+    from recon_spark.operators.flac import decode_flac, generate_media_flac
+
+    def _gen(batches):
+        for batch in batches:
+            ids = batch.column("media_id").to_pylist()
+            out = {k: [] for k in ("media_id", "win_idx", "n_samples",
+                                   "sum_sq", "silent", "kept")}
+            for mid, p in zip(ids, batch.column("payload").to_pylist()):
+                sr, bps, chans = decode_flac(bytes(p))
+                for w in audio_windows(chans[0], bps, win=8):
+                    out["media_id"].append(mid)
+                    out["win_idx"].append(w["win_idx"])
+                    out["n_samples"].append(w["n_samples"])
+                    out["sum_sq"].append(w["sum_sq"])
+                    out["silent"].append(1 if w["silent"] else 0)
+                    out["kept"].append(1 if w["kept"] else 0)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out["media_id"], pa.int64()),
+                    pa.array(out["win_idx"], pa.int32()),
+                    pa.array(out["n_samples"], pa.int32()),
+                    pa.array(out["sum_sq"], pa.int64()),
+                    pa.array(out["silent"], pa.int32()),
+                    pa.array(out["kept"], pa.int32()),
+                ],
+                ["media_id", "win_idx", "n_samples", "sum_sq", "silent",
+                 "kept"],
+            )
+
+    media = generate_media_flac(spark, _MEDIA_FLAC_N)
+    return (
+        media.select("media_id", "payload")
+        .mapInArrow(
+            _gen,
+            "media_id long, win_idx int, n_samples int, sum_sq long, "
+            "silent int, kept int",
+        )
+        .orderBy("media_id", "win_idx")
+    )
+
+
+SQL_AUDIO_CHUNKS = f"""
+WITH ids AS (SELECT unnest(generate_series(0, {_MEDIA_FLAC_N - 1})) AS media_id),
+p AS (
+  SELECT media_id, 40 + media_id % 32 AS ns,
+         CASE WHEN media_id % 2 = 0 THEN 16 ELSE 8 END AS bps,
+         (media_id % 6 = 2) AS wasted
+  FROM ids),
+dg AS (SELECT *, sha256('42:' || media_id) AS dh FROM p),
+db_t AS (
+  SELECT *, list_transform(generate_series(0, 31),
+      k -> CAST(concat('0x', substr(dh, 2 * k + 1, 2)) AS INT)) AS db
+  FROM dg),
+ch AS (
+  SELECT media_id, ns,
+         CASE WHEN bps = 16 THEN 32768 ELSE 128 END AS fs,
+         {_FLAC_CH_EXPR.format(off=0)} AS ch0
+  FROM db_t),
+w AS (
+  SELECT media_id, ns, fs, ch0,
+         unnest(generate_series(0, (ns + 7) // 8 - 1)) AS win_idx
+  FROM ch),
+seg AS (
+  SELECT media_id, win_idx,
+         least(8, ns - win_idx * 8) AS n_w,
+         CAST(coalesce(list_aggregate(list_transform(
+             generate_series(win_idx * 8 + 1, least((win_idx + 1) * 8, ns)),
+             j -> CAST(ch0[j] AS BIGINT) * ch0[j]), 'sum'), 0)
+             AS BIGINT) AS sum_sq,
+         fs
+  FROM w),
+flg AS (
+  SELECT media_id, win_idx, n_w, sum_sq,
+         CASE WHEN sum_sq < n_w * CAST((fs // 64) AS BIGINT) * (fs // 64)
+              THEN 1 ELSE 0 END AS silent
+  FROM seg),
+span AS (
+  SELECT media_id,
+         min(CASE WHEN silent = 0 THEN win_idx END) AS lo,
+         max(CASE WHEN silent = 0 THEN win_idx END) AS hi
+  FROM flg GROUP BY 1)
+SELECT f.media_id, CAST(f.win_idx AS INT) AS win_idx,
+       CAST(f.n_w AS INT) AS n_samples, f.sum_sq,
+       CAST(f.silent AS INT) AS silent,
+       CAST(CASE WHEN s.lo IS NOT NULL
+                  AND f.win_idx BETWEEN s.lo AND s.hi
+            THEN 1 ELSE 0 END AS INT) AS kept
+FROM flg f JOIN span s USING (media_id)
+ORDER BY f.media_id, f.win_idx
+"""
+
+
 _MEDIA_PROBE_N = 240
 
 
@@ -3156,6 +3261,7 @@ QUERIES = {
     "audio_fingerprint_dedup": q_audio_fingerprint_dedup,
     "audio_id3_tags": q_audio_id3_tags,
     "audio_flac_tags": q_audio_flac_tags,
+    "audio_chunks": q_audio_chunks,
     "multimodal_decode_png": q_multimodal_decode_png,
     "multimodal_decode_gif": q_multimodal_decode_gif,
     "multimodal_gif_frames": q_multimodal_gif_frames,
@@ -3202,6 +3308,7 @@ ORACLES = {
     "audio_fingerprint_dedup": SQL_AUDIO_FINGERPRINT_DEDUP,
     "audio_id3_tags": SQL_AUDIO_ID3_TAGS,
     "audio_flac_tags": SQL_AUDIO_FLAC_TAGS,
+    "audio_chunks": SQL_AUDIO_CHUNKS,
     "multimodal_decode_png": SQL_MULTIMODAL_DECODE_PNG,
     "multimodal_decode_gif": SQL_MULTIMODAL_DECODE_GIF,
     "multimodal_gif_frames": SQL_MULTIMODAL_GIF_FRAMES,

@@ -125,3 +125,46 @@ def test_fingerprint_dedup_finds_every_injected_pair(spark):
         assert rows[i].is_dup == 1 and rows[i - 1].is_dup == 1
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_audio_windows_trim_rule():
+    from recon_spark.operators.audioops import audio_windows
+
+    # leading silence trimmed, INTERIOR silence kept, trailing trimmed,
+    # short final window handled
+    ws = audio_windows([0] * 8 + [1000] * 8 + [0] * 8 + [2000] * 4 + [0] * 9,
+                       bps=16, win=8)
+    assert [w["kept"] for w in ws] == [False, True, True, True, False]
+    assert [w["silent"] for w in ws] == [True, False, True, False, True]
+    assert ws[-1]["n_samples"] == 5
+    # an all-silent track keeps nothing
+    assert all(not w["kept"] for w in audio_windows([0] * 20, 16))
+
+
+@given(st.lists(st.integers(min_value=-32768, max_value=32767),
+                min_size=1, max_size=100))
+@settings(max_examples=80, deadline=None)
+def test_audio_windows_partition_and_flags(samples):
+    from recon_spark.operators.audioops import audio_windows
+
+    ws = audio_windows(samples, bps=16, win=8)
+    # windows exactly partition the track
+    assert sum(w["n_samples"] for w in ws) == len(samples)
+    assert [w["win_idx"] for w in ws] == list(range(len(ws)))
+    for w in ws:
+        part = samples[w["win_idx"] * 8:w["win_idx"] * 8 + 8]
+        assert w["sum_sq"] == sum(s * s for s in part)
+        assert w["silent"] == (w["sum_sq"] < len(part) * 512 * 512)
+    kept = [w["win_idx"] for w in ws if w["kept"]]
+    non_silent = [w["win_idx"] for w in ws if not w["silent"]]
+    if non_silent:
+        assert kept == list(range(min(non_silent), max(non_silent) + 1))
+    else:
+        assert kept == []
+
+
+def test_audio_chunks_query_matches_oracle(spark, ddb):
+    from recon_spark.queries.extra import SQL_AUDIO_CHUNKS, q_audio_chunks
+    from tests.conftest import SF_ORACLE, compare_query
+
+    compare_query(spark, ddb, q_audio_chunks, SQL_AUDIO_CHUNKS, SF_ORACLE)
