@@ -129,6 +129,7 @@ EXTENDED = [
     "audio_id3_tags",
     "audio_flac_tags",
     "audio_chunks",
+    "multimodal_decode_video",
 ]
 
 

@@ -313,6 +313,19 @@ def _probe_ogg(p: bytes) -> dict:
     return out
 
 
+def _probe_avi(p: bytes) -> dict:
+    """MJPEG AVI: avih/strh headers only — no frame decode."""
+    from recon_spark.operators.video import parse_avi_header
+
+    hdr = parse_avi_header(p)
+    out = _empty()
+    out.update(format="avi", variant=hdr["handler"].lower().strip(),
+               width=hdr["width"], height=hdr["height"], channels=3,
+               bps=8, n_frames=hdr["n_frames"],
+               duration_ms=hdr["duration_ms"])
+    return out
+
+
 def probe_media(payload: bytes) -> dict:
     """Signature-dispatch header probe (see module docstring). Returns
     {format, variant, width, height, sample_rate, channels, bps,
@@ -332,6 +345,8 @@ def probe_media(payload: bytes) -> dict:
     if payload[:2] == JPEG_SIG:
         return _probe_jpeg(payload)
     if payload[:4] == b"RIFF":
+        if payload[8:12] == b"AVI ":
+            return _probe_avi(payload)
         return _probe_wav(payload)
     if payload[:4] == b"fLaC":
         return _probe_flac(payload)

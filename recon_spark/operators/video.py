@@ -1,0 +1,218 @@
+"""REAL video decode for the one class the stdlib can carry: MJPEG-AVI.
+
+Video was the last modality still behind the fake-decoder gate. The
+AVI container is RIFF (a struct walk — the same machinery the WAV path
+uses) and Motion-JPEG frames ARE baseline JPEGs, which multimodal.py
+already decodes for real. So the MJPEG-AVI class closes the video gate
+with genuine stdlib work, exactly the way the image/audio gates were
+closed:
+
+container (``encode_avi_mjpeg`` / ``decode_avi_frames``):
+- RIFF 'AVI ' form; LIST 'hdrl' with the 56-byte 'avih' main header
+  (micro-sec per frame, total frames, dims) and LIST 'strl' holding
+  the 'strh' stream header (fccType 'vids', handler 'MJPG',
+  dwScale/dwRate fps rational, dwLength) and the 'strf'
+  BITMAPINFOHEADER (biCompression 'MJPG')
+- LIST 'movi' with one '00dc' chunk per frame (odd sizes padded per
+  RIFF), each payload a genuine baseline JPEG
+- 'idx1' index: one entry per frame (AVIIF_KEYFRAME — every MJPEG
+  frame is independent), offsets relative to the movi LIST data start;
+  the decoder VERIFIES every index entry against the chunks it walked
+  (count, offset, length), so a desynced index is a hard error, not a
+  shrug
+
+decode verifies avih/strh/strf consistency (frame counts, handler,
+dims vs the first decoded frame) and returns (fps_rational, frames) —
+each frame decoded through multimodal.decode_jpeg, so the whole JPEG
+exactness contract (all-ones qtables + block-constant pixels decode
+bit-exactly) lifts to video: the DuckDB oracle recomputes per-frame
+pixel sums relationally. H.264-class codecs keep the honest gate.
+"""
+
+from __future__ import annotations
+
+import struct
+
+AVIIF_KEYFRAME = 0x10
+
+
+def _chunk(fourcc: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) % 2 else b""
+    return fourcc + struct.pack("<I", len(body)) + body + pad
+
+
+def _list(list_type: bytes, body: bytes) -> bytes:
+    return _chunk(b"LIST", list_type + body)
+
+
+def encode_avi_mjpeg(w: int, h: int, jpeg_frames: list[bytes],
+                     scale: int = 1, rate: int = 10) -> bytes:
+    """Spec-correct minimal MJPEG AVI: fps = rate/scale."""
+    n = len(jpeg_frames)
+    usec = 1_000_000 * scale // rate
+    avih = struct.pack(
+        "<14I", usec, 0, 0, 0x10, n, 0, 1, 0, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0,
+                                            scale, rate, 0, n, 0, 0xFFFF, 0)
+            + struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = _list(b"hdrl", _chunk(b"avih", avih)
+                 + _list(b"strl", _chunk(b"strh", strh)
+                         + _chunk(b"strf", strf)))
+    movi_body = bytearray()
+    offsets = []
+    for f in jpeg_frames:
+        # idx1 offsets are relative to the movi LIST data start (the
+        # 'movi' fourcc itself is at relative offset 0)
+        offsets.append(4 + len(movi_body))
+        movi_body += _chunk(b"00dc", f)
+    movi = _list(b"movi", bytes(movi_body))
+    idx = bytearray()
+    for off, f in zip(offsets, jpeg_frames):
+        idx += b"00dc" + struct.pack("<III", AVIIF_KEYFRAME, off, len(f))
+    body = b"AVI " + hdrl + movi + _chunk(b"idx1", bytes(idx))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _walk_chunks(data: bytes, pos: int, end: int):
+    while pos + 8 <= end:
+        fourcc = data[pos:pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        body_at = pos + 8
+        if body_at + size > end:
+            raise ValueError("avi: truncated chunk")
+        yield fourcc, body_at, size
+        pos = body_at + size + (size & 1)
+
+
+def parse_avi_header(payload: bytes) -> dict:
+    """Header-only AVI probe: avih/strh fields, no frame decode."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("avi: not a RIFF AVI form")
+    total = struct.unpack_from("<I", payload, 4)[0]
+    end = min(8 + total, len(payload))
+    avih = strh = None
+    for fourcc, at, size in _walk_chunks(payload, 12, end):
+        if fourcc == b"LIST" and payload[at:at + 4] == b"hdrl":
+            for f2, at2, sz2 in _walk_chunks(payload, at + 4, at + size):
+                if f2 == b"avih":
+                    avih = payload[at2:at2 + sz2]
+                elif f2 == b"LIST" and payload[at2:at2 + 4] == b"strl":
+                    for f3, at3, sz3 in _walk_chunks(payload, at2 + 4,
+                                                     at2 + sz2):
+                        if f3 == b"strh":
+                            strh = payload[at3:at3 + sz3]
+            break
+    if avih is None or strh is None:
+        raise ValueError("avi: missing avih/strh headers")
+    usec, _, _, _, n_frames = struct.unpack_from("<5I", avih, 0)
+    w, h = struct.unpack_from("<II", avih, 32)
+    if strh[:4] != b"vids":
+        raise ValueError("avi: first stream is not video")
+    handler = strh[4:8]
+    scale, rate = struct.unpack_from("<II", strh, 20)
+    return {"width": w, "height": h, "n_frames": n_frames,
+            "usec_per_frame": usec, "handler": handler.decode("ascii"),
+            "scale": scale, "rate": rate,
+            "duration_ms": n_frames * usec // 1000}
+
+
+def decode_avi_frames(payload: bytes) -> tuple[tuple[int, int], list[tuple]]:
+    """MJPEG-AVI -> ((rate, scale), [(w, h, comps, pixels) per frame]).
+
+    Walks movi '00dc' chunks through multimodal.decode_jpeg, verifies
+    the idx1 index entry-by-entry (count, flags, offset, length)
+    against the walked chunks, and cross-checks avih/strh frame counts
+    and dims vs the first decoded frame.
+    """
+    from recon_spark.operators.multimodal import decode_jpeg
+
+    hdr = parse_avi_header(payload)
+    if hdr["handler"] != "MJPG":
+        raise NotImplementedError(
+            f"avi: codec {hdr['handler']!r} needs a codec library; only "
+            "MJPG decodes stdlib-wise")
+    total = struct.unpack_from("<I", payload, 4)[0]
+    end = min(8 + total, len(payload))
+    frames = []
+    walked = []  # (movi-relative offset, length) per frame chunk
+    idx_body = None
+    for fourcc, at, size in _walk_chunks(payload, 12, end):
+        if fourcc == b"LIST" and payload[at:at + 4] == b"movi":
+            for f2, at2, sz2 in _walk_chunks(payload, at + 4, at + size):
+                if f2 == b"00dc":
+                    # relative to the LIST data start ('movi' fourcc = 0);
+                    # at2 points at the chunk BODY, the header is 8 before
+                    walked.append((at2 - 8 - at, sz2))
+                    frames.append(decode_jpeg(payload[at2:at2 + sz2]))
+        elif fourcc == b"idx1":
+            idx_body = payload[at:at + size]
+    if idx_body is None:
+        raise ValueError("avi: missing idx1 index")
+    if len(idx_body) != 16 * len(walked):
+        raise ValueError("avi: index entry count != frame chunks")
+    for k, (off, ln) in enumerate(walked):
+        ckid = idx_body[16 * k:16 * k + 4]
+        flags, ioff, iln = struct.unpack_from("<III", idx_body, 16 * k + 4)
+        if ckid != b"00dc" or not flags & AVIIF_KEYFRAME:
+            raise ValueError("avi: bad index entry")
+        if (ioff, iln) != (off, ln):
+            raise ValueError("avi: index desynced from movi chunks")
+    if hdr["n_frames"] != len(frames):
+        raise ValueError("avi: avih frame count != decoded frames")
+    if frames and (frames[0][0], frames[0][1]) != (hdr["width"], hdr["height"]):
+        raise ValueError("avi: header dims != first frame dims")
+    return (hdr["rate"], hdr["scale"]), frames
+
+
+def generate_media_avi(spark, n: int, seed: int = 42):
+    """Media table of GENUINE MJPEG AVIs: per video i, dims
+    (9 + i%8) x (9 + i%6), 2 + i%5 frames at rate [5,10,15][i%3] fps
+    (scale 1); frame f's 8x8 block (bx, by) is the constant
+    d[(5 + bx + 2*by + f) % 32] under the JPEG exactness contract, so
+    every decoded pixel of every frame is SQL-recomputable."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from recon_spark.operators.multimodal import MEDIA_META_DDL, encode_jpeg
+
+    def _gen(batches):
+        for batch in batches:
+            ids = batch.column("id").to_pylist()
+            payloads, metas = [], []
+            for i in ids:
+                d = hashlib.sha256(f"{seed}:{i}".encode()).digest()
+                w, h = 9 + i % 8, 9 + i % 6
+                nf = 2 + i % 5
+                rate = [5, 10, 15][i % 3]
+                frames = []
+                for f in range(nf):
+                    vals = [d[(5 + (x // 8) + 2 * (y // 8) + f) % 32]
+                            for y in range(h) for x in range(w)]
+                    frames.append(encode_jpeg(w, h, vals, samples=1))
+                payloads.append(encode_avi_mjpeg(w, h, frames, 1, rate))
+                metas.append(("video/x-msvideo", w, h, None,
+                              nf * 1000 // rate, "mjpeg"))
+            meta_arr = pa.StructArray.from_arrays(
+                [
+                    pa.array([m[0] for m in metas], pa.string()),
+                    pa.array([m[1] for m in metas], pa.int32()),
+                    pa.array([m[2] for m in metas], pa.int32()),
+                    pa.array([m[3] for m in metas], pa.int32()),
+                    pa.array([m[4] for m in metas], pa.int32()),
+                    pa.array([m[5] for m in metas], pa.string()),
+                ],
+                names=["media_type", "width", "height", "sample_rate",
+                       "duration_ms", "codec"],
+            )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary()),
+                 meta_arr],
+                ["media_id", "payload", "meta"],
+            )
+
+    return spark.range(0, n).mapInArrow(
+        _gen, f"media_id long, payload binary, meta struct<{MEDIA_META_DDL}>"
+    )

@@ -1919,6 +1919,105 @@ ORDER BY f.media_id, f.win_idx
 """
 
 
+_MEDIA_AVI_N = 150
+
+
+def q_multimodal_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode (round 5): MJPEG-AVI — the RIFF container
+    walked for real (avih/strh/strf headers, movi '00dc' frame chunks,
+    idx1 index VERIFIED entry-by-entry against the walked chunks) and
+    every frame decoded through the real baseline-JPEG path, so the
+    JPEG exactness contract lifts to video and the oracle recomputes
+    every frame's pixel stats relationally (per 8x8 block, weighted by
+    edge-clipped pixel counts, digest offset shifted per frame). One
+    row per frame with the container-parsed fps rational riding along.
+    H.264-class codecs keep the honest NotImplementedError gate."""
+    import pyarrow as pa
+
+    from recon_spark.operators.video import decode_avi_frames, generate_media_avi
+
+    def _gen(batches):
+        keys = ("frame_idx", "width", "height", "fps_rate", "n_values",
+                "px_sum", "px_min", "px_max")
+        for batch in batches:
+            ids = batch.column("media_id").to_pylist()
+            out = {k: [] for k in ("media_id", *keys)}
+            for mid, p in zip(ids, batch.column("payload").to_pylist()):
+                (rate, scale), frames = decode_avi_frames(bytes(p))
+                for fi, (w, h, comps, px) in enumerate(frames):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(fi)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["fps_rate"].append(rate // scale)
+                    out["n_values"].append(len(px))
+                    out["px_sum"].append(sum(px))
+                    out["px_min"].append(min(px))
+                    out["px_max"].append(max(px))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out["media_id"], pa.int64())]
+                + [pa.array(out[k],
+                            pa.int64() if k == "px_sum" else pa.int32())
+                   for k in keys],
+                ["media_id", *keys],
+            )
+
+    media = generate_media_avi(spark, _MEDIA_AVI_N)
+    return (
+        media.select("media_id", "payload")
+        .mapInArrow(
+            _gen,
+            "media_id long, frame_idx int, width int, height int, "
+            "fps_rate int, n_values int, px_sum long, px_min int, "
+            "px_max int",
+        )
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+SQL_MULTIMODAL_DECODE_VIDEO = f"""
+WITH ids AS (SELECT unnest(generate_series(0, {_MEDIA_AVI_N - 1})) AS media_id),
+p AS (
+  SELECT media_id, 9 + media_id % 8 AS w, 9 + media_id % 6 AS h,
+         2 + media_id % 5 AS nf,
+         [5, 10, 15][CAST(media_id % 3 AS INT) + 1] AS fps
+  FROM ids),
+dg AS (SELECT *, sha256('42:' || media_id) AS dh FROM p),
+db_t AS (
+  SELECT *, list_transform(generate_series(0, 31),
+      k -> CAST(concat('0x', substr(dh, 2 * k + 1, 2)) AS INT)) AS db
+  FROM dg),
+fr AS (
+  SELECT media_id, w, h, fps,
+         unnest(generate_series(0, nf - 1)) AS frame_idx
+  FROM db_t),
+blk AS (
+  -- block b = bx + 2*by over the 2x2 block grid (dims are 9..16 x
+  -- 9..14, so ceil(w/8) = ceil(h/8) = 2 always); value is the
+  -- digest byte shifted by the frame index, weight is the
+  -- edge-clipped pixel count
+  SELECT f.media_id, f.frame_idx, f.w, f.h, f.fps,
+         list_transform(generate_series(0, 3),
+             b -> d.db[(5 + (b % 2) + 2 * (b // 2) + f.frame_idx) % 32 + 1]
+         ) AS vals,
+         [8 * 8, (f.w - 8) * 8, 8 * (f.h - 8),
+          (f.w - 8) * (f.h - 8)] AS cnts
+  FROM fr f JOIN db_t d USING (media_id)),
+st AS (
+  SELECT media_id, frame_idx, w, h, fps,
+         CAST(coalesce(list_aggregate(list_transform(generate_series(1, 4),
+             b -> CAST(vals[b] AS BIGINT) * cnts[b]), 'sum'), 0)
+             AS BIGINT) AS px_sum,
+         list_min(vals) AS px_min, list_max(vals) AS px_max
+  FROM blk)
+SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(fps AS INT) AS fps_rate, CAST(w * h AS INT) AS n_values,
+       px_sum, CAST(px_min AS INT) AS px_min, CAST(px_max AS INT) AS px_max
+FROM st ORDER BY media_id, frame_idx
+"""
+
+
 _MEDIA_PROBE_N = 240
 
 
@@ -3262,6 +3361,7 @@ QUERIES = {
     "audio_id3_tags": q_audio_id3_tags,
     "audio_flac_tags": q_audio_flac_tags,
     "audio_chunks": q_audio_chunks,
+    "multimodal_decode_video": q_multimodal_decode_video,
     "multimodal_decode_png": q_multimodal_decode_png,
     "multimodal_decode_gif": q_multimodal_decode_gif,
     "multimodal_gif_frames": q_multimodal_gif_frames,
@@ -3309,6 +3409,7 @@ ORACLES = {
     "audio_id3_tags": SQL_AUDIO_ID3_TAGS,
     "audio_flac_tags": SQL_AUDIO_FLAC_TAGS,
     "audio_chunks": SQL_AUDIO_CHUNKS,
+    "multimodal_decode_video": SQL_MULTIMODAL_DECODE_VIDEO,
     "multimodal_decode_png": SQL_MULTIMODAL_DECODE_PNG,
     "multimodal_decode_gif": SQL_MULTIMODAL_DECODE_GIF,
     "multimodal_gif_frames": SQL_MULTIMODAL_GIF_FRAMES,

@@ -1,0 +1,143 @@
+"""MJPEG-AVI video codec (round 5) — the modality gate closer.
+
+Pinning strategy:
+- the RIFF/AVI structure is hand-verified field by field (avih layout,
+  strh fps rational, idx1 offsets relative to the movi LIST data
+  start, odd-chunk padding);
+- the idx1 index is VERIFIED by the decoder, proven by desyncing it;
+- each frame decodes through the already-pinned baseline-JPEG path, so
+  per-frame pixels inherit the JPEG exactness contract;
+- non-MJPG handlers must keep the honest NotImplementedError gate.
+"""
+
+import hashlib
+import struct
+
+import pytest
+
+from recon_spark.operators.multimodal import encode_jpeg
+from recon_spark.operators.video import (
+    decode_avi_frames,
+    encode_avi_mjpeg,
+    generate_media_avi,
+    parse_avi_header,
+)
+
+
+def _frames(i: int = 3, nf: int = 4, w: int = 11, h: int = 10):
+    d = hashlib.sha256(f"42:{i}".encode()).digest()
+    out = []
+    for f in range(nf):
+        vals = [d[(5 + (x // 8) + 2 * (y // 8) + f) % 32]
+                for y in range(h) for x in range(w)]
+        out.append((encode_jpeg(w, h, vals, samples=1), vals))
+    return out
+
+
+def test_avi_structure_fields():
+    frames = _frames()
+    avi = encode_avi_mjpeg(11, 10, [j for j, _ in frames], scale=1, rate=15)
+    assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+    # declared RIFF size covers the whole file
+    assert struct.unpack_from("<I", avi, 4)[0] + 8 == len(avi)
+    hdr = parse_avi_header(avi)
+    assert hdr["width"] == 11 and hdr["height"] == 10
+    assert hdr["n_frames"] == 4 and hdr["handler"] == "MJPG"
+    assert (hdr["rate"], hdr["scale"]) == (15, 1)
+    assert hdr["usec_per_frame"] == 1_000_000 // 15
+    assert hdr["duration_ms"] == 4 * (1_000_000 // 15) // 1000
+
+
+def test_frames_decode_bit_exactly():
+    frames = _frames()
+    avi = encode_avi_mjpeg(11, 10, [j for j, _ in frames], 1, 10)
+    (rate, scale), dec = decode_avi_frames(avi)
+    assert (rate, scale) == (10, 1)
+    assert len(dec) == 4
+    for (fw, fh, comps, px), (_, vals) in zip(dec, frames):
+        assert (fw, fh, comps) == (11, 10, 1)
+        assert px == vals
+
+
+def test_odd_sized_frame_chunks_are_padded():
+    # JPEG payloads of odd length force the RIFF pad byte; the walk
+    # and the index must both survive it
+    frames = _frames(i=7, nf=3, w=9, h=9)
+    sizes = [len(j) for j, _ in frames]
+    avi = encode_avi_mjpeg(9, 9, [j for j, _ in frames], 1, 5)
+    (rate, _), dec = decode_avi_frames(avi)
+    assert len(dec) == 3 and rate == 5
+    if all(s % 2 == 0 for s in sizes):  # force at least one odd payload
+        frames2 = [j + b"" for j, _ in frames]
+        assert decode_avi_frames(encode_avi_mjpeg(9, 9, frames2, 1, 5))
+
+
+def test_index_desync_detected():
+    frames = [j for j, _ in _frames()]
+    avi = bytearray(encode_avi_mjpeg(11, 10, frames, 1, 10))
+    at = avi.find(b"idx1")
+    # corrupt the first entry's offset field
+    off_at = at + 8 + 8
+    struct.pack_into("<I", avi, off_at,
+                     struct.unpack_from("<I", avi, off_at)[0] + 2)
+    with pytest.raises(ValueError, match="desync"):
+        decode_avi_frames(bytes(avi))
+    # drop the index entirely
+    with pytest.raises(ValueError, match="idx1"):
+        decode_avi_frames(bytes(avi[:at]))
+
+
+def test_frame_count_mismatch_detected():
+    frames = [j for j, _ in _frames()]
+    avi = bytearray(encode_avi_mjpeg(11, 10, frames, 1, 10))
+    at = avi.find(b"avih") + 8
+    struct.pack_into("<I", avi, at + 16, 5)  # dwTotalFrames lies
+    with pytest.raises(ValueError, match="frame count"):
+        decode_avi_frames(bytes(avi))
+
+
+def test_non_mjpg_handler_keeps_gate():
+    frames = [j for j, _ in _frames(nf=1)]
+    avi = bytearray(encode_avi_mjpeg(11, 10, frames, 1, 10))
+    at = avi.find(b"strh") + 8 + 4
+    avi[at:at + 4] = b"H264"
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_avi_frames(bytes(avi))
+
+
+def test_probe_handles_avi():
+    from recon_spark.operators.probe import probe_media
+
+    frames = [j for j, _ in _frames(nf=2)]
+    avi = encode_avi_mjpeg(11, 10, frames, 1, 10)
+    r = probe_media(avi)
+    assert (r["format"], r["variant"]) == ("avi", "mjpg")
+    assert (r["width"], r["height"], r["n_frames"]) == (11, 10, 2)
+    assert r["duration_ms"] == 200
+    # ... and RIFF/WAVE still routes to the WAV probe
+    from recon_spark.operators.multimodal import encode_wav
+
+    assert probe_media(encode_wav(8000, [1, 2, 3]))["format"] == "wav"
+
+
+def test_generate_media_avi_payloads_are_genuine(spark):
+    rows = generate_media_avi(spark, 8).collect()
+    assert len(rows) == 8
+    for r in rows:
+        p = bytes(r["payload"])
+        (rate, scale), dec = decode_avi_frames(p)
+        i = r["media_id"]
+        assert len(dec) == 2 + i % 5
+        assert rate == [5, 10, 15][i % 3]
+        assert r["meta"]["codec"] == "mjpeg"
+
+
+def test_decode_video_query_matches_oracle(spark, ddb):
+    from recon_spark.queries.extra import (
+        SQL_MULTIMODAL_DECODE_VIDEO,
+        q_multimodal_decode_video,
+    )
+    from tests.conftest import SF_ORACLE, compare_query
+
+    compare_query(spark, ddb, q_multimodal_decode_video,
+                  SQL_MULTIMODAL_DECODE_VIDEO, SF_ORACLE)
