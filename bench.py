@@ -130,6 +130,7 @@ EXTENDED = [
     "audio_flac_tags",
     "audio_chunks",
     "multimodal_decode_video",
+    "video_scene_cuts",
 ]
 
 

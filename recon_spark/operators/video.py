@@ -216,3 +216,81 @@ def generate_media_avi(spark, n: int, seed: int = 42):
     return spark.range(0, n).mapInArrow(
         _gen, f"media_id long, payload binary, meta struct<{MEDIA_META_DDL}>"
     )
+
+
+def frame_delta_cuts(frames: list[tuple]) -> list[dict]:
+    """Scene-cut detection over decoded frames — the shot-segmentation
+    pass a video training pipeline runs before sampling keyframes (one
+    frame per shot beats every-Nth when shots differ in length).
+    Per consecutive-frame transition: the integer L1 pixel delta and
+    the cut verdict ``delta_sum > n_values`` (within-shot jitter of
+    +/-1 per pixel sums to exactly n_values, so anything above it is a
+    content change, not jitter — an exact integer rule the oracle
+    replays)."""
+    out = []
+    for f in range(1, len(frames)):
+        w, h, _, px = frames[f]
+        _, _, _, prev = frames[f - 1]
+        if len(px) != len(prev):
+            raise ValueError("video: frame size changed mid-stream")
+        delta = sum(abs(a - b) for a, b in zip(px, prev))
+        out.append({"frame_idx": f, "delta_sum": delta,
+                    "is_cut": delta > w * h})
+    return out
+
+
+def generate_media_avi_shots(spark, n: int, seed: int = 42):
+    """MJPEG AVIs with INJECTED shot structure: video i has
+    6 + i%5 frames and one cut before frame 2 + i%3; block (bx, by) of
+    frame f is d[(5 + bx + 2*by + 9*shot) % 32] % 255 + f % 2 — the
+    ``% 255 + f % 2`` term adds exactly the +/-1 within-shot jitter the
+    cut rule must NOT fire on, while the shot term swaps the digest
+    window at the cut. All SQL-recomputable."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from recon_spark.operators.multimodal import MEDIA_META_DDL, encode_jpeg
+
+    def _gen(batches):
+        for batch in batches:
+            ids = batch.column("id").to_pylist()
+            payloads, metas = [], []
+            for i in ids:
+                d = hashlib.sha256(f"{seed}:{i}".encode()).digest()
+                w, h = 9 + i % 8, 9 + i % 6
+                nf = 6 + i % 5
+                cut = 2 + i % 3
+                frames = []
+                for f in range(nf):
+                    shot = 0 if f < cut else 1
+                    vals = [
+                        d[(5 + (x // 8) + 2 * (y // 8) + 9 * shot) % 32]
+                        % 255 + f % 2
+                        for y in range(h) for x in range(w)
+                    ]
+                    frames.append(encode_jpeg(w, h, vals, samples=1))
+                payloads.append(encode_avi_mjpeg(w, h, frames, 1, 10))
+                metas.append(("video/x-msvideo", w, h, None,
+                              nf * 100, "mjpeg"))
+            meta_arr = pa.StructArray.from_arrays(
+                [
+                    pa.array([m[0] for m in metas], pa.string()),
+                    pa.array([m[1] for m in metas], pa.int32()),
+                    pa.array([m[2] for m in metas], pa.int32()),
+                    pa.array([m[3] for m in metas], pa.int32()),
+                    pa.array([m[4] for m in metas], pa.int32()),
+                    pa.array([m[5] for m in metas], pa.string()),
+                ],
+                names=["media_type", "width", "height", "sample_rate",
+                       "duration_ms", "codec"],
+            )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary()),
+                 meta_arr],
+                ["media_id", "payload", "meta"],
+            )
+
+    return spark.range(0, n).mapInArrow(
+        _gen, f"media_id long, payload binary, meta struct<{MEDIA_META_DDL}>"
+    )

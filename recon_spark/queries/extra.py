@@ -2018,6 +2018,101 @@ FROM st ORDER BY media_id, frame_idx
 """
 
 
+_MEDIA_SHOTS_N = 120
+
+
+def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot segmentation over real MJPEG-AVI (round 5): decode every
+    frame, compute the integer L1 delta per consecutive-frame
+    transition, and fire the exact cut rule (delta > n_pixels — the
+    injected +/-1 per-pixel jitter sums to exactly n_pixels, so the
+    rule separates jitter from content change with no float
+    threshold). The fixture injects one shot boundary per video; the
+    oracle replays the block math for BOTH frames of every transition,
+    so a decode bug, a delta bug, or a mis-fired rule all hash-fail."""
+    import pyarrow as pa
+
+    from recon_spark.operators.video import (
+        decode_avi_frames,
+        frame_delta_cuts,
+        generate_media_avi_shots,
+    )
+
+    def _gen(batches):
+        for batch in batches:
+            ids = batch.column("media_id").to_pylist()
+            out = {k: [] for k in ("media_id", "frame_idx", "n_values",
+                                   "delta_sum", "is_cut")}
+            for mid, p in zip(ids, batch.column("payload").to_pylist()):
+                _, frames = decode_avi_frames(bytes(p))
+                w, h = frames[0][0], frames[0][1]
+                for c in frame_delta_cuts(frames):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(c["frame_idx"])
+                    out["n_values"].append(w * h)
+                    out["delta_sum"].append(c["delta_sum"])
+                    out["is_cut"].append(1 if c["is_cut"] else 0)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out["media_id"], pa.int64()),
+                    pa.array(out["frame_idx"], pa.int32()),
+                    pa.array(out["n_values"], pa.int32()),
+                    pa.array(out["delta_sum"], pa.int64()),
+                    pa.array(out["is_cut"], pa.int32()),
+                ],
+                ["media_id", "frame_idx", "n_values", "delta_sum", "is_cut"],
+            )
+
+    media = generate_media_avi_shots(spark, _MEDIA_SHOTS_N)
+    return (
+        media.select("media_id", "payload")
+        .mapInArrow(
+            _gen,
+            "media_id long, frame_idx int, n_values int, delta_sum long, "
+            "is_cut int",
+        )
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+SQL_VIDEO_SCENE_CUTS = f"""
+WITH ids AS (SELECT unnest(generate_series(0, {_MEDIA_SHOTS_N - 1})) AS media_id),
+p AS (
+  SELECT media_id, 9 + media_id % 8 AS w, 9 + media_id % 6 AS h,
+         6 + media_id % 5 AS nf, 2 + media_id % 3 AS cut
+  FROM ids),
+dg AS (SELECT *, sha256('42:' || media_id) AS dh FROM p),
+db_t AS (
+  SELECT *, list_transform(generate_series(0, 31),
+      k -> CAST(concat('0x', substr(dh, 2 * k + 1, 2)) AS INT)) AS db
+  FROM dg),
+tr AS (
+  SELECT media_id, w, h, cut, db,
+         unnest(generate_series(1, nf - 1)) AS frame_idx
+  FROM db_t),
+dl AS (
+  SELECT media_id, frame_idx, w, h,
+         -- block b = bx + 2*by; value of frame f's block =
+         -- db[(5 + bx + 2*by + 9*shot(f)) % 32 + 1] % 255 + f % 2
+         CAST(coalesce(list_aggregate(list_transform(generate_series(0, 3),
+           b -> CAST(abs(
+             (db[(5 + (b % 2) + 2 * (b // 2)
+                  + 9 * (CASE WHEN frame_idx >= cut THEN 1 ELSE 0 END))
+                 % 32 + 1] % 255 + frame_idx % 2)
+             - (db[(5 + (b % 2) + 2 * (b // 2)
+                    + 9 * (CASE WHEN frame_idx - 1 >= cut THEN 1 ELSE 0 END))
+                   % 32 + 1] % 255 + (frame_idx - 1) % 2)
+           ) AS BIGINT)
+           * ([8 * 8, (w - 8) * 8, 8 * (h - 8), (w - 8) * (h - 8)][b + 1])),
+           'sum'), 0) AS BIGINT) AS delta_sum
+  FROM tr)
+SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(w * h AS INT) AS n_values, delta_sum,
+       CAST(CASE WHEN delta_sum > w * h THEN 1 ELSE 0 END AS INT) AS is_cut
+FROM dl ORDER BY media_id, frame_idx
+"""
+
+
 _MEDIA_PROBE_N = 240
 
 
@@ -3362,6 +3457,7 @@ QUERIES = {
     "audio_flac_tags": q_audio_flac_tags,
     "audio_chunks": q_audio_chunks,
     "multimodal_decode_video": q_multimodal_decode_video,
+    "video_scene_cuts": q_video_scene_cuts,
     "multimodal_decode_png": q_multimodal_decode_png,
     "multimodal_decode_gif": q_multimodal_decode_gif,
     "multimodal_gif_frames": q_multimodal_gif_frames,
@@ -3410,6 +3506,7 @@ ORACLES = {
     "audio_flac_tags": SQL_AUDIO_FLAC_TAGS,
     "audio_chunks": SQL_AUDIO_CHUNKS,
     "multimodal_decode_video": SQL_MULTIMODAL_DECODE_VIDEO,
+    "video_scene_cuts": SQL_VIDEO_SCENE_CUTS,
     "multimodal_decode_png": SQL_MULTIMODAL_DECODE_PNG,
     "multimodal_decode_gif": SQL_MULTIMODAL_DECODE_GIF,
     "multimodal_gif_frames": SQL_MULTIMODAL_GIF_FRAMES,

@@ -141,3 +141,38 @@ def test_decode_video_query_matches_oracle(spark, ddb):
 
     compare_query(spark, ddb, q_multimodal_decode_video,
                   SQL_MULTIMODAL_DECODE_VIDEO, SF_ORACLE)
+
+
+def test_frame_delta_cuts_rule():
+    from recon_spark.operators.video import frame_delta_cuts
+
+    # frames as (w, h, comps, pixels): 2x2, jitter then a content change
+    a = (2, 2, 1, [10, 20, 30, 40])
+    b = (2, 2, 1, [11, 21, 31, 41])   # +1 everywhere: delta = 4 = n, no cut
+    c = (2, 2, 1, [90, 90, 90, 90])   # content change
+    cuts = frame_delta_cuts([a, b, c])
+    assert cuts[0] == {"frame_idx": 1, "delta_sum": 4, "is_cut": False}
+    assert cuts[1]["is_cut"] and cuts[1]["delta_sum"] > 4
+    with pytest.raises(ValueError, match="size changed"):
+        frame_delta_cuts([a, (3, 2, 1, [0] * 6)])
+
+
+def test_scene_cuts_find_every_injected_boundary(spark):
+    from recon_spark.queries.extra import q_video_scene_cuts
+
+    rows = q_video_scene_cuts(spark, "/root/testdata/sf0.001").collect()
+    by_vid = {}
+    for r in rows:
+        by_vid.setdefault(r.media_id, []).append(r)
+    assert len(by_vid) == 120
+    for mid, trs in by_vid.items():
+        cuts = [r.frame_idx for r in trs if r.is_cut == 1]
+        assert cuts == [2 + mid % 3], mid  # exactly the injected boundary
+
+
+def test_scene_cuts_query_matches_oracle(spark, ddb):
+    from recon_spark.queries.extra import SQL_VIDEO_SCENE_CUTS, q_video_scene_cuts
+    from tests.conftest import SF_ORACLE, compare_query
+
+    compare_query(spark, ddb, q_video_scene_cuts, SQL_VIDEO_SCENE_CUTS,
+                  SF_ORACLE)
