@@ -131,6 +131,7 @@ EXTENDED = [
     "audio_chunks",
     "multimodal_decode_video",
     "video_scene_cuts",
+    "video_keyframe_sample",
 ]
 
 

@@ -294,3 +294,38 @@ def generate_media_avi_shots(spark, n: int, seed: int = 42):
     return spark.range(0, n).mapInArrow(
         _gen, f"media_id long, payload binary, meta struct<{MEDIA_META_DDL}>"
     )
+
+
+def decode_avi_frame_at(payload: bytes, frame_idx: int) -> tuple:
+    """RANDOM-ACCESS frame decode through the idx1 index — the reason
+    the index exists: a sampling pipeline that wants every k-th frame
+    must not pay a full movi walk (let alone a full decode) per
+    container. Reads the index entry, seeks straight to the chunk,
+    validates the chunk header against the entry, and decodes that one
+    JPEG. O(index + one frame), not O(video)."""
+    from recon_spark.operators.multimodal import decode_jpeg
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("avi: not a RIFF AVI form")
+    total = struct.unpack_from("<I", payload, 4)[0]
+    end = min(8 + total, len(payload))
+    movi_at = idx_body = None
+    for fourcc, at, size in _walk_chunks(payload, 12, end):
+        if fourcc == b"LIST" and payload[at:at + 4] == b"movi":
+            movi_at = at
+        elif fourcc == b"idx1":
+            idx_body = payload[at:at + size]
+    if movi_at is None or idx_body is None:
+        raise ValueError("avi: missing movi/idx1")
+    if not 0 <= frame_idx < len(idx_body) // 16:
+        raise ValueError("avi: frame index out of range")
+    ckid = idx_body[16 * frame_idx:16 * frame_idx + 4]
+    flags, off, ln = struct.unpack_from("<III", idx_body, 16 * frame_idx + 4)
+    if ckid != b"00dc" or not flags & AVIIF_KEYFRAME:
+        raise ValueError("avi: bad index entry")
+    chunk_at = movi_at + off  # offsets relative to the movi LIST data start
+    if payload[chunk_at:chunk_at + 4] != b"00dc":
+        raise ValueError("avi: index seek landed off a frame chunk")
+    if struct.unpack_from("<I", payload, chunk_at + 4)[0] != ln:
+        raise ValueError("avi: index length != chunk length")
+    return decode_jpeg(payload[chunk_at + 8:chunk_at + 8 + ln])

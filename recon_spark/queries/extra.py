@@ -2113,6 +2113,94 @@ FROM dl ORDER BY media_id, frame_idx
 """
 
 
+def q_video_keyframe_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe sampling via INDEX SEEKS (round 5): the video-to-image
+    training pipeline samples every 3rd frame of each MJPEG AVI, and
+    pays for exactly those frames — parse_avi_header for the count,
+    then decode_avi_frame_at seeks each sampled frame through the idx1
+    index (O(index + frame), never a full movi walk or full decode).
+    Same per-frame pixel contract as multimodal_decode_video, so the
+    oracle is the same block math restricted to frame_idx % 3 == 0 —
+    sampling too many, too few, or the wrong frames all hash-fail."""
+    import pyarrow as pa
+
+    from recon_spark.operators.video import (
+        decode_avi_frame_at,
+        generate_media_avi,
+        parse_avi_header,
+    )
+
+    def _gen(batches):
+        for batch in batches:
+            ids = batch.column("media_id").to_pylist()
+            out = {k: [] for k in ("media_id", "frame_idx", "px_sum",
+                                   "px_min", "px_max")}
+            for mid, p in zip(ids, batch.column("payload").to_pylist()):
+                p = bytes(p)
+                nf = parse_avi_header(p)["n_frames"]
+                for fi in range(0, nf, 3):
+                    w, h, comps, px = decode_avi_frame_at(p, fi)
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(fi)
+                    out["px_sum"].append(sum(px))
+                    out["px_min"].append(min(px))
+                    out["px_max"].append(max(px))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out["media_id"], pa.int64()),
+                    pa.array(out["frame_idx"], pa.int32()),
+                    pa.array(out["px_sum"], pa.int64()),
+                    pa.array(out["px_min"], pa.int32()),
+                    pa.array(out["px_max"], pa.int32()),
+                ],
+                ["media_id", "frame_idx", "px_sum", "px_min", "px_max"],
+            )
+
+    media = generate_media_avi(spark, _MEDIA_AVI_N)
+    return (
+        media.select("media_id", "payload")
+        .mapInArrow(
+            _gen,
+            "media_id long, frame_idx int, px_sum long, px_min int, "
+            "px_max int",
+        )
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+SQL_VIDEO_KEYFRAME_SAMPLE = f"""
+WITH ids AS (SELECT unnest(generate_series(0, {_MEDIA_AVI_N - 1})) AS media_id),
+p AS (
+  SELECT media_id, 9 + media_id % 8 AS w, 9 + media_id % 6 AS h,
+         2 + media_id % 5 AS nf
+  FROM ids),
+dg AS (SELECT *, sha256('42:' || media_id) AS dh FROM p),
+db_t AS (
+  SELECT *, list_transform(generate_series(0, 31),
+      k -> CAST(concat('0x', substr(dh, 2 * k + 1, 2)) AS INT)) AS db
+  FROM dg),
+fr AS (
+  SELECT media_id, w, h,
+         unnest(generate_series(0, nf - 1, 3)) AS frame_idx
+  FROM db_t),
+blk AS (
+  SELECT f.media_id, f.frame_idx, f.w, f.h,
+         list_transform(generate_series(0, 3),
+             b -> d.db[(5 + (b % 2) + 2 * (b // 2) + f.frame_idx) % 32 + 1]
+         ) AS vals,
+         [8 * 8, (f.w - 8) * 8, 8 * (f.h - 8),
+          (f.w - 8) * (f.h - 8)] AS cnts
+  FROM fr f JOIN db_t d USING (media_id))
+SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(coalesce(list_aggregate(list_transform(generate_series(1, 4),
+           b -> CAST(vals[b] AS BIGINT) * cnts[b]), 'sum'), 0)
+           AS BIGINT) AS px_sum,
+       CAST(list_min(vals) AS INT) AS px_min,
+       CAST(list_max(vals) AS INT) AS px_max
+FROM blk ORDER BY media_id, frame_idx
+"""
+
+
 _MEDIA_PROBE_N = 240
 
 
@@ -3458,6 +3546,7 @@ QUERIES = {
     "audio_chunks": q_audio_chunks,
     "multimodal_decode_video": q_multimodal_decode_video,
     "video_scene_cuts": q_video_scene_cuts,
+    "video_keyframe_sample": q_video_keyframe_sample,
     "multimodal_decode_png": q_multimodal_decode_png,
     "multimodal_decode_gif": q_multimodal_decode_gif,
     "multimodal_gif_frames": q_multimodal_gif_frames,
@@ -3507,6 +3596,7 @@ ORACLES = {
     "audio_chunks": SQL_AUDIO_CHUNKS,
     "multimodal_decode_video": SQL_MULTIMODAL_DECODE_VIDEO,
     "video_scene_cuts": SQL_VIDEO_SCENE_CUTS,
+    "video_keyframe_sample": SQL_VIDEO_KEYFRAME_SAMPLE,
     "multimodal_decode_png": SQL_MULTIMODAL_DECODE_PNG,
     "multimodal_decode_gif": SQL_MULTIMODAL_DECODE_GIF,
     "multimodal_gif_frames": SQL_MULTIMODAL_GIF_FRAMES,

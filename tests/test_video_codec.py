@@ -176,3 +176,39 @@ def test_scene_cuts_query_matches_oracle(spark, ddb):
 
     compare_query(spark, ddb, q_video_scene_cuts, SQL_VIDEO_SCENE_CUTS,
                   SF_ORACLE)
+
+
+def test_index_seek_matches_full_decode():
+    from recon_spark.operators.video import decode_avi_frame_at
+
+    frames = _frames(i=5, nf=5)
+    avi = encode_avi_mjpeg(11, 10, [j for j, _ in frames], 1, 10)
+    _, full = decode_avi_frames(avi)
+    for k in range(5):
+        assert decode_avi_frame_at(avi, k) == full[k]
+    with pytest.raises(ValueError, match="out of range"):
+        decode_avi_frame_at(avi, 5)
+
+
+def test_index_seek_detects_lying_index():
+    import struct as _s
+
+    from recon_spark.operators.video import decode_avi_frame_at
+
+    frames = [j for j, _ in _frames(nf=3)]
+    avi = bytearray(encode_avi_mjpeg(11, 10, frames, 1, 10))
+    at = avi.find(b"idx1") + 8 + 8  # first entry's offset field
+    _s.pack_into("<I", avi, at, _s.unpack_from("<I", avi, at)[0] + 6)
+    with pytest.raises(ValueError, match="seek landed"):
+        decode_avi_frame_at(bytes(avi), 0)
+
+
+def test_keyframe_sample_query_matches_oracle(spark, ddb):
+    from recon_spark.queries.extra import (
+        SQL_VIDEO_KEYFRAME_SAMPLE,
+        q_video_keyframe_sample,
+    )
+    from tests.conftest import SF_ORACLE, compare_query
+
+    compare_query(spark, ddb, q_video_keyframe_sample,
+                  SQL_VIDEO_KEYFRAME_SAMPLE, SF_ORACLE)
