@@ -473,7 +473,10 @@ def _best_rice_param(res: list[int], pbits: int) -> int:
 
 def _write_residual(w: BitWriter, res: list[int], order: int, block_size: int,
                     po: int, rice2: bool, force_escape: bool) -> None:
-    if block_size % (1 << po) != 0 or (block_size >> po) < max(order, 1):
+    # strict conformance: the first partition must hold > 0 samples
+    # ((block_size >> po) - order >= 1) — libFLAC-class decoders reject
+    # the == case even though our lenient reader accepts it
+    if block_size % (1 << po) != 0 or (block_size >> po) <= order             or (block_size >> po) < 1:
         po = 0
     pbits = 5 if rice2 else 4
     escape = (1 << pbits) - 1
@@ -814,6 +817,8 @@ def parse_flac_tags(payload: bytes) -> dict[str, str]:
     pos = 4
     out: dict[str, str] = {}
     while True:
+        if pos + 4 > len(payload):
+            raise ValueError("flac: truncated metadata")
         hdr = payload[pos]
         last, btype = hdr >> 7, hdr & 0x7F
         blen = int.from_bytes(payload[pos + 1:pos + 4], "big")

@@ -64,7 +64,7 @@ _MP3_SAMPLES_PER_FRAME = 1152
 def _empty() -> dict:
     return {"format": "unknown", "variant": "", "width": 0, "height": 0,
             "sample_rate": 0, "channels": 0, "bps": 0, "n_frames": 0,
-            "duration_ms": 0}
+            "duration_ms": 0, "bitrate_kbps": 0}
 
 
 # ----------------------------------------------------------------- images
@@ -294,7 +294,8 @@ def _probe_mp3(p: bytes) -> dict:
     out = _empty()
     out.update(format="mp3", variant="mpeg1l3", sample_rate=sr,
                channels=channels, bps=0, n_frames=frames,
-               duration_ms=frames * _MP3_SAMPLES_PER_FRAME * 1000 // sr)
+               duration_ms=frames * _MP3_SAMPLES_PER_FRAME * 1000 // sr,
+               bitrate_kbps=br // 1000)
     return out
 
 

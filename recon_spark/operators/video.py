@@ -222,20 +222,21 @@ def frame_delta_cuts(frames: list[tuple]) -> list[dict]:
     """Scene-cut detection over decoded frames — the shot-segmentation
     pass a video training pipeline runs before sampling keyframes (one
     frame per shot beats every-Nth when shots differ in length).
-    Per consecutive-frame transition: the integer L1 pixel delta and
-    the cut verdict ``delta_sum > n_values`` (within-shot jitter of
-    +/-1 per pixel sums to exactly n_values, so anything above it is a
-    content change, not jitter — an exact integer rule the oracle
-    replays)."""
+    Per consecutive-frame transition: the integer L1 delta over ALL
+    decoded values and the cut verdict ``delta_sum > n_values`` where
+    n_values = len(pixels) (w*h for gray, w*h*3 for color — +/-1
+    jitter on every value sums to exactly n_values either way, so
+    anything above it is a content change, not jitter; thresholding on
+    w*h alone would misclassify color jitter as cuts)."""
     out = []
     for f in range(1, len(frames)):
-        w, h, _, px = frames[f]
+        _, _, _, px = frames[f]
         _, _, _, prev = frames[f - 1]
         if len(px) != len(prev):
             raise ValueError("video: frame size changed mid-stream")
         delta = sum(abs(a - b) for a, b in zip(px, prev))
         out.append({"frame_idx": f, "delta_sum": delta,
-                    "is_cut": delta > w * h})
+                    "is_cut": delta > len(px)})
     return out
 
 
@@ -305,8 +306,11 @@ def decode_avi_frame_at(payload: bytes, frame_idx: int) -> tuple:
     JPEG. O(index + one frame), not O(video)."""
     from recon_spark.operators.multimodal import decode_jpeg
 
-    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
-        raise ValueError("avi: not a RIFF AVI form")
+    hdr = parse_avi_header(payload)
+    if hdr["handler"] != "MJPG":
+        raise NotImplementedError(
+            f"avi: codec {hdr['handler']!r} needs a codec library; only "
+            "MJPG decodes stdlib-wise")
     total = struct.unpack_from("<I", payload, 4)[0]
     end = min(8 + total, len(payload))
     movi_at = idx_body = None

@@ -991,38 +991,35 @@ FROM s ORDER BY media_id
 """
 
 
-_MEDIA_FLAC_N = 200
-
-
-def q_multimodal_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real FLAC decode (round 5): genuine RFC 9639 containers covering
-    CONSTANT/VERBATIM/FIXED/LPC subframes, both Rice methods + escape
-    partitions, wasted bits, and all four channel modes (the stereo
-    mode is container-parsed from the first frame header, not assumed
-    — independence check vs the generator's policy). FLAC is lossless,
-    so per-channel sample stats must invert the digest derivation
-    bit-exactly; every frame CRC and the stream MD5 are verified on the
-    way (a corrupt container would kill the row, not skew a stat)."""
+def _flac_family_stats_df(media, container: str):
+    """Shared decode-stats kernel for the native-FLAC and Ogg-FLAC
+    queries: both carry the SAME digest PCM losslessly, so one kernel
+    (and one oracle) locks both containers — and the 0-sentinel /
+    column-schema conventions live in exactly one place."""
     import pyarrow as pa
 
-    from recon_spark.operators.flac import (
-        decode_flac,
-        first_frame_channel_mode,
-        generate_media_flac,
-    )
-
     def _gen(batches):
+        if container == "flac":
+            from recon_spark.operators.flac import decode_flac as _dec
+            from recon_spark.operators.flac import (
+                first_frame_channel_mode as _mode,
+            )
+        else:
+            from recon_spark.operators.ogg import decode_ogg_flac as _dec
+            from recon_spark.operators.ogg import (
+                ogg_flac_first_frame_mode as _mode,
+            )
         for batch in batches:
             ids = batch.column("media_id").to_pylist()
             cols = {k: [] for k in ("sr", "bps", "nch", "ns", "mode",
                                     "a0", "f0", "l0", "a1", "f1", "l1")}
             for p in batch.column("payload").to_pylist():
-                sr, bps, chans = decode_flac(bytes(p))  # verifies CRCs + MD5
+                sr, bps, chans = _dec(bytes(p))  # verifies CRCs + MD5
                 cols["sr"].append(sr)
                 cols["bps"].append(bps)
                 cols["nch"].append(len(chans))
                 cols["ns"].append(len(chans[0]))
-                cols["mode"].append(first_frame_channel_mode(bytes(p)))
+                cols["mode"].append(_mode(bytes(p)))
                 cols["a0"].append(sum(abs(s) for s in chans[0]))
                 cols["f0"].append(chans[0][0])
                 cols["l0"].append(chans[0][-1])
@@ -1056,7 +1053,6 @@ def q_multimodal_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "abs_sum_1", "first_1", "last_1"],
             )
 
-    media = generate_media_flac(spark, _MEDIA_FLAC_N)
     return (
         media.select("media_id", "payload")
         .mapInArrow(
@@ -1067,6 +1063,24 @@ def q_multimodal_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+_MEDIA_FLAC_N = 200
+
+
+def q_multimodal_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real FLAC decode (round 5): genuine RFC 9639 containers covering
+    CONSTANT/VERBATIM/FIXED/LPC subframes, both Rice methods + escape
+    partitions, wasted bits, and all four channel modes (the stereo
+    mode is container-parsed from the first frame header, not assumed
+    — independence check vs the generator's policy). FLAC is lossless,
+    so per-channel sample stats must invert the digest derivation
+    bit-exactly; every frame CRC and the stream MD5 are verified on the
+    way (a corrupt container would kill the row, not skew a stat)."""
+    from recon_spark.operators.flac import generate_media_flac
+
+    return _flac_family_stats_df(
+        generate_media_flac(spark, _MEDIA_FLAC_N), "flac")
 
 
 # FLAC is lossless, so the oracle recomputes the decoded PCM straight
@@ -1126,70 +1140,13 @@ def q_multimodal_decode_ogg(spark: SparkSession, sf_dir: str) -> DataFrame:
     generator's 2..6 segment cap forces multi-page streams and packet
     spans) wrapped around the SAME digest-derived FLAC frames as
     multimodal_decode_flac, so the lossless contract — and therefore
-    the ORACLE — is shared verbatim: a bug anywhere in the page walk,
-    packet reassembly, or mapping unwrap breaks the sample stats."""
-    import pyarrow as pa
+    the ORACLE and the decode-stats kernel — are shared verbatim: a
+    bug anywhere in the page walk, packet reassembly, or mapping
+    unwrap breaks the sample stats."""
+    from recon_spark.operators.ogg import generate_media_ogg
 
-    from recon_spark.operators.ogg import (
-        decode_ogg_flac,
-        generate_media_ogg,
-        ogg_flac_first_frame_mode,
-    )
-
-    def _gen(batches):
-        for batch in batches:
-            ids = batch.column("media_id").to_pylist()
-            cols = {k: [] for k in ("sr", "bps", "nch", "ns", "mode",
-                                    "a0", "f0", "l0", "a1", "f1", "l1")}
-            for p in batch.column("payload").to_pylist():
-                sr, bps, chans = decode_ogg_flac(bytes(p))
-                cols["sr"].append(sr)
-                cols["bps"].append(bps)
-                cols["nch"].append(len(chans))
-                cols["ns"].append(len(chans[0]))
-                cols["mode"].append(ogg_flac_first_frame_mode(bytes(p)))
-                cols["a0"].append(sum(abs(s) for s in chans[0]))
-                cols["f0"].append(chans[0][0])
-                cols["l0"].append(chans[0][-1])
-                if len(chans) == 2:
-                    cols["a1"].append(sum(abs(s) for s in chans[1]))
-                    cols["f1"].append(chans[1][0])
-                    cols["l1"].append(chans[1][-1])
-                else:
-                    cols["a1"].append(0)
-                    cols["f1"].append(0)
-                    cols["l1"].append(0)
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(ids, pa.int64()),
-                    pa.array(cols["sr"], pa.int32()),
-                    pa.array(cols["bps"], pa.int32()),
-                    pa.array(cols["nch"], pa.int32()),
-                    pa.array(cols["ns"], pa.int32()),
-                    pa.array(cols["mode"], pa.string()),
-                    pa.array(cols["a0"], pa.int64()),
-                    pa.array(cols["f0"], pa.int32()),
-                    pa.array(cols["l0"], pa.int32()),
-                    pa.array(cols["a1"], pa.int64()),
-                    pa.array(cols["f1"], pa.int32()),
-                    pa.array(cols["l1"], pa.int32()),
-                ],
-                ["media_id", "sample_rate", "bps", "n_channels", "n_samples",
-                 "stereo_mode", "abs_sum_0", "first_0", "last_0",
-                 "abs_sum_1", "first_1", "last_1"],
-            )
-
-    media = generate_media_ogg(spark, _MEDIA_FLAC_N)
-    return (
-        media.select("media_id", "payload")
-        .mapInArrow(
-            _gen,
-            "media_id long, sample_rate int, bps int, n_channels int, "
-            "n_samples int, stereo_mode string, abs_sum_0 long, first_0 int, "
-            "last_0 int, abs_sum_1 long, first_1 int, last_1 int",
-        )
-        .orderBy("media_id")
-    )
+    return _flac_family_stats_df(
+        generate_media_ogg(spark, _MEDIA_FLAC_N), "ogg")
 
 
 _WARC_AUDIO_N = 200
@@ -2220,7 +2177,8 @@ def q_multimodal_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _gen(batches):
         keys = ("format", "variant", "width", "height", "sample_rate",
-                "channels", "bps", "n_frames", "duration_ms")
+                "channels", "bps", "n_frames", "duration_ms",
+                "bitrate_kbps")
         for batch in batches:
             ids = batch.column("media_id").to_pylist()
             cols = {k: [] for k in keys}
@@ -2243,7 +2201,7 @@ def q_multimodal_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             _gen,
             "media_id long, format string, variant string, width int, "
             "height int, sample_rate int, channels int, bps int, "
-            "n_frames int, duration_ms int",
+            "n_frames int, duration_ms int, bitrate_kbps int",
         )
         .orderBy("media_id")
     )
@@ -2298,7 +2256,11 @@ SELECT media_id, fmt AS format, variant,
        CAST(n_frames AS INT) AS n_frames,
        CAST(CASE WHEN fmt IN ('wav','flac') THEN n_frames * 1000 // sample_rate
                  WHEN fmt = 'mp3' THEN n_frames * 1152 * 1000 // sample_rate
-                 ELSE 0 END AS INT) AS duration_ms
+                 ELSE 0 END AS INT) AS duration_ms,
+       CAST(CASE WHEN fmt = 'mp3'
+                 THEN [64, 96, 128, 192, 320]
+                      [CAST((media_id // 8) % 5 AS INT) + 1]
+                 ELSE 0 END AS INT) AS bitrate_kbps
 FROM s ORDER BY media_id
 """
 

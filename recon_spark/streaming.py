@@ -508,11 +508,13 @@ def stream_user_sessions_tws(
     (user_id, session_start_ms)), re-expressed on Spark 4's typed
     stateful-processor API instead of the flat GroupState struct:
 
-    - the per-user event buffer is a typed ``ListState`` (the state
-      store sees individual list elements, so appending a late event is
-      an element append, NOT a read-modify-write of one monolithic
-      struct row — the structural win over applyInPandasWithState,
-      where every touched user re-serializes its whole buffer);
+    - the per-user event buffer is a typed ``ListState``: when an
+      invocation seals nothing (the common case for an open session),
+      new events are written with ``appendList`` — an element append,
+      not a rewrite of one monolithic struct row, which is the
+      structural win over applyInPandasWithState (there every touched
+      user re-serializes its whole buffer); only a seal that CONSUMES
+      buffered events pays a full ``put`` of the surviving tail;
     - sealing is driven by REGISTERED TIMERS (``registerTimer`` +
       ``handleExpiredTimer``): each invocation re-registers exactly one
       timer at the earliest instant the user's open tail could seal
@@ -574,11 +576,11 @@ def stream_user_sessions_tws(
             return None if row is None else int(row[0])
 
         def _drain(self, key, new_ms, wm):
-            buf = (
+            had = (
                 [int(r[0]) for r in self._buf.get()]
                 if self._buf.exists() else []
             )
-            buf.extend(new_ms)
+            buf = had + list(new_ms)
             rows: list[tuple[int, int, int, int]] = []
             keep: list[int] = []
             next_seal = None
@@ -605,7 +607,14 @@ def stream_user_sessions_tws(
                         break
             old = self._active_timer()
             if keep:
-                self._buf.put([(ms,) for ms in keep])
+                if rows:
+                    # a seal consumed events: rewrite the surviving tail
+                    self._buf.put([(ms,) for ms in keep])
+                elif new_ms:
+                    # nothing sealed: element-append the new events only
+                    # (keep == sorted(had + new_ms); the store may hold
+                    # them unsorted — _drain re-sorts on every read)
+                    self._buf.appendList([(ms,) for ms in new_ms])
                 new_t = max(next_seal, wm + 1)
                 if old != new_t:
                     if old is not None:

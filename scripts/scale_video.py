@@ -22,59 +22,24 @@ import json
 import os
 import subprocess
 import sys
-import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from scripts._scale_common import (  # noqa: E402
+    force,
+    print_summary,
+    size_splits,
+    timed as _timed,
+    warm_python_workers as _warm_python_workers,
+)
+
 VID_N = 8000
 VID_FRAMES = 8
 VID_W, VID_H = 64, 48
 N_LO, N_HI = 2, 8
-
-
-def force(df) -> int:
-    row = df.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(
-            F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(1000000))
-        ).alias("chk"),
-    ).collect()[0]
-    return row["n"]
-
-
-def _timed(out: dict, name: str, fn, input_desc: str) -> None:
-    t0 = time.monotonic()
-    try:
-        n = force(fn())
-        out[name] = {"sec": round(time.monotonic() - t0, 2), "rows": n,
-                     "input": input_desc}
-    except Exception as e:  # noqa: BLE001
-        out[name] = {"sec": None, "rows": None, "input": input_desc,
-                     "err": str(e).replace("\n", " ")[:300]}
-
-
-def _warm_python_workers(spark) -> None:
-    def _ident(batches):
-        for b in batches:
-            yield b
-
-    cores = spark.sparkContext.defaultParallelism
-    spark.range(0, cores * 4, 1, cores).mapInArrow(_ident, "id long").count()
-
-
-def _size_splits(spark, staged: str) -> None:
-    total = sum(
-        os.path.getsize(os.path.join(staged, f))
-        for f in os.listdir(staged)
-        if f.endswith(".parquet")
-    )
-    cores = spark.sparkContext.defaultParallelism
-    tgt = max(4 * 1024 * 1024, total // (cores * 2))
-    spark.conf.set("spark.sql.files.maxPartitionBytes", str(tgt))
-    spark.conf.set("spark.sql.files.openCostInBytes", str(64 * 1024))
 
 
 def stage_avi(n: int) -> str:
@@ -149,7 +114,7 @@ def run_level(cores: int) -> dict:
 
     out: dict = {"cores": cores}
     staged = os.environ["RECON_SCALE_AVI_PARQUET"]
-    _size_splits(spark, staged)
+    size_splits(spark, staged)
     _warm_python_workers(spark)
     media = spark.read.parquet(staged)
     _timed(out, f"avi_scan_only_x{VID_N}",
@@ -179,15 +144,7 @@ def main() -> None:
         )
         levels[cores] = json.loads(r.stdout.strip().splitlines()[-1])
     print(json.dumps(levels, indent=2))
-    print("\n| op | t@%d | t@%d | eff (N->4N) |" % (N_LO, N_HI))
-    print("|---|---|---|---|")
-    for k in levels[N_LO]:
-        if k == "cores" or levels[N_LO][k].get("sec") is None:
-            continue
-        lo, hi = levels[N_LO][k]["sec"], levels[N_HI][k]["sec"]
-        if hi:
-            eff = (lo / hi) / (N_HI / N_LO)
-            print(f"| {k} | {lo} | {hi} | {eff:.3f} |")
+    print_summary(levels, N_LO, N_HI)
 
 
 if __name__ == "__main__":

@@ -101,10 +101,14 @@ def test_registry_sweep_pandas_roundtrip_and_hygiene(spark):
     leaked = (_tmp_trees() - before) - _allowed_staging_roots()
     # the session's own warehouse dir is per-PID and expected
     leaked = {p for p in leaked if not p.startswith("/tmp/recon_spark_warehouse_")}
-    # pyfiles zips are per-PID session artifacts (deploy.build_pyfiles_zip),
-    # not query-path leaks — and a CONCURRENT process (e.g. a spark-submit
-    # verify run) may drop its own zip mid-sweep
-    leaked = {p for p in leaked if not p.startswith("/tmp/recon_spark_pyfiles_")}
+    # pyfiles zips are per-PID session artifacts (deploy.build_pyfiles_zip):
+    # a CONCURRENT process (e.g. a spark-submit verify run) may drop its own
+    # zip mid-sweep — but a zip bearing OUR pid would be a genuine query-path
+    # leak, so only foreign-pid zips are excluded
+    _own_zip = f"/tmp/recon_spark_pyfiles_{os.getpid()}"
+    leaked = {p for p in leaked
+              if not (p.startswith("/tmp/recon_spark_pyfiles_")
+                      and not p.startswith(_own_zip))}
     assert leaked == set(), f"leaked /tmp trees after sweep: {sorted(leaked)}"
 
     # (c3) staging reuse: re-running every streaming query must create no
@@ -116,5 +120,7 @@ def test_registry_sweep_pandas_roundtrip_and_hygiene(spark):
             QUERIES[name](spark, SF_SMOKE).count()
     regrown = (_tmp_trees() - mid) - _allowed_staging_roots()
     regrown = {p for p in regrown if not p.startswith("/tmp/recon_spark_warehouse_")}
-    regrown = {p for p in regrown if not p.startswith("/tmp/recon_spark_pyfiles_")}
+    regrown = {p for p in regrown
+               if not (p.startswith("/tmp/recon_spark_pyfiles_")
+                       and not p.startswith(_own_zip))}
     assert regrown == set(), f"streaming rerun grew /tmp trees: {sorted(regrown)}"

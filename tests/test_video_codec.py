@@ -60,16 +60,28 @@ def test_frames_decode_bit_exactly():
 
 
 def test_odd_sized_frame_chunks_are_padded():
-    # JPEG payloads of odd length force the RIFF pad byte; the walk
-    # and the index must both survive it
-    frames = _frames(i=7, nf=3, w=9, h=9)
-    sizes = [len(j) for j, _ in frames]
-    avi = encode_avi_mjpeg(9, 9, [j for j, _ in frames], 1, 5)
+    # JPEG payloads of odd length force the RIFF pad byte; scan seeds
+    # until BOTH parities appear so the pad path is genuinely covered
+    odd = even = None
+    for i in range(40):
+        for j, vals in _frames(i=i, nf=1, w=9, h=9):
+            if len(j) % 2 and odd is None:
+                odd = (j, vals)
+            if len(j) % 2 == 0 and even is None:
+                even = (j, vals)
+        if odd and even:
+            break
+    assert odd is not None and even is not None, "need both parities"
+    payloads = [odd[0], even[0], odd[0]]
+    avi = encode_avi_mjpeg(9, 9, payloads, 1, 5)
     (rate, _), dec = decode_avi_frames(avi)
-    assert len(dec) == 3 and rate == 5
-    if all(s % 2 == 0 for s in sizes):  # force at least one odd payload
-        frames2 = [j + b"" for j, _ in frames]
-        assert decode_avi_frames(encode_avi_mjpeg(9, 9, frames2, 1, 5))
+    assert rate == 5 and len(dec) == 3
+    assert dec[0][3] == odd[1] and dec[1][3] == even[1]
+    # the index seek must also survive the pad bytes
+    from recon_spark.operators.video import decode_avi_frame_at
+
+    for k in range(3):
+        assert decode_avi_frame_at(avi, k) == dec[k]
 
 
 def test_index_desync_detected():
