@@ -132,6 +132,7 @@ EXTENDED = [
     "multimodal_decode_video",
     "video_scene_cuts",
     "video_keyframe_sample",
+    "warc_media_inventory",
 ]
 
 

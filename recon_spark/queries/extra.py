@@ -2158,6 +2158,85 @@ FROM blk ORDER BY media_id, frame_idx
 """
 
 
+def q_warc_media_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus media inventory (round 5): the rollup a data team reads
+    before planning decode compute — read_warc over the mixed shard,
+    probe_media_safe on EVERY record (html bytes included: they probe
+    to the 'unknown' class through the triage wrapper instead of
+    failing a task), then ONE tiny GROUP BY format carrying counts and
+    probe-derived duration/frame totals. No decoder runs at all; the
+    shuffle key space is the format set (single digits), the canonical
+    short-key-agg scale shape."""
+    import pyarrow as pa
+
+    from recon_spark.operators.probe import probe_media_safe
+    from recon_spark.warc import read_warc
+
+    out_dir = _stage_warc_media_audio(spark)
+    recs = read_warc(spark, out_dir)
+
+    def _gen(batches):
+        for batch in batches:
+            fmts, oks, durs, nfs = [], [], [], []
+            for p in batch.column("html").to_pylist():
+                r = probe_media_safe(bytes(p))
+                fmts.append(r["format"])
+                oks.append(1 if r["status"] == "ok" else 0)
+                durs.append(r["duration_ms"])
+                nfs.append(r["n_frames"])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(fmts, pa.string()), pa.array(oks, pa.int32()),
+                 pa.array(durs, pa.int64()), pa.array(nfs, pa.int64())],
+                ["format", "ok", "duration_ms", "n_frames"],
+            )
+
+    probed = recs.select("html").mapInArrow(
+        _gen, "format string, ok int, duration_ms long, n_frames long")
+    return (
+        probed.groupBy("format")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_records"),
+            F.sum("ok").cast("long").alias("n_ok"),
+            F.sum("duration_ms").cast("long").alias("total_duration_ms"),
+            F.sum("n_frames").cast("long").alias("total_frames"),
+        )
+        .orderBy("format")
+    )
+
+
+SQL_WARC_MEDIA_INVENTORY = f"""
+WITH ids AS (SELECT unnest(generate_series(0, {_WARC_AUDIO_N - 1})) AS media_id),
+p AS (
+  SELECT media_id, media_id % 5 AS cls,
+         40 + media_id % 32 AS fns,
+         [8000, 16000, 22050, 44100][CAST(media_id % 4 AS INT) + 1] AS fsr
+  FROM ids),
+m AS (
+  SELECT media_id,
+    CASE cls WHEN 0 THEN 'flac' WHEN 1 THEN 'ogg' WHEN 2 THEN 'mp3'
+             WHEN 3 THEN 'wav' ELSE 'png' END AS format,
+    1 AS ok,
+    CASE WHEN cls IN (0, 1) THEN fns * 1000 // fsr
+         WHEN cls = 2 THEN (3 + media_id % 6) * 1152 * 1000 // 44100
+         WHEN cls = 3 THEN (30 + media_id % 20) * 1000 // 8000
+         ELSE 0 END AS duration_ms,
+    CASE WHEN cls IN (0, 1) THEN fns WHEN cls = 2 THEN 3 + media_id % 6
+         WHEN cls = 3 THEN 30 + media_id % 20 ELSE 1 END AS n_frames
+  FROM p
+  UNION ALL
+  -- every media record has an html page record riding along: the
+  -- probe classifies those bytes 'unknown' through the safe wrapper
+  SELECT media_id, 'unknown' AS format, 0 AS ok, 0 AS duration_ms,
+         0 AS n_frames
+  FROM ids)
+SELECT format, CAST(count(*) AS BIGINT) AS n_records,
+       CAST(sum(ok) AS BIGINT) AS n_ok,
+       CAST(sum(duration_ms) AS BIGINT) AS total_duration_ms,
+       CAST(sum(n_frames) AS BIGINT) AS total_frames
+FROM m GROUP BY format ORDER BY format
+"""
+
+
 _MEDIA_PROBE_N = 240
 
 
@@ -3509,6 +3588,7 @@ QUERIES = {
     "multimodal_decode_video": q_multimodal_decode_video,
     "video_scene_cuts": q_video_scene_cuts,
     "video_keyframe_sample": q_video_keyframe_sample,
+    "warc_media_inventory": q_warc_media_inventory,
     "multimodal_decode_png": q_multimodal_decode_png,
     "multimodal_decode_gif": q_multimodal_decode_gif,
     "multimodal_gif_frames": q_multimodal_gif_frames,
@@ -3559,6 +3639,7 @@ ORACLES = {
     "multimodal_decode_video": SQL_MULTIMODAL_DECODE_VIDEO,
     "video_scene_cuts": SQL_VIDEO_SCENE_CUTS,
     "video_keyframe_sample": SQL_VIDEO_KEYFRAME_SAMPLE,
+    "warc_media_inventory": SQL_WARC_MEDIA_INVENTORY,
     "multimodal_decode_png": SQL_MULTIMODAL_DECODE_PNG,
     "multimodal_decode_gif": SQL_MULTIMODAL_DECODE_GIF,
     "multimodal_gif_frames": SQL_MULTIMODAL_GIF_FRAMES,

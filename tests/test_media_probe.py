@@ -287,3 +287,29 @@ def test_id3_query_matches_oracle(spark, ddb):
     from tests.conftest import SF_ORACLE, compare_query
 
     compare_query(spark, ddb, q_audio_id3_tags, SQL_AUDIO_ID3_TAGS, SF_ORACLE)
+
+
+def test_warc_media_inventory_matches_oracle(spark, ddb):
+    from recon_spark.queries.extra import (
+        SQL_WARC_MEDIA_INVENTORY,
+        q_warc_media_inventory,
+    )
+    from tests.conftest import SF_ORACLE, compare_query
+
+    compare_query(spark, ddb, q_warc_media_inventory,
+                  SQL_WARC_MEDIA_INVENTORY, SF_ORACLE)
+
+
+def test_inventory_classifies_every_record(spark):
+    """All six classes present (five media + 'unknown' for html), html
+    never counted ok, and the probe never drops a record."""
+    from recon_spark.queries.extra import _WARC_AUDIO_N, q_warc_media_inventory
+
+    rows = {r.format: r for r in
+            q_warc_media_inventory(spark, "/root/testdata/sf0.001").collect()}
+    assert set(rows) == {"flac", "ogg", "mp3", "wav", "png", "unknown"}
+    assert rows["unknown"].n_records == _WARC_AUDIO_N
+    assert rows["unknown"].n_ok == 0
+    assert sum(r.n_records for r in rows.values()) == 2 * _WARC_AUDIO_N
+    for f in ("flac", "ogg", "mp3", "wav", "png"):
+        assert rows[f].n_ok == rows[f].n_records == _WARC_AUDIO_N // 5
