@@ -133,6 +133,7 @@ EXTENDED = [
     "video_scene_cuts",
     "video_keyframe_sample",
     "warc_media_inventory",
+    "video_caption_align",
 ]
 
 

@@ -36,6 +36,7 @@ ORACLES = {**CORE_ORACLES, **PIPELINE_ORACLES, **EXTRA_ORACLES, **GRAPH_ORACLES}
 # html_to_text_v2, staging gained duplicate records), and the bucketed
 # continuous sessionizer.
 _NEVER_DRIVER_SAMPLED = [
+    "video_caption_align",
     "warc_media_inventory",
     "video_keyframe_sample",
     "video_scene_cuts",

@@ -2237,6 +2237,112 @@ FROM m GROUP BY format ORDER BY format
 """
 
 
+def q_video_caption_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-text pairing (round 5): SRT caption documents parsed
+    ENTIRELY JVM-side (blank-line split + timing-line regexp + epoch-ms
+    arithmetic + multi-line space-join — a whole-stage-codegen scan,
+    zero Python), aligned to shot boundaries derived from the DECODED
+    video (the scene-cut chain, not the generator formula), by the
+    midpoint rule: a cue belongs to the shot containing its temporal
+    midpoint. The cut table is one row per video, so the join-back
+    broadcasts; caption text and the hour-scale timestamps are digest-
+    derived, so the oracle recomputes the parse AND the alignment
+    relationally — a regexp bug, a time-math bug, a decode bug, or a
+    misaligned join all hash-fail."""
+    import pyarrow as pa
+
+    from recon_spark.operators.captions import parse_srt, srt_text
+    from recon_spark.operators.video import (
+        decode_avi_frames,
+        frame_delta_cuts,
+        generate_media_avi_shots,
+    )
+
+    def _gen_srt(batches):
+        import hashlib
+
+        for batch in batches:
+            ids = batch.column("id").to_pylist()
+            docs = []
+            for i in ids:
+                dh = hashlib.sha256(f"42:{i}".encode()).hexdigest()
+                nf, off = 6 + i % 5, (i % 40) * 97_000
+                n_cues = 2 + i % 3
+                cues = []
+                for k in range(n_cues):
+                    start = off + k * (nf * 100) // n_cues
+                    cap = "cap-" + dh[4 * k:4 * k + 4]
+                    if k % 2 == 1:
+                        cap += f"\nln2-{k}"  # two-line cue: parse joins
+                    cues.append((start, start + 80, cap))
+                docs.append(srt_text(cues))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(docs, pa.string())],
+                ["media_id", "srt"],
+            )
+
+    def _gen_cuts(batches):
+        for batch in batches:
+            ids = batch.column("media_id").to_pylist()
+            vids, cut_ms = [], []
+            for mid, p in zip(ids, batch.column("payload").to_pylist()):
+                _, frames = decode_avi_frames(bytes(p))
+                for c in frame_delta_cuts(frames):
+                    if c["is_cut"]:
+                        vids.append(mid)
+                        cut_ms.append(c["frame_idx"] * 100)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(vids, pa.int64()), pa.array(cut_ms, pa.int64())],
+                ["media_id", "cut_ms"],
+            )
+
+    srt_docs = spark.range(0, _MEDIA_SHOTS_N).mapInArrow(
+        _gen_srt, "media_id long, srt string")
+    cues = parse_srt(srt_docs, col="srt", key_col="media_id")
+    cuts = (
+        generate_media_avi_shots(spark, _MEDIA_SHOTS_N)
+        .select("media_id", "payload")
+        .mapInArrow(_gen_cuts, "media_id long, cut_ms long")
+    )
+    off = F.pmod(F.col("media_id"), F.lit(40)) * 97_000
+    return (
+        cues.join(F.broadcast(cuts), "media_id")
+        .select(
+            "media_id", "cue_idx", "start_ms", "end_ms", "caption",
+            F.when(F.col("start_ms") + 40 - off < F.col("cut_ms"), 0)
+            .otherwise(1).cast("int").alias("shot_idx"),
+        )
+        .orderBy("media_id", "cue_idx")
+    )
+
+
+SQL_VIDEO_CAPTION_ALIGN = f"""
+WITH ids AS (SELECT unnest(generate_series(0, {_MEDIA_SHOTS_N - 1})) AS media_id),
+p AS (
+  SELECT media_id, 6 + media_id % 5 AS nf, 2 + media_id % 3 AS cut,
+         (media_id % 40) * 97000 AS off, 2 + media_id % 3 AS n_cues,
+         sha256('42:' || media_id) AS dh
+  FROM ids),
+cue AS (
+  SELECT media_id, off, cut,
+         unnest(generate_series(0, n_cues - 1)) AS k,
+         nf, n_cues, dh
+  FROM p),
+c2 AS (
+  SELECT media_id, CAST(k + 1 AS INT) AS cue_idx,
+         CAST(off + k * (nf * 100) // n_cues AS BIGINT) AS start_ms,
+         CAST(off + k * (nf * 100) // n_cues + 80 AS BIGINT) AS end_ms,
+         CASE WHEN k % 2 = 1
+              THEN 'cap-' || substr(dh, 4 * k + 1, 4) || ' ln2-' || k
+              ELSE 'cap-' || substr(dh, 4 * k + 1, 4) END AS caption,
+         CAST(CASE WHEN k * (nf * 100) // n_cues + 40 < cut * 100
+              THEN 0 ELSE 1 END AS INT) AS shot_idx
+  FROM cue)
+SELECT media_id, cue_idx, start_ms, end_ms, caption, shot_idx
+FROM c2 ORDER BY media_id, cue_idx
+"""
+
+
 _MEDIA_PROBE_N = 240
 
 
@@ -3589,6 +3695,7 @@ QUERIES = {
     "video_scene_cuts": q_video_scene_cuts,
     "video_keyframe_sample": q_video_keyframe_sample,
     "warc_media_inventory": q_warc_media_inventory,
+    "video_caption_align": q_video_caption_align,
     "multimodal_decode_png": q_multimodal_decode_png,
     "multimodal_decode_gif": q_multimodal_decode_gif,
     "multimodal_gif_frames": q_multimodal_gif_frames,
@@ -3640,6 +3747,7 @@ ORACLES = {
     "video_scene_cuts": SQL_VIDEO_SCENE_CUTS,
     "video_keyframe_sample": SQL_VIDEO_KEYFRAME_SAMPLE,
     "warc_media_inventory": SQL_WARC_MEDIA_INVENTORY,
+    "video_caption_align": SQL_VIDEO_CAPTION_ALIGN,
     "multimodal_decode_png": SQL_MULTIMODAL_DECODE_PNG,
     "multimodal_decode_gif": SQL_MULTIMODAL_DECODE_GIF,
     "multimodal_gif_frames": SQL_MULTIMODAL_GIF_FRAMES,
