@@ -79,3 +79,71 @@ def parse_srt(df: DataFrame, col: str = "srt", key_col: str = "doc_id"
             caption.alias("caption"),
         )
     )
+
+
+_VTT_TIME_RE = (
+    r"(?:(\d{2,}):)?(\d{2}):(\d{2})\.(\d{3})\s*-->\s*"
+    r"(?:(\d{2,}):)?(\d{2}):(\d{2})\.(\d{3})"
+)
+
+
+def _vtt_ms(cue: Column, group0: int) -> Column:
+    h = F.coalesce(
+        F.nullif(F.regexp_extract(cue, _VTT_TIME_RE, group0 + 1), F.lit("")),
+        F.lit("0"),
+    ).cast("long")
+    m = F.regexp_extract(cue, _VTT_TIME_RE, group0 + 2).cast("long")
+    s = F.regexp_extract(cue, _VTT_TIME_RE, group0 + 3).cast("long")
+    ms = F.regexp_extract(cue, _VTT_TIME_RE, group0 + 4).cast("long")
+    return h * 3_600_000 + m * 60_000 + s * 1_000 + ms
+
+
+def vtt_text(cues: list[tuple[int, int, str]]) -> str:
+    """WebVTT twin of srt_text: 'WEBVTT' header, '.' millisecond
+    separator, OPTIONAL hours (omitted when zero — the spec's short
+    form, which the parser must handle), no cue numbers."""
+
+    def _fmt(t: int) -> str:
+        hh = t // 3_600_000
+        rest = (f"{t // 60_000 % 60:02d}:{t // 1_000 % 60:02d}."
+                f"{t % 1_000:03d}")
+        return f"{hh:02d}:{rest}" if hh else rest
+
+    blocks = ["WEBVTT"]
+    for start, end, caption in cues:
+        blocks.append(f"{_fmt(start)} --> {_fmt(end)}\n{caption}")
+    return "\n\n".join(blocks) + "\n"
+
+
+def parse_vtt(df: DataFrame, col: str = "srt", key_col: str = "doc_id"
+              ) -> DataFrame:
+    """WebVTT -> the SAME cue table parse_srt emits: (key, cue_idx,
+    start_ms, end_ms, caption). Differences handled: the WEBVTT header
+    block (dropped by the timing filter), '.' millisecond separator,
+    optional hour component, NO cue numbers (cue_idx is the 1-based
+    position among valid cues of the document, matching SRT numbering
+    for well-formed files). JVM-only, like parse_srt."""
+    from pyspark.sql import Window
+
+    cues = F.split(F.col(col), r"\r?\n\r?\n")
+    ex = df.select(F.col(key_col), F.posexplode(cues).alias("pos", "cue"))
+    timing = F.regexp_extract("cue", _VTT_TIME_RE, 0)
+    caption = F.trim(
+        F.regexp_replace(
+            F.regexp_extract("cue", r"(?s)-->[^\n]*\n(.*)$", 1),
+            r"\s*\r?\n\s*", " ",
+        )
+    )
+    w = Window.partitionBy(key_col).orderBy("pos")
+    return (
+        ex.where(timing != "")
+        .select(
+            key_col,
+            F.col("pos"),
+            _vtt_ms(F.col("cue"), 0).alias("start_ms"),
+            _vtt_ms(F.col("cue"), 4).alias("end_ms"),
+            caption.alias("caption"),
+        )
+        .withColumn("cue_idx", F.row_number().over(w).cast("int"))
+        .select(key_col, "cue_idx", "start_ms", "end_ms", "caption")
+    )

@@ -2248,10 +2248,19 @@ def q_video_caption_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts; caption text and the hour-scale timestamps are digest-
     derived, so the oracle recomputes the parse AND the alignment
     relationally — a regexp bug, a time-math bug, a decode bug, or a
-    misaligned join all hash-fail."""
+    misaligned join all hash-fail. HALF the documents are WebVTT
+    (odd media_id: 'WEBVTT' header, '.' millisecond separator,
+    optional-hours short form, no cue numbers) — both subtitle formats
+    must parse to the IDENTICAL cue table or the shared oracle
+    breaks."""
     import pyarrow as pa
 
-    from recon_spark.operators.captions import parse_srt, srt_text
+    from recon_spark.operators.captions import (
+        parse_srt,
+        parse_vtt,
+        srt_text,
+        vtt_text,
+    )
     from recon_spark.operators.video import (
         decode_avi_frames,
         frame_delta_cuts,
@@ -2275,7 +2284,8 @@ def q_video_caption_align(spark: SparkSession, sf_dir: str) -> DataFrame:
                     if k % 2 == 1:
                         cap += f"\nln2-{k}"  # two-line cue: parse joins
                     cues.append((start, start + 80, cap))
-                docs.append(srt_text(cues))
+                docs.append(srt_text(cues) if i % 2 == 0
+                            else vtt_text(cues))
             yield pa.RecordBatch.from_arrays(
                 [pa.array(ids, pa.int64()), pa.array(docs, pa.string())],
                 ["media_id", "srt"],
@@ -2296,9 +2306,15 @@ def q_video_caption_align(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ["media_id", "cut_ms"],
             )
 
-    srt_docs = spark.range(0, _MEDIA_SHOTS_N).mapInArrow(
+    docs = spark.range(0, _MEDIA_SHOTS_N).mapInArrow(
         _gen_srt, "media_id long, srt string")
-    cues = parse_srt(srt_docs, col="srt", key_col="media_id")
+    cues = parse_srt(
+        docs.where(F.pmod("media_id", F.lit(2)) == 0),
+        col="srt", key_col="media_id",
+    ).unionByName(parse_vtt(
+        docs.where(F.pmod("media_id", F.lit(2)) == 1),
+        col="srt", key_col="media_id",
+    ))
     cuts = (
         generate_media_avi_shots(spark, _MEDIA_SHOTS_N)
         .select("media_id", "payload")
