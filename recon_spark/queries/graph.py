@@ -1102,7 +1102,215 @@ GROUP BY 1 ORDER BY s
 """
 
 
+# --------------------------------------------------------------------------
+# RDF interchange (recon_spark/rdf.py): N-Triples / N-Quads, the format
+# Web Data Commons ships its Common-Crawl KG in. Three angles:
+#   - rdf_ntriples_roundtrip — the canonical KG through the distributed
+#     .nt sink and back; parse(serialize(kg)) == kg proves the format
+#     leg lossless on real data (the loaders.py to_disk/from_disk
+#     contract in KG-native form).
+#   - rdf_nquads_provenance — per-page quads with the source URL as the
+#     4th term (the WDC layout); the graph term survives the file trip.
+#   - rdf_escape_gauntlet — adversarial strings (quotes, backslashes,
+#     newlines, tabs, %, angle brackets, non-ASCII). The oracle never
+#     runs the serializer: it constructs input AND expected line from
+#     the same clean hex token, writing the escaped bytes out literally
+#     (spec knowledge, not code replay) — any escape-order or
+#     double-encode bug hash-fails.
+# --------------------------------------------------------------------------
+
+_RDF_STAGING: dict[tuple[str, str], str] = {}
+
+
+def _stage_rdf(spark: SparkSession, sf_dir: str, kind: str, df: DataFrame) -> str:
+    """Write `df.line` once per (sf_dir, kind) through the distributed
+    text sink; later calls reuse the shards (same memoization pattern
+    as the WARC staging in queries/pipeline.py)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from recon_spark.rdf import write_ntriples
+
+    key = (os.path.abspath(sf_dir), kind)
+    if key not in _RDF_STAGING:
+        out = tempfile.mkdtemp(prefix=f"recon_rdf_{kind}_")
+        atexit.register(shutil.rmtree, out, ignore_errors=True)
+        write_ntriples(df, out)
+        _RDF_STAGING[key] = out
+    return _RDF_STAGING[key]
+
+
+def q_rdf_ntriples_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical KG -> N-Triples shards -> parse -> local names. The
+    result equals the canonical triple set iff serialize/write/read/
+    parse is the identity; the whole chain is JVM-side (concat/replace
+    escaping, one anchored regex) with Spark's text writer as the sink
+    — map-only both directions, no Python, no shuffle until the final
+    orderBy."""
+    from recon_spark.queries.core import canonicalize_triples
+    from recon_spark.rdf import ENT, PRED, local_name, read_ntriples, serialize_triples
+
+    kg = canonicalize_triples(
+        spark, extract_triples_tokens(_docs(spark, sf_dir))
+    ).select("subj", "pred", "obj")
+    out = _stage_rdf(spark, sf_dir, "nt", serialize_triples(kg))
+    parsed = read_ntriples(spark, out)
+    return parsed.select(
+        local_name("subj", ENT).alias("subj"),
+        local_name("pred", PRED).alias("pred"),
+        F.col("obj_lit").alias("obj"),
+    ).orderBy("subj", "pred", "obj")
+
+
+SQL_RDF_NTRIPLES_ROUNDTRIP = f"""
+WITH {_sql_canonical_kg()}
+SELECT subj, pred, obj FROM kg ORDER BY subj, pred, obj
+"""
+
+
+def q_rdf_nquads_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page raw triples serialized as N-Quads with the page URL as
+    the graph term (Web Data Commons' distribution layout), through the
+    file sink and back, then rolled up per graph. Proves the 4th term
+    carries provenance losslessly — the property a 10^12-page corpus
+    relies on to trace any fact back to its crawl record."""
+    from recon_spark.rdf import read_ntriples, serialize_triples
+
+    t = extract_triples_tokens(_docs(spark, sf_dir)).withColumn(
+        "url", F.concat(F.lit("https://ex.org/d/"), F.col("doc_id"))
+    )
+    out = _stage_rdf(spark, sf_dir, "nq", serialize_triples(t, graph="url"))
+    parsed = read_ntriples(spark, out)
+    return (
+        parsed.groupBy(F.col("graph").alias("url"))
+        .agg(
+            F.count(F.lit(1)).alias("n_triples"),
+            F.countDistinct("subj").alias("n_subjects"),
+            F.countDistinct("pred").alias("n_predicates"),
+        )
+        .orderBy("url")
+    )
+
+
+def _sql_rdf_nquads_provenance() -> str:
+    from recon_spark.queries.core import _sql_triples_base
+
+    # distinct-counting the raw tokens equals distinct-counting the
+    # serialized IRIs: the namespace prefix is constant and the percent
+    # encoding is injective.
+    return f"""
+WITH {_sql_triples_base()}
+SELECT 'https://ex.org/d/' || CAST(doc_id AS VARCHAR) AS url,
+       count(*) AS n_triples,
+       count(DISTINCT subj) AS n_subjects,
+       count(DISTINCT pred) AS n_predicates
+FROM triples GROUP BY doc_id ORDER BY url
+"""
+
+_RDF_GAUNTLET_N = 300
+
+
+def q_rdf_escape_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adversarial serialization: subjects with spaces/%/quotes/angle
+    brackets/backslash, literals with raw quote/backslash/newline/tab/
+    non-ASCII, plus a lang-tagged and an xsd:long-typed literal — built
+    around a clean hex token (md5 prefix) so the oracle can write the
+    expected escaped bytes literally. Each line is then parsed straight
+    back (no file trip — the file leg is the roundtrip query's job) and
+    the decoded terms must equal the constructed inputs."""
+    from recon_spark.rdf import (
+        ENT,
+        XSD_LONG,
+        local_name,
+        parse_rdf_lines,
+        serialize_triples,
+        term_iri,
+        term_literal,
+    )
+
+    d = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") < _RDF_GAUNTLET_N)
+        .select(
+            "doc_id", F.substring(F.md5(F.encode("text", "utf-8")), 1, 12).alias("tok")
+        )
+    )
+    subj_in = F.concat(F.col("tok"), F.lit(' % "x" <s>\\'))
+    obj_in = F.concat(
+        F.lit('a"b\\c\nline2\t'), F.col("tok"), F.lit(" <t>&é…")
+    )
+    built = d.select(
+        "doc_id",
+        subj_in.alias("subj_in"),
+        obj_in.alias("obj_in"),
+        F.concat(
+            term_iri(subj_in, ENT),
+            F.lit(" <https://kg.example.org/p/says> "),
+            term_literal(obj_in),
+            F.lit(" ."),
+        ).alias("line_lit"),
+        F.concat(
+            term_iri(F.col("tok"), ENT),
+            F.lit(" <https://kg.example.org/p/count> "),
+            term_literal(F.col("doc_id"), datatype=XSD_LONG),
+            F.lit(" ."),
+        ).alias("line_typed"),
+        F.concat(
+            term_iri(F.col("tok"), ENT),
+            F.lit(" <https://kg.example.org/p/label> "),
+            term_literal(F.concat(F.col("tok"), F.lit(" café")), lang="en"),
+            F.lit(" ."),
+        ).alias("line_lang"),
+    )
+    # parse the adversarial line straight back (non-value columns pass
+    # through the parser, so no re-join is needed)
+    parsed = parse_rdf_lines(
+        built.withColumn("value", F.col("line_lit")), value="value"
+    )
+    return parsed.select(
+        "doc_id",
+        "line_lit",
+        "line_typed",
+        "line_lang",
+        local_name("subj", ENT).alias("subj_back"),
+        F.col("obj_lit").alias("obj_back"),
+    ).orderBy("doc_id")
+
+
+# The oracle constructs the SAME inputs from the same hex token, then
+# writes the EXPECTED serialized bytes as plain SQL literals (DuckDB
+# single-quoted strings are not escape-processed, so a backslash in the
+# literal below is exactly one byte on disk): percent-encodes written
+# out by hand, ECHARs as their two-character sequences. subj_back /
+# obj_back are simply the constructed inputs — the Spark side must
+# decode its own encoding back to them exactly.
+SQL_RDF_ESCAPE_GAUNTLET = f"""
+WITH d AS (
+  SELECT doc_id, substr(md5(text), 1, 12) AS tok
+  FROM documents WHERE doc_id < {_RDF_GAUNTLET_N}
+)
+SELECT doc_id,
+       '<https://kg.example.org/e/' || tok || '%20%25%20%22x%22%20%3Cs%3E%5C'
+         || '> <https://kg.example.org/p/says> "'
+         || 'a\\"b\\\\c\\nline2\\t' || tok || ' <t>&é…' || '" .' AS line_lit,
+       '<https://kg.example.org/e/' || tok
+         || '> <https://kg.example.org/p/count> "' || CAST(doc_id AS VARCHAR)
+         || '"^^<http://www.w3.org/2001/XMLSchema#long> .' AS line_typed,
+       '<https://kg.example.org/e/' || tok
+         || '> <https://kg.example.org/p/label> "' || tok
+         || ' café"@en .' AS line_lang,
+       tok || ' % "x" <s>\\' AS subj_back,
+       'a"b\\c' || chr(10) || 'line2' || chr(9) || tok || ' <t>&é…' AS obj_back
+FROM d ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "rdf_ntriples_roundtrip": q_rdf_ntriples_roundtrip,
+    "rdf_nquads_provenance": q_rdf_nquads_provenance,
+    "rdf_escape_gauntlet": q_rdf_escape_gauntlet,
     "sparql_star": q_sparql_star,
     "sparql_path": q_sparql_path,
     "sparql_optional_agg": q_sparql_optional_agg,
@@ -1128,6 +1336,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rdf_ntriples_roundtrip": SQL_RDF_NTRIPLES_ROUNDTRIP,
+    "rdf_nquads_provenance": _sql_rdf_nquads_provenance(),
+    "rdf_escape_gauntlet": SQL_RDF_ESCAPE_GAUNTLET,
     "sparql_star": SQL_SPARQL_STAR,
     "sparql_path": SQL_SPARQL_PATH,
     "sparql_optional_agg": SQL_SPARQL_OPTIONAL_AGG,

@@ -48,6 +48,10 @@ def _allowed_staging_roots() -> set:
     from recon_spark.queries import extra as qe
 
     allowed.update(qe._WARC_MEDIA_STAGING.values())
+
+    import recon_spark.queries.graph as qg
+
+    allowed.update(qg._RDF_STAGING.values())
     return allowed
 
 
