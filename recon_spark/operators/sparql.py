@@ -22,9 +22,17 @@ path traversals, optional enrichment, grouped analytics):
     }
     [GROUP BY ?v ...] [ORDER BY [DESC(?v)|ASC(?v)|?v] ...] [LIMIT n]
 
+    CONSTRUCT { ?o <derived> ?s . ... }    # template: triple patterns only
+    WHERE { ... }                          # same group grammar as SELECT
+
 Aggregates: COUNT / MIN / MAX over a variable, COUNT(*). With no GROUP BY
 clause the non-aggregate projection variables group implicitly (SPARQL 1.1
-§11.1 semantics).
+§11.1 semantics). CONSTRUCT (§10.2) instantiates each template triple per
+solution, drops instantiations left incomplete by unbound OPTIONAL
+variables, and returns the resulting triple SET as a (subj, pred, obj)
+DataFrame — the same shape canonicalize_triples materializes, so the
+output feeds recon_spark/rdf.py's N-Triples sink or a further SPARQL
+query directly (KG -> derived KG -> export, all one Catalyst plan).
 
 Scale/plan contract:
 - Literal positions compile to `WHERE` predicates on the scan of the
@@ -129,6 +137,9 @@ class SparqlQuery:
     group_by: tuple[str, ...]
     order_by: tuple[tuple[str, bool], ...]  # (var, descending)
     limit: int | None
+    # CONSTRUCT form: non-empty template => the query builds an RDF
+    # graph (set of triples) instead of a solution table
+    construct: tuple[TriplePattern, ...] = ()
 
 
 # --------------------------------------------------------------------------
@@ -213,6 +224,8 @@ class _Parser:
 
     # -- grammar ------------------------------------------------------------
     def parse(self) -> SparqlQuery:
+        if self._kw("CONSTRUCT"):
+            return self._construct()
         self._expect_kw("SELECT")
         distinct = self._kw("DISTINCT")
 
@@ -305,6 +318,40 @@ class _Parser:
             group_by=tuple(group_by),
             order_by=tuple(order_by),
             limit=limit,
+        )
+
+    def _construct(self) -> SparqlQuery:
+        """CONSTRUCT { template } WHERE { group } — SPARQL 1.1 §10.2:
+        instantiate every template triple per solution, drop
+        instantiations left incomplete by unbound (OPTIONAL) variables,
+        and return the SET of resulting triples."""
+        template, t_filters, t_optionals = self._group(allow_optional=False)
+        if t_filters or t_optionals:
+            raise SparqlError("CONSTRUCT template holds triple patterns only")
+        if not template:
+            raise SparqlError("empty CONSTRUCT template")
+        self._expect_kw("WHERE")
+        patterns, filters, optionals = self._group(allow_optional=True)
+        if not patterns:
+            raise SparqlError("WHERE clause has no triple patterns")
+        if self._peek() is not None:
+            raise SparqlError(
+                f"trailing tokens from {self._peek()} (solution modifiers "
+                "are not supported on CONSTRUCT)"
+            )
+        return SparqlQuery(
+            select=(),
+            plain_vars=(),
+            aggregates=(),
+            select_star=False,
+            distinct=False,
+            patterns=tuple(patterns),
+            filters=tuple(filters),
+            optionals=tuple(optionals),
+            group_by=(),
+            order_by=(),
+            limit=None,
+            construct=tuple(template),
         )
 
     def _aggregate(self) -> Aggregate:
@@ -477,21 +524,12 @@ def _join_patterns(
     return acc, bound
 
 
-def compile_sparql(
-    graph: DataFrame, text: str, allow_product: bool = False
-) -> DataFrame:
-    """Compile a SPARQL query to a DataFrame plan over ``graph``.
-
-    ``graph`` must expose string columns (subj, pred, obj) — the
-    materialized-KG shape of queries/core.py:canonicalize_triples.
-    BGP bag semantics follow SPARQL 1.1: duplicates survive unless
-    DISTINCT; FILTER comparisons are string comparisons (the KG stores
-    surface forms / entity ids); OPTIONAL compiles to a left join on the
-    shared variables; aggregates group implicitly by the non-aggregate
-    projection unless GROUP BY is explicit.
-    """
-    q = parse_sparql(text)
-
+def _solutions(
+    graph: DataFrame, q: SparqlQuery, allow_product: bool
+) -> tuple[DataFrame, set[str]]:
+    """The WHERE clause -> (solution frame, bound variables): required
+    BGP joins, FILTERs, then OPTIONAL left joins. Shared by the SELECT
+    and CONSTRUCT forms."""
     acc, bound = _join_patterns(graph, q.patterns, allow_product)
 
     for flt in q.filters:
@@ -516,6 +554,56 @@ def compile_sparql(
             )
         acc = acc.join(opt_frame, on=shared, how="left")
         bound |= opt_bound
+    return acc, bound
+
+
+def _instantiate_template(
+    acc: DataFrame, bound: set[str], template: tuple[TriplePattern, ...]
+) -> DataFrame:
+    """CONSTRUCT instantiation: one projection of the solution frame
+    per template triple, unioned, incomplete instantiations (null from
+    OPTIONAL) dropped, set semantics via dropDuplicates. The union is
+    map-side over the one shared solution plan — Spark caches nothing
+    extra and the dedup is the only added shuffle."""
+    unknown = {v for t in template for v in t.vars} - bound
+    if unknown:
+        raise SparqlError(f"CONSTRUCT template references unbound {unknown}")
+    pieces = []
+    for t in template:
+        cols = [
+            (F.col(term.name) if isinstance(term, Var) else F.lit(term.value)).alias(a)
+            for term, a in zip((t.s, t.p, t.o), _POSITIONS)
+        ]
+        piece = acc.select(*cols)
+        null_guards = [F.col(a).isNotNull() for term, a in
+                       zip((t.s, t.p, t.o), _POSITIONS) if isinstance(term, Var)]
+        for g in null_guards:
+            piece = piece.where(g)
+        pieces.append(piece)
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out.dropDuplicates()
+
+
+def compile_sparql(
+    graph: DataFrame, text: str, allow_product: bool = False
+) -> DataFrame:
+    """Compile a SPARQL query to a DataFrame plan over ``graph``.
+
+    ``graph`` must expose string columns (subj, pred, obj) — the
+    materialized-KG shape of queries/core.py:canonicalize_triples.
+    BGP bag semantics follow SPARQL 1.1: duplicates survive unless
+    DISTINCT; FILTER comparisons are string comparisons (the KG stores
+    surface forms / entity ids); OPTIONAL compiles to a left join on the
+    shared variables; aggregates group implicitly by the non-aggregate
+    projection unless GROUP BY is explicit.
+    """
+    q = parse_sparql(text)
+    acc, bound = _solutions(graph, q, allow_product)
+
+    if q.construct:
+        return _instantiate_template(acc, bound, q.construct)
 
     select = list(q.select)
     if q.select_star:

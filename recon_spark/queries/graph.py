@@ -1102,6 +1102,43 @@ GROUP BY 1 ORDER BY s
 """
 
 
+SPARQL_CONSTRUCT = (
+    "CONSTRUCT { ?o <scanned_by> ?s . ?s <touches> ?o . ?s <aggregates> ?z } "
+    "WHERE { ?s <scan> ?o . OPTIONAL { ?s <agg> ?z } }"
+)
+
+
+def q_sparql_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONSTRUCT (SPARQL 1.1 §10.2): derive a new graph from the
+    canonical KG — inverse `scanned_by` edges, `touches` copies, and
+    `aggregates` edges only where the OPTIONAL bound (incomplete
+    instantiations drop per spec), set semantics. The output is the
+    same (subj, pred, obj) shape the KG materializes, so it feeds the
+    rdf.py N-Triples sink directly — KG -> derived KG -> export as one
+    Catalyst plan."""
+    from recon_spark.operators.sparql import compile_sparql
+
+    return compile_sparql(_canonical_kg(spark, sf_dir), SPARQL_CONSTRUCT).orderBy(
+        "subj", "pred", "obj"
+    )
+
+
+SQL_SPARQL_CONSTRUCT = f"""
+WITH {_sql_canonical_kg()},
+base AS (
+  SELECT s.subj AS s, s.obj AS o, a.obj AS z
+  FROM (SELECT subj, obj FROM kg WHERE pred = 'scan') s
+  LEFT JOIN (SELECT subj, obj FROM kg WHERE pred = 'agg') a ON s.subj = a.subj
+)
+SELECT DISTINCT subj, pred, obj FROM (
+  SELECT o AS subj, 'scanned_by' AS pred, s AS obj FROM base
+  UNION ALL SELECT s AS subj, 'touches' AS pred, o AS obj FROM base
+  UNION ALL
+  SELECT s AS subj, 'aggregates' AS pred, z AS obj FROM base WHERE z IS NOT NULL
+) ORDER BY subj, pred, obj
+"""
+
+
 # --------------------------------------------------------------------------
 # RDF interchange (recon_spark/rdf.py): N-Triples / N-Quads, the format
 # Web Data Commons ships its Common-Crawl KG in. Three angles:
@@ -1308,6 +1345,7 @@ FROM d ORDER BY doc_id
 
 
 QUERIES = {
+    "sparql_construct": q_sparql_construct,
     "rdf_ntriples_roundtrip": q_rdf_ntriples_roundtrip,
     "rdf_nquads_provenance": q_rdf_nquads_provenance,
     "rdf_escape_gauntlet": q_rdf_escape_gauntlet,
@@ -1336,6 +1374,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sparql_construct": SQL_SPARQL_CONSTRUCT,
     "rdf_ntriples_roundtrip": SQL_RDF_NTRIPLES_ROUNDTRIP,
     "rdf_nquads_provenance": _sql_rdf_nquads_provenance(),
     "rdf_escape_gauntlet": SQL_RDF_ESCAPE_GAUNTLET,

@@ -377,3 +377,87 @@ def test_sparql_on_canonical_kg(spark):
         scans.join(joins, "subj").where("a != b").select("subj", "a", "b")
     )
     assert got == want and len(got) > 0
+
+
+# --------------------------------------------------------------------------
+# CONSTRUCT (SPARQL 1.1 §10.2)
+# --------------------------------------------------------------------------
+
+
+def test_parse_construct_shape():
+    q = parse_sparql(
+        "CONSTRUCT { ?o <rev> ?s . <m> <ran> <y> } "
+        'WHERE { ?s <knows> ?o . FILTER(?s != "c") OPTIONAL { ?o <likes> ?z } }'
+    )
+    assert len(q.construct) == 2
+    assert q.construct[0].p == Lit("rev")
+    assert q.construct[1].s == Lit("m")
+    assert q.patterns[0].p == Lit("knows")
+    assert q.filters and q.optionals
+    assert q.select == () and not q.aggregates
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "CONSTRUCT { } WHERE { ?s ?p ?o }",  # empty template
+        "CONSTRUCT { FILTER(?a = ?b) } WHERE { ?s ?p ?o }",  # filter in template
+        "CONSTRUCT { OPTIONAL { ?a ?b ?c } } WHERE { ?s ?p ?o }",
+        "CONSTRUCT { ?s <x> ?o } WHERE { }",  # no WHERE patterns
+        "CONSTRUCT { ?s <x> ?o } WHERE { ?s ?p ?o } LIMIT 3",  # modifier
+        "CONSTRUCT { ?s <x> ?zz } WHERE { ?s <knows> ?o }",  # unbound (compile)
+    ],
+)
+def test_construct_errors(micro_graph, bad):
+    with pytest.raises(SparqlError):
+        compile_sparql(micro_graph, bad).columns
+
+
+def test_construct_semantics(micro_graph):
+    out = compile_sparql(
+        micro_graph,
+        "CONSTRUCT { ?o <known_by> ?s . ?s <social> ?x . <meta> <ran> <yes> } "
+        "WHERE { ?s <knows> ?o . OPTIONAL { ?s <likes> ?x } }",
+    )
+    assert out.columns == ["subj", "pred", "obj"]
+    got = sorted(map(tuple, out.collect()))
+    # knows edges: a->b, a->c, b->c, c->a; likes: a->x, b->x, b->y, c none
+    expected = sorted(
+        [
+            ("b", "known_by", "a"),
+            ("c", "known_by", "a"),
+            ("c", "known_by", "b"),
+            ("a", "known_by", "c"),
+            ("a", "social", "x"),
+            ("b", "social", "x"),
+            ("b", "social", "y"),
+            # c's OPTIONAL is unbound -> its <social> instantiation drops
+            ("meta", "ran", "yes"),  # ground template: once, set semantics
+        ]
+    )
+    assert got == expected
+
+
+def test_construct_set_semantics_and_rdf_composition(micro_graph, spark):
+    # two template triples collapsing to the same instantiation: the
+    # result is a SET
+    out = compile_sparql(
+        micro_graph,
+        "CONSTRUCT { ?s <t> <thing> . ?s <t> <thing> } "
+        "WHERE { ?s <likes> ?o }",
+    )
+    got = sorted(map(tuple, out.collect()))
+    assert got == [("a", "t", "thing"), ("b", "t", "thing")]
+
+    # the constructed graph feeds the N-Triples serializer directly and
+    # the whole plan stays Python-free
+    from recon_spark.rdf import serialize_triples
+
+    ser = serialize_triples(out)
+    lines = sorted(r.line for r in ser.collect())
+    assert lines[0] == (
+        "<https://kg.example.org/e/a> <https://kg.example.org/p/t> "
+        '"thing" .'
+    )
+    plan = ser._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
