@@ -19,7 +19,8 @@ path traversals, optional enrichment, grouped analytics):
         ?s ?p "literal" .              #   be a variable, <iri>, or "lit"
         FILTER(?a != ?b) .             # =  != <  <=  >  >= over terms
         OPTIONAL { ... }               # left join on shared variables
-    }
+        GRAPH ?g { ... }               # provenance: binds/filters the
+    }                                  #   quad frame's `graph` column
     [GROUP BY ?v ...] [ORDER BY [DESC(?v)|ASC(?v)|?v] ...] [LIMIT n]
 
     CONSTRUCT { ?o <derived> ?s . ... }    # template: triple patterns only
@@ -90,14 +91,21 @@ class TriplePattern:
     s: Term
     p: Term
     o: Term
+    # GRAPH clause: the 4th term binds/filters the quad table's graph
+    # column; None = pattern over the default graph (graph col ignored)
+    g: Term | None = None
+
+    @property
+    def terms(self) -> tuple[Term, ...]:
+        return (self.s, self.p, self.o) + ((self.g,) if self.g else ())
 
     @property
     def vars(self) -> set[str]:
-        return {t.name for t in (self.s, self.p, self.o) if isinstance(t, Var)}
+        return {t.name for t in self.terms if isinstance(t, Var)}
 
     @property
     def n_bound(self) -> int:
-        return sum(isinstance(t, Lit) for t in (self.s, self.p, self.o))
+        return sum(isinstance(t, Lit) for t in self.terms)
 
 
 @dataclass(frozen=True)
@@ -326,7 +334,7 @@ class _Parser:
         instantiations left incomplete by unbound (OPTIONAL) variables,
         and return the SET of resulting triples."""
         template, t_filters, t_optionals = self._group(allow_optional=False)
-        if t_filters or t_optionals:
+        if t_filters or t_optionals or any(p.g is not None for p in template):
             raise SparqlError("CONSTRUCT template holds triple patterns only")
         if not template:
             raise SparqlError("empty CONSTRUCT template")
@@ -403,6 +411,20 @@ class _Parser:
                 rhs = self._term()
                 self._expect_punct(")")
                 filters.append(Filter(op=op_t[1], lhs=lhs, rhs=rhs))
+            elif t[0] == "word" and t[1].upper() == "GRAPH":
+                self.i += 1
+                g = self._term()
+                ps, fs, os_ = self._group(allow_optional=False)
+                if os_:  # pragma: no cover — guarded by allow_optional
+                    raise SparqlError("OPTIONAL inside GRAPH is not supported")
+                if not ps:
+                    raise SparqlError("empty GRAPH group")
+                # inner GRAPH wins over an enclosing one (SPARQL 1.1 §13.3)
+                patterns.extend(
+                    TriplePattern(p.s, p.p, p.o, p.g if p.g is not None else g)
+                    for p in ps
+                )
+                filters.extend(fs)
             elif t[0] == "word" and t[1].upper() == "OPTIONAL":
                 if not allow_optional:
                     raise SparqlError("nested OPTIONAL is not supported")
@@ -439,11 +461,20 @@ _POSITIONS = ("subj", "pred", "obj")
 def _pattern_frame(graph: DataFrame, pat: TriplePattern) -> DataFrame:
     """One triple pattern -> a frame whose columns are the pattern's
     variables. Literal positions become scan predicates; a variable
-    repeated inside one pattern becomes an intra-row equality."""
+    repeated inside one pattern becomes an intra-row equality. A GRAPH
+    term additionally binds/filters the quad table's `graph` column."""
     df = graph
+    positions = _POSITIONS
+    if pat.g is not None:
+        if "graph" not in graph.columns:
+            raise SparqlError(
+                "GRAPH pattern requires a quad frame with a 'graph' column "
+                f"(got columns {graph.columns})"
+            )
+        positions = _POSITIONS + ("graph",)
     seen: dict[str, str] = {}  # var name -> first column bound to it
     out_cols: list = []
-    for term, col in zip((pat.s, pat.p, pat.o), _POSITIONS):
+    for term, col in zip(pat.terms, positions):
         if isinstance(term, Lit):
             df = df.where(F.col(col) == F.lit(term.value))
         elif term.name in seen:
@@ -592,7 +623,9 @@ def compile_sparql(
     """Compile a SPARQL query to a DataFrame plan over ``graph``.
 
     ``graph`` must expose string columns (subj, pred, obj) — the
-    materialized-KG shape of queries/core.py:canonicalize_triples.
+    materialized-KG shape of queries/core.py:canonicalize_triples — plus
+    a ``graph`` column (the quad shape rdf.py's read_ntriples parses
+    from N-Quads) when the query uses GRAPH patterns.
     BGP bag semantics follow SPARQL 1.1: duplicates survive unless
     DISTINCT; FILTER comparisons are string comparisons (the KG stores
     surface forms / entity ids); OPTIONAL compiles to a left join on the

@@ -37,6 +37,7 @@ ORACLES = {**CORE_ORACLES, **PIPELINE_ORACLES, **EXTRA_ORACLES, **GRAPH_ORACLES}
 # continuous sessionizer.
 _NEVER_DRIVER_SAMPLED = [
     "sparql_construct",
+    "sparql_graph_provenance",
     "rdf_ntriples_roundtrip",
     "rdf_nquads_provenance",
     "rdf_escape_gauntlet",

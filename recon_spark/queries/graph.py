@@ -1344,8 +1344,57 @@ FROM d ORDER BY doc_id
 """
 
 
+SPARQL_GRAPH_CORROBORATION = (
+    "SELECT DISTINCT ?s ?o WHERE { GRAPH ?g1 { ?s <scan> ?o } "
+    "GRAPH ?g2 { ?s <scan> ?o } FILTER(?g1 != ?g2) } ORDER BY ?s ?o"
+)
+
+
+def q_sparql_graph_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance-aware SPARQL over the N-Quads corpus: scan-facts
+    corroborated by at least two DIFFERENT source pages (GRAPH patterns
+    bind the quad table's graph column; the FILTER crosses the graph
+    boundary). The quad table is parsed straight from the staged
+    N-Quads shards — the full WDC-style loop: per-page triples ->
+    .nq files -> quad frame -> provenance query, everything JVM-side.
+    At 10^12 quads this is two pred-pruned scans self-joined on
+    (s, o) — the graph column never shuffles alone."""
+    from recon_spark.operators.sparql import compile_sparql
+    from recon_spark.rdf import ENT, PRED, local_name, read_ntriples, serialize_triples
+
+    t = extract_triples_tokens(_docs(spark, sf_dir)).withColumn(
+        "url", F.concat(F.lit("https://ex.org/d/"), F.col("doc_id"))
+    )
+    out = _stage_rdf(spark, sf_dir, "nq", serialize_triples(t, graph="url"))
+    quads = (
+        read_ntriples(spark, out)
+        .select(
+            local_name("subj", ENT).alias("subj"),
+            local_name("pred", PRED).alias("pred"),
+            F.col("obj_lit").alias("obj"),
+            "graph",
+        )
+        .dropDuplicates()
+    )
+    return compile_sparql(quads, SPARQL_GRAPH_CORROBORATION)
+
+
+def _sql_sparql_graph_provenance() -> str:
+    from recon_spark.queries.core import _sql_triples_base
+
+    return f"""
+WITH {_sql_triples_base()},
+q AS (SELECT DISTINCT doc_id, subj, obj FROM triples WHERE pred = 'scan')
+SELECT DISTINCT a.subj AS s, a.obj AS o
+FROM q a JOIN q b ON a.subj = b.subj AND a.obj = b.obj
+                 AND a.doc_id != b.doc_id
+ORDER BY s, o
+"""
+
+
 QUERIES = {
     "sparql_construct": q_sparql_construct,
+    "sparql_graph_provenance": q_sparql_graph_provenance,
     "rdf_ntriples_roundtrip": q_rdf_ntriples_roundtrip,
     "rdf_nquads_provenance": q_rdf_nquads_provenance,
     "rdf_escape_gauntlet": q_rdf_escape_gauntlet,
@@ -1375,6 +1424,7 @@ QUERIES = {
 
 ORACLES = {
     "sparql_construct": SQL_SPARQL_CONSTRUCT,
+    "sparql_graph_provenance": _sql_sparql_graph_provenance(),
     "rdf_ntriples_roundtrip": SQL_RDF_NTRIPLES_ROUNDTRIP,
     "rdf_nquads_provenance": _sql_rdf_nquads_provenance(),
     "rdf_escape_gauntlet": SQL_RDF_ESCAPE_GAUNTLET,

@@ -461,3 +461,83 @@ def test_construct_set_semantics_and_rdf_composition(micro_graph, spark):
     )
     plan = ser._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+# --------------------------------------------------------------------------
+# GRAPH clause (quad frames)
+# --------------------------------------------------------------------------
+
+QUADS = [
+    ("a", "says", "x", "p1"),
+    ("a", "says", "x", "p2"),
+    ("b", "says", "y", "p1"),
+    ("a", "type", "person", "p1"),
+]
+
+
+@pytest.fixture(scope="module")
+def quad_graph(spark):
+    return spark.createDataFrame(
+        QUADS, "subj string, pred string, obj string, graph string"
+    )
+
+
+def test_graph_binds_and_filters(quad_graph):
+    out = compile_sparql(
+        quad_graph,
+        "SELECT DISTINCT ?s ?g WHERE { GRAPH ?g { ?s <says> ?o } } ORDER BY ?s ?g",
+    )
+    assert sorted(map(tuple, out.collect())) == [
+        ("a", "p1"), ("a", "p2"), ("b", "p1"),
+    ]
+    ground = compile_sparql(
+        quad_graph, "SELECT ?s ?o WHERE { GRAPH <p2> { ?s <says> ?o } }"
+    )
+    assert sorted(map(tuple, ground.collect())) == [("a", "x")]
+
+
+def test_graph_cross_boundary_join(quad_graph):
+    out = compile_sparql(
+        quad_graph,
+        "SELECT DISTINCT ?s WHERE { GRAPH ?g1 { ?s <says> ?o } "
+        "GRAPH ?g2 { ?s <says> ?o } FILTER(?g1 != ?g2) }",
+    )
+    assert sorted(map(tuple, out.collect())) == [("a",)]
+
+
+def test_graph_aggregation_and_default_mix(quad_graph):
+    out = compile_sparql(
+        quad_graph,
+        "SELECT ?g (COUNT(*) AS ?n) WHERE { GRAPH ?g { ?s ?p ?o } } "
+        "GROUP BY ?g ORDER BY ?g",
+    )
+    assert sorted(map(tuple, out.collect())) == [("p1", 3), ("p2", 1)]
+    # default-graph pattern alongside a GRAPH pattern: the plain pattern
+    # ignores the graph column entirely
+    mixed = compile_sparql(
+        quad_graph,
+        "SELECT DISTINCT ?s ?g WHERE { ?s <type> \"person\" . "
+        "GRAPH ?g { ?s <says> ?x } } ORDER BY ?g",
+    )
+    assert sorted(map(tuple, mixed.collect())) == [("a", "p1"), ("a", "p2")]
+
+
+def test_graph_nested_inner_wins():
+    q = parse_sparql("SELECT ?s WHERE { GRAPH ?a { GRAPH <fixed> { ?s ?p ?o } } }")
+    assert q.patterns[0].g == Lit("fixed")
+    q2 = parse_sparql("SELECT ?s WHERE { GRAPH <outer> { ?s ?p ?o } }")
+    assert q2.patterns[0].g == Lit("outer")
+
+
+@pytest.mark.parametrize(
+    "bad,needs_quads",
+    [
+        ("SELECT ?s WHERE { GRAPH ?g { ?s <says> ?o } }", False),  # no graph col
+        ("SELECT ?s WHERE { GRAPH ?g { } . ?s ?p ?o }", True),  # empty group
+        ("CONSTRUCT { GRAPH ?g { ?s <x> ?o } } WHERE { ?s ?p ?o }", True),
+    ],
+)
+def test_graph_errors(micro_graph, quad_graph, bad, needs_quads):
+    frame = quad_graph if needs_quads else micro_graph
+    with pytest.raises(SparqlError):
+        compile_sparql(frame, bad).columns
