@@ -17,6 +17,7 @@ path traversals, optional enrichment, grouped analytics):
     WHERE {
         ?s <pred> ?o .                 # triple patterns; any position may
         ?s ?p "literal" .              #   be a variable, <iri>, or "lit"
+        ?s <pred>+ ?o .                # OneOrMorePath: transitive closure
         FILTER(?a != ?b) .             # =  != <  <=  >  >= over terms
         OPTIONAL { ... }               # left join on shared variables
         GRAPH ?g { ... }               # provenance: binds/filters the
@@ -94,6 +95,9 @@ class TriplePattern:
     # GRAPH clause: the 4th term binds/filters the quad table's graph
     # column; None = pattern over the default graph (graph col ignored)
     g: Term | None = None
+    # property path `<p>+`: s and o connected by ONE OR MORE p-edges
+    # (SPARQL 1.1 §9.1 OneOrMorePath, set semantics)
+    plus: bool = False
 
     @property
     def terms(self) -> tuple[Term, ...]:
@@ -161,7 +165,7 @@ _TOKEN_RE = re.compile(
       | (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
       | (?P<num>-?\d+(?:\.\d+)?)
       | (?P<op>!=|<=|>=|=|<|>)
-      | (?P<punct>[{}().,*])
+      | (?P<punct>[{}().,*+])
       | (?P<word>[A-Za-z_]\w*)
     )""",
     re.VERBOSE,
@@ -334,7 +338,8 @@ class _Parser:
         instantiations left incomplete by unbound (OPTIONAL) variables,
         and return the SET of resulting triples."""
         template, t_filters, t_optionals = self._group(allow_optional=False)
-        if t_filters or t_optionals or any(p.g is not None for p in template):
+        if (t_filters or t_optionals
+                or any(p.g is not None or p.plus for p in template)):
             raise SparqlError("CONSTRUCT template holds triple patterns only")
         if not template:
             raise SparqlError("empty CONSTRUCT template")
@@ -421,7 +426,9 @@ class _Parser:
                     raise SparqlError("empty GRAPH group")
                 # inner GRAPH wins over an enclosing one (SPARQL 1.1 §13.3)
                 patterns.extend(
-                    TriplePattern(p.s, p.p, p.o, p.g if p.g is not None else g)
+                    TriplePattern(
+                        p.s, p.p, p.o, p.g if p.g is not None else g, p.plus
+                    )
                     for p in ps
                 )
                 filters.extend(fs)
@@ -438,8 +445,17 @@ class _Parser:
             else:
                 s = self._term()
                 p = self._term()
+                plus = False
+                if self._peek() == ("punct", "+"):
+                    self.i += 1
+                    plus = True
+                    if not isinstance(p, Lit):
+                        raise SparqlError(
+                            "property path + needs a ground predicate "
+                            "(?p+ would close over the whole graph)"
+                        )
                 o = self._term()
-                patterns.append(TriplePattern(s, p, o))
+                patterns.append(TriplePattern(s, p, o, plus=plus))
             # optional statement separator
             if self._peek() == ("punct", "."):
                 self.i += 1
@@ -458,23 +474,13 @@ def parse_sparql(text: str) -> SparqlQuery:
 _POSITIONS = ("subj", "pred", "obj")
 
 
-def _pattern_frame(graph: DataFrame, pat: TriplePattern) -> DataFrame:
-    """One triple pattern -> a frame whose columns are the pattern's
-    variables. Literal positions become scan predicates; a variable
-    repeated inside one pattern becomes an intra-row equality. A GRAPH
-    term additionally binds/filters the quad table's `graph` column."""
-    df = graph
-    positions = _POSITIONS
-    if pat.g is not None:
-        if "graph" not in graph.columns:
-            raise SparqlError(
-                "GRAPH pattern requires a quad frame with a 'graph' column "
-                f"(got columns {graph.columns})"
-            )
-        positions = _POSITIONS + ("graph",)
+def _bind_terms(df: DataFrame, terms: tuple, positions: tuple) -> DataFrame:
+    """Bind pattern terms to frame columns: literal positions become
+    scan predicates; a variable repeated inside one pattern becomes an
+    intra-row equality; the output columns are the pattern's variables."""
     seen: dict[str, str] = {}  # var name -> first column bound to it
     out_cols: list = []
-    for term, col in zip(pat.terms, positions):
+    for term, col in zip(terms, positions):
         if isinstance(term, Lit):
             df = df.where(F.col(col) == F.lit(term.value))
         elif term.name in seen:
@@ -487,6 +493,149 @@ def _pattern_frame(graph: DataFrame, pat: TriplePattern) -> DataFrame:
         # single marker column so the cross join stays 0/1-row.
         return df.limit(1).select(F.lit(1).alias("__exists__"))
     return df.select(*out_cols)
+
+
+def _require_graph_col(graph: DataFrame) -> None:
+    if "graph" not in graph.columns:
+        raise SparqlError(
+            "GRAPH pattern requires a quad frame with a 'graph' column "
+            f"(got columns {graph.columns})"
+        )
+
+
+def _pattern_frame(graph: DataFrame, pat: TriplePattern) -> DataFrame:
+    """One triple pattern -> a frame whose columns are the pattern's
+    variables (see _bind_terms). A GRAPH term additionally binds or
+    filters the quad table's `graph` column; a `+` path compiles to an
+    iterative transitive closure (_plus_frame)."""
+    if pat.plus:
+        return _plus_frame(graph, pat)
+    positions = _POSITIONS
+    if pat.g is not None:
+        _require_graph_col(graph)
+        positions = _POSITIONS + ("graph",)
+    return _bind_terms(graph, pat.terms, positions)
+
+
+# Closure iteration cap: the frontier extends one edge per round, so
+# the cap bounds path LENGTH (graph diameter), not pair count. 64
+# covers any plausible KG diameter; a graph that hasn't closed by then
+# is reported, never silently truncated.
+_PATH_MAX_ITERS = 64
+
+
+def _plus_frame(graph: DataFrame, pat: TriplePattern) -> DataFrame:
+    """SPARQL 1.1 §9.1 OneOrMorePath (`?s <p>+ ?o`): the set of node
+    pairs connected by one or more p-edges.
+
+    Compiled as an iterative distinct closure (the PageRank precedent:
+    a driver-side loop over scratch-pinned frames, one co-partitioned
+    join per round; the loop runs ACTIONS at compile time, so unlike
+    plain BGPs the returned plan is materialized-by-parts). Set
+    semantics come from `distinct` + the left-anti "new pairs only"
+    gate, which also guarantees termination on cyclic graphs.
+
+    Scale shape: when either endpoint is ground the closure is SEEDED —
+    frontier starts at that node and only reachable pairs ever
+    materialize (the 10^12-triple-safe mode, a BFS). The fully-unbound
+    form materializes the whole closure and is the caller's explicit
+    choice, same contract as allow_product. Inside GRAPH ?g the closure
+    runs per graph (graph joins the key); GRAPH <iri> prunes edges
+    before the first iteration."""
+
+    def pin(df: DataFrame) -> DataFrame:
+        # EAGER pin, unlike operators/scratch.py's lazy default: the
+        # loop materializes every frame each round anyway (isEmpty),
+        # and lazy localCheckpoint over the round's alias self-join +
+        # anti-join chain trips a Catalyst attribute-rewrite clash
+        # ("key not found: src#N") when the ground-endpoint filter is
+        # present. Eager replaces each round's plan with a LogicalRDD,
+        # which both fixes the clash and keeps every iteration's plan
+        # constant-size. Reliable mode keeps lineage, as in pin().
+        from recon_spark.operators.scratch import reliable_mode
+
+        if reliable_mode():
+            from pyspark.storagelevel import StorageLevel
+
+            return df.persist(StorageLevel.MEMORY_AND_DISK)
+        return df.localCheckpoint(eager=True)
+
+    keys: list[str] = []
+    edges = graph
+    if pat.g is not None:
+        _require_graph_col(graph)
+        if isinstance(pat.g, Lit):
+            edges = edges.where(F.col("graph") == F.lit(pat.g.value))
+        else:
+            keys = ["graph"]
+    assert isinstance(pat.p, Lit)  # enforced by the parser
+    edges = (
+        edges.where(F.col("pred") == F.lit(pat.p.value))
+        .select(
+            F.col("subj").alias("src"),
+            F.col("obj").alias("dst"),
+            *[F.col(k) for k in keys],
+        )
+        .distinct()
+    )
+
+    # seed from a ground endpoint; reverse the edges to seed from the
+    # object side (swapped back below)
+    reverse = isinstance(pat.o, Lit) and not isinstance(pat.s, Lit)
+    if reverse:
+        edges = edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"),
+            *[F.col(k) for k in keys],
+        )
+    seed = (pat.o.value if reverse
+            else pat.s.value if isinstance(pat.s, Lit) else None)
+    edges = pin(edges)
+    frontier = pin(
+        edges.where(F.col("src") == F.lit(seed)) if seed is not None else edges
+    )
+    reached = frontier
+    on = ["src", "dst"] + keys
+    for _ in range(_PATH_MAX_ITERS):
+        stepped = (
+            frontier.alias("f")
+            .join(
+                edges.alias("e"),
+                [F.col("f.dst") == F.col("e.src")]
+                + [F.col(f"f.{k}") == F.col(f"e.{k}") for k in keys],
+            )
+            .select(
+                F.col("f.src").alias("src"), F.col("e.dst").alias("dst"),
+                *[F.col(f"f.{k}").alias(k) for k in keys],
+            )
+            .distinct()
+        )
+        # pin stepped BEFORE the anti-join: checkpointing a plan in
+        # which the same pinned relation appears on both sides (stepped
+        # shares frontier's lineage with reached) trips Catalyst's
+        # relation-dedup attribute rewrite ("key not found: src#N");
+        # with stepped pinned, every checkpointed plan from here on has
+        # each leaf relation at most once.
+        stepped = pin(stepped)
+        new = pin(stepped.join(reached, on=on, how="left_anti"))
+        if new.isEmpty():
+            break
+        # reached stays a plain union of PINNED leaves — ≤ cap leaves,
+        # so the plan grows linearly and never re-derives a round.
+        reached = reached.unionByName(new)
+        frontier = new
+    else:
+        raise SparqlError(
+            f"<{pat.p.value}>+ closure did not converge within "
+            f"{_PATH_MAX_ITERS} iterations"
+        )
+    if reverse:
+        reached = reached.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"),
+            *[F.col(k) for k in keys],
+        )
+    positions = ("src", "dst") + (("graph",) if keys else ())
+    terms = (pat.s, pat.o) + ((pat.g,) if keys else ())
+    return _bind_terms(reached, terms, positions)
 
 
 def _order_patterns(

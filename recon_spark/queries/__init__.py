@@ -38,6 +38,7 @@ ORACLES = {**CORE_ORACLES, **PIPELINE_ORACLES, **EXTRA_ORACLES, **GRAPH_ORACLES}
 _NEVER_DRIVER_SAMPLED = [
     "sparql_construct",
     "sparql_graph_provenance",
+    "sparql_path_closure",
     "rdf_ntriples_roundtrip",
     "rdf_nquads_provenance",
     "rdf_escape_gauntlet",

@@ -1344,6 +1344,33 @@ FROM d ORDER BY doc_id
 """
 
 
+SPARQL_PLUS = "SELECT ?s ?o WHERE { ?s <join>+ ?o } ORDER BY ?s ?o"
+
+
+def q_sparql_path_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 property path `<join>+` over the canonical KG: all
+    entity pairs connected by one or more join-edges (OneOrMorePath,
+    set semantics; cyclic-safe). Compiled as an iterative seeded/full
+    distinct closure (operators/sparql.py:_plus_frame). The oracle is
+    DuckDB's own WITH RECURSIVE engine — a genuinely independent
+    fixpoint implementation."""
+    from recon_spark.operators.sparql import compile_sparql
+
+    return compile_sparql(_canonical_kg(spark, sf_dir), SPARQL_PLUS)
+
+
+SQL_SPARQL_PATH_CLOSURE = f"""
+WITH RECURSIVE {_sql_canonical_kg()},
+e AS (SELECT subj AS s, obj AS o FROM kg WHERE pred = 'join'),
+r AS (
+  SELECT s, o FROM e
+  UNION
+  SELECT r.s, e.o FROM r JOIN e ON r.o = e.s
+)
+SELECT DISTINCT s AS subj, o AS obj FROM r ORDER BY subj, obj
+"""
+
+
 SPARQL_GRAPH_CORROBORATION = (
     "SELECT DISTINCT ?s ?o WHERE { GRAPH ?g1 { ?s <scan> ?o } "
     "GRAPH ?g2 { ?s <scan> ?o } FILTER(?g1 != ?g2) } ORDER BY ?s ?o"
@@ -1395,6 +1422,7 @@ ORDER BY s, o
 QUERIES = {
     "sparql_construct": q_sparql_construct,
     "sparql_graph_provenance": q_sparql_graph_provenance,
+    "sparql_path_closure": q_sparql_path_closure,
     "rdf_ntriples_roundtrip": q_rdf_ntriples_roundtrip,
     "rdf_nquads_provenance": q_rdf_nquads_provenance,
     "rdf_escape_gauntlet": q_rdf_escape_gauntlet,
@@ -1425,6 +1453,7 @@ QUERIES = {
 ORACLES = {
     "sparql_construct": SQL_SPARQL_CONSTRUCT,
     "sparql_graph_provenance": _sql_sparql_graph_provenance(),
+    "sparql_path_closure": SQL_SPARQL_PATH_CLOSURE,
     "rdf_ntriples_roundtrip": SQL_RDF_NTRIPLES_ROUNDTRIP,
     "rdf_nquads_provenance": _sql_rdf_nquads_provenance(),
     "rdf_escape_gauntlet": SQL_RDF_ESCAPE_GAUNTLET,

@@ -541,3 +541,91 @@ def test_graph_errors(micro_graph, quad_graph, bad, needs_quads):
     frame = quad_graph if needs_quads else micro_graph
     with pytest.raises(SparqlError):
         compile_sparql(frame, bad).columns
+
+
+# --------------------------------------------------------------------------
+# property path + (OneOrMorePath transitive closure)
+# --------------------------------------------------------------------------
+
+PATH_KG = [
+    ("a", "knows", "b"),
+    ("b", "knows", "c"),
+    ("c", "knows", "a"),  # 3-cycle: closure must terminate
+    ("x", "knows", "y"),
+    ("a", "likes", "z"),
+]
+
+
+@pytest.fixture(scope="module")
+def path_graph(spark):
+    return spark.createDataFrame(PATH_KG, "subj string, pred string, obj string")
+
+
+def test_plus_full_closure_cyclic(path_graph):
+    out = compile_sparql(path_graph, "SELECT ?s ?o WHERE { ?s <knows>+ ?o }")
+    cyc = [(s, o) for s in "abc" for o in "abc"]
+    assert sorted(map(tuple, out.collect())) == sorted(cyc + [("x", "y")])
+
+
+def test_plus_seeded_both_directions(path_graph):
+    fwd = compile_sparql(path_graph, "SELECT ?o WHERE { <x> <knows>+ ?o }")
+    assert sorted(map(tuple, fwd.collect())) == [("y",)]
+    bwd = compile_sparql(path_graph, "SELECT ?s WHERE { ?s <knows>+ <y> }")
+    assert sorted(map(tuple, bwd.collect())) == [("x",)]
+
+
+def test_plus_ground_both_is_existence_gate(path_graph):
+    hit = compile_sparql(
+        path_graph, "SELECT ?z WHERE { <a> <knows>+ <c> . <a> <likes> ?z }"
+    )
+    assert sorted(map(tuple, hit.collect())) == [("z",)]
+    miss = compile_sparql(
+        path_graph, "SELECT ?z WHERE { <a> <knows>+ <x> . <a> <likes> ?z }"
+    )
+    assert miss.collect() == []
+
+
+def test_plus_self_reachability(path_graph):
+    out = compile_sparql(path_graph, "SELECT ?x WHERE { ?x <knows>+ ?x }")
+    assert sorted(map(tuple, out.collect())) == [("a",), ("b",), ("c",)]
+
+
+def test_plus_long_chain(spark):
+    chain = spark.createDataFrame(
+        [(f"n{i:02d}", "next", f"n{i + 1:02d}") for i in range(40)],
+        "subj string, pred string, obj string",
+    )
+    out = compile_sparql(chain, "SELECT ?o WHERE { <n00> <next>+ ?o }")
+    assert out.count() == 40  # every later node reachable from n00
+
+
+def test_plus_per_graph_scope(spark):
+    quads = spark.createDataFrame(
+        [
+            ("a", "knows", "b", "g1"),
+            ("b", "knows", "c", "g1"),
+            ("b", "knows", "c", "g2"),  # g2 lacks the a->b edge
+        ],
+        "subj string, pred string, obj string, graph string",
+    )
+    out = compile_sparql(
+        quads, "SELECT ?g ?s ?o WHERE { GRAPH ?g { ?s <knows>+ ?o } }"
+    )
+    assert sorted(map(tuple, out.collect())) == [
+        ("g1", "a", "b"), ("g1", "a", "c"), ("g1", "b", "c"), ("g2", "b", "c"),
+    ]
+
+
+def test_plus_errors(path_graph):
+    with pytest.raises(SparqlError):
+        parse_sparql("SELECT ?s WHERE { ?s ?p+ ?o }")  # variable predicate
+    with pytest.raises(SparqlError):
+        compile_sparql(
+            path_graph, "CONSTRUCT { ?s <x>+ ?o } WHERE { ?s ?p ?o }"
+        )
+    # + in the WHERE of a CONSTRUCT is fine
+    out = compile_sparql(
+        path_graph,
+        "CONSTRUCT { ?s <reaches> ?o } WHERE { ?s <knows>+ ?o }",
+    )
+    assert out.where("pred = 'reaches'").count() == 10
