@@ -21,7 +21,10 @@ path traversals, optional enrichment, grouped analytics):
         FILTER(?a != ?b) .             # =  != <  <=  >  >= over terms
         OPTIONAL { ... }               # left join on shared variables
         GRAPH ?g { ... }               # provenance: binds/filters the
-    }                                  #   quad frame's `graph` column
+                                       #   quad frame's `graph` column
+        VALUES ?v { "a" "b" }          # inline ground bindings ->
+    }                                  #   broadcast join (multi-var:
+                                       #   VALUES (?a ?b) { ("x" "y") })
     [GROUP BY ?v ...] [ORDER BY [DESC(?v)|ASC(?v)|?v] ...] [LIMIT n]
 
     CONSTRUCT { ?o <derived> ?s . ... }    # template: triple patterns only
@@ -130,6 +133,16 @@ class OptionalGroup:
 
 
 @dataclass(frozen=True)
+class ValuesClause:
+    names: tuple[str, ...]
+    rows: tuple[tuple[str, ...], ...]
+
+    @property
+    def vars(self) -> set[str]:
+        return set(self.names)
+
+
+@dataclass(frozen=True)
 class Aggregate:
     func: str  # 'count' | 'min' | 'max'
     var: str | None  # None => COUNT(*)
@@ -152,6 +165,8 @@ class SparqlQuery:
     # CONSTRUCT form: non-empty template => the query builds an RDF
     # graph (set of triples) instead of a solution table
     construct: tuple[TriplePattern, ...] = ()
+    # inline solution bindings (VALUES clauses in the WHERE group)
+    values: tuple[ValuesClause, ...] = ()
 
 
 # --------------------------------------------------------------------------
@@ -269,7 +284,10 @@ class _Parser:
             raise SparqlError("empty SELECT clause")
 
         self._expect_kw("WHERE")
-        patterns, filters, optionals = self._group(allow_optional=True)
+        values: list[ValuesClause] = []
+        patterns, filters, optionals = self._group(
+            allow_optional=True, values_sink=values
+        )
         if not patterns:
             raise SparqlError("WHERE clause has no triple patterns")
 
@@ -330,6 +348,7 @@ class _Parser:
             group_by=tuple(group_by),
             order_by=tuple(order_by),
             limit=limit,
+            values=tuple(values),
         )
 
     def _construct(self) -> SparqlQuery:
@@ -344,7 +363,10 @@ class _Parser:
         if not template:
             raise SparqlError("empty CONSTRUCT template")
         self._expect_kw("WHERE")
-        patterns, filters, optionals = self._group(allow_optional=True)
+        values: list[ValuesClause] = []
+        patterns, filters, optionals = self._group(
+            allow_optional=True, values_sink=values
+        )
         if not patterns:
             raise SparqlError("WHERE clause has no triple patterns")
         if self._peek() is not None:
@@ -365,6 +387,7 @@ class _Parser:
             order_by=(),
             limit=None,
             construct=tuple(template),
+            values=tuple(values),
         )
 
     def _aggregate(self) -> Aggregate:
@@ -392,8 +415,53 @@ class _Parser:
         self._expect_punct(")")
         return Aggregate(func=func, var=var, alias=a.name)
 
+    def _values(self, values_sink: list[ValuesClause] | None) -> None:
+        """VALUES ?v { "a" "b" } | VALUES (?a ?b) { ("x" "y") ... } —
+        inline ground bindings, top-level WHERE only (UNDEF is not
+        supported; use OPTIONAL for partial bindings)."""
+        if values_sink is None:
+            raise SparqlError(
+                "VALUES is only supported at the top level of WHERE"
+            )
+        names: list[str] = []
+        t = self._peek()
+        if t == ("punct", "("):
+            self.i += 1
+            while self._peek() and self._peek()[0] == "var":
+                names.append(self._next()[1][1:])
+            self._expect_punct(")")
+        elif t and t[0] == "var":
+            names.append(self._next()[1][1:])
+        if not names or len(set(names)) != len(names):
+            raise SparqlError("VALUES needs distinct ?variables")
+        self._expect_punct("{")
+        rows: list[tuple[str, ...]] = []
+        while True:
+            t = self._peek()
+            if t is None:
+                raise SparqlError("unclosed VALUES block")
+            if t == ("punct", "}"):
+                self.i += 1
+                break
+            row: list[str] = []
+            if len(names) > 1:
+                self._expect_punct("(")
+            for _ in names:
+                v = self._term()
+                if not isinstance(v, Lit):
+                    raise SparqlError("VALUES rows must be ground terms")
+                row.append(v.value)
+            if len(names) > 1:
+                self._expect_punct(")")
+            rows.append(tuple(row))
+        if not rows:
+            raise SparqlError("empty VALUES block")
+        values_sink.append(ValuesClause(tuple(names), tuple(rows)))
+
     def _group(
-        self, allow_optional: bool
+        self,
+        allow_optional: bool,
+        values_sink: list[ValuesClause] | None = None,
     ) -> tuple[list[TriplePattern], list[Filter], list[OptionalGroup]]:
         self._expect_punct("{")
         patterns: list[TriplePattern] = []
@@ -416,6 +484,9 @@ class _Parser:
                 rhs = self._term()
                 self._expect_punct(")")
                 filters.append(Filter(op=op_t[1], lhs=lhs, rhs=rhs))
+            elif t[0] == "word" and t[1].upper() == "VALUES":
+                self.i += 1
+                self._values(values_sink)
             elif t[0] == "word" and t[1].upper() == "GRAPH":
                 self.i += 1
                 g = self._term()
@@ -711,6 +782,25 @@ def _solutions(
     BGP joins, FILTERs, then OPTIONAL left joins. Shared by the SELECT
     and CONSTRUCT forms."""
     acc, bound = _join_patterns(graph, q.patterns, allow_product)
+
+    # VALUES joins first (a FILTER may reference a VALUES-only var):
+    # inline rows become a literal local frame, always broadcast — the
+    # classic ground-entity lookup stays a map-side hash probe at any
+    # graph size.
+    for vc in q.values:
+        vdf = graph.sparkSession.createDataFrame(
+            list(vc.rows), ", ".join(f"{n} string" for n in vc.names)
+        )
+        shared = sorted(bound & vc.vars)
+        # an unshared VALUES is a bounded literal binding table (its
+        # row count is known at parse time), so unlike a disconnected
+        # BGP the product can never detonate — always permitted.
+        acc = (
+            acc.join(F.broadcast(vdf), on=shared)
+            if shared
+            else acc.crossJoin(F.broadcast(vdf))
+        )
+        bound |= vc.vars
 
     for flt in q.filters:
         missing = flt.vars - bound

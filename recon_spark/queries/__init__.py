@@ -39,6 +39,7 @@ _NEVER_DRIVER_SAMPLED = [
     "sparql_construct",
     "sparql_graph_provenance",
     "sparql_path_closure",
+    "sparql_values_lookup",
     "rdf_ntriples_roundtrip",
     "rdf_nquads_provenance",
     "rdf_escape_gauntlet",

@@ -1344,6 +1344,33 @@ FROM d ORDER BY doc_id
 """
 
 
+SPARQL_VALUES = (
+    'SELECT ?s ?tag ?o WHERE { '
+    'VALUES (?p ?tag) { ("scan" "reads") ("agg" "rolls_up") } '
+    "?s ?p ?o } ORDER BY ?s ?tag ?o"
+)
+
+
+def q_sparql_values_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUES inline bindings: a two-column literal table (predicate ->
+    human tag) broadcast-joined against the KG — the ground-entity
+    lookup idiom ('here are my ids, fetch facts') that stays a map-side
+    hash probe at any graph size."""
+    from recon_spark.operators.sparql import compile_sparql
+
+    return compile_sparql(_canonical_kg(spark, sf_dir), SPARQL_VALUES)
+
+
+SQL_SPARQL_VALUES = f"""
+WITH {_sql_canonical_kg()}
+SELECT subj AS s,
+       CASE pred WHEN 'scan' THEN 'reads' ELSE 'rolls_up' END AS tag,
+       obj AS o
+FROM kg WHERE pred IN ('scan', 'agg')
+ORDER BY s, tag, o
+"""
+
+
 SPARQL_PLUS = "SELECT ?s ?o WHERE { ?s <join>+ ?o } ORDER BY ?s ?o"
 
 
@@ -1423,6 +1450,7 @@ QUERIES = {
     "sparql_construct": q_sparql_construct,
     "sparql_graph_provenance": q_sparql_graph_provenance,
     "sparql_path_closure": q_sparql_path_closure,
+    "sparql_values_lookup": q_sparql_values_lookup,
     "rdf_ntriples_roundtrip": q_rdf_ntriples_roundtrip,
     "rdf_nquads_provenance": q_rdf_nquads_provenance,
     "rdf_escape_gauntlet": q_rdf_escape_gauntlet,
@@ -1454,6 +1482,7 @@ ORACLES = {
     "sparql_construct": SQL_SPARQL_CONSTRUCT,
     "sparql_graph_provenance": _sql_sparql_graph_provenance(),
     "sparql_path_closure": SQL_SPARQL_PATH_CLOSURE,
+    "sparql_values_lookup": SQL_SPARQL_VALUES,
     "rdf_ntriples_roundtrip": SQL_RDF_NTRIPLES_ROUNDTRIP,
     "rdf_nquads_provenance": _sql_rdf_nquads_provenance(),
     "rdf_escape_gauntlet": SQL_RDF_ESCAPE_GAUNTLET,

@@ -629,3 +629,70 @@ def test_plus_errors(path_graph):
         "CONSTRUCT { ?s <reaches> ?o } WHERE { ?s <knows>+ ?o }",
     )
     assert out.where("pred = 'reaches'").count() == 10
+
+
+# --------------------------------------------------------------------------
+# VALUES (inline bindings)
+# --------------------------------------------------------------------------
+
+VKG = [
+    ("a", "scan", "t1"),
+    ("b", "scan", "t2"),
+    ("c", "scan", "t3"),
+    ("a", "agg", "x"),
+]
+
+
+@pytest.fixture(scope="module")
+def values_graph(spark):
+    return spark.createDataFrame(VKG, "subj string, pred string, obj string")
+
+
+def test_values_single_var(values_graph):
+    out = compile_sparql(
+        values_graph,
+        'SELECT ?s ?o WHERE { VALUES ?s { "a" "b" } ?s <scan> ?o } ORDER BY ?s',
+    )
+    assert sorted(map(tuple, out.collect())) == [("a", "t1"), ("b", "t2")]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan  # the literal table is always broadcast
+
+
+def test_values_multi_var_remap(values_graph):
+    out = compile_sparql(
+        values_graph,
+        'SELECT ?s ?tag ?o WHERE { '
+        'VALUES (?p ?tag) { ("scan" "read") ("agg" "rollup") } ?s ?p ?o }',
+    )
+    assert sorted(map(tuple, out.collect())) == [
+        ("a", "read", "t1"), ("a", "rollup", "x"),
+        ("b", "read", "t2"), ("c", "read", "t3"),
+    ]
+
+
+def test_values_unshared_is_bounded_product(values_graph):
+    # fresh VALUES vars join as a constant binding table — a FILTER can
+    # then consume them; no allow_product needed (row count is literal)
+    out = compile_sparql(
+        values_graph,
+        'SELECT ?s WHERE { VALUES ?x { "t1" } ?s <scan> ?o . FILTER(?o = ?x) }',
+    )
+    assert sorted(map(tuple, out.collect())) == [("a",)]
+    cross = compile_sparql(
+        values_graph, 'SELECT ?s ?z WHERE { VALUES ?z { "q" } ?s <agg> ?o }'
+    )
+    assert sorted(map(tuple, cross.collect())) == [("a", "q")]
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        'SELECT ?s WHERE { ?s <p> ?o . OPTIONAL { VALUES ?x { "1" } ?o <q> ?x } }',
+        "SELECT ?s WHERE { VALUES ?s { } ?s ?p ?o }",
+        "SELECT ?s WHERE { VALUES ?s { ?v } ?s ?p ?o }",
+        'SELECT ?s WHERE { VALUES (?a ?a) { ("1" "2") } ?s ?p ?a }',
+    ],
+)
+def test_values_errors(values_graph, bad):
+    with pytest.raises(SparqlError):
+        compile_sparql(values_graph, bad).columns
