@@ -167,6 +167,10 @@ class SparqlQuery:
     construct: tuple[TriplePattern, ...] = ()
     # inline solution bindings (VALUES clauses in the WHERE group)
     values: tuple[ValuesClause, ...] = ()
+    # ASK form: true => compile to one boolean `ask` row
+    ask: bool = False
+    # DESCRIBE form: ground resources whose triples to return
+    describe: tuple[str, ...] = ()
 
 
 # --------------------------------------------------------------------------
@@ -253,6 +257,10 @@ class _Parser:
     def parse(self) -> SparqlQuery:
         if self._kw("CONSTRUCT"):
             return self._construct()
+        if self._kw("ASK"):
+            return self._ask()
+        if self._kw("DESCRIBE"):
+            return self._describe()
         self._expect_kw("SELECT")
         distinct = self._kw("DISTINCT")
 
@@ -349,6 +357,47 @@ class _Parser:
             order_by=tuple(order_by),
             limit=limit,
             values=tuple(values),
+        )
+
+    def _ask(self) -> SparqlQuery:
+        """ASK [WHERE] { group } — does at least one solution exist
+        (SPARQL 1.1 §10.3)? Compiles to one boolean row named `ask`."""
+        self._kw("WHERE")  # optional per the grammar
+        values: list[ValuesClause] = []
+        patterns, filters, optionals = self._group(
+            allow_optional=True, values_sink=values
+        )
+        if not patterns:
+            raise SparqlError("ASK group has no triple patterns")
+        if self._peek() is not None:
+            raise SparqlError(f"trailing tokens from {self._peek()}")
+        return SparqlQuery(
+            select=(), plain_vars=(), aggregates=(), select_star=False,
+            distinct=False, patterns=tuple(patterns), filters=tuple(filters),
+            optionals=tuple(optionals), group_by=(), order_by=(), limit=None,
+            values=tuple(values), ask=True,
+        )
+
+    def _describe(self) -> SparqlQuery:
+        """DESCRIBE <iri> [<iri> ...] — every triple the resources
+        participate in, as subject or object (the common concise-bound
+        reading of SPARQL 1.1 §10.4, which leaves the description shape
+        to the implementation). Variable DESCRIBE is not supported."""
+        resources: list[str] = []
+        while self._peek() and self._peek()[0] == "iri":
+            resources.append(self._next()[1][1:-1])
+        if not resources:
+            raise SparqlError("DESCRIBE needs at least one ground <iri>")
+        if self._peek() is not None:
+            raise SparqlError(
+                f"trailing tokens from {self._peek()} (DESCRIBE ?var "
+                "WHERE {...} is not supported)"
+            )
+        return SparqlQuery(
+            select=(), plain_vars=(), aggregates=(), select_star=False,
+            distinct=False, patterns=(), filters=(), optionals=(),
+            group_by=(), order_by=(), limit=None,
+            describe=tuple(resources),
         )
 
     def _construct(self) -> SparqlQuery:
@@ -872,7 +921,19 @@ def compile_sparql(
     projection unless GROUP BY is explicit.
     """
     q = parse_sparql(text)
+
+    if q.describe:
+        res = list(q.describe)
+        return (
+            graph.select(*_POSITIONS)
+            .where(F.col("subj").isin(res) | F.col("obj").isin(res))
+            .dropDuplicates()
+        )
+
     acc, bound = _solutions(graph, q, allow_product)
+
+    if q.ask:
+        return acc.agg((F.count(F.lit(1)) > 0).alias("ask"))
 
     if q.construct:
         return _instantiate_template(acc, bound, q.construct)

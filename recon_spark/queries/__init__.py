@@ -40,6 +40,8 @@ _NEVER_DRIVER_SAMPLED = [
     "sparql_graph_provenance",
     "sparql_path_closure",
     "sparql_values_lookup",
+    "sparql_ask",
+    "sparql_describe",
     "rdf_ntriples_roundtrip",
     "rdf_nquads_provenance",
     "rdf_escape_gauntlet",

@@ -1371,6 +1371,44 @@ ORDER BY s, tag, o
 """
 
 
+def q_sparql_ask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASK (SPARQL 1.1 §10.3): existence probes compiled to one boolean
+    aggregate over the solution frame — here, 'does any entity both
+    scan and agg?' (true on this corpus)."""
+    from recon_spark.operators.sparql import compile_sparql
+
+    return compile_sparql(
+        _canonical_kg(spark, sf_dir), "ASK { ?s <scan> ?o . ?s <agg> ?z }"
+    )
+
+
+SQL_SPARQL_ASK = f"""
+WITH {_sql_canonical_kg()}
+SELECT count(*) > 0 AS ask
+FROM (SELECT subj FROM kg WHERE pred = 'scan') a
+JOIN (SELECT subj FROM kg WHERE pred = 'agg') b USING (subj)
+"""
+
+
+def q_sparql_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE (SPARQL 1.1 §10.4, concise-bound reading): every triple
+    two linked entities participate in, as subject or object — the
+    entity-card export a KG browser issues."""
+    from recon_spark.operators.sparql import compile_sparql
+
+    return compile_sparql(
+        _canonical_kg(spark, sf_dir), "DESCRIBE <E_SPARK> <E_TABLE>"
+    ).orderBy("subj", "pred", "obj")
+
+
+SQL_SPARQL_DESCRIBE = f"""
+WITH {_sql_canonical_kg()}
+SELECT DISTINCT subj, pred, obj FROM kg
+WHERE subj IN ('E_SPARK', 'E_TABLE') OR obj IN ('E_SPARK', 'E_TABLE')
+ORDER BY subj, pred, obj
+"""
+
+
 SPARQL_PLUS = "SELECT ?s ?o WHERE { ?s <join>+ ?o } ORDER BY ?s ?o"
 
 
@@ -1451,6 +1489,8 @@ QUERIES = {
     "sparql_graph_provenance": q_sparql_graph_provenance,
     "sparql_path_closure": q_sparql_path_closure,
     "sparql_values_lookup": q_sparql_values_lookup,
+    "sparql_ask": q_sparql_ask,
+    "sparql_describe": q_sparql_describe,
     "rdf_ntriples_roundtrip": q_rdf_ntriples_roundtrip,
     "rdf_nquads_provenance": q_rdf_nquads_provenance,
     "rdf_escape_gauntlet": q_rdf_escape_gauntlet,
@@ -1483,6 +1523,8 @@ ORACLES = {
     "sparql_graph_provenance": _sql_sparql_graph_provenance(),
     "sparql_path_closure": SQL_SPARQL_PATH_CLOSURE,
     "sparql_values_lookup": SQL_SPARQL_VALUES,
+    "sparql_ask": SQL_SPARQL_ASK,
+    "sparql_describe": SQL_SPARQL_DESCRIBE,
     "rdf_ntriples_roundtrip": SQL_RDF_NTRIPLES_ROUNDTRIP,
     "rdf_nquads_provenance": _sql_rdf_nquads_provenance(),
     "rdf_escape_gauntlet": SQL_RDF_ESCAPE_GAUNTLET,

@@ -696,3 +696,48 @@ def test_values_unshared_is_bounded_product(values_graph):
 def test_values_errors(values_graph, bad):
     with pytest.raises(SparqlError):
         compile_sparql(values_graph, bad).columns
+
+
+# --------------------------------------------------------------------------
+# ASK / DESCRIBE
+# --------------------------------------------------------------------------
+
+
+def test_ask(values_graph):
+    yes = compile_sparql(values_graph, 'ASK { <a> <scan> ?o }')
+    assert yes.columns == ["ask"]
+    assert [tuple(r) for r in yes.collect()] == [(True,)]
+    no = compile_sparql(
+        values_graph, 'ASK WHERE { ?s <scan> ?o . FILTER(?o = "nope") }'
+    )
+    assert [tuple(r) for r in no.collect()] == [(False,)]
+    # composes with VALUES and paths
+    v = compile_sparql(
+        values_graph, 'ASK { VALUES ?s { "c" } ?s <scan> ?o }'
+    )
+    assert [tuple(r) for r in v.collect()] == [(True,)]
+
+
+def test_describe(values_graph):
+    out = compile_sparql(values_graph, "DESCRIBE <a>")
+    assert sorted(map(tuple, out.collect())) == [
+        ("a", "agg", "x"), ("a", "scan", "t1"),
+    ]
+    two = compile_sparql(values_graph, "DESCRIBE <t2> <x>")
+    assert sorted(map(tuple, two.collect())) == [
+        ("a", "agg", "x"), ("b", "scan", "t2"),
+    ]
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "ASK { }",
+        "DESCRIBE",
+        "DESCRIBE ?v WHERE { ?v ?p ?o }",
+        "DESCRIBE <a> extra",
+    ],
+)
+def test_ask_describe_errors(values_graph, bad):
+    with pytest.raises(SparqlError):
+        compile_sparql(values_graph, bad).columns
