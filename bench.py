@@ -134,6 +134,16 @@ EXTENDED = [
     "video_keyframe_sample",
     "warc_media_inventory",
     "video_caption_align",
+    # round-5 closing additions (RDF interchange + SPARQL forms)
+    "rdf_ntriples_roundtrip",
+    "rdf_nquads_provenance",
+    "rdf_escape_gauntlet",
+    "sparql_construct",
+    "sparql_graph_provenance",
+    "sparql_path_closure",
+    "sparql_values_lookup",
+    "sparql_ask",
+    "sparql_describe",
 ]
 
 

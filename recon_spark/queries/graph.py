@@ -1432,7 +1432,7 @@ r AS (
   UNION
   SELECT r.s, e.o FROM r JOIN e ON r.o = e.s
 )
-SELECT DISTINCT s AS subj, o AS obj FROM r ORDER BY subj, obj
+SELECT DISTINCT s, o FROM r ORDER BY s, o
 """
 
 
