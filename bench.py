@@ -144,6 +144,8 @@ EXTENDED = [
     "sparql_values_lookup",
     "sparql_ask",
     "sparql_describe",
+    "seq_packing",
+    "seq_packing_stats",
 ]
 
 

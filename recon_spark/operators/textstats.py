@@ -751,3 +751,65 @@ def gopher_quality_filter(
         (reasons == "").alias("keep"),
         reasons.alias("reasons"),
     ).orderBy("doc_id")
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int = 128,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence packing — the inverse of chunk_documents: concatenate
+    SHORT documents into fixed-``capacity`` training sequences (the
+    step every LLM pipeline runs between curation and batching, per
+    the T5/GPT packing recipe). Deterministic shard-local greedy:
+
+    - shard = doc_id % n_shards; within a shard docs pack in doc_id
+      order (byte-stable across runs and engines)
+    - a doc joins the open sequence iff fill + n_toks <= capacity,
+      else it starts a new one; a doc longer than capacity therefore
+      becomes a singleton sequence (kept whole, visibly overflowing —
+      truncation is a separate policy decision, not silently applied)
+
+    Returns (doc_id, shard, seq_id, start_tok, n_toks): every doc's
+    position in its packed sequence.
+
+    Scale shape: the greedy recurrence is inherently sequential, so it
+    runs per shard via applyInPandas — one shuffle on shard, then an
+    O(docs/shard) integer loop per group (token counts only; text
+    never leaves the JVM scan). Shards pack independently, so the
+    cluster scales with n_shards and the only quality cost is one
+    possibly-underfull open sequence per shard. At 10^12 docs, pick
+    n_shards ~ corpus/executor-memory; determinism survives because
+    shard assignment and intra-shard order depend on doc_id alone.
+    """
+    import pandas as pd
+
+    cap = int(capacity)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(id_col) % n_shards).alias("shard"),
+        F.size(F.split(text_col, " ")).alias("n_toks"),
+    )
+
+    def _pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seq = fill = 0
+        seqs, offs = [], []
+        for n in pdf["n_toks"]:
+            n = int(n)
+            if fill and fill + n > cap:
+                seq += 1
+                fill = 0
+            seqs.append(seq)
+            offs.append(fill)
+            fill += n
+        pdf["seq_id"] = seqs
+        pdf["start_tok"] = offs
+        return pdf[["doc_id", "shard", "seq_id", "start_tok", "n_toks"]]
+
+    return base.groupBy("shard").applyInPandas(
+        _pack,
+        "doc_id long, shard long, seq_id long, start_tok long, n_toks long",
+    )

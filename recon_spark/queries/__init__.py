@@ -36,6 +36,8 @@ ORACLES = {**CORE_ORACLES, **PIPELINE_ORACLES, **EXTRA_ORACLES, **GRAPH_ORACLES}
 # html_to_text_v2, staging gained duplicate records), and the bucketed
 # continuous sessionizer.
 _NEVER_DRIVER_SAMPLED = [
+    "seq_packing",
+    "seq_packing_stats",
     "sparql_construct",
     "sparql_graph_provenance",
     "sparql_path_closure",

@@ -1266,6 +1266,97 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACK_CAP = 128
+_PACK_SHARDS = 64
+
+
+def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (textstats.pack_sequences): short docs greedily
+    concatenated into capacity-128 training sequences, 64 independent
+    shards, deterministic doc_id order. The oracle replays the exact
+    greedy recurrence with DuckDB's WITH RECURSIVE — an independent
+    sequential-fixpoint engine checking the distributed applyInPandas
+    packing byte-for-byte."""
+    from recon_spark.operators.textstats import pack_sequences
+
+    return pack_sequences(
+        _docs(spark, sf_dir), capacity=_PACK_CAP, n_shards=_PACK_SHARDS
+    ).orderBy("doc_id")
+
+
+def _sql_pack_base() -> str:
+    return f"""
+d AS (
+  SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+         row_number() OVER (
+           PARTITION BY doc_id % {_PACK_SHARDS} ORDER BY doc_id
+         ) AS rn
+  FROM documents
+),
+p AS (
+  SELECT shard, rn, doc_id, n_toks,
+         CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS start_tok,
+         n_toks AS fill
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.shard, d.rn, d.doc_id, d.n_toks,
+         CASE WHEN p.fill + d.n_toks <= {_PACK_CAP}
+              THEN p.seq_id ELSE p.seq_id + 1 END,
+         CASE WHEN p.fill + d.n_toks <= {_PACK_CAP}
+              THEN p.fill ELSE CAST(0 AS BIGINT) END,
+         CASE WHEN p.fill + d.n_toks <= {_PACK_CAP}
+              THEN p.fill + d.n_toks ELSE d.n_toks END
+  FROM p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1
+)"""
+
+
+SQL_SEQ_PACKING = f"""
+WITH RECURSIVE {_sql_pack_base()}
+SELECT doc_id, shard, seq_id, start_tok, n_toks
+FROM p ORDER BY doc_id
+"""
+
+
+def q_seq_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing efficiency rollup per shard: sequences formed, docs
+    packed, token fill ratio vs capacity — the number a training team
+    reads to size capacity (waste = 1 - fill_ratio)."""
+    from recon_spark.operators.textstats import pack_sequences
+
+    packed = pack_sequences(
+        _docs(spark, sf_dir), capacity=_PACK_CAP, n_shards=_PACK_SHARDS
+    )
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.countDistinct("seq_id").alias("n_seqs"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("sum_toks"),
+        )
+        .select(
+            "shard",
+            "n_seqs",
+            "n_docs",
+            "sum_toks",
+            F.round(F.col("sum_toks") / (F.col("n_seqs") * _PACK_CAP), 6).alias(
+                "fill_ratio"
+            ),
+        )
+        .orderBy("shard")
+    )
+
+
+SQL_SEQ_PACKING_STATS = f"""
+WITH RECURSIVE {_sql_pack_base()}
+SELECT shard, count(DISTINCT seq_id) AS n_seqs, count(*) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS sum_toks,
+       round(CAST(sum(n_toks) AS DOUBLE) / (count(DISTINCT seq_id) * {_PACK_CAP}), 6)
+         AS fill_ratio
+FROM p GROUP BY shard ORDER BY shard
+"""
+
+
 SQL_DOC_CHUNKS = f"""
 WITH tt AS (
   SELECT doc_id, string_split(text, ' ') AS toks,
@@ -3850,6 +3941,8 @@ QUERIES = {
     "quality_score_trained": q_quality_score_trained,
     "segment_dedup": q_segment_dedup,
     "doc_chunks": q_doc_chunks,
+    "seq_packing": q_seq_packing,
+    "seq_packing_stats": q_seq_packing_stats,
     "split_leakage": q_split_leakage,
     "dedup_incremental": q_dedup_incremental,
     "corpus_rollup": q_corpus_rollup,
@@ -3917,6 +4010,8 @@ ORACLES = {
     "quality_score_trained": _sql_quality_score_trained(),
     "segment_dedup": SQL_SEGMENT_DEDUP,
     "doc_chunks": SQL_DOC_CHUNKS,
+    "seq_packing": SQL_SEQ_PACKING,
+    "seq_packing_stats": SQL_SEQ_PACKING_STATS,
     "split_leakage": _sql_split_leakage(),
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "corpus_rollup": SQL_CORPUS_ROLLUP,
