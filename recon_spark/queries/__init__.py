@@ -38,6 +38,7 @@ ORACLES = {**CORE_ORACLES, **PIPELINE_ORACLES, **EXTRA_ORACLES, **GRAPH_ORACLES}
 _NEVER_DRIVER_SAMPLED = [
     "seq_packing",
     "seq_packing_stats",
+    "seq_packing_text",
     "sparql_construct",
     "sparql_graph_provenance",
     "sparql_path_closure",

@@ -1357,6 +1357,52 @@ FROM p GROUP BY shard ORDER BY shard
 """
 
 
+def q_seq_packing_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packed sequences MATERIALIZED: join assignments back to the
+    text, order docs by their in-sequence offset, concatenate — the
+    actual training-shard payload, pinned by md5. Everything after the
+    applyInPandas assignment is JVM-side (sort_array over structs +
+    array_join), so the text bytes never cross into Python."""
+    from recon_spark.operators.textstats import pack_sequences
+
+    docs = _docs(spark, sf_dir)
+    packed = pack_sequences(docs, capacity=_PACK_CAP, n_shards=_PACK_SHARDS)
+    joined = packed.join(docs.select("doc_id", "text"), "doc_id")
+    return (
+        joined.groupBy("shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("seq_toks"),
+            F.md5(
+                F.encode(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("start_tok", "text"))
+                            ),
+                            lambda x: x["text"],
+                        ),
+                        " ",
+                    ),
+                    "utf-8",
+                )
+            ).alias("seq_md5"),
+        )
+        .orderBy("shard", "seq_id")
+    )
+
+
+def _sql_seq_packing_text() -> str:
+    return f"""
+WITH RECURSIVE {_sql_pack_base()}
+SELECT p.shard, p.seq_id, count(*) AS n_docs,
+       CAST(sum(p.n_toks) AS BIGINT) AS seq_toks,
+       md5(string_agg(d2.text, ' ' ORDER BY p.start_tok)) AS seq_md5
+FROM p JOIN documents d2 ON p.doc_id = d2.doc_id
+GROUP BY p.shard, p.seq_id ORDER BY p.shard, p.seq_id
+"""
+
+
 SQL_DOC_CHUNKS = f"""
 WITH tt AS (
   SELECT doc_id, string_split(text, ' ') AS toks,
@@ -3943,6 +3989,7 @@ QUERIES = {
     "doc_chunks": q_doc_chunks,
     "seq_packing": q_seq_packing,
     "seq_packing_stats": q_seq_packing_stats,
+    "seq_packing_text": q_seq_packing_text,
     "split_leakage": q_split_leakage,
     "dedup_incremental": q_dedup_incremental,
     "corpus_rollup": q_corpus_rollup,
@@ -4012,6 +4059,7 @@ ORACLES = {
     "doc_chunks": SQL_DOC_CHUNKS,
     "seq_packing": SQL_SEQ_PACKING,
     "seq_packing_stats": SQL_SEQ_PACKING_STATS,
+    "seq_packing_text": _sql_seq_packing_text(),
     "split_leakage": _sql_split_leakage(),
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "corpus_rollup": SQL_CORPUS_ROLLUP,
