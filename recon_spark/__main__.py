@@ -128,6 +128,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--out", required=True, help="triple store output dir")
     ap.add_argument("--parts", type=int, default=16, help="output partitions")
     ap.add_argument("--master", default=None, help="override spark master")
+    ap.add_argument(
+        "--export-nq",
+        default=None,
+        metavar="DIR",
+        help="also export the materialized triples as gzipped N-Quads "
+        "shards (graph term = source page url) — the Web Data Commons "
+        "interchange layout",
+    )
     args = ap.parse_args(argv)
 
     from recon_spark.session import get_spark
@@ -146,6 +154,19 @@ def main(argv: list[str] | None = None) -> int:
 
             pages = generate_pages(spark, args.n_pages)
         metrics = build_triples(spark, pages, args.out, n_parts=args.parts)
+        if args.export_nq:
+            from recon_spark.rdf import serialize_triples, write_ntriples
+            from recon_spark.storage import SnapshotStore
+
+            store = SnapshotStore(
+                spark, args.out, key_col="triple_key", hash_col="content_hash"
+            )
+            write_ntriples(
+                serialize_triples(store.read(), graph="url", encode_graph=True),
+                args.export_nq,
+                compression="gzip",
+            )
+            metrics["export_nq"] = args.export_nq
         print(json.dumps(metrics, default=str))
         return 0
     finally:
