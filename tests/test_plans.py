@@ -365,3 +365,32 @@ def test_mined_alias_canonicalization_joins_are_broadcast(spark):
     plan = plan_of(q_triples_mined_aliases(spark, SF_SMOKE))
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_sparql_literal_pred_prunes_partitions(spark, tmp_path):
+    """The scale contract sparql.py's docstring claims: over a
+    pred-partitioned triple store (the Iceberg partition-transform
+    analog), a ground predicate in a SPARQL pattern must land in the
+    scan's PartitionFilters — only that predicate's partition is read
+    at 10^12-triple scale."""
+    import re
+
+    from recon_spark.operators.sparql import compile_sparql
+
+    d = str(tmp_path / "pred_part")
+    kg = spark.createDataFrame(
+        [("a", "scan", "t1"), ("b", "join", "t2"), ("c", "agg", "x")] * 50,
+        "subj string, pred string, obj string",
+    )
+    kg.write.partitionBy("pred").mode("overwrite").parquet(d)
+    store = spark.read.parquet(d)
+    q = compile_sparql(store, "SELECT ?s ?o WHERE { ?s <scan> ?o }")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, "no PartitionFilters section in the scan"
+    assert "= scan" in m.group(1), m.group(1)
+    # a variable predicate must NOT invent a partition filter
+    q2 = compile_sparql(store, "SELECT ?s ?p WHERE { ?s ?p ?o }")
+    plan2 = q2._jdf.queryExecution().executedPlan().toString()
+    m2 = re.search(r"PartitionFilters: \[([^\]]*)\]", plan2)
+    assert m2 is None or "= " not in m2.group(1)
