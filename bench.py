@@ -146,6 +146,8 @@ EXTENDED = [
     "sparql_describe",
     "seq_packing",
     "seq_packing_stats",
+    "seq_packing_text",
+    "jsonld_extract",
 ]
 
 

@@ -30,6 +30,7 @@ from datetime import datetime, timedelta, timezone
 from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from recon_spark.gazetteer import GAZ_AMBIG, GAZ_FIXED, PREDICATES, STOPWORDS
 
@@ -282,3 +283,71 @@ def extract_text_column_v2(
             yield pa.RecordBatch.from_arrays(cols, names)
 
     return df.mapInArrow(_ex, out_schema)
+
+
+# --------------------------------------------------------------------------
+# schema.org structured data (JSON-LD) extraction — the Web Data Commons
+# pipeline: Common Crawl pages carry embedded
+# <script type="application/ld+json"> blocks; WDC's entire public KG is
+# built by extracting them. Top-level properties flatten to triples.
+# --------------------------------------------------------------------------
+
+_JSONLD_RE = (
+    r'(?is)<script[^>]*type\s*=\s*["\']application/ld\+json["\'][^>]*>'
+    r"(.*?)</script>"
+)
+
+
+def extract_jsonld(
+    df: DataFrame, url_col: str = "url", html_col: str = "html_str"
+) -> DataFrame:
+    """Extract schema.org JSON-LD blocks from page HTML and flatten
+    each block's TOP-LEVEL properties to (subj, pred, obj) rows:
+
+    - subj = the block's ``@id`` if present, else ``url#block_id``
+      (blank-node convention keyed to the page)
+    - pred = the property key (``@type`` kept as-is — the rdf:type
+      analog), ``@id`` itself consumed as the subject
+    - obj  = the value as a string: JSON primitives stringify
+      (9.99 -> '9.99', true -> 'true'), nested objects/arrays keep
+      their raw JSON text (one level of flattening; recursing into
+      nested nodes is graph-shape policy, left to the caller)
+    - malformed or non-object blocks surface as rows with null
+      subj/pred/obj and the raw text in ``bad_block`` — visible, never
+      silently dropped (the rdf.py bad_line convention)
+
+    All JVM: regexp_extract_all for the blocks, from_json into
+    map<string,string> for the flattening (Spark's JSON reader does the
+    stringification), explode for the properties — map-only until
+    whatever shuffle follows. Expects ``html_col`` as a STRING column
+    (decode bytes upstream via the charset-aware path)."""
+    blocks = F.regexp_extract_all(F.col(html_col), F.lit(_JSONLD_RE), 1)
+    b = (
+        df.select(F.col(url_col).alias("url"), F.posexplode(blocks))
+        .withColumnRenamed("pos", "block_id")
+        .withColumn("js", F.trim(F.col("col")))
+        .withColumn("m", F.from_json("js", "map<string,string>"))
+    )
+    valid = b.where(F.col("m").isNotNull())
+    triples = (
+        valid.select(
+            "url",
+            "block_id",
+            F.coalesce(
+                F.element_at("m", "@id"),
+                F.concat("url", F.lit("#"), F.col("block_id")),
+            ).alias("subj"),
+            F.explode("m").alias("pred", "obj"),
+        )
+        .where(F.col("pred") != "@id")
+        .withColumn("bad_block", F.lit(None).cast("string"))
+    )
+    bad = b.where(F.col("m").isNull()).select(
+        "url",
+        "block_id",
+        F.lit(None).cast("string").alias("subj"),
+        F.lit(None).cast("string").alias("pred"),
+        F.lit(None).cast("string").alias("obj"),
+        F.col("js").alias("bad_block"),
+    )
+    return triples.unionByName(bad)

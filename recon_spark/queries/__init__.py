@@ -36,6 +36,7 @@ ORACLES = {**CORE_ORACLES, **PIPELINE_ORACLES, **EXTRA_ORACLES, **GRAPH_ORACLES}
 # html_to_text_v2, staging gained duplicate records), and the bucketed
 # continuous sessionizer.
 _NEVER_DRIVER_SAMPLED = [
+    "jsonld_extract",
     "seq_packing",
     "seq_packing_stats",
     "seq_packing_text",

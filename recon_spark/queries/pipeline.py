@@ -1403,6 +1403,123 @@ GROUP BY p.shard, p.seq_id ORDER BY p.shard, p.seq_id
 """
 
 
+# --------------------------------------------------------------------------
+# schema.org JSON-LD extraction (pages.extract_jsonld) — the Web Data
+# Commons pipeline over Common Crawl. Fixture pages are CONSTRUCTED
+# around known blocks (product card on every page, breadcrumb block on
+# every 5th, malformed block on every 7th — with quoting/tag-case
+# variants), so the oracle never replays the regex: it emits exactly
+# the blocks it embedded, parsed with DuckDB's own JSON engine.
+# --------------------------------------------------------------------------
+
+_JSONLD_N = 400
+
+
+def q_jsonld_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedded schema.org JSON-LD -> flattened (subj, pred, obj)
+    triples per block, malformed blocks surfaced as bad_block rows.
+    The Spark side builds the page HTML and runs the full extractor
+    (regex + from_json flattening); the oracle constructs the same
+    blocks directly and parses them with DuckDB's JSON engine — an
+    independent parser checking stringification byte-for-byte
+    (9.99 -> '9.99', nested objects keep raw JSON text)."""
+    from recon_spark.pages import extract_jsonld
+
+    d = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") < _JSONLD_N)
+        .select(
+            "doc_id",
+            F.substring(F.md5(F.encode("text", "utf-8")), 1, 10).alias("tok"),
+        )
+    )
+    typ = F.element_at(
+        F.array(F.lit("Product"), F.lit("Person"), F.lit("Article")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    js1 = F.concat(
+        F.lit('{"@id":"https://ex.org/item/'), F.col("doc_id"),
+        F.lit('","@type":"'), typ,
+        F.lit('","name":"'), F.col("tok"),
+        F.lit('","price":'), (F.col("doc_id") % 97).cast("string"),
+        F.lit('.99,"brand":{"n":"acme"}}'),
+    )
+    js2 = F.concat(
+        F.lit('{"@type":"BreadcrumbList","name":"crumbs '),
+        F.col("tok"), F.lit('"}'),
+    )
+    html = F.concat(
+        F.lit('<html><head><script type="application/ld+json">'),
+        js1,
+        F.lit("</script></head><body>"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit("<SCRIPT type='application/ld+json'>"),
+                js2, F.lit("</SCRIPT>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit('<script type="application/ld+json">{oops</script>'),
+        ).otherwise(F.lit("")),
+        F.lit("<p>x</p></body></html>"),
+    )
+    pages = d.select(
+        F.concat(F.lit("https://ex.org/p/"), F.col("doc_id")).alias("url"),
+        html.alias("html_str"),
+    )
+    return extract_jsonld(pages).orderBy("url", "block_id", "pred")
+
+
+SQL_JSONLD_EXTRACT = f"""
+WITH d AS (
+  SELECT doc_id, substr(md5(text), 1, 10) AS tok,
+         'https://ex.org/p/' || doc_id AS url,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'Product'
+              WHEN 1 THEN 'Person' ELSE 'Article' END AS typ
+  FROM documents WHERE doc_id < {_JSONLD_N}
+),
+built AS (
+  SELECT url, doc_id,
+         '{{"@id":"https://ex.org/item/' || doc_id || '","@type":"' || typ
+           || '","name":"' || tok || '","price":' || (doc_id % 97)
+           || '.99,"brand":{{"n":"acme"}}}}' AS js1,
+         '{{"@type":"BreadcrumbList","name":"crumbs ' || tok || '"}}' AS js2
+  FROM d
+),
+blocks AS (
+  SELECT url, 0 AS block_id, js1 AS raw FROM built
+  UNION ALL
+  SELECT url, 1, js2 FROM built WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT url, CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END, '{{oops'
+  FROM built WHERE doc_id % 7 = 0
+),
+flagged AS (
+  SELECT url, block_id, raw,
+         CASE WHEN json_valid(raw)
+              THEN json_type(raw::JSON) = 'OBJECT' ELSE false END AS ok
+  FROM blocks
+),
+kv AS (
+  SELECT url, block_id, raw AS js, unnest(json_keys(raw)) AS k
+  FROM flagged WHERE ok
+)
+SELECT url, CAST(block_id AS INT) AS block_id,
+       coalesce(json_extract_string(js, '$."@id"'),
+                url || '#' || block_id) AS subj,
+       k AS pred,
+       json_extract_string(js, '$."' || k || '"') AS obj,
+       CAST(NULL AS VARCHAR) AS bad_block
+FROM kv WHERE k != '@id'
+UNION ALL
+SELECT url, CAST(block_id AS INT) AS block_id, NULL, NULL, NULL, raw
+FROM flagged WHERE NOT ok
+ORDER BY url, block_id, pred
+"""
+
+
 SQL_DOC_CHUNKS = f"""
 WITH tt AS (
   SELECT doc_id, string_split(text, ' ') AS toks,
@@ -3990,6 +4107,7 @@ QUERIES = {
     "seq_packing": q_seq_packing,
     "seq_packing_stats": q_seq_packing_stats,
     "seq_packing_text": q_seq_packing_text,
+    "jsonld_extract": q_jsonld_extract,
     "split_leakage": q_split_leakage,
     "dedup_incremental": q_dedup_incremental,
     "corpus_rollup": q_corpus_rollup,
@@ -4060,6 +4178,7 @@ ORACLES = {
     "seq_packing": SQL_SEQ_PACKING,
     "seq_packing_stats": SQL_SEQ_PACKING_STATS,
     "seq_packing_text": _sql_seq_packing_text(),
+    "jsonld_extract": SQL_JSONLD_EXTRACT,
     "split_leakage": _sql_split_leakage(),
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "corpus_rollup": SQL_CORPUS_ROLLUP,

@@ -236,3 +236,43 @@ def test_v2_equals_v1_on_synthetic_corpus():
         _, _, html, text, _ = page_content(pid)
         body = html  # full generated page incl. head
         assert html_to_text_v2(body) == html_to_text(body) == text
+
+
+# --------------------------------------------------------------------------
+# schema.org JSON-LD extraction (pages.extract_jsonld)
+# --------------------------------------------------------------------------
+
+
+def test_extract_jsonld_forms(spark):
+    from recon_spark.pages import extract_jsonld
+
+    html = (
+        '<html><head><script type="application/ld+json">'
+        '{"@id":"https://x/1","@type":"Product","name":"W","price":9.99,'
+        '"ok":true,"brand":{"n":"acme"},"tags":["a","b"]}'
+        "</script></head><body>"
+        # tag-case + single-quote attribute variant, no @id -> blank node
+        "<SCRIPT TYPE='application/ld+json'>{\"@type\":\"Crumb\"}</SCRIPT>"
+        # malformed block surfaces, never drops
+        '<script type="application/ld+json">{oops</script>'
+        # a plain script must NOT match
+        '<script type="text/javascript">{"@type":"nope"}</script>'
+        "</body></html>"
+    )
+    df = spark.createDataFrame([("https://p/1", html)], "url string, html_str string")
+    out = extract_jsonld(df)
+    rows = {(r.block_id, r.pred): r for r in out.collect() if r.bad_block is None}
+    by_block0 = {p: rows[(0, p)].obj for (b, p) in rows if b == 0}
+    # JSON primitives stringify, nested values keep raw JSON text
+    assert by_block0 == {
+        "@type": "Product", "name": "W", "price": "9.99", "ok": "true",
+        "brand": '{"n":"acme"}', "tags": '["a","b"]',
+    }
+    assert all(r.subj == "https://x/1" for (b, _), r in rows.items() if b == 0)
+    assert rows[(1, "@type")].subj == "https://p/1#1"  # blank-node fallback
+    bad = [r for r in out.collect() if r.bad_block is not None]
+    assert len(bad) == 1 and bad[0].bad_block == "{oops" and bad[0].subj is None
+    # the text/javascript block matched nothing: block ids are 0,1,2 only
+    assert {r.block_id for r in out.collect()} == {0, 1, 2}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
