@@ -148,6 +148,8 @@ EXTENDED = [
     "seq_packing_stats",
     "seq_packing_text",
     "jsonld_extract",
+    "image_captions",
+    "page_meta",
 ]
 
 

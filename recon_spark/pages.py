@@ -351,3 +351,115 @@ def extract_jsonld(
         F.col("js").alias("bad_block"),
     )
     return triples.unionByName(bad)
+
+
+# --------------------------------------------------------------------------
+# image-caption pair mining + page metadata — the LAION-style recipe:
+# image-text training pairs come from <img src= alt=> attributes of
+# crawled HTML; page-level metadata (OpenGraph, title, lang, canonical)
+# keys the pairs and the corpus. Regex attribute extraction tolerates
+# either quote style and any attribute order; values containing a raw
+# '>' inside quotes are beyond the tag regex (documented, standard for
+# crawl-scale extractors).
+# --------------------------------------------------------------------------
+
+# minimal JVM-side entity decode for attribute text (the full table
+# lives in html_to_text_v2's Python path); &amp; decodes LAST so
+# "&amp;lt;" correctly yields "&lt;" (single-pass semantics)
+_ATTR_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+)
+
+
+def _decode_entities(col):
+    for ent, ch in _ATTR_ENTITIES:
+        col = F.replace(col, F.lit(ent), F.lit(ch))
+    return col
+
+
+def _attr(tag, name: str):
+    """Value of attribute `name` in a tag string, either quote style,
+    any position; '' when absent."""
+    dq = F.regexp_extract(tag, f'(?is)\\b{name}\\s*=\\s*"([^"]*)"', 1)
+    sq = F.regexp_extract(tag, f"(?is)\\b{name}\\s*=\\s*'([^']*)'", 1)
+    return F.when(dq != "", dq).otherwise(sq)
+
+
+def extract_image_captions(
+    df: DataFrame, url_col: str = "url", html_col: str = "html_str"
+) -> DataFrame:
+    """Mine (image, caption) candidates from page HTML: every <img>
+    tag's src / alt / title attributes, entity-decoded, with
+    caption = alt if non-empty else title. Tags without a src are kept
+    with src='' (visible, caller filters) — the pair-quality gate is a
+    separate policy stage, as in the LAION pipeline. Map-only JVM
+    (regexp over the page, per-tag attribute extracts)."""
+    tags = F.regexp_extract_all(
+        F.col(html_col), F.lit(r"(?is)<img\b[^>]*>"), 0
+    )
+    t = df.select(F.col(url_col).alias("url"), F.posexplode(tags)).select(
+        "url", F.col("pos").alias("img_id"), F.col("col").alias("tag")
+    )
+    alt = _decode_entities(_attr(F.col("tag"), "alt"))
+    title = _decode_entities(_attr(F.col("tag"), "title"))
+    return t.select(
+        "url",
+        "img_id",
+        _attr(F.col("tag"), "src").alias("src"),
+        alt.alias("alt"),
+        title.alias("title"),
+        F.when(alt != "", alt).otherwise(title).alias("caption"),
+    )
+
+
+_META_KEYS = ("og:title", "og:type", "og:image", "og:description",
+              "twitter:title", "description")
+
+
+def extract_page_meta(
+    df: DataFrame, url_col: str = "url", html_col: str = "html_str"
+) -> DataFrame:
+    """Page-level metadata in long form (url, key, value): OpenGraph /
+    twitter / description <meta> tags (property= or name=), plus the
+    pseudo-keys @title (the <title> text, entity-decoded), @lang
+    (<html lang=...>), and @canonical (<link rel=canonical href=...>,
+    either attribute order). Absent keys emit no row. Map-only JVM."""
+    h = F.col(html_col)
+    metas = F.regexp_extract_all(h, F.lit(r"(?is)<meta\b[^>]*>"), 0)
+    m = (
+        df.select(F.col(url_col).alias("url"), F.explode(metas).alias("tag"))
+        .select(
+            "url",
+            F.coalesce(
+                F.when(_attr(F.col("tag"), "property") != "",
+                       _attr(F.col("tag"), "property")),
+                F.when(_attr(F.col("tag"), "name") != "",
+                       _attr(F.col("tag"), "name")),
+            ).alias("key"),
+            _decode_entities(_attr(F.col("tag"), "content")).alias("value"),
+        )
+        .where(F.col("key").isin(*_META_KEYS) & (F.col("value") != ""))
+    )
+    title = F.regexp_extract(h, r"(?is)<title[^>]*>(.*?)</title>", 1)
+    lang = F.coalesce(
+        F.nullif(F.regexp_extract(h, r'(?is)<html\b[^>]*\blang\s*=\s*"([^"]*)"', 1), F.lit("")),
+        F.nullif(F.regexp_extract(h, r"(?is)<html\b[^>]*\blang\s*=\s*'([^']*)'", 1), F.lit("")),
+    )
+    canon_tag = F.regexp_extract(
+        h, r'(?is)(<link\b[^>]*\brel\s*=\s*["\']canonical["\'][^>]*>)', 1
+    )
+    pseudo = df.select(
+        F.col(url_col).alias("url"),
+        F.array(
+            F.struct(F.lit("@title").alias("key"),
+                     _decode_entities(F.trim(title)).alias("value")),
+            F.struct(F.lit("@lang").alias("key"),
+                     F.coalesce(lang, F.lit("")).alias("value")),
+            F.struct(F.lit("@canonical").alias("key"),
+                     F.coalesce(_attr(canon_tag, "href"), F.lit("")).alias("value")),
+        ).alias("kv"),
+    ).select("url", F.explode("kv").alias("e")).select(
+        "url", F.col("e.key").alias("key"), F.col("e.value").alias("value")
+    ).where(F.col("value") != "")
+    return m.unionByName(pseudo)

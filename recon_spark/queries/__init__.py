@@ -37,6 +37,8 @@ ORACLES = {**CORE_ORACLES, **PIPELINE_ORACLES, **EXTRA_ORACLES, **GRAPH_ORACLES}
 # continuous sessionizer.
 _NEVER_DRIVER_SAMPLED = [
     "jsonld_extract",
+    "image_captions",
+    "page_meta",
     "seq_packing",
     "seq_packing_stats",
     "seq_packing_text",

@@ -1520,6 +1520,116 @@ ORDER BY url, block_id, pred
 """
 
 
+# --------------------------------------------------------------------------
+# Image-caption pair mining + page metadata (pages.extract_image_captions
+# / extract_page_meta) — the LAION-recipe pair source and the OpenGraph
+# page card. Constructed fixtures again: quote-style, attribute-order,
+# entity, and missing-attribute variants are embedded per doc, and the
+# oracle emits the expected rows directly (decoded bytes written out by
+# hand) — the extractors' regex + entity chains are checked, never
+# replayed.
+# --------------------------------------------------------------------------
+
+_IMGMETA_N = 400
+
+
+def _imgmeta_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") < _IMGMETA_N)
+        .select(
+            "doc_id",
+            F.substring(F.md5(F.encode("text", "utf-8")), 1, 8).alias("tok"),
+        )
+    )
+    lang = F.when(F.col("doc_id") % 2 == 0, "en").otherwise("de")
+    html = F.concat(
+        F.lit('<html lang="'), lang,
+        F.lit('"><head><title>doc &amp; '), F.col("tok"),
+        F.lit('</title><meta property="og:title" content="T '), F.col("tok"),
+        F.lit('"><meta name=\'description\' content=\'d '), F.col("tok"),
+        F.lit("'><meta name=\"viewport\" content=\"w=1\">"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit('<link href="https://c/'), F.col("doc_id"),
+                     F.lit('" rel="canonical">')),
+        ).otherwise(F.lit("")),
+        F.lit('</head><body><img alt="cat &amp; '), F.col("tok"),
+        F.lit('" src="/i/'), F.col("doc_id"), F.lit('.jpg">'),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("<IMG SRC='/p/"), F.col("doc_id"),
+                     F.lit(".png' title='t "), F.col("tok"), F.lit("'>")),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0, F.lit('<img class="deco">'))
+        .otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    return d.select(
+        F.concat(F.lit("https://ex.org/p/"), F.col("doc_id")).alias("url"),
+        html.alias("html_str"),
+    )
+
+
+_SQL_IMGMETA_D = f"""
+d AS (
+  SELECT doc_id, substr(md5(text), 1, 8) AS tok,
+         'https://ex.org/p/' || doc_id AS url
+  FROM documents WHERE doc_id < {_IMGMETA_N}
+)"""
+
+
+def q_image_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION-style image-text pair mining: <img> src/alt/title with the
+    alt-else-title caption rule, entity-decoded, srcless decorations
+    kept visible with src=''."""
+    from recon_spark.pages import extract_image_captions
+
+    return extract_image_captions(_imgmeta_fixture(spark, sf_dir)).orderBy(
+        "url", "img_id"
+    )
+
+
+SQL_IMAGE_CAPTIONS = f"""
+WITH {_SQL_IMGMETA_D}
+SELECT url, 0 AS img_id, '/i/' || doc_id || '.jpg' AS src,
+       'cat & ' || tok AS alt, '' AS title, 'cat & ' || tok AS caption
+FROM d
+UNION ALL
+SELECT url, 1, '/p/' || doc_id || '.png', '', 't ' || tok, 't ' || tok
+FROM d WHERE doc_id % 3 = 0
+UNION ALL
+SELECT url, CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END, '', '', '', ''
+FROM d WHERE doc_id % 4 = 0
+ORDER BY url, img_id
+"""
+
+
+def q_page_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenGraph/meta page card in long form plus the @title/@lang/
+    @canonical pseudo-keys; the off-list viewport meta must NOT
+    appear."""
+    from recon_spark.pages import extract_page_meta
+
+    return extract_page_meta(_imgmeta_fixture(spark, sf_dir)).orderBy(
+        "url", "key"
+    )
+
+
+SQL_PAGE_META = f"""
+WITH {_SQL_IMGMETA_D}
+SELECT url, key, value FROM (
+  SELECT url, 'og:title' AS key, 'T ' || tok AS value FROM d
+  UNION ALL SELECT url, 'description', 'd ' || tok FROM d
+  UNION ALL SELECT url, '@title', 'doc & ' || tok FROM d
+  UNION ALL SELECT url, '@lang',
+    CASE WHEN doc_id % 2 = 0 THEN 'en' ELSE 'de' END FROM d
+  UNION ALL SELECT url, '@canonical', 'https://c/' || doc_id
+    FROM d WHERE doc_id % 2 = 0
+) ORDER BY url, key
+"""
+
+
 SQL_DOC_CHUNKS = f"""
 WITH tt AS (
   SELECT doc_id, string_split(text, ' ') AS toks,
@@ -4108,6 +4218,8 @@ QUERIES = {
     "seq_packing_stats": q_seq_packing_stats,
     "seq_packing_text": q_seq_packing_text,
     "jsonld_extract": q_jsonld_extract,
+    "image_captions": q_image_captions,
+    "page_meta": q_page_meta,
     "split_leakage": q_split_leakage,
     "dedup_incremental": q_dedup_incremental,
     "corpus_rollup": q_corpus_rollup,
@@ -4179,6 +4291,8 @@ ORACLES = {
     "seq_packing_stats": SQL_SEQ_PACKING_STATS,
     "seq_packing_text": _sql_seq_packing_text(),
     "jsonld_extract": SQL_JSONLD_EXTRACT,
+    "image_captions": SQL_IMAGE_CAPTIONS,
+    "page_meta": SQL_PAGE_META,
     "split_leakage": _sql_split_leakage(),
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "corpus_rollup": SQL_CORPUS_ROLLUP,
