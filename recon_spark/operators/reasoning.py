@@ -1,0 +1,368 @@
+"""RDFS entailment materialization + SHACL-lite shape validation over
+the canonical triple table.
+
+KG-construction pipelines do not stop at extracting (subj, pred, obj):
+before materializing the graph they (a) close it under the ontology's
+schema semantics so downstream SPARQL sees inferred facts without
+per-query reasoning, and (b) gate it on shape constraints so malformed
+entities never reach the published tables. This module implements both
+as pure DataFrame plans.
+
+Reference parity note: the reference has no reasoner — its closest
+analog is the label-consistency machinery (recon/corrections.py
+``fix_annotations`` rewrites labels through a correction dictionary;
+recon/insights.py ``get_label_disparities`` flags entities whose
+annotations disagree). RDFS entailment generalizes the former (rewrite
+assertions through a schema dictionary, here with transitive closure)
+and shape validation generalizes the latter (declarative per-entity
+consistency predicates producing a violation report).
+
+Scale design (10^12-triple A-Box, 10^4-row T-Box):
+
+- The T-Box (ontology) is orders of magnitude smaller than the A-Box in
+  every real KG (DBpedia: ~800 classes / 3k properties vs ~10^9
+  triples). Its transitive closure is therefore computed DRIVER-side in
+  Python (guarded by ``TBOX_MAX_ROWS``) and shipped to executors as
+  broadcast dimension frames. Every rule application below is then a
+  broadcast hash join on ``pred`` — map-side, no shuffle.
+- The only shuffle in ``rdfs_entail`` is the final ``dropDuplicates``
+  on (subj, pred, obj), which Spark executes with map-side partial
+  aggregation; its width is the entailed graph, within a small constant
+  factor (bounded by the property-hierarchy depth x assertion count) of
+  the input.
+- Shape validation is a handful of pred-pruned aggregations and
+  left-anti joins over the entailed graph — each shape is one
+  combinable agg or one semi/anti join keyed on the focus node.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TYPE_PRED = "type"
+
+# T-Box over the synthetic corpus' seven relation-operator predicates
+# (scan/filter/join/merge/agg/group/sort). Local names only — the IRI
+# layer (recon_spark/rdf.py) wraps them for interchange.
+ONTOLOGY: tuple[tuple[str, str, str], ...] = (
+    ("scan", "subPropertyOf", "reads"),
+    ("filter", "subPropertyOf", "reads"),
+    ("reads", "subPropertyOf", "accesses"),
+    ("join", "subPropertyOf", "combines"),
+    ("merge", "subPropertyOf", "combines"),
+    ("combines", "subPropertyOf", "accesses"),
+    ("agg", "subPropertyOf", "summarizes"),
+    ("group", "subPropertyOf", "summarizes"),
+    ("sort", "subPropertyOf", "orders"),
+    ("reads", "domain", "Reader"),
+    ("reads", "range", "Readable"),
+    ("combines", "domain", "Combiner"),
+    ("combines", "range", "Combinable"),
+    ("summarizes", "domain", "Aggregator"),
+    ("orders", "range", "Sortable"),
+    ("accesses", "domain", "Operator"),
+    ("accesses", "range", "Resource"),
+    ("Reader", "subClassOf", "Operator"),
+    ("Combiner", "subClassOf", "Operator"),
+    ("Aggregator", "subClassOf", "Operator"),
+    ("Operator", "subClassOf", "Thing"),
+    ("Readable", "subClassOf", "Resource"),
+    ("Combinable", "subClassOf", "Resource"),
+    ("Sortable", "subClassOf", "Resource"),
+    ("Resource", "subClassOf", "Thing"),
+)
+
+TBOX_MAX_ROWS = 100_000  # driver-side closure guard: T-Box is schema, not data
+
+
+def _transitive_closure(pairs: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """Non-reflexive transitive closure of a tiny edge set (driver-side
+    BFS per source node; the T-Box guard bounds the input)."""
+    from collections import defaultdict
+
+    succ: dict[str, set[str]] = defaultdict(set)
+    for a, b in pairs:
+        succ[a].add(b)
+    out: set[tuple[str, str]] = set()
+    for start in list(succ):
+        seen: set[str] = set()
+        frontier = list(succ[start])
+        while frontier:
+            node = frontier.pop()
+            if node in seen:
+                continue
+            seen.add(node)
+            frontier.extend(succ.get(node, ()))
+        out.update((start, t) for t in seen)
+    return sorted(out)
+
+
+def tbox_closure(
+    tbox: tuple[tuple[str, str, str], ...] = ONTOLOGY,
+) -> dict[str, list[tuple[str, str]]]:
+    """Split the T-Box into its four rule dimensions, with subPropertyOf
+    and subClassOf transitively closed (rdfs5 / rdfs11)."""
+    if len(tbox) > TBOX_MAX_ROWS:
+        raise ValueError(
+            f"T-Box has {len(tbox)} rows > {TBOX_MAX_ROWS}; driver-side "
+            "closure assumes a schema-sized ontology"
+        )
+    by_pred: dict[str, list[tuple[str, str]]] = {
+        "subPropertyOf": [],
+        "subClassOf": [],
+        "domain": [],
+        "range": [],
+    }
+    for s, p, o in tbox:
+        if p not in by_pred:
+            raise ValueError(f"unsupported T-Box predicate: {p!r}")
+        by_pred[p].append((s, o))
+    return {
+        "sp": _transitive_closure(by_pred["subPropertyOf"]),
+        "sc": _transitive_closure(by_pred["subClassOf"]),
+        "domain": sorted(set(by_pred["domain"])),
+        "range": sorted(set(by_pred["range"])),
+    }
+
+
+def _dim(spark: SparkSession, pairs: list[tuple[str, str]], a: str, b: str) -> DataFrame:
+    return spark.createDataFrame(pairs, f"{a} string, {b} string")
+
+
+def rdfs_entail(
+    spark: SparkSession,
+    abox: DataFrame,
+    tbox: tuple[tuple[str, str, str], ...] = ONTOLOGY,
+    type_pred: str = TYPE_PRED,
+) -> DataFrame:
+    """Materialize the RDFS closure of ``abox`` (subj, pred, obj) under
+    ``tbox``: rdfs7 (subPropertyOf propagation, after rdfs5 closure),
+    rdfs2/rdfs3 (domain/range typing over the propagated assertions),
+    rdfs9 (type inheritance through the rdfs11-closed subClassOf).
+
+    This rule order is a complete stratification for the
+    property/class RDFS fragment: property closure feeds typing, typing
+    feeds class closure, and no rule feeds back. Output is the distinct
+    union of asserted + inferred triples; type assertions use the local
+    name ``type`` for rdf:type (recon_spark.rdf handles IRI framing).
+    """
+    cl = tbox_closure(tbox)
+    sp = F.broadcast(_dim(spark, cl["sp"], "p", "q"))
+    dom = F.broadcast(_dim(spark, cl["domain"], "p", "cls"))
+    rng = F.broadcast(_dim(spark, cl["range"], "p", "cls"))
+    sc = F.broadcast(_dim(spark, cl["sc"], "cls", "sup"))
+
+    base = abox.select("subj", "pred", "obj")
+    # rdfs7: (s p o), p ⊑+ q  ⟹  (s q o) — broadcast join, map-side
+    ext = base.unionByName(
+        base.join(sp, base.pred == sp.p).select("subj", F.col("q").alias("pred"), "obj")
+    )
+    # rdfs2/rdfs3 over the extended assertions (domain/range of inferred
+    # super-properties fire too, per the RDFS rule set)
+    typ0 = (
+        ext.join(dom, ext.pred == dom.p)
+        .select(F.col("subj").alias("node"), F.col("cls"))
+        .unionByName(
+            ext.join(rng, ext.pred == rng.p).select(
+                F.col("obj").alias("node"), F.col("cls")
+            )
+        )
+    )
+    # rdfs9: inherit types through the closed class hierarchy
+    typ = typ0.unionByName(
+        typ0.join(sc, typ0.cls == sc.cls).select("node", F.col("sup").alias("cls"))
+    )
+    return (
+        ext.unionByName(
+            typ.select(
+                F.col("node").alias("subj"),
+                F.lit(type_pred).alias("pred"),
+                F.col("cls").alias("obj"),
+            )
+        )
+        .dropDuplicates(["subj", "pred", "obj"])
+    )
+
+
+# --------------------------------------------------------------------------
+# SHACL-lite shape validation
+# --------------------------------------------------------------------------
+
+# Declarative shape set over the ENTAILED graph. Kinds:
+#   min_count  — focus = subjects of target_pred; require >= min distinct
+#                path edges (sh:property + sh:minCount)
+#   max_count  — focus = subjects of target_pred; require <= max distinct
+#                path objects (sh:maxCount)
+#   class      — objects of target_pred must carry rdf:type cls (sh:class)
+#   typed      — every non-type subject must have >= 1 rdf:type (a
+#                nodeKind-style completeness gate)
+SHAPES: tuple[dict, ...] = (
+    {"shape": "CombinerReads", "kind": "min_count", "target_pred": "combines",
+     "path": "reads", "min": 1},
+    {"shape": "AccessFanoutCap", "kind": "max_count", "target_pred": "accesses",
+     "path": "accesses", "max": 5},
+    {"shape": "SummarizedIsResource", "kind": "class", "target_pred": "summarizes",
+     "cls": "Resource"},
+    {"shape": "SubjectTyped", "kind": "typed"},
+)
+
+
+def shape_violations(
+    entailed: DataFrame,
+    shapes: tuple[dict, ...] = SHAPES,
+    type_pred: str = TYPE_PRED,
+) -> DataFrame:
+    """Validate the entailed graph against ``shapes``; returns one row
+    per (focus, shape) violation with a human-readable detail string.
+
+    Each shape compiles to one pred-pruned aggregation or anti-join —
+    no shape ever scans more than the pred-partition(s) it names, so a
+    pred-partitioned 10^12-triple store prunes to the named predicates
+    (the same partition-pruning contract test_plans.py pins for ground
+    SPARQL predicates).
+    """
+    ent = entailed
+    parts: list[DataFrame] = []
+    for sh in shapes:
+        name = sh["shape"]
+        if sh["kind"] == "min_count":
+            focus = ent.where(F.col("pred") == sh["target_pred"]).select("subj").distinct()
+            have = ent.where(F.col("pred") == sh["path"]).select("subj").distinct()
+            # min == 1 is an anti-join; general min would be a count agg
+            assert sh["min"] == 1
+            parts.append(
+                focus.join(have, "subj", "left_anti").select(
+                    F.col("subj").alias("focus"),
+                    F.lit(name).alias("shape"),
+                    F.lit(f"{sh['path']}=0").alias("detail"),
+                )
+            )
+        elif sh["kind"] == "max_count":
+            cnt = (
+                ent.where(F.col("pred") == sh["path"])
+                .groupBy("subj")
+                .agg(F.countDistinct("obj").alias("cnt"))
+                .where(F.col("cnt") > sh["max"])
+            )
+            parts.append(
+                cnt.select(
+                    F.col("subj").alias("focus"),
+                    F.lit(name).alias("shape"),
+                    F.concat(F.lit(f"{sh['path']}="), F.col("cnt").cast("string")).alias(
+                        "detail"
+                    ),
+                )
+            )
+        elif sh["kind"] == "class":
+            vals = ent.where(F.col("pred") == sh["target_pred"]).select("obj").distinct()
+            typed = (
+                ent.where(
+                    (F.col("pred") == type_pred) & (F.col("obj") == sh["cls"])
+                )
+                .select(F.col("subj").alias("obj"))
+                .distinct()
+            )
+            parts.append(
+                vals.join(typed, "obj", "left_anti").select(
+                    F.col("obj").alias("focus"),
+                    F.lit(name).alias("shape"),
+                    F.lit(f"missing type {sh['cls']}").alias("detail"),
+                )
+            )
+        elif sh["kind"] == "typed":
+            subs = ent.where(F.col("pred") != type_pred).select("subj").distinct()
+            typed = ent.where(F.col("pred") == type_pred).select("subj").distinct()
+            parts.append(
+                subs.join(typed, "subj", "left_anti").select(
+                    F.col("subj").alias("focus"),
+                    F.lit(name).alias("shape"),
+                    F.lit("untyped").alias("detail"),
+                )
+            )
+        else:  # pragma: no cover
+            raise ValueError(f"unknown shape kind {sh['kind']!r}")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# --------------------------------------------------------------------------
+# SQL twins (DuckDB oracle fragments)
+# --------------------------------------------------------------------------
+
+def sql_ontology_values() -> str:
+    rows = ", ".join(f"('{s}', '{p}', '{o}')" for s, p, o in ONTOLOGY)
+    return f"(VALUES {rows}) AS ont(s, p, o)"
+
+
+def sql_entailed_cte(kg: str = "kg", type_pred: str = TYPE_PRED) -> str:
+    """CTE chain (requires WITH RECURSIVE) from a ``kg(subj, pred, obj)``
+    CTE to ``ent`` = the RDFS closure. The closures run in DuckDB's own
+    recursive-CTE engine — an independent fixpoint implementation, not a
+    replay of the driver-side Python closure."""
+    return f"""ont AS (SELECT * FROM {sql_ontology_values()}),
+sp AS (
+  SELECT s, o FROM ont WHERE p = 'subPropertyOf'
+  UNION
+  SELECT sp.s, t.o FROM sp JOIN ont t ON t.p = 'subPropertyOf' AND sp.o = t.s
+),
+sc AS (
+  SELECT s, o FROM ont WHERE p = 'subClassOf'
+  UNION
+  SELECT sc.s, t.o FROM sc JOIN ont t ON t.p = 'subClassOf' AND sc.o = t.s
+),
+ext AS (
+  SELECT subj, pred, obj FROM {kg}
+  UNION ALL
+  SELECT k.subj, sp.o AS pred, k.obj FROM {kg} k JOIN sp ON k.pred = sp.s
+),
+typ0 AS (
+  SELECT e.subj AS node, d.o AS cls FROM ext e JOIN ont d ON d.p = 'domain' AND e.pred = d.s
+  UNION ALL
+  SELECT e.obj AS node, r.o AS cls FROM ext e JOIN ont r ON r.p = 'range' AND e.pred = r.s
+),
+typ AS (
+  SELECT node, cls FROM typ0
+  UNION ALL
+  SELECT t.node, sc.o AS cls FROM typ0 t JOIN sc ON t.cls = sc.s
+),
+ent AS (
+  SELECT DISTINCT subj, pred, obj FROM (
+    SELECT subj, pred, obj FROM ext
+    UNION ALL
+    SELECT node AS subj, '{type_pred}' AS pred, cls AS obj FROM typ
+  )
+)"""
+
+
+def sql_shape_violations(type_pred: str = TYPE_PRED) -> str:
+    """SELECT over an ``ent`` CTE producing (focus, shape, detail) —
+    generated from the same SHAPES spec the Spark side compiles."""
+    selects: list[str] = []
+    for sh in SHAPES:
+        if sh["kind"] == "min_count":
+            selects.append(f"""
+SELECT f.subj AS focus, '{sh["shape"]}' AS shape, '{sh["path"]}=0' AS detail
+FROM (SELECT DISTINCT subj FROM ent WHERE pred = '{sh["target_pred"]}') f
+WHERE NOT EXISTS (SELECT 1 FROM ent e WHERE e.subj = f.subj AND e.pred = '{sh["path"]}')""")
+        elif sh["kind"] == "max_count":
+            selects.append(f"""
+SELECT subj AS focus, '{sh["shape"]}' AS shape,
+       '{sh["path"]}=' || CAST(cnt AS VARCHAR) AS detail
+FROM (SELECT subj, count(DISTINCT obj) AS cnt FROM ent
+      WHERE pred = '{sh["path"]}' GROUP BY 1)
+WHERE cnt > {sh["max"]}""")
+        elif sh["kind"] == "class":
+            selects.append(f"""
+SELECT v.obj AS focus, '{sh["shape"]}' AS shape, 'missing type {sh["cls"]}' AS detail
+FROM (SELECT DISTINCT obj FROM ent WHERE pred = '{sh["target_pred"]}') v
+WHERE NOT EXISTS (SELECT 1 FROM ent t WHERE t.subj = v.obj
+                  AND t.pred = '{type_pred}' AND t.obj = '{sh["cls"]}')""")
+        elif sh["kind"] == "typed":
+            selects.append(f"""
+SELECT s.subj AS focus, '{sh["shape"]}' AS shape, 'untyped' AS detail
+FROM (SELECT DISTINCT subj FROM ent WHERE pred != '{type_pred}') s
+WHERE NOT EXISTS (SELECT 1 FROM ent t WHERE t.subj = s.subj AND t.pred = '{type_pred}')""")
+    return "\nUNION ALL\n".join(selects)

@@ -22,9 +22,17 @@ from recon_spark.queries.graph import ORACLES as GRAPH_ORACLES
 from recon_spark.queries.graph import QUERIES as GRAPH_QUERIES
 from recon_spark.queries.pipeline import ORACLES as PIPELINE_ORACLES
 from recon_spark.queries.pipeline import QUERIES as PIPELINE_QUERIES
+from recon_spark.queries.reasoning import ORACLES as REASONING_ORACLES
+from recon_spark.queries.reasoning import QUERIES as REASONING_QUERIES
 
-QUERIES = {**CORE_QUERIES, **PIPELINE_QUERIES, **EXTRA_QUERIES, **GRAPH_QUERIES}
-ORACLES = {**CORE_ORACLES, **PIPELINE_ORACLES, **EXTRA_ORACLES, **GRAPH_ORACLES}
+QUERIES = {
+    **CORE_QUERIES, **PIPELINE_QUERIES, **EXTRA_QUERIES, **GRAPH_QUERIES,
+    **REASONING_QUERIES,
+}
+ORACLES = {
+    **CORE_ORACLES, **PIPELINE_ORACLES, **EXTRA_ORACLES, **GRAPH_ORACLES,
+    **REASONING_ORACLES,
+}
 
 # Driver-sampling exposure: the correctness driver samples ~50 queries per
 # round, commonly from the front of the dict. As of round 4 every query in
@@ -36,6 +44,9 @@ ORACLES = {**CORE_ORACLES, **PIPELINE_ORACLES, **EXTRA_ORACLES, **GRAPH_ORACLES}
 # html_to_text_v2, staging gained duplicate records), and the bucketed
 # continuous sessionizer.
 _NEVER_DRIVER_SAMPLED = [
+    "rdfs_entailment",
+    "rdfs_types",
+    "shape_violations",
     "jsonld_extract",
     "image_captions",
     "page_meta",

@@ -1,0 +1,105 @@
+"""RDFS entailment + SHACL-lite shape validation: micro-KG unit
+semantics (every rule and every shape fires at least once) plus full
+Spark-vs-DuckDB oracle parity at the smoke scale factor."""
+
+import pytest
+
+from recon_spark.operators.reasoning import (
+    ONTOLOGY,
+    SHAPES,
+    _transitive_closure,
+    rdfs_entail,
+    shape_violations,
+    tbox_closure,
+)
+from recon_spark.queries.reasoning import ORACLES, QUERIES
+from tests.conftest import SF_SMOKE, compare_query
+
+
+def test_transitive_closure_chain_and_cycle():
+    assert _transitive_closure([("a", "b"), ("b", "c")]) == [
+        ("a", "b"), ("a", "c"), ("b", "c"),
+    ]
+    # cyclic-safe: closure of a 2-cycle includes both directions + self
+    got = set(_transitive_closure([("x", "y"), ("y", "x")]))
+    assert got == {("x", "y"), ("y", "x"), ("x", "x"), ("y", "y")}
+
+
+def test_tbox_closure_guard():
+    big = tuple(("a%d" % i, "subClassOf", "b") for i in range(100_001))
+    with pytest.raises(ValueError, match="driver-side closure"):
+        tbox_closure(big)
+    with pytest.raises(ValueError, match="unsupported T-Box predicate"):
+        tbox_closure((("a", "frobnicates", "b"),))
+
+
+def _micro_abox(spark):
+    # s1 scans o1 (-> reads -> accesses: Reader/Operator/Thing typing,
+    #   o1 Readable/Resource/Thing)
+    # s2 joins o2 and fans out over 6 extra objects (AccessFanoutCap)
+    #   but never reads (CombinerReads)
+    # s3 sorts o3: 'orders' has no domain, so s3 stays untyped
+    #   (SubjectTyped) and o3 gets Sortable only
+    # s4 aggs u: u is never an object of a ranged property ->
+    #   SummarizedIsResource fires for u
+    rows = [("s1", "scan", "o1"), ("s2", "join", "o2"), ("s3", "sort", "o3"),
+            ("s4", "agg", "u")]
+    rows += [("s2", "merge", f"f{i}") for i in range(6)]
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def test_rdfs_rules_on_micro_kg(spark):
+    ent = rdfs_entail(spark, _micro_abox(spark))
+    triples = {(r.subj, r.pred, r.obj) for r in ent.collect()}
+    # rdfs7 through the two-level property chain
+    assert ("s1", "reads", "o1") in triples
+    assert ("s1", "accesses", "o1") in triples
+    # rdfs2 (domain) at every level of the chain
+    assert ("s1", "type", "Reader") in triples
+    assert ("s1", "type", "Operator") in triples
+    # rdfs3 (range) + rdfs9 (subClassOf inheritance)
+    assert ("o1", "type", "Readable") in triples
+    assert ("o1", "type", "Resource") in triples
+    assert ("o1", "type", "Thing") in triples
+    # orders has range but no domain: s3 untyped, o3 typed Sortable
+    assert ("o3", "type", "Sortable") in triples
+    assert not any(s == "s3" and p == "type" for s, p, _ in triples)
+    # asserted triples survive
+    assert ("s2", "join", "o2") in triples
+
+
+def test_every_shape_fires_on_micro_kg(spark):
+    ent = rdfs_entail(spark, _micro_abox(spark))
+    viol = {(r.focus, r.shape): r.detail for r in shape_violations(ent).collect()}
+    assert viol[("s2", "CombinerReads")] == "reads=0"
+    assert viol[("s2", "AccessFanoutCap")] == "accesses=7"
+    assert viol[("u", "SummarizedIsResource")] == "missing type Resource"
+    assert ("s3", "SubjectTyped") in viol
+    # the well-formed subject violates nothing
+    assert not any(f == "s1" for f, _ in viol)
+    # shape set is the pinned four
+    assert {s["shape"] for s in SHAPES} == {
+        "CombinerReads", "AccessFanoutCap", "SummarizedIsResource", "SubjectTyped",
+    }
+
+
+def test_entailment_is_idempotent(spark):
+    """Closure of the closure adds nothing (the stratification is
+    complete for this fragment)."""
+    once = rdfs_entail(spark, _micro_abox(spark))
+    twice = rdfs_entail(spark, once)
+    assert twice.count() == once.count()
+
+
+def test_ontology_is_well_formed():
+    preds = {p for _, p, _ in ONTOLOGY}
+    assert preds == {"subPropertyOf", "subClassOf", "domain", "range"}
+    cl = tbox_closure()
+    # the closure actually deepened both hierarchies
+    assert ("scan", "accesses") in cl["sp"]
+    assert ("Reader", "Thing") in cl["sc"]
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_reasoning_query_matches_oracle(spark, ddb, name):
+    compare_query(spark, ddb, QUERIES[name], ORACLES[name], SF_SMOKE)
