@@ -24,14 +24,16 @@ from recon_spark.queries.pipeline import ORACLES as PIPELINE_ORACLES
 from recon_spark.queries.pipeline import QUERIES as PIPELINE_QUERIES
 from recon_spark.queries.reasoning import ORACLES as REASONING_ORACLES
 from recon_spark.queries.reasoning import QUERIES as REASONING_QUERIES
+from recon_spark.queries.textmodel import ORACLES as TEXTMODEL_ORACLES
+from recon_spark.queries.textmodel import QUERIES as TEXTMODEL_QUERIES
 
 QUERIES = {
     **CORE_QUERIES, **PIPELINE_QUERIES, **EXTRA_QUERIES, **GRAPH_QUERIES,
-    **REASONING_QUERIES,
+    **REASONING_QUERIES, **TEXTMODEL_QUERIES,
 }
 ORACLES = {
     **CORE_ORACLES, **PIPELINE_ORACLES, **EXTRA_ORACLES, **GRAPH_ORACLES,
-    **REASONING_ORACLES,
+    **REASONING_ORACLES, **TEXTMODEL_ORACLES,
 }
 
 # Driver-sampling exposure: the correctness driver samples ~50 queries per
@@ -44,6 +46,10 @@ ORACLES = {
 # html_to_text_v2, staging gained duplicate records), and the bucketed
 # continuous sessionizer.
 _NEVER_DRIVER_SAMPLED = [
+    "lm_perplexity",
+    "lm_quality_gate",
+    "bpe_merges",
+    "bpe_token_counts",
     "rdfs_entailment",
     "rdfs_types",
     "shape_violations",

@@ -79,12 +79,119 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# BPE training
+# --------------------------------------------------------------------------
+
+from recon_spark.operators.bpe import EOW, N_MERGES, bpe_train  # noqa: E402
+from recon_spark.operators.lm import TOKEN_SPLIT  # noqa: E402
+
+
+def sql_bpe_ctes(n_merges: int = N_MERGES, docs_table: str = "documents") -> str:
+    """Unrolled BPE training as a DuckDB CTE chain (requires WITH
+    RECURSIVE): per round, a pair-count agg, an ORDER BY ... LIMIT 1
+    argmax, and a recursive-CTE state machine that applies the merge
+    greedily left-to-right (pos/pending/out accumulator — the
+    non-overlapping scan a regex replace cannot express for runs of
+    identical symbols). Ends with ``words_{n}`` = the fully merged
+    dictionary and ``m1..m{n}`` = the learned merges.
+
+    Every per-round CTE is AS MATERIALIZED: each round references the
+    previous one 2-3 times, and DuckDB's default inlining would copy
+    the prior round's tree at every reference — exponential plan growth
+    in the round count (the same blow-up _sql_pagerank documents)."""
+    parts = [f"""wf AS MATERIALIZED (
+  SELECT word, count(*) AS freq FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT}'),
+                              t -> t != '')) AS word
+    FROM {docs_table}) GROUP BY 1
+),
+words_0 AS MATERIALIZED (
+  SELECT word, freq, list_append(regexp_extract_all(word, '.'), '{EOW}') AS toks
+  FROM wf
+)"""]
+    for r in range(1, n_merges + 1):
+        prev = f"words_{r - 1}"
+        parts.append(f"""p{r} AS MATERIALIZED (
+  SELECT t[i] AS a, t[i+1] AS b, sum(freq) AS cnt
+  FROM (SELECT freq, toks AS t, unnest(range(1, len(toks))) AS i FROM {prev})
+  GROUP BY 1, 2
+),
+m{r} AS MATERIALIZED (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1),
+s{r} AS (
+  SELECT word, freq, toks, 0 AS pos, CAST(NULL AS VARCHAR) AS pending,
+         CAST([] AS VARCHAR[]) AS out
+  FROM {prev}
+  UNION ALL
+  SELECT word, freq, toks, pos + 1,
+         CASE WHEN pending IS NULL THEN toks[pos+1]
+              WHEN pending = m.a AND toks[pos+1] = m.b THEN NULL
+              ELSE toks[pos+1] END,
+         CASE WHEN pending IS NULL THEN out
+              WHEN pending = m.a AND toks[pos+1] = m.b THEN list_append(out, m.a || m.b)
+              ELSE list_append(out, pending) END
+  FROM s{r}, m{r} m WHERE pos < len(toks)
+),
+words_{r} AS MATERIALIZED (
+  SELECT word, freq,
+         CASE WHEN pending IS NULL THEN out ELSE list_append(out, pending) END AS toks
+  FROM s{r} WHERE pos = len(toks)
+)""")
+    return ",\n".join(parts)
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned BPE merge table (rank, merge_left, merge_right,
+    pair_count) — the vocabulary artifact a tokenizer trainer
+    publishes."""
+    merges, _ = bpe_train(_docs(spark, sf_dir))
+    return spark.createDataFrame(
+        merges,
+        "rank int, merge_left string, merge_right string, pair_count bigint",
+    )
+
+
+SQL_BPE_MERGES = (
+    "WITH RECURSIVE " + sql_bpe_ctes() + "\n" + "\nUNION ALL\n".join(
+        f"SELECT {r} AS rank, a AS merge_left, b AS merge_right, "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM m{r}"
+        for r in range(1, N_MERGES + 1)
+    )
+)
+
+
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token histogram AFTER the learned merges: (token, count)
+    with count weighted by word frequency — the subword vocabulary with
+    its occurrence mass."""
+    merges, words = bpe_train(_docs(spark, sf_dir))
+    out = (
+        words.select("freq", F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.sum("freq").alias("count"))
+    )
+    return out
+
+
+SQL_BPE_TOKEN_COUNTS = (
+    "WITH RECURSIVE " + sql_bpe_ctes() + f"""
+SELECT token, CAST(sum(freq) AS BIGINT) AS count
+FROM (SELECT freq, unnest(toks) AS token FROM words_{N_MERGES})
+GROUP BY 1
+"""
+)
+
+
 QUERIES = {
     "lm_perplexity": q_lm_perplexity,
     "lm_quality_gate": q_lm_quality_gate,
+    "bpe_merges": q_bpe_merges,
+    "bpe_token_counts": q_bpe_token_counts,
 }
 
 ORACLES = {
     "lm_perplexity": SQL_LM_PERPLEXITY,
     "lm_quality_gate": SQL_LM_QUALITY_GATE,
+    "bpe_merges": SQL_BPE_MERGES,
+    "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
 }
