@@ -23,8 +23,13 @@ path traversals, optional enrichment, grouped analytics):
         GRAPH ?g { ... }               # provenance: binds/filters the
                                        #   quad frame's `graph` column
         VALUES ?v { "a" "b" }          # inline ground bindings ->
-    }                                  #   broadcast join (multi-var:
+                                       #   broadcast join (multi-var:
                                        #   VALUES (?a ?b) { ("x" "y") })
+        { ... } UNION { ... }          # alternation (branches must bind
+                                       #   the same variables)
+        MINUS { ... }                  # exclusion -> left-anti join
+        BIND(CONCAT(?a, "-") AS ?v)    # derived binding (CONCAT or a
+    }                                  #   plain term)
     [GROUP BY ?v ...] [ORDER BY [DESC(?v)|ASC(?v)|?v] ...] [LIMIT n]
 
     CONSTRUCT { ?o <derived> ?s . ... }    # template: triple patterns only
@@ -133,6 +138,35 @@ class OptionalGroup:
 
 
 @dataclass(frozen=True)
+class UnionGroup:
+    """{ G1 } UNION { G2 } [UNION { G3 }...] — every branch must bind
+    the SAME variable set (the supported subset: Spark's unionByName is
+    exact there, and padding mismatched branches with NULL would need
+    SPARQL's compatible-mapping join semantics downstream)."""
+
+    branches: tuple[OptionalGroup, ...]  # reuse (patterns, filters) shape
+
+
+@dataclass(frozen=True)
+class MinusGroup:
+    patterns: tuple[TriplePattern, ...]
+    filters: tuple[Filter, ...]
+
+
+@dataclass(frozen=True)
+class Bind:
+    """BIND(expr AS ?alias); expr is a term or CONCAT(term, ...)."""
+
+    alias: str
+    parts: tuple[Term, ...]  # len 1 = plain term, else CONCAT
+    concat: bool
+
+    @property
+    def vars(self) -> set[str]:
+        return {t.name for t in self.parts if isinstance(t, Var)}
+
+
+@dataclass(frozen=True)
 class ValuesClause:
     names: tuple[str, ...]
     rows: tuple[tuple[str, ...], ...]
@@ -171,6 +205,12 @@ class SparqlQuery:
     ask: bool = False
     # DESCRIBE form: ground resources whose triples to return
     describe: tuple[str, ...] = ()
+    # { } UNION { } alternation blocks in the WHERE group
+    unions: tuple[UnionGroup, ...] = ()
+    # MINUS { } exclusion groups (applied last)
+    minuses: tuple[MinusGroup, ...] = ()
+    # BIND(expr AS ?v) derived bindings (applied before FILTERs)
+    binds: tuple[Bind, ...] = ()
 
 
 # --------------------------------------------------------------------------
@@ -293,10 +333,14 @@ class _Parser:
 
         self._expect_kw("WHERE")
         values: list[ValuesClause] = []
+        unions: list[UnionGroup] = []
+        minuses: list[MinusGroup] = []
+        binds: list[Bind] = []
         patterns, filters, optionals = self._group(
-            allow_optional=True, values_sink=values
+            allow_optional=True, values_sink=values, unions_sink=unions,
+            minuses_sink=minuses, binds_sink=binds,
         )
-        if not patterns:
+        if not patterns and not unions:
             raise SparqlError("WHERE clause has no triple patterns")
 
         group_by: list[str] = []
@@ -357,6 +401,9 @@ class _Parser:
             order_by=tuple(order_by),
             limit=limit,
             values=tuple(values),
+            unions=tuple(unions),
+            minuses=tuple(minuses),
+            binds=tuple(binds),
         )
 
     def _ask(self) -> SparqlQuery:
@@ -364,10 +411,14 @@ class _Parser:
         (SPARQL 1.1 §10.3)? Compiles to one boolean row named `ask`."""
         self._kw("WHERE")  # optional per the grammar
         values: list[ValuesClause] = []
+        unions: list[UnionGroup] = []
+        minuses: list[MinusGroup] = []
+        binds: list[Bind] = []
         patterns, filters, optionals = self._group(
-            allow_optional=True, values_sink=values
+            allow_optional=True, values_sink=values, unions_sink=unions,
+            minuses_sink=minuses, binds_sink=binds,
         )
-        if not patterns:
+        if not patterns and not unions:
             raise SparqlError("ASK group has no triple patterns")
         if self._peek() is not None:
             raise SparqlError(f"trailing tokens from {self._peek()}")
@@ -375,7 +426,8 @@ class _Parser:
             select=(), plain_vars=(), aggregates=(), select_star=False,
             distinct=False, patterns=tuple(patterns), filters=tuple(filters),
             optionals=tuple(optionals), group_by=(), order_by=(), limit=None,
-            values=tuple(values), ask=True,
+            values=tuple(values), ask=True, unions=tuple(unions),
+            minuses=tuple(minuses), binds=tuple(binds),
         )
 
     def _describe(self) -> SparqlQuery:
@@ -413,10 +465,14 @@ class _Parser:
             raise SparqlError("empty CONSTRUCT template")
         self._expect_kw("WHERE")
         values: list[ValuesClause] = []
+        unions: list[UnionGroup] = []
+        minuses: list[MinusGroup] = []
+        binds: list[Bind] = []
         patterns, filters, optionals = self._group(
-            allow_optional=True, values_sink=values
+            allow_optional=True, values_sink=values, unions_sink=unions,
+            minuses_sink=minuses, binds_sink=binds,
         )
-        if not patterns:
+        if not patterns and not unions:
             raise SparqlError("WHERE clause has no triple patterns")
         if self._peek() is not None:
             raise SparqlError(
@@ -437,6 +493,9 @@ class _Parser:
             limit=None,
             construct=tuple(template),
             values=tuple(values),
+            unions=tuple(unions),
+            minuses=tuple(minuses),
+            binds=tuple(binds),
         )
 
     def _aggregate(self) -> Aggregate:
@@ -507,10 +566,46 @@ class _Parser:
             raise SparqlError("empty VALUES block")
         values_sink.append(ValuesClause(tuple(names), tuple(rows)))
 
+    def _bind(self, binds_sink: list[Bind] | None) -> None:
+        """BIND(term AS ?v) | BIND(CONCAT(term, ...) AS ?v) — derived
+        bindings (SPARQL 1.1 §10.1), top-level WHERE only. CONCAT is the
+        one supported function: the IRI/key-minting idiom of CONSTRUCT
+        pipelines."""
+        if binds_sink is None:
+            raise SparqlError("BIND is only supported at the top level of WHERE")
+        self._expect_punct("(")
+        concat = False
+        parts: list[Term] = []
+        t = self._peek()
+        if t and t[0] == "word" and t[1].upper() == "CONCAT":
+            concat = True
+            self.i += 1
+            self._expect_punct("(")
+            while True:
+                parts.append(self._term())
+                nxt = self._next()
+                if nxt == ("punct", ")"):
+                    break
+                if nxt != ("punct", ","):
+                    raise SparqlError(f"expected ',' or ')' in CONCAT, got {nxt}")
+            if len(parts) < 2:
+                raise SparqlError("CONCAT needs at least two arguments")
+        else:
+            parts.append(self._term())
+        self._expect_kw("AS")
+        a = self._term()
+        if not isinstance(a, Var):
+            raise SparqlError("BIND alias must be a ?variable")
+        self._expect_punct(")")
+        binds_sink.append(Bind(alias=a.name, parts=tuple(parts), concat=concat))
+
     def _group(
         self,
         allow_optional: bool,
         values_sink: list[ValuesClause] | None = None,
+        unions_sink: list[UnionGroup] | None = None,
+        minuses_sink: list[MinusGroup] | None = None,
+        binds_sink: list[Bind] | None = None,
     ) -> tuple[list[TriplePattern], list[Filter], list[OptionalGroup]]:
         self._expect_punct("{")
         patterns: list[TriplePattern] = []
@@ -523,6 +618,52 @@ class _Parser:
             if t == ("punct", "}"):
                 self.i += 1
                 break
+            if t == ("punct", "{"):
+                # { G1 } UNION { G2 } [UNION { G3 } ...]
+                if unions_sink is None:
+                    raise SparqlError(
+                        "UNION is only supported at the top level of WHERE"
+                    )
+                branches: list[OptionalGroup] = []
+                while True:
+                    ps, fs, os_ = self._group(allow_optional=False)
+                    if os_:  # pragma: no cover — guarded by allow_optional
+                        raise SparqlError("OPTIONAL inside UNION is not supported")
+                    if not ps:
+                        raise SparqlError("empty UNION branch")
+                    branches.append(OptionalGroup(tuple(ps), tuple(fs)))
+                    if not self._kw("UNION"):
+                        break
+                if len(branches) < 2:
+                    raise SparqlError(
+                        "bare nested group: only { } UNION { } alternation "
+                        "is supported"
+                    )
+                unions_sink.append(UnionGroup(tuple(branches)))
+                if self._peek() == ("punct", "."):
+                    self.i += 1
+                continue
+            if t[0] == "word" and t[1].upper() == "MINUS":
+                if minuses_sink is None:
+                    raise SparqlError(
+                        "MINUS is only supported at the top level of WHERE"
+                    )
+                self.i += 1
+                ps, fs, os_ = self._group(allow_optional=False)
+                if os_:  # pragma: no cover — guarded by allow_optional
+                    raise SparqlError("OPTIONAL inside MINUS is not supported")
+                if not ps:
+                    raise SparqlError("empty MINUS group")
+                minuses_sink.append(MinusGroup(tuple(ps), tuple(fs)))
+                if self._peek() == ("punct", "."):
+                    self.i += 1
+                continue
+            if t[0] == "word" and t[1].upper() == "BIND":
+                self.i += 1
+                self._bind(binds_sink)
+                if self._peek() == ("punct", "."):
+                    self.i += 1
+                continue
             if t[0] == "word" and t[1].upper() == "FILTER":
                 self.i += 1
                 self._expect_punct("(")
@@ -828,9 +969,56 @@ def _solutions(
     graph: DataFrame, q: SparqlQuery, allow_product: bool
 ) -> tuple[DataFrame, set[str]]:
     """The WHERE clause -> (solution frame, bound variables): required
-    BGP joins, FILTERs, then OPTIONAL left joins. Shared by the SELECT
-    and CONSTRUCT forms."""
-    acc, bound = _join_patterns(graph, q.patterns, allow_product)
+    BGP joins, UNION alternations, VALUES, BINDs, FILTERs, OPTIONAL
+    left joins, then MINUS exclusions. Shared by the SELECT and
+    CONSTRUCT forms."""
+    acc: DataFrame | None = None
+    bound: set[str] = set()
+    if q.patterns:
+        acc, bound = _join_patterns(graph, q.patterns, allow_product)
+
+    # UNION blocks: each branch compiles like a required BGP; branches
+    # must bind identical variable sets (parser-level subset contract),
+    # so the union is an exact column-aligned unionByName — bag
+    # semantics per SPARQL 1.1 §7. The combined frame then joins the
+    # accumulated solutions on the shared variables.
+    for ug in q.unions:
+        branch_frames: list[DataFrame] = []
+        union_vars: set[str] | None = None
+        for br in ug.branches:
+            bf, bb = _join_patterns(graph, br.patterns, allow_product)
+            for flt in br.filters:
+                if flt.vars - bb:
+                    raise SparqlError(
+                        f"UNION FILTER references unbound variables "
+                        f"{flt.vars - bb}"
+                    )
+                bf = bf.where(_filter_expr(flt))
+            if union_vars is None:
+                union_vars = bb
+            elif bb != union_vars:
+                raise SparqlError(
+                    "UNION branches must bind the same variables "
+                    f"(got {sorted(union_vars)} vs {sorted(bb)}); pad with "
+                    "explicit patterns or split the query"
+                )
+            branch_frames.append(bf.select(*sorted(bb)))
+        assert union_vars is not None
+        uf = branch_frames[0]
+        for bf in branch_frames[1:]:
+            uf = uf.unionByName(bf)
+        if acc is None:
+            acc = uf
+        else:
+            shared = sorted(bound & union_vars)
+            if not shared and not allow_product:
+                raise SparqlError(
+                    "UNION block shares no variable with the required part "
+                    "(pass allow_product=True to permit the product)"
+                )
+            acc = acc.join(uf, on=shared) if shared else acc.crossJoin(uf)
+        bound |= union_vars
+    assert acc is not None  # parser guarantees patterns or unions
 
     # VALUES joins first (a FILTER may reference a VALUES-only var):
     # inline rows become a literal local frame, always broadcast — the
@@ -850,6 +1038,21 @@ def _solutions(
             else acc.crossJoin(F.broadcast(vdf))
         )
         bound |= vc.vars
+
+    # BINDs before FILTERs: a FILTER may reference a BIND-derived var.
+    # Each BIND is a pure projection (withColumn) — zero plan cost.
+    for b in q.binds:
+        if b.alias in bound:
+            raise SparqlError(f"BIND alias ?{b.alias} is already bound")
+        missing = b.vars - bound
+        if missing:
+            raise SparqlError(f"BIND references unbound variables {missing}")
+        cols = [
+            F.col(t.name) if isinstance(t, Var) else F.lit(t.value)
+            for t in b.parts
+        ]
+        acc = acc.withColumn(b.alias, F.concat(*cols) if b.concat else cols[0])
+        bound.add(b.alias)
 
     for flt in q.filters:
         missing = flt.vars - bound
@@ -873,6 +1076,28 @@ def _solutions(
             )
         acc = acc.join(opt_frame, on=shared, how="left")
         bound |= opt_bound
+
+    # MINUS last (SPARQL 1.1 §8.3): drop solutions compatible with any
+    # exclusion-group solution on >= 1 shared variable — a left-anti
+    # join on the shared variables (the exclusion side deduped first so
+    # the anti probe stays a set). Rows whose shared vars are NULL
+    # (OPTIONAL-unbound) never match, which is exactly the
+    # disjoint-domain keep rule.
+    for mg in q.minuses:
+        mf, mb = _join_patterns(graph, mg.patterns, allow_product)
+        for flt in mg.filters:
+            if flt.vars - mb:
+                raise SparqlError(
+                    f"MINUS FILTER references unbound variables {flt.vars - mb}"
+                )
+            mf = mf.where(_filter_expr(flt))
+        shared = sorted(bound & mb)
+        if not shared:
+            raise SparqlError(
+                "MINUS group shares no variable with the required part "
+                "(SPARQL would keep every solution — surely not intended)"
+            )
+        acc = acc.join(mf.select(*shared).distinct(), on=shared, how="left_anti")
     return acc, bound
 
 

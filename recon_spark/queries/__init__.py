@@ -46,6 +46,9 @@ ORACLES = {
 # html_to_text_v2, staging gained duplicate records), and the bucketed
 # continuous sessionizer.
 _NEVER_DRIVER_SAMPLED = [
+    "sparql_union",
+    "sparql_minus",
+    "sparql_bind",
     "lm_perplexity",
     "lm_quality_gate",
     "bpe_merges",

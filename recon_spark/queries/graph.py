@@ -1484,7 +1484,81 @@ ORDER BY s, o
 """
 
 
+SPARQL_UNION = (
+    "SELECT ?s ?o WHERE { { ?s <scan> ?o } UNION { ?s <agg> ?o } } "
+    "ORDER BY ?s ?o"
+)
+
+
+def q_sparql_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 §7 alternation: entities reaching ?o by scanning OR
+    aggregating — bag semantics (both branches matching produce two
+    rows), compiled to a column-aligned unionByName of two pred-pruned
+    pattern frames."""
+    from recon_spark.operators.sparql import compile_sparql
+
+    return compile_sparql(_canonical_kg(spark, sf_dir), SPARQL_UNION)
+
+
+SQL_SPARQL_UNION = f"""
+WITH {_sql_canonical_kg()}
+SELECT subj AS s, obj AS o FROM kg WHERE pred = 'scan'
+UNION ALL
+SELECT subj AS s, obj AS o FROM kg WHERE pred = 'agg'
+ORDER BY s, o
+"""
+
+
+SPARQL_MINUS = (
+    "SELECT DISTINCT ?s ?o WHERE { ?s <join> ?o MINUS { ?s <filter> ?z } } "
+    "ORDER BY ?s ?o"
+)
+
+
+def q_sparql_minus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 §8.3 exclusion: join-edges whose subject never
+    filters — MINUS compiled to a left-anti join on the shared
+    variable, the exclusion side deduped to a set probe."""
+    from recon_spark.operators.sparql import compile_sparql
+
+    return compile_sparql(_canonical_kg(spark, sf_dir), SPARQL_MINUS)
+
+
+SQL_SPARQL_MINUS = f"""
+WITH {_sql_canonical_kg()}
+SELECT DISTINCT subj AS s, obj AS o FROM kg k
+WHERE pred = 'join'
+  AND NOT EXISTS (SELECT 1 FROM kg x WHERE x.subj = k.subj AND x.pred = 'filter')
+ORDER BY s, o
+"""
+
+
+SPARQL_BIND = (
+    'SELECT DISTINCT ?edge WHERE { ?s <merge> ?o . '
+    'BIND(CONCAT(?s, "->", ?o) AS ?edge) } ORDER BY ?edge'
+)
+
+
+def q_sparql_bind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 §10.1 BIND: mint a composite edge key with CONCAT —
+    the IRI/key-minting idiom of CONSTRUCT pipelines, compiled to a
+    pure projection (withColumn) on the solution frame."""
+    from recon_spark.operators.sparql import compile_sparql
+
+    return compile_sparql(_canonical_kg(spark, sf_dir), SPARQL_BIND)
+
+
+SQL_SPARQL_BIND = f"""
+WITH {_sql_canonical_kg()}
+SELECT DISTINCT subj || '->' || obj AS edge FROM kg WHERE pred = 'merge'
+ORDER BY edge
+"""
+
+
 QUERIES = {
+    "sparql_union": q_sparql_union,
+    "sparql_minus": q_sparql_minus,
+    "sparql_bind": q_sparql_bind,
     "sparql_construct": q_sparql_construct,
     "sparql_graph_provenance": q_sparql_graph_provenance,
     "sparql_path_closure": q_sparql_path_closure,
@@ -1519,6 +1593,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sparql_union": SQL_SPARQL_UNION,
+    "sparql_minus": SQL_SPARQL_MINUS,
+    "sparql_bind": SQL_SPARQL_BIND,
     "sparql_construct": SQL_SPARQL_CONSTRUCT,
     "sparql_graph_provenance": _sql_sparql_graph_provenance(),
     "sparql_path_closure": SQL_SPARQL_PATH_CLOSURE,

@@ -741,3 +741,140 @@ def test_describe(values_graph):
 def test_ask_describe_errors(values_graph, bad):
     with pytest.raises(SparqlError):
         compile_sparql(values_graph, bad).columns
+
+
+# --------------------------------------------------------------------------
+# UNION / MINUS / BIND (SPARQL 1.1 §7, §8.3, §10.1)
+# --------------------------------------------------------------------------
+
+AKG = [
+    ("a", "scan", "x"), ("b", "agg", "x"), ("a", "join", "y"),
+    ("c", "join", "y"), ("a", "filter", "z"), ("b", "merge", "w"),
+    ("a", "scan", "q"), ("a", "agg", "q"),
+]
+
+
+@pytest.fixture(scope="module")
+def alg_graph(spark):
+    return spark.createDataFrame(AKG, "subj string, pred string, obj string")
+
+
+def test_union_bag_semantics(alg_graph):
+    out = compile_sparql(
+        alg_graph,
+        "SELECT ?s ?o WHERE { { ?s <scan> ?o } UNION { ?s <agg> ?o } } "
+        "ORDER BY ?s ?o",
+    )
+    rows = [tuple(r) for r in out.collect()]
+    # ('a','q') matches BOTH branches -> two rows (bag, no DISTINCT)
+    assert rows == [
+        ("a", "q"), ("a", "q"), ("a", "x"), ("b", "q") if False else ("b", "x"),
+    ] or rows == [("a", "q"), ("a", "q"), ("a", "x"), ("b", "q"), ("b", "x")]
+    assert rows.count(("a", "q")) == 2
+
+
+def test_union_three_branches_and_join(alg_graph):
+    out = compile_sparql(
+        alg_graph,
+        "SELECT ?s ?o ?y WHERE { ?s <join> ?y . "
+        "{ ?s <scan> ?o } UNION { ?s <filter> ?o } UNION { ?s <agg> ?o } } "
+        "ORDER BY ?s ?o",
+    )
+    assert [tuple(r) for r in out.collect()] == [
+        ("a", "q", "y"), ("a", "q", "y"), ("a", "x", "y"), ("a", "z", "y"),
+    ]
+
+
+def test_union_only_where_clause(alg_graph):
+    out = compile_sparql(
+        alg_graph,
+        "SELECT (COUNT(*) AS ?n) WHERE { { ?s <merge> ?o } UNION { ?s <filter> ?o } }",
+    )
+    assert out.collect()[0].n == 2
+
+
+def test_minus_excludes_and_keeps(alg_graph):
+    out = compile_sparql(
+        alg_graph,
+        "SELECT DISTINCT ?s ?o WHERE { ?s <join> ?o MINUS { ?s <filter> ?z } } "
+        "ORDER BY ?s",
+    )
+    # a filters -> excluded; c never filters -> kept
+    assert [tuple(r) for r in out.collect()] == [("c", "y")]
+
+
+def test_minus_null_shared_var_is_kept(alg_graph):
+    # OPTIONAL leaves ?v unbound for subject c; MINUS over ?v must keep
+    # those rows (disjoint-domain rule: null never matches the anti probe)
+    out = compile_sparql(
+        alg_graph,
+        "SELECT ?s ?v WHERE { ?s <join> ?y OPTIONAL { ?s <scan> ?v } "
+        "MINUS { ?z <agg> ?v } } ORDER BY ?s",
+    )
+    rows = [tuple(r) for r in out.collect()]
+    # a scans x and q; BOTH are agg objects -> both solutions excluded;
+    # c has no scan -> ?v unbound (null) -> never matches the probe -> kept
+    assert rows == [("c", None)]
+
+
+def test_bind_concat_and_plain(alg_graph):
+    out = compile_sparql(
+        alg_graph,
+        'SELECT ?edge WHERE { ?s <merge> ?o . '
+        'BIND(CONCAT(?s, "->", ?o) AS ?edge) }',
+    )
+    assert [r.edge for r in out.collect()] == ["b->w"]
+    out2 = compile_sparql(
+        alg_graph,
+        "SELECT ?t WHERE { ?s <merge> ?o . BIND(?o AS ?t) }",
+    )
+    assert [r.t for r in out2.collect()] == ["w"]
+
+
+def test_bind_feeds_filter(alg_graph):
+    out = compile_sparql(
+        alg_graph,
+        'SELECT ?s WHERE { ?s <join> ?o . BIND(CONCAT(?s, ?o) AS ?k) . '
+        'FILTER(?k = "cy") }',
+    )
+    assert [r.s for r in out.collect()] == ["c"]
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        # mismatched branch variables
+        "SELECT ?s WHERE { { ?s <scan> ?x } UNION { ?s <agg> ?y } }",
+        # bare nested group without UNION
+        "SELECT ?s WHERE { { ?s <scan> ?x } }",
+        # single-branch union is a parse error either way
+        "SELECT ?s WHERE { { ?s <scan> ?x } UNION }",
+        # MINUS sharing nothing
+        "SELECT ?s WHERE { ?s <scan> ?x MINUS { ?q <agg> ?r } }",
+        # BIND re-binding an existing var
+        "SELECT ?s WHERE { ?s <scan> ?x . BIND(?s AS ?x) }",
+        # BIND over unbound var
+        "SELECT ?s WHERE { ?s <scan> ?x . BIND(?nope AS ?y) }",
+        # CONCAT arity
+        'SELECT ?s WHERE { ?s <scan> ?x . BIND(CONCAT(?s) AS ?y) }',
+        # UNION inside OPTIONAL unsupported
+        "SELECT ?s WHERE { ?s <scan> ?x OPTIONAL { { ?s <agg> ?y } UNION { ?s <join> ?y } } }",
+    ],
+)
+def test_algebra_errors(alg_graph, bad):
+    with pytest.raises(SparqlError):
+        compile_sparql(alg_graph, bad).columns
+
+
+def test_union_minus_in_construct_and_ask(alg_graph):
+    g = compile_sparql(
+        alg_graph,
+        "CONSTRUCT { ?s <touches> ?o } WHERE "
+        "{ { ?s <scan> ?o } UNION { ?s <merge> ?o } MINUS { ?s <filter> ?z } }",
+    )
+    got = sorted(map(tuple, g.collect()))
+    # subject a is filtered out by MINUS; b's scan?? b has no scan — only merge
+    assert got == [("b", "touches", "w")]
+    assert compile_sparql(
+        alg_graph, "ASK { { ?q <sort> ?r } UNION { ?q <group> ?r } }"
+    ).collect()[0].ask is False
