@@ -56,6 +56,7 @@ _NEVER_DRIVER_SAMPLED = [
     "rdfs_entailment",
     "rdfs_types",
     "shape_violations",
+    "rdfs_entail_delta",
     "jsonld_extract",
     "image_captions",
     "page_meta",

@@ -78,14 +78,74 @@ WITH RECURSIVE {_sql_canonical_kg()},
 """
 
 
+def q_rdfs_entail_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental entailment maintenance: docs with doc_id % 10 == 0
+    arrive as a crawl delta against the already-entailed store built
+    from the other 90%. Returns ONLY the new rows (asserted +
+    inferred) — closure(delta) anti-joined against the store, which is
+    exact because the RDFS fragment is linear in the assertions."""
+    from recon_spark.operators.extraction import extract_triples_tokens
+    from recon_spark.operators.reasoning import rdfs_entail_delta
+    from recon_spark.queries.core import canonicalize_triples
+    from recon_spark.queries.graph import _docs
+
+    docs = _docs(spark, sf_dir)
+
+    def kg_of(d: DataFrame) -> DataFrame:
+        return canonicalize_triples(spark, extract_triples_tokens(d)).select(
+            "subj", "pred", "obj"
+        )
+
+    base = kg_of(docs.where(F.col("doc_id") % 10 != 0))
+    delta = kg_of(docs.where(F.col("doc_id") % 10 == 0))
+    return rdfs_entail_delta(spark, rdfs_entail(spark, base), delta)
+
+
+def _sql_rdfs_entail_delta() -> str:
+    from recon_spark.gazetteer import sql_alias_values
+    from recon_spark.queries.core import _sql_triples_base
+
+    def kg_split(name: str, where: str) -> str:
+        return f"""{name} AS (
+  SELECT DISTINCT coalesce(bs.entity_id, t.subj) AS subj, t.pred,
+         coalesce(bo.entity_id, t.obj) AS obj
+  FROM triples t
+  LEFT JOIN best bs ON t.subj = bs.alias
+  LEFT JOIN best bo ON t.obj = bo.alias
+  WHERE {where}
+)"""
+
+    return f"""
+WITH RECURSIVE {_sql_triples_base()},
+best AS (
+  SELECT alias, entity_id FROM (
+    SELECT alias, entity_id,
+           row_number() OVER (PARTITION BY alias ORDER BY score DESC, entity_id) AS rk
+    FROM {sql_alias_values()}
+  ) WHERE rk = 1
+),
+{kg_split("kg_base", "doc_id % 10 != 0")},
+{kg_split("kg_delta", "doc_id % 10 = 0")},
+{sql_entailed_cte("kg_base")},
+{sql_entailed_cte("kg_delta", suffix="_d")}
+SELECT subj, pred, obj FROM ent_d d
+WHERE NOT EXISTS (
+  SELECT 1 FROM ent e
+  WHERE e.subj = d.subj AND e.pred = d.pred AND e.obj = d.obj
+)
+"""
+
+
 QUERIES = {
     "rdfs_entailment": q_rdfs_entailment,
     "rdfs_types": q_rdfs_types,
     "shape_violations": q_shape_violations,
+    "rdfs_entail_delta": q_rdfs_entail_delta,
 }
 
 ORACLES = {
     "rdfs_entailment": SQL_RDFS_ENTAILMENT,
     "rdfs_types": SQL_RDFS_TYPES,
     "shape_violations": SQL_SHAPE_VIOLATIONS,
+    "rdfs_entail_delta": _sql_rdfs_entail_delta(),
 }

@@ -3,6 +3,7 @@ semantics (every rule and every shape fires at least once) plus full
 Spark-vs-DuckDB oracle parity at the smoke scale factor."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from recon_spark.operators.reasoning import (
     ONTOLOGY,
@@ -103,3 +104,22 @@ def test_ontology_is_well_formed():
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_reasoning_query_matches_oracle(spark, ddb, name):
     compare_query(spark, ddb, QUERIES[name], ORACLES[name], SF_SMOKE)
+
+
+def test_delta_entailment_is_exact(spark):
+    """closure(base) ∪ delta-new == closure(base ∪ delta) — the
+    linearity property the incremental operator relies on."""
+    from recon_spark.operators.reasoning import rdfs_entail_delta
+
+    full_abox = _micro_abox(spark)
+    base = full_abox.where(F.col("subj") != "s2")
+    delta = full_abox.where(F.col("subj") == "s2")
+    store = rdfs_entail(spark, base)
+    new = rdfs_entail_delta(spark, store, delta)
+    got = {(r.subj, r.pred, r.obj) for r in store.unionByName(new).collect()}
+    want = {(r.subj, r.pred, r.obj) for r in rdfs_entail(spark, full_abox).collect()}
+    assert got == want
+    # and the delta holds ONLY new rows
+    stored = {(r.subj, r.pred, r.obj) for r in store.collect()}
+    assert not ({(r.subj, r.pred, r.obj) for r in new.collect()} & stored)
+    assert new.count() > 0
