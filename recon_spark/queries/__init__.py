@@ -53,6 +53,7 @@ _NEVER_DRIVER_SAMPLED = [
     "lm_quality_gate",
     "bpe_merges",
     "bpe_token_counts",
+    "bpe_doc_tokens",
     "rdfs_entailment",
     "rdfs_types",
     "shape_violations",

@@ -182,11 +182,52 @@ GROUP BY 1
 )
 
 
+def q_bpe_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document subword counts under the learned merges — the
+    corpus-side ENCODE pass. The dictionary (word -> merged tokens) is
+    the broadcast dimension and each document joins through its words:
+    at 10^12 docs the text stream never re-runs the merge folds, it
+    hash-probes the Heaps'-law-sized dictionary (the standard
+    tokenizer-deployment shape: vocabulary ships to workers, documents
+    stream through)."""
+    from recon_spark.operators.bpe import bpe_train
+    from recon_spark.operators.lm import tokens_col
+
+    docs = _docs(spark, sf_dir)
+    _, words = bpe_train(docs)
+    dic = words.select("word", F.size("toks").alias("n_sub"))
+    return (
+        docs.select("doc_id", F.explode(tokens_col()).alias("word"))
+        .join(F.broadcast(dic), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sub").alias("n_subwords"),
+        )
+    )
+
+
+SQL_BPE_DOC_TOKENS = (
+    "WITH RECURSIVE " + sql_bpe_ctes() + f""",
+dic AS (SELECT word, len(toks) AS n_sub FROM words_{N_MERGES}),
+dw AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text),
+                 '{TOKEN_SPLIT}'), t -> t != '')) AS word
+  FROM documents
+)
+SELECT doc_id, count(*) AS n_words, CAST(sum(n_sub) AS BIGINT) AS n_subwords
+FROM dw JOIN dic USING (word)
+GROUP BY 1
+"""
+)
+
+
 QUERIES = {
     "lm_perplexity": q_lm_perplexity,
     "lm_quality_gate": q_lm_quality_gate,
     "bpe_merges": q_bpe_merges,
     "bpe_token_counts": q_bpe_token_counts,
+    "bpe_doc_tokens": q_bpe_doc_tokens,
 }
 
 ORACLES = {
@@ -194,4 +235,5 @@ ORACLES = {
     "lm_quality_gate": SQL_LM_QUALITY_GATE,
     "bpe_merges": SQL_BPE_MERGES,
     "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
+    "bpe_doc_tokens": SQL_BPE_DOC_TOKENS,
 }
