@@ -140,19 +140,21 @@ def score_perplexity(
             .alias("s"),
         )
     )
-    per_doc = scored.groupBy("doc_id").agg(
-        F.count("*").alias("n_bigrams"),
-        F.round(F.exp(-F.sum(F.log("s")) / F.count("*")), PPL_ROUND).alias("ppl"),
+    # docs too short to have a bigram must still appear in the report:
+    # rather than re-joining them after the agg (a second doc_id-keyed
+    # exchange at corpus scale), union one null-scored row per doc into
+    # the SAME aggregation — count(s) ignores nulls, so short docs fall
+    # out as n_bigrams = 0 / NULL ppl and the whole scoring pass has
+    # exactly ONE shuffle (the per-doc agg).
+    scored = scored.unionByName(
+        docs.select("doc_id", F.lit(None).cast("double").alias("s"))
     )
-    # docs too short to have a bigram still appear in the report
-    all_ids = docs.select("doc_id")
-    return (
-        all_ids.join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
-            "ppl",
-        )
+    return scored.groupBy("doc_id").agg(
+        F.count("s").alias("n_bigrams"),
+        F.when(
+            F.count("s") > 0,
+            F.round(F.exp(-F.sum(F.log("s")) / F.count("s")), PPL_ROUND),
+        ).alias("ppl"),
     )
 
 

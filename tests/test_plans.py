@@ -394,3 +394,45 @@ def test_sparql_literal_pred_prunes_partitions(spark, tmp_path):
     plan2 = q2._jdf.queryExecution().executedPlan().toString()
     m2 = re.search(r"PartitionFilters: \[([^\]]*)\]", plan2)
     assert m2 is None or "= " not in m2.group(1)
+
+
+def test_rdfs_entailment_rule_joins_all_broadcast(spark):
+    """Every T-Box rule application in rdfs_entail must be a broadcast
+    hash join (the T-Box is schema-sized by contract); the only wide
+    exchange is the final (subj, pred, obj) distinct."""
+    from recon_spark.operators.reasoning import rdfs_entail
+
+    abox = spark.createDataFrame(
+        [("a", "scan", "b"), ("c", "join", "d")] * 20,
+        "subj string, pred string, obj string",
+    )
+    plan = plan_of(rdfs_entail(spark, abox))
+    assert plan.count("BroadcastHashJoin") >= 4  # sp, domain, range, sc
+    assert "SortMergeJoin" not in plan
+
+
+def test_lm_scoring_model_joins_are_broadcast(spark):
+    """score_perplexity's production path ships the model to workers:
+    all three model joins broadcast, document bigrams never shuffle
+    (the one exchange is the per-doc logprob agg on doc_id)."""
+    from recon_spark.operators.lm import score_perplexity, train_bigram_lm
+
+    docs = spark.createDataFrame(
+        [(i, "a b c a b") for i in range(50)], "doc_id long, text string"
+    )
+    model = train_bigram_lm(docs)
+    plan = plan_of(score_perplexity(docs, model))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_bpe_merge_fold_is_exchange_free(spark):
+    """Applying a merge to the dictionary is a pure map: no exchange in
+    the fold's plan (pair counting and the argmax own the shuffles)."""
+    from recon_spark.operators.bpe import merge_fold
+
+    words = spark.createDataFrame(
+        [(["l", "o", "w", "</w>"], 5)] * 10, "toks array<string>, freq long"
+    )
+    plan = plan_of(words.select(merge_fold("toks", "l", "o").alias("t"), "freq"))
+    assert "Exchange" not in plan
