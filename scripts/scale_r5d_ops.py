@@ -27,7 +27,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from scripts._scale_common import force, size_splits, timed  # noqa: E402
 
 TRIPLES_N = 20_000_000   # synthetic A-Box rows through rdfs_entail
-DOCS_X = 12              # sf0.1 documents x12 = 600k docs through LM scoring
+DOCS_X = 120             # sf0.1 documents x120 through LM scoring
 WORDS_N = 1_500_000      # distinct 32-char words through one BPE round
 N_LO, N_HI = 2, 8
 
@@ -88,7 +88,7 @@ def build_words(spark):
 
 
 def run_entail(spark) -> dict:
-    from recon_spark.operators.reasoning import rdfs_entail, shape_violations
+    from recon_spark.operators.reasoning import rdfs_entail, shape_violations  # noqa: F401
 
     staged = os.environ["RECON_SCALE_TRIPLES_PARQUET"]
     size_splits(spark, staged)
@@ -102,12 +102,15 @@ def run_entail(spark) -> dict:
               F.length("subj").alias("a"), "pred"),
           f"{TRIPLES_N:,} staged A-Box triples, 25-rule T-Box broadcast, "
           "full rdfs2/3/5/7/9/11 closure + distinct")
+    ent_staged = os.environ["RECON_SCALE_ENTAILED_PARQUET"]
+    size_splits(spark, ent_staged)
+    ent = spark.read.parquet(ent_staged)
     timed(out, f"shape_violations_x{TRIPLES_N}",
-          lambda: shape_violations(
-              rdfs_entail(spark, abox)
-          ).select(F.length("focus").alias("a"), "shape"),
-          "4-shape SHACL-lite validation over the entailed graph "
-          "(pred-pruned aggs + anti-joins)")
+          lambda: shape_violations(ent).select(
+              F.length("focus").alias("a"), "shape"),
+          "4-shape single-pass profile validation over the STAGED "
+          "entailed store (the production shape: validation reads the "
+          "published table)")
     return out
 
 
@@ -188,6 +191,16 @@ def main() -> None:
         return
     stage("RECON_SCALE_TRIPLES_PARQUET", f"triples_scale_{TRIPLES_N}",
           build_triples)
+
+    def build_entailed(spark):
+        from recon_spark.operators.reasoning import rdfs_entail
+
+        return rdfs_entail(
+            spark, spark.read.parquet(os.environ["RECON_SCALE_TRIPLES_PARQUET"])
+        )
+
+    stage("RECON_SCALE_ENTAILED_PARQUET", f"entailed_scale_{TRIPLES_N}",
+          build_entailed)
     stage("RECON_SCALE_DOCS_PARQUET", f"lmdocs_scale_x{DOCS_X}", build_docs)
     stage("RECON_SCALE_WORDS_PARQUET", f"bpewords_scale_{WORDS_N}", build_words)
     print(f"loadavg_start: {os.getloadavg()[0]:.2f}")
