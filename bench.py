@@ -150,6 +150,19 @@ EXTENDED = [
     "jsonld_extract",
     "image_captions",
     "page_meta",
+    # round-5 final-session additions (reasoning + text models + algebra)
+    "rdfs_entailment",
+    "rdfs_types",
+    "shape_violations",
+    "rdfs_entail_delta",
+    "sparql_union",
+    "sparql_minus",
+    "sparql_bind",
+    "lm_perplexity",
+    "lm_quality_gate",
+    "bpe_merges",
+    "bpe_token_counts",
+    "bpe_doc_tokens",
 ]
 
 

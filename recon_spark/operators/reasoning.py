@@ -135,6 +135,7 @@ def rdfs_entail(
     abox: DataFrame,
     tbox: tuple[tuple[str, str, str], ...] = ONTOLOGY,
     type_pred: str = TYPE_PRED,
+    prededup: bool = True,
 ) -> DataFrame:
     """Materialize the RDFS closure of ``abox`` (subj, pred, obj) under
     ``tbox``: rdfs7 (subPropertyOf propagation, after rdfs5 closure),
@@ -154,6 +155,17 @@ def rdfs_entail(
     sc = F.broadcast(_dim(spark, cl["sc"], "cls", "sup"))
 
     base = abox.select("subj", "pred", "obj")
+    # Raw extracted triples repeat the same fact across pages; closing
+    # duplicates multiplies them through every rule before the final
+    # distinct collapses them again. Dedup FIRST (map-side-combinable)
+    # so the rule chain runs over the assertion set, not the assertion
+    # bag — measured 125s -> collapse-proportional at 20M raw rows /
+    # 2.1M facts (scripts/scale_r5d_ops.py). Callers whose input is
+    # already a distinct set (the canonical KG) pass prededup=False to
+    # skip the extra exchange — at 10^12 stored triples a no-op
+    # distinct is NOT free.
+    if prededup:
+        base = base.dropDuplicates(["subj", "pred", "obj"])
     # rdfs7: (s p o), p ⊑+ q  ⟹  (s q o) — broadcast join, map-side
     ext = base.unionByName(
         base.join(sp, base.pred == sp.p).select("subj", F.col("q").alias("pred"), "obj")
@@ -422,6 +434,7 @@ def rdfs_entail_delta(
     delta_abox: DataFrame,
     tbox: tuple[tuple[str, str, str], ...] = ONTOLOGY,
     type_pred: str = TYPE_PRED,
+    prededup: bool = True,
 ) -> DataFrame:
     """Incremental entailment maintenance (semi-naive evaluation): the
     NEW inferences an A-Box delta adds to an already-entailed graph.
@@ -439,5 +452,5 @@ def rdfs_entail_delta(
     Returns only the new rows (asserted + inferred), ready to MERGE
     into the published table.
     """
-    closed = rdfs_entail(spark, delta_abox, tbox, type_pred)
+    closed = rdfs_entail(spark, delta_abox, tbox, type_pred, prededup=prededup)
     return closed.join(entailed, ["subj", "pred", "obj"], "left_anti")

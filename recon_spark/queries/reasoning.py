@@ -31,7 +31,8 @@ from recon_spark.queries.graph import _canonical_kg, _sql_canonical_kg
 
 
 def _entailed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return rdfs_entail(spark, _canonical_kg(spark, sf_dir))
+    # the canonical KG is already a distinct set -> skip the pre-dedup
+    return rdfs_entail(spark, _canonical_kg(spark, sf_dir), prededup=False)
 
 
 def q_rdfs_entailment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -98,7 +99,9 @@ def q_rdfs_entail_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = kg_of(docs.where(F.col("doc_id") % 10 != 0))
     delta = kg_of(docs.where(F.col("doc_id") % 10 == 0))
-    return rdfs_entail_delta(spark, rdfs_entail(spark, base), delta)
+    return rdfs_entail_delta(
+        spark, rdfs_entail(spark, base, prededup=False), delta, prededup=False
+    )
 
 
 def _sql_rdfs_entail_delta() -> str:

@@ -32,6 +32,7 @@ WORDS_N = 1_500_000      # distinct 32-char words through one BPE round
 N_LO, N_HI = 2, 8
 
 ENTITIES = 100_000
+ENTITIES_WIDE = 5_000_000  # shapes store: low dup factor -> ~100M-row closure
 PREDS = ("scan", "filter", "join", "merge", "agg", "group", "sort")
 
 
@@ -50,18 +51,23 @@ def stage(path_key: str, name: str, build) -> str:
     return staged
 
 
-def build_triples(spark):
-    """Synthetic canonical-KG-shaped A-Box: E_<k> entities, the seven
-    ontology predicates, degree skew via modular families."""
+def _triples(spark, n_entities: int):
     return spark.range(0, TRIPLES_N).select(
-        F.concat(F.lit("E"), (F.col("id") % ENTITIES).cast("string")).alias("subj"),
+        F.concat(F.lit("E"), (F.col("id") % n_entities).cast("string")).alias("subj"),
         F.element_at(
             F.array(*[F.lit(p) for p in PREDS]), (F.col("id") % 7 + 1).cast("int")
         ).alias("pred"),
         F.concat(
-            F.lit("E"), ((F.col("id") * 7 + 13) % ENTITIES).cast("string")
+            F.lit("E"), ((F.col("id") * 7 + 13) % n_entities).cast("string")
         ).alias("obj"),
     )
+
+
+def build_triples(spark):
+    """Synthetic canonical-KG-shaped A-Box: E_<k> entities, the seven
+    ontology predicates, heavy fact duplication (20M rows / ~2.1M
+    facts — the raw-extraction shape the prededup exists for)."""
+    return _triples(spark, ENTITIES)
 
 
 def build_docs(spark):
@@ -102,15 +108,15 @@ def run_entail(spark) -> dict:
               F.length("subj").alias("a"), "pred"),
           f"{TRIPLES_N:,} staged A-Box triples, 25-rule T-Box broadcast, "
           "full rdfs2/3/5/7/9/11 closure + distinct")
-    ent_staged = os.environ["RECON_SCALE_ENTAILED_PARQUET"]
+    ent_staged = os.environ["RECON_SCALE_ENTAILED_WIDE_PARQUET"]
     size_splits(spark, ent_staged)
     ent = spark.read.parquet(ent_staged)
     timed(out, f"shape_violations_x{TRIPLES_N}",
           lambda: shape_violations(ent).select(
               F.length("focus").alias("a"), "shape"),
           "4-shape single-pass profile validation over the STAGED "
-          "entailed store (the production shape: validation reads the "
-          "published table)")
+          "~100M-row wide-entity entailed store (the production shape: "
+          "validation reads the published table)")
     return out
 
 
@@ -192,15 +198,13 @@ def main() -> None:
     stage("RECON_SCALE_TRIPLES_PARQUET", f"triples_scale_{TRIPLES_N}",
           build_triples)
 
-    def build_entailed(spark):
+    def build_entailed_wide(spark):
         from recon_spark.operators.reasoning import rdfs_entail
 
-        return rdfs_entail(
-            spark, spark.read.parquet(os.environ["RECON_SCALE_TRIPLES_PARQUET"])
-        )
+        return rdfs_entail(spark, _triples(spark, ENTITIES_WIDE))
 
-    stage("RECON_SCALE_ENTAILED_PARQUET", f"entailed_scale_{TRIPLES_N}",
-          build_entailed)
+    stage("RECON_SCALE_ENTAILED_WIDE_PARQUET",
+          f"entailed_wide_{TRIPLES_N}", build_entailed_wide)
     stage("RECON_SCALE_DOCS_PARQUET", f"lmdocs_scale_x{DOCS_X}", build_docs)
     stage("RECON_SCALE_WORDS_PARQUET", f"bpewords_scale_{WORDS_N}", build_words)
     print(f"loadavg_start: {os.getloadavg()[0]:.2f}")

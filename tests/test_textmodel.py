@@ -108,10 +108,13 @@ def test_bpe_apply_equals_training_output(spark):
 
 
 def test_bpe_train_no_cached_blocks(spark):
+    # other tests' fixtures may hold session caches; assert bpe_train
+    # adds NONE of its own (the registry sweep's hygiene invariant)
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
     docs = spark.createDataFrame([(0, "aa ab aa")], "doc_id long, text string")
     _, words = bpe_train(docs, n_merges=2)
     words.collect()
-    assert not spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == before
 
 
 # ---------------------------------------------------------------- LM
