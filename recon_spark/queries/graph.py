@@ -1510,27 +1510,42 @@ ORDER BY s, o
 
 
 SPARQL_MINUS = (
-    "SELECT DISTINCT ?s ?o WHERE { ?s <join> ?o MINUS { ?s <filter> ?z } } "
-    "ORDER BY ?s ?o"
+    "SELECT DISTINCT ?g ?s WHERE { GRAPH ?g { ?s <join> ?o } "
+    "MINUS { GRAPH ?g { ?s <filter> ?z } } } ORDER BY ?g ?s"
 )
 
 
 def q_sparql_minus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SPARQL 1.1 §8.3 exclusion: join-edges whose subject never
-    filters — MINUS compiled to a left-anti join on the shared
-    variable, the exclusion side deduped to a set probe."""
+    """SPARQL 1.1 §8.3 exclusion composed with GRAPH provenance:
+    (page, subject) pairs that join WITHOUT filtering in the SAME
+    page-graph — MINUS compiled to a left-anti join on the shared
+    (graph, subject) variables, the exclusion side deduped to a set
+    probe. Doc-scoped on purpose: the canonical entity KG saturates to
+    a near-complete graph at sf0.1 (bounded entity set), which made a
+    whole-KG exclusion return zero rows at bench scale — per-page
+    graphs keep the driver row non-trivial at every scale factor."""
     from recon_spark.operators.sparql import compile_sparql
 
-    return compile_sparql(_canonical_kg(spark, sf_dir), SPARQL_MINUS)
+    quads = extract_triples_tokens(_docs(spark, sf_dir)).select(
+        "subj", "pred", "obj", F.col("doc_id").alias("graph")
+    )
+    return compile_sparql(quads, SPARQL_MINUS)
 
 
-SQL_SPARQL_MINUS = f"""
-WITH {_sql_canonical_kg()}
-SELECT DISTINCT subj AS s, obj AS o FROM kg k
+def _sql_sparql_minus() -> str:
+    from recon_spark.queries.core import _sql_triples_base
+
+    return f"""
+WITH {_sql_triples_base()}
+SELECT DISTINCT doc_id AS g, subj AS s FROM triples k
 WHERE pred = 'join'
-  AND NOT EXISTS (SELECT 1 FROM kg x WHERE x.subj = k.subj AND x.pred = 'filter')
-ORDER BY s, o
+  AND NOT EXISTS (SELECT 1 FROM triples x WHERE x.doc_id = k.doc_id
+                  AND x.subj = k.subj AND x.pred = 'filter')
+ORDER BY g, s
 """
+
+
+SQL_SPARQL_MINUS = _sql_sparql_minus()
 
 
 SPARQL_BIND = (
