@@ -345,13 +345,18 @@ def shape_violations(
 # SQL twins (DuckDB oracle fragments)
 # --------------------------------------------------------------------------
 
-def sql_ontology_values() -> str:
-    rows = ", ".join(f"('{s}', '{p}', '{o}')" for s, p, o in ONTOLOGY)
+def sql_ontology_values(
+    tbox: tuple[tuple[str, str, str], ...] = ONTOLOGY,
+) -> str:
+    rows = ", ".join(f"('{s}', '{p}', '{o}')" for s, p, o in tbox)
     return f"(VALUES {rows}) AS ont(s, p, o)"
 
 
 def sql_entailed_cte(
-    kg: str = "kg", type_pred: str = TYPE_PRED, suffix: str = ""
+    kg: str = "kg",
+    type_pred: str = TYPE_PRED,
+    suffix: str = "",
+    tbox: tuple[tuple[str, str, str], ...] = ONTOLOGY,
 ) -> str:
     """CTE chain (requires WITH RECURSIVE) from a ``kg(subj, pred, obj)``
     CTE to ``ent{suffix}`` = the RDFS closure. The closures run in
@@ -361,7 +366,7 @@ def sql_entailed_cte(
     delta) can share one WITH clause; the shared closure CTEs sp/sc are
     emitted only by the suffix-less instantiation."""
     x = suffix
-    shared = "" if x else f"""ont AS (SELECT * FROM {sql_ontology_values()}),
+    shared = "" if x else f"""ont AS (SELECT * FROM {sql_ontology_values(tbox)}),
 sp AS (
   SELECT s, o FROM ont WHERE p = 'subPropertyOf'
   UNION
@@ -454,3 +459,184 @@ def rdfs_entail_delta(
     """
     closed = rdfs_entail(spark, delta_abox, tbox, type_pred, prededup=prededup)
     return closed.join(entailed, ["subj", "pred", "obj"], "left_anti")
+
+
+# --------------------------------------------------------------------------
+# OWL-lite property semantics (inverseOf / Symmetric / Transitive)
+# --------------------------------------------------------------------------
+
+# OWL additions to the T-Box: join acquires an inverse, merge is
+# declared symmetric (merging is mutual), sort transitive (ordering
+# chains compose). The derived inverse predicate folds into the RDFS
+# property hierarchy so the downstream closure types its users.
+OWL_ONTOLOGY: tuple[tuple[str, str, str], ...] = ONTOLOGY + (
+    ("join", "inverseOf", "joinedBy"),
+    ("joinedBy", "subPropertyOf", "combines"),
+    ("merge", "propertyType", "Symmetric"),
+    ("sort", "propertyType", "Transitive"),
+)
+
+_OWL_PREDS = {"inverseOf", "propertyType"}
+OWL_MAX_ITERS = 32
+
+
+def split_owl_tbox(
+    tbox: tuple[tuple[str, str, str], ...],
+) -> tuple[dict, tuple[tuple[str, str, str], ...]]:
+    """Partition a T-Box into the OWL property rules and the RDFS
+    remainder, and REFUSE combinations that would need the full OWL-RL
+    fixpoint: an OWL marker on a strict super-property of another
+    property means rdfs7-derived assertions would have to feed back
+    into edge derivation, which the stratified pipeline below does not
+    iterate (by design — it keeps the oracle expressible and the plan
+    bounded)."""
+    owl = {"inv": [], "sym": [], "trans": []}
+    rdfs_rows = []
+    for s, p, o in tbox:
+        if p == "inverseOf":
+            owl["inv"].append((s, o))
+        elif p == "propertyType":
+            if o == "Symmetric":
+                owl["sym"].append(s)
+            elif o == "Transitive":
+                owl["trans"].append(s)
+            else:
+                raise ValueError(f"unsupported propertyType {o!r}")
+        else:
+            rdfs_rows.append((s, p, o))
+    marked = (
+        {a for a, _ in owl["inv"]} | {b for _, b in owl["inv"]}
+        | set(owl["sym"]) | set(owl["trans"])
+    )
+    sp_pairs = [(s, o) for s, p, o in rdfs_rows if p == "subPropertyOf"]
+    supers = {b for _, b in _transitive_closure(sp_pairs)}
+    bad = marked & supers
+    if bad:
+        raise ValueError(
+            f"OWL markers on derived super-properties {sorted(bad)} need "
+            "the full OWL-RL fixpoint; restructure the T-Box"
+        )
+    return owl, tuple(rdfs_rows)
+
+
+def owl_extend(
+    spark: SparkSession,
+    abox: DataFrame,
+    tbox: tuple[tuple[str, str, str], ...] = OWL_ONTOLOGY,
+    max_iters: int = OWL_MAX_ITERS,
+) -> DataFrame:
+    """Close the A-Box under the OWL property rules to a FIXPOINT:
+    prp-inv (both directions), prp-symp, and prp-trp (one self-join
+    hop per round for each transitive property). The loop materializes
+    each round (scratch-pinned, count-stable termination), so the
+    iteration count is bounded by the longest transitive chain — graph
+    diameter, not size. Returns the extended distinct edge set.
+
+    Scale: each round is |trans-pred edges| self-joined once (the
+    naive-evaluation step; the distinct + stability check is the
+    semi-naive gate), plus two map-side swaps. At 10^12 triples only
+    the declared transitive predicates' partitions enter the join.
+    """
+    from recon_spark.operators.scratch import reliable_mode
+
+    def pin(df: DataFrame) -> DataFrame:
+        if reliable_mode():
+            from pyspark.storagelevel import StorageLevel
+
+            return df.persist(StorageLevel.MEMORY_AND_DISK)
+        return df.localCheckpoint(eager=True)
+
+    owl, _ = split_owl_tbox(tbox)
+    inv_pairs = owl["inv"] + [(b, a) for a, b in owl["inv"]]
+    inv = F.broadcast(_dim(spark, inv_pairs, "p", "q")) if inv_pairs else None
+    sym = set(owl["sym"])
+    trans = set(owl["trans"])
+
+    edges = pin(abox.select("subj", "pred", "obj").dropDuplicates())
+    n = edges.count()
+    for _ in range(max_iters):
+        pieces = [edges]
+        if inv is not None:
+            pieces.append(
+                edges.join(inv, edges.pred == inv.p).select(
+                    F.col("obj").alias("subj"),
+                    F.col("q").alias("pred"),
+                    F.col("subj").alias("obj"),
+                )
+            )
+        if sym:
+            pieces.append(
+                edges.where(F.col("pred").isin(*sym)).select(
+                    F.col("obj").alias("subj"), "pred", F.col("subj").alias("obj")
+                )
+            )
+        if trans:
+            t = edges.where(F.col("pred").isin(*trans))
+            a, b = t.alias("a"), t.alias("b")
+            pieces.append(
+                a.join(
+                    b,
+                    (F.col("a.obj") == F.col("b.subj"))
+                    & (F.col("a.pred") == F.col("b.pred")),
+                ).select(
+                    F.col("a.subj").alias("subj"),
+                    F.col("a.pred").alias("pred"),
+                    F.col("b.obj").alias("obj"),
+                )
+            )
+        nxt = pieces[0]
+        for p in pieces[1:]:
+            nxt = nxt.unionByName(p)
+        nxt = pin(nxt.dropDuplicates())
+        n2 = nxt.count()
+        if n2 == n:
+            return nxt
+        edges, n = nxt, n2
+    raise ValueError(
+        f"OWL property closure did not converge within {max_iters} rounds"
+    )
+
+
+def owl_entail(
+    spark: SparkSession,
+    abox: DataFrame,
+    tbox: tuple[tuple[str, str, str], ...] = OWL_ONTOLOGY,
+    type_pred: str = TYPE_PRED,
+) -> DataFrame:
+    """OWL-lite + RDFS materialization: close the A-Box under the OWL
+    property rules (owl_extend, to fixpoint), then run the stratified
+    RDFS chain over the extended edge set. The split_owl_tbox guard
+    ensures this two-stage evaluation IS the combined fixpoint (the
+    per-build idempotence test re-proves it on the fixture)."""
+    _, rdfs_rows = split_owl_tbox(tbox)
+    extended = owl_extend(spark, abox, tbox)
+    return rdfs_entail(spark, extended, rdfs_rows, type_pred, prededup=False)
+
+
+def sql_owl_extended_cte(kg: str = "kg") -> str:
+    """DuckDB twin of owl_extend for the pinned OWL_ONTOLOGY: inverse +
+    symmetric swaps, then WITH RECURSIVE closure of the transitive
+    predicate over the swapped set, ending in ``owl_abox``. One
+    stratified pass — equal to the Spark fixpoint exactly because the
+    split_owl_tbox guard forbids feedback (and the idempotence test
+    checks it)."""
+    return f"""owl_base AS (
+  SELECT subj, pred, obj FROM {kg}
+  UNION
+  SELECT obj, 'joinedBy', subj FROM {kg} WHERE pred = 'join'
+  UNION
+  SELECT obj, 'join', subj FROM {kg} WHERE pred = 'joinedBy'
+  UNION
+  SELECT obj, 'merge', subj FROM {kg} WHERE pred = 'merge'
+),
+sort_cl AS (
+  SELECT subj, obj FROM owl_base WHERE pred = 'sort'
+  UNION
+  SELECT s.subj, e.obj FROM sort_cl s
+  JOIN owl_base e ON e.pred = 'sort' AND s.obj = e.subj
+),
+owl_abox AS (
+  SELECT subj, pred, obj FROM owl_base
+  UNION
+  SELECT subj, 'sort', obj FROM sort_cl
+)"""

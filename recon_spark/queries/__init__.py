@@ -54,6 +54,7 @@ _NEVER_DRIVER_SAMPLED = [
     "bpe_merges",
     "bpe_token_counts",
     "bpe_doc_tokens",
+    "owl_entailment",
     "rdfs_entailment",
     "rdfs_types",
     "shape_violations",

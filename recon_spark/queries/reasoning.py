@@ -139,7 +139,36 @@ WHERE NOT EXISTS (
 """
 
 
+def q_owl_entailment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OWL-lite + RDFS closure of the canonical KG: inverse edges
+    (join/joinedBy), symmetric merge, transitive sort — closed to a
+    fixpoint A-Box-side — then the full RDFS chain over the extended
+    edge set. The inverse predicate participates in the property
+    hierarchy (joinedBy ⊑ combines), so its subjects acquire Combiner
+    typing downstream."""
+    from recon_spark.operators.reasoning import owl_entail
+
+    return owl_entail(spark, _canonical_kg(spark, sf_dir))
+
+
+def _sql_owl_entailment() -> str:
+    from recon_spark.operators.reasoning import (
+        OWL_ONTOLOGY,
+        split_owl_tbox,
+        sql_owl_extended_cte,
+    )
+
+    _, rdfs_rows = split_owl_tbox(OWL_ONTOLOGY)
+    return f"""
+WITH RECURSIVE {_sql_canonical_kg()},
+{sql_owl_extended_cte("kg")},
+{sql_entailed_cte("owl_abox", tbox=rdfs_rows)}
+SELECT subj, pred, obj FROM ent
+"""
+
+
 QUERIES = {
+    "owl_entailment": q_owl_entailment,
     "rdfs_entailment": q_rdfs_entailment,
     "rdfs_types": q_rdfs_types,
     "shape_violations": q_shape_violations,
@@ -147,6 +176,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "owl_entailment": _sql_owl_entailment(),
     "rdfs_entailment": SQL_RDFS_ENTAILMENT,
     "rdfs_types": SQL_RDFS_TYPES,
     "shape_violations": SQL_SHAPE_VIOLATIONS,

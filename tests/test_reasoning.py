@@ -123,3 +123,49 @@ def test_delta_entailment_is_exact(spark):
     stored = {(r.subj, r.pred, r.obj) for r in store.collect()}
     assert not ({(r.subj, r.pred, r.obj) for r in new.collect()} & stored)
     assert new.count() > 0
+
+
+# ---------------------------------------------------------------- OWL-lite
+
+def _owl_abox(spark):
+    rows = [
+        ("a", "join", "b"),          # -> (b joinedBy a), joinedBy ⊑ combines
+        ("c", "merge", "d"),         # symmetric -> (d merge c)
+        ("p", "sort", "q"), ("q", "sort", "r"), ("r", "sort", "s0"),  # chain
+        ("x", "sort", "y"), ("y", "sort", "x"),  # cycle: closure must converge
+    ]
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def test_owl_property_rules_fire(spark):
+    from recon_spark.operators.reasoning import owl_entail
+
+    got = {(r.subj, r.pred, r.obj) for r in owl_entail(spark, _owl_abox(spark)).collect()}
+    # prp-inv both directions + hierarchy typing through joinedBy
+    assert ("b", "joinedBy", "a") in got
+    assert ("b", "combines", "a") in got
+    assert ("b", "type", "Combiner") in got
+    # prp-symp
+    assert ("d", "merge", "c") in got
+    assert ("d", "combines", "c") in got
+    # prp-trp: full chain closure incl. length-3
+    assert ("p", "sort", "r") in got and ("p", "sort", "s0") in got
+    # cycle closes with self-loops and terminates
+    assert ("x", "sort", "x") in got and ("y", "sort", "y") in got
+
+
+def test_owl_entail_is_idempotent(spark):
+    from recon_spark.operators.reasoning import owl_entail
+
+    once = owl_entail(spark, _owl_abox(spark))
+    assert owl_entail(spark, once).count() == once.count()
+
+
+def test_owl_guard_rejects_marked_super_property(spark):
+    from recon_spark.operators.reasoning import OWL_ONTOLOGY, split_owl_tbox
+
+    bad = OWL_ONTOLOGY + (("combines", "propertyType", "Transitive"),)
+    with pytest.raises(ValueError, match="full OWL-RL fixpoint"):
+        split_owl_tbox(bad)
+    with pytest.raises(ValueError, match="unsupported propertyType"):
+        split_owl_tbox((("p", "propertyType", "Reflexive"),))
