@@ -640,3 +640,44 @@ owl_abox AS (
   UNION
   SELECT subj, 'sort', obj FROM sort_cl
 )"""
+
+
+# --------------------------------------------------------------------------
+# owl:sameAs canonicalization (OWL-RL eq-rep-s / eq-rep-o)
+# --------------------------------------------------------------------------
+
+def sameas_rewrite(kg: DataFrame, sameas: DataFrame) -> DataFrame:
+    """Rewrite a triple table through owl:sameAs equivalence classes:
+    every subject/object maps to its class representative (min id of
+    the connected component over the sameAs pairs), duplicates
+    produced by the collapse removed — the eq-rep-s/eq-rep-o rules of
+    OWL-RL, evaluated eagerly the way production KGs do (materialize
+    the canonical graph once instead of rewriting at query time).
+
+    ``sameas`` is (a, b) pairs. Components run via
+    operators/dedupe.py:connected_components (size-adaptive: driver
+    union-find for dictionary-sized pair sets — the normal case, since
+    sameAs links are entity-dictionary-scale — hash-min label
+    propagation above it). The representative map is entity-sized, so
+    both rewrite joins BROADCAST: the triple stream never shuffles for
+    the rewrite; the only wide exchange is the final distinct.
+    """
+    from recon_spark.operators.dedupe import connected_components
+
+    rep = F.broadcast(
+        connected_components(sameas, "a", "b").select(
+            F.col("id").alias("node"), F.col("component").alias("rep")
+        )
+    )
+    return (
+        kg.join(rep.withColumnRenamed("node", "subj").withColumnRenamed("rep", "s_rep"),
+                "subj", "left")
+        .join(rep.withColumnRenamed("node", "obj").withColumnRenamed("rep", "o_rep"),
+              "obj", "left")
+        .select(
+            F.coalesce("s_rep", "subj").alias("subj"),
+            "pred",
+            F.coalesce("o_rep", "obj").alias("obj"),
+        )
+        .dropDuplicates(["subj", "pred", "obj"])
+    )

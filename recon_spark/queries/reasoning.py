@@ -167,7 +167,64 @@ SELECT subj, pred, obj FROM ent
 """
 
 
+def q_kg_sameas_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """owl:sameAs canonicalization: structural merge candidates
+    (Jaccard >= threshold over shared out-neighbors — the
+    kg_merge_candidates derivation) become sameAs links, closed into
+    equivalence classes, and the canonical KG is rewritten through the
+    class representatives (eq-rep-s/eq-rep-o). The last step of entity
+    resolution: detect -> link -> REWRITE the published graph."""
+    from recon_spark.operators.graph import neighbor_merge_candidates
+    from recon_spark.operators.reasoning import sameas_rewrite
+    from recon_spark.queries.graph import _MERGE_THRESHOLD, _canonical_edges
+
+    pairs = neighbor_merge_candidates(
+        _canonical_edges(spark, sf_dir), threshold=_MERGE_THRESHOLD
+    ).select("a", "b")
+    return sameas_rewrite(_canonical_kg(spark, sf_dir), pairs)
+
+
+def _sql_kg_sameas_rewrite() -> str:
+    # the shared components CTE defines `nodes`, which the canonical-
+    # edges chain also defines — namespace the collision (the rename is
+    # textual on the verbatim-shared fragment so the recursion itself
+    # stays in lockstep with the other cluster oracles)
+    from recon_spark.queries.extra import _sql_components_cte
+    from recon_spark.queries.graph import _MERGE_THRESHOLD, _sql_canonical_edges
+
+    return f"""
+WITH RECURSIVE {_sql_canonical_edges()},
+kg AS (
+  SELECT DISTINCT coalesce(bs.entity_id, t.subj) AS subj, t.pred,
+         coalesce(bo.entity_id, t.obj) AS obj
+  FROM triples t
+  LEFT JOIN best bs ON t.subj = bs.alias
+  LEFT JOIN best bo ON t.obj = bo.alias
+),
+deg AS (SELECT src AS s, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
+shared AS (
+  SELECT a.src AS a, b.src AS b, CAST(count(*) AS BIGINT) AS shared
+  FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT s.a AS id_a, s.b AS id_b
+  FROM shared s
+  JOIN deg da ON da.s = s.a
+  JOIN deg db ON db.s = s.b
+  WHERE CAST(s.shared AS DOUBLE) / (da.d + db.d - s.shared) >= {_MERGE_THRESHOLD}
+),
+{_sql_components_cte().replace("nodes", "ccnodes")}
+SELECT DISTINCT coalesce(cs.component, k.subj) AS subj, k.pred,
+       coalesce(co.component, k.obj) AS obj
+FROM kg k
+LEFT JOIN comp cs ON k.subj = cs.id
+LEFT JOIN comp co ON k.obj = co.id
+"""
+
+
 QUERIES = {
+    "kg_sameas_rewrite": q_kg_sameas_rewrite,
     "owl_entailment": q_owl_entailment,
     "rdfs_entailment": q_rdfs_entailment,
     "rdfs_types": q_rdfs_types,
@@ -176,6 +233,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "kg_sameas_rewrite": _sql_kg_sameas_rewrite(),
     "owl_entailment": _sql_owl_entailment(),
     "rdfs_entailment": SQL_RDFS_ENTAILMENT,
     "rdfs_types": SQL_RDFS_TYPES,

@@ -169,3 +169,23 @@ def test_owl_guard_rejects_marked_super_property(spark):
         split_owl_tbox(bad)
     with pytest.raises(ValueError, match="unsupported propertyType"):
         split_owl_tbox((("p", "propertyType", "Reflexive"),))
+
+
+def test_sameas_rewrite_collapses_classes(spark):
+    from recon_spark.operators.reasoning import sameas_rewrite
+
+    kg = spark.createDataFrame(
+        [("a", "scan", "x"), ("b", "scan", "x"), ("c", "join", "a"),
+         ("z", "sort", "w")],
+        "subj string, pred string, obj string",
+    )
+    sameas = spark.createDataFrame([("a", "b"), ("b", "c2")], "a string, b string")
+    got = sorted(map(tuple, sameas_rewrite(kg, sameas).collect()))
+    # a, b, c2 collapse to representative 'a'; duplicate scan rows merge;
+    # object positions rewrite too; untouched nodes pass through
+    assert got == [
+        ("a", "scan", "x"), ("c", "join", "a"), ("z", "sort", "w"),
+    ]
+    # plan: both rewrite joins broadcast, no sort-merge join
+    plan = sameas_rewrite(kg, sameas)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
