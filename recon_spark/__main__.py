@@ -136,6 +136,15 @@ def main(argv: list[str] | None = None) -> int:
         "shards (graph term = source page url) — the Web Data Commons "
         "interchange layout",
     )
+    ap.add_argument(
+        "--entail",
+        default=None,
+        metavar="DIR",
+        help="also materialize the RDFS closure of the stored triples "
+        "(rules rdfs2/3/5/7/9/11 over the built-in T-Box) as a "
+        "pred-partitioned parquet table — the partition layout ground "
+        "SPARQL predicates prune against",
+    )
     args = ap.parse_args(argv)
 
     from recon_spark.session import get_spark
@@ -167,6 +176,22 @@ def main(argv: list[str] | None = None) -> int:
                 compression="gzip",
             )
             metrics["export_nq"] = args.export_nq
+        if args.entail:
+            from recon_spark.operators.reasoning import rdfs_entail
+            from recon_spark.storage import SnapshotStore
+
+            store = SnapshotStore(
+                spark, args.out, key_col="triple_key", hash_col="content_hash"
+            )
+            # store rows repeat facts across pages/spans -> prededup on
+            ent = rdfs_entail(
+                spark, store.read().select("subj", "pred", "obj")
+            )
+            ent.repartition("pred").write.partitionBy("pred").mode(
+                "overwrite"
+            ).parquet(args.entail)
+            metrics["entail"] = args.entail
+            metrics["entailed_rows"] = spark.read.parquet(args.entail).count()
         print(json.dumps(metrics, default=str))
         return 0
     finally:
