@@ -157,6 +157,8 @@ EXTENDED = [
     "rdfs_types",
     "shape_violations",
     "rdfs_entail_delta",
+    "sparql_seq_path",
+    "sparql_alt_path",
     "sparql_union",
     "sparql_minus",
     "sparql_bind",

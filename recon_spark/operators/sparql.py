@@ -106,6 +106,11 @@ class TriplePattern:
     # property path `<p>+`: s and o connected by ONE OR MORE p-edges
     # (SPARQL 1.1 §9.1 OneOrMorePath, set semantics)
     plus: bool = False
+    # SequencePath `<a>/<b>/...`: the predicate of each hop in order;
+    # p holds the first element (kept ground for selectivity counting)
+    seq: tuple = ()
+    # AlternativePath `<a>|<b>|...`: any one of the predicates
+    alts: tuple = ()
 
     @property
     def terms(self) -> tuple[Term, ...]:
@@ -224,7 +229,7 @@ _TOKEN_RE = re.compile(
       | (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
       | (?P<num>-?\d+(?:\.\d+)?)
       | (?P<op>!=|<=|>=|=|<|>)
-      | (?P<punct>[{}().,*+])
+      | (?P<punct>[{}().,*+|/])
       | (?P<word>[A-Za-z_]\w*)
     )""",
     re.VERBOSE,
@@ -688,7 +693,8 @@ class _Parser:
                 # inner GRAPH wins over an enclosing one (SPARQL 1.1 §13.3)
                 patterns.extend(
                     TriplePattern(
-                        p.s, p.p, p.o, p.g if p.g is not None else g, p.plus
+                        p.s, p.p, p.o, p.g if p.g is not None else g,
+                        p.plus, p.seq, p.alts,
                     )
                     for p in ps
                 )
@@ -707,6 +713,8 @@ class _Parser:
                 s = self._term()
                 p = self._term()
                 plus = False
+                seq: list = []
+                alts: list = []
                 if self._peek() == ("punct", "+"):
                     self.i += 1
                     plus = True
@@ -715,8 +723,40 @@ class _Parser:
                             "property path + needs a ground predicate "
                             "(?p+ would close over the whole graph)"
                         )
+                elif self._peek() in (("punct", "/"), ("punct", "|")):
+                    op = self._next()[1]
+                    if not isinstance(p, Lit):
+                        raise SparqlError(
+                            f"property path {op} needs ground predicates"
+                        )
+                    parts = [p]
+                    while True:
+                        nxt = self._term()
+                        if not isinstance(nxt, Lit):
+                            raise SparqlError(
+                                f"property path {op} needs ground predicates"
+                            )
+                        parts.append(nxt)
+                        peek = self._peek()
+                        if peek in (("punct", "/"), ("punct", "|")):
+                            if peek[1] != op:
+                                raise SparqlError(
+                                    "mixed path operators need parentheses "
+                                    "(unsupported); use separate patterns"
+                                )
+                            self.i += 1
+                            continue
+                        break
+                    if op == "/":
+                        seq = parts
+                    else:
+                        alts = parts
                 o = self._term()
-                patterns.append(TriplePattern(s, p, o, plus=plus))
+                patterns.append(
+                    TriplePattern(
+                        s, p, o, plus=plus, seq=tuple(seq), alts=tuple(alts)
+                    )
+                )
             # optional statement separator
             if self._peek() == ("punct", "."):
                 self.i += 1
@@ -771,6 +811,8 @@ def _pattern_frame(graph: DataFrame, pat: TriplePattern) -> DataFrame:
     iterative transitive closure (_plus_frame)."""
     if pat.plus:
         return _plus_frame(graph, pat)
+    if pat.seq or pat.alts:
+        return _path_frame(graph, pat)
     positions = _POSITIONS
     if pat.g is not None:
         _require_graph_col(graph)
@@ -897,6 +939,56 @@ def _plus_frame(graph: DataFrame, pat: TriplePattern) -> DataFrame:
     positions = ("src", "dst") + (("graph",) if keys else ())
     terms = (pat.s, pat.o) + ((pat.g,) if keys else ())
     return _bind_terms(reached, terms, positions)
+
+
+def _path_frame(graph: DataFrame, pat: TriplePattern) -> DataFrame:
+    """SPARQL 1.1 §9.1 SequencePath (`<a>/<b>`) and AlternativePath
+    (`<a>|<b>`) with ground predicate elements.
+
+    Sequence compiles to a chain of joins through anonymous hop
+    columns — each hop is a pred-pruned scan, so over a
+    pred-partitioned store only the named predicates' partitions are
+    read, and Catalyst is free to reorder/broadcast the hop joins like
+    any other join tree. Alternative compiles to a bag union of the
+    branch scans (path alternatives are bag semantics, same as UNION).
+    GRAPH scoping composes: every hop/branch binds or filters the quad
+    frame's graph column, so a sequence stays INSIDE one named graph.
+    """
+    keys: list = []
+    cols = []
+    if pat.g is not None:
+        _require_graph_col(graph)
+        if isinstance(pat.g, Lit):
+            graph = graph.where(F.col("graph") == F.lit(pat.g.value))
+        else:
+            keys = ["graph"]
+
+    def hop(pred: Lit) -> DataFrame:
+        return graph.where(F.col("pred") == F.lit(pred.value)).select(
+            F.col("subj").alias("src"), F.col("obj").alias("dst"),
+            *[F.col(k) for k in keys],
+        )
+
+    if pat.alts:
+        acc = hop(pat.alts[0])
+        for p in pat.alts[1:]:
+            acc = acc.unionByName(hop(p))  # bag union per path semantics
+    else:
+        acc = hop(pat.seq[0])
+        for i, p in enumerate(pat.seq[1:]):
+            nxt = hop(p).withColumnRenamed("src", "_m").withColumnRenamed(
+                "dst", "_d"
+            )
+            cond = [acc.dst == nxt._m] + [
+                acc[k] == nxt[k] for k in keys
+            ]
+            acc = acc.join(nxt, cond).select(
+                acc.src.alias("src"), nxt._d.alias("dst"),
+                *[acc[k].alias(k) for k in keys],
+            )
+    positions = ("src", "dst") + (("graph",) if keys else ())
+    terms = (pat.s, pat.o) + ((pat.g,) if keys else ())
+    return _bind_terms(acc, terms, positions)
 
 
 def _order_patterns(

@@ -1570,7 +1570,56 @@ ORDER BY edge
 """
 
 
+SPARQL_SEQ_PATH = (
+    "SELECT DISTINCT ?s ?o WHERE { ?s <scan>/<group> ?o } ORDER BY ?s ?o"
+)
+
+
+def q_sparql_seq_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 §9.1 SequencePath: entities whose scan target itself
+    groups something — a two-hop typed traversal in ONE pattern,
+    compiled to a chain of pred-pruned scans joined through anonymous
+    hop columns (Catalyst reorders/broadcasts them like any join
+    tree)."""
+    from recon_spark.operators.sparql import compile_sparql
+
+    return compile_sparql(_canonical_kg(spark, sf_dir), SPARQL_SEQ_PATH)
+
+
+SQL_SPARQL_SEQ_PATH = f"""
+WITH {_sql_canonical_kg()}
+SELECT DISTINCT a.subj AS s, b.obj AS o
+FROM kg a JOIN kg b ON a.obj = b.subj
+WHERE a.pred = 'scan' AND b.pred = 'group'
+ORDER BY s, o
+"""
+
+
+SPARQL_ALT_PATH = (
+    "SELECT DISTINCT ?s ?o WHERE { ?s <sort>|<group> ?o } ORDER BY ?s ?o"
+)
+
+
+def q_sparql_alt_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 §9.1 AlternativePath: edges reachable by either
+    predicate, as one pattern (bag union of the branch scans; DISTINCT
+    here for a set result)."""
+    from recon_spark.operators.sparql import compile_sparql
+
+    return compile_sparql(_canonical_kg(spark, sf_dir), SPARQL_ALT_PATH)
+
+
+SQL_SPARQL_ALT_PATH = f"""
+WITH {_sql_canonical_kg()}
+SELECT DISTINCT subj AS s, obj AS o FROM kg
+WHERE pred IN ('sort', 'group')
+ORDER BY s, o
+"""
+
+
 QUERIES = {
+    "sparql_seq_path": q_sparql_seq_path,
+    "sparql_alt_path": q_sparql_alt_path,
     "sparql_union": q_sparql_union,
     "sparql_minus": q_sparql_minus,
     "sparql_bind": q_sparql_bind,
@@ -1608,6 +1657,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sparql_seq_path": SQL_SPARQL_SEQ_PATH,
+    "sparql_alt_path": SQL_SPARQL_ALT_PATH,
     "sparql_union": SQL_SPARQL_UNION,
     "sparql_minus": SQL_SPARQL_MINUS,
     "sparql_bind": SQL_SPARQL_BIND,

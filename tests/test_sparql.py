@@ -878,3 +878,88 @@ def test_union_minus_in_construct_and_ask(alg_graph):
     assert compile_sparql(
         alg_graph, "ASK { { ?q <sort> ?r } UNION { ?q <group> ?r } }"
     ).collect()[0].ask is False
+
+
+# --------------------------------------------------------------------------
+# Sequence / alternative property paths (SPARQL 1.1 §9.1)
+# --------------------------------------------------------------------------
+
+PKG = [
+    ("a", "scan", "x"), ("x", "join", "y"), ("y", "sort", "z"),
+    ("b", "agg", "x"), ("a", "filter", "q"),
+]
+
+
+@pytest.fixture(scope="module")
+def seqalt_graph(spark):
+    return spark.createDataFrame(PKG, "subj string, pred string, obj string")
+
+
+def test_sequence_path(seqalt_graph):
+    out = compile_sparql(seqalt_graph, "SELECT ?s ?o WHERE { ?s <scan>/<join> ?o }")
+    assert [tuple(r) for r in out.collect()] == [("a", "y")]
+    out3 = compile_sparql(
+        seqalt_graph, "SELECT ?s ?o WHERE { ?s <scan>/<join>/<sort> ?o }"
+    )
+    assert [tuple(r) for r in out3.collect()] == [("a", "z")]
+
+
+def test_alternative_path_bag_semantics(spark):
+    g = spark.createDataFrame(
+        [("a", "scan", "x"), ("a", "agg", "x")],
+        "subj string, pred string, obj string",
+    )
+    # both branches match the same pair -> two rows without DISTINCT
+    out = compile_sparql(g, "SELECT ?s ?o WHERE { ?s <scan>|<agg> ?o }")
+    assert len(out.collect()) == 2
+    assert compile_sparql(
+        g, "SELECT DISTINCT ?s ?o WHERE { ?s <scan>|<agg> ?o }"
+    ).count() == 1
+
+
+def test_path_composes_with_bgp_and_graph(seqalt_graph, spark):
+    out = compile_sparql(
+        seqalt_graph,
+        "SELECT ?s ?o ?q WHERE { ?s <scan>/<join> ?o . ?s <filter> ?q }",
+    )
+    assert [tuple(r) for r in out.collect()] == [("a", "y", "q")]
+    quads = spark.createDataFrame(
+        [("a", "scan", "x", "g1"), ("x", "join", "y", "g1"),
+         ("a", "scan", "x2", "g2"), ("x2", "join", "y2", "g3")],
+        "subj string, pred string, obj string, graph string",
+    )
+    # sequence hops stay INSIDE one named graph: the g2->g3 chain is out
+    out = compile_sparql(
+        quads, "SELECT ?g ?s ?o WHERE { GRAPH ?g { ?s <scan>/<join> ?o } }"
+    )
+    assert [tuple(r) for r in out.collect()] == [("g1", "a", "y")]
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "SELECT ?s WHERE { ?s <a>/<b>|<c> ?o }",   # mixed operators
+        "SELECT ?s WHERE { ?s ?p/<b> ?o }",        # variable element
+        "SELECT ?s WHERE { ?s <a>/?p ?o }",
+    ],
+)
+def test_path_errors(seqalt_graph, bad):
+    with pytest.raises(SparqlError):
+        compile_sparql(seqalt_graph, bad).columns
+
+
+def test_sequence_path_pred_pruning(spark, tmp_path):
+    """Both hops of a sequence must prune a pred-partitioned store to
+    their own partition (the 10^12-triple contract, extended from the
+    single-pattern test above)."""
+    import re
+
+    d = str(tmp_path / "pred_part_seq")
+    kg = spark.createDataFrame(PKG * 30, "subj string, pred string, obj string")
+    kg.write.partitionBy("pred").mode("overwrite").parquet(d)
+    store = spark.read.parquet(d)
+    q = compile_sparql(store, "SELECT ?s ?o WHERE { ?s <scan>/<join> ?o }")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("= scan" in f for f in filters)
+    assert any("= join" in f for f in filters)
