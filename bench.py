@@ -157,6 +157,8 @@ EXTENDED = [
     "rdfs_types",
     "shape_violations",
     "rdfs_entail_delta",
+    "sparql_exists",
+    "sparql_not_exists",
     "sparql_seq_path",
     "sparql_alt_path",
     "sparql_union",

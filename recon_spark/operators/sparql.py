@@ -18,6 +18,7 @@ path traversals, optional enrichment, grouped analytics):
         ?s <pred> ?o .                 # triple patterns; any position may
         ?s ?p "literal" .              #   be a variable, <iri>, or "lit"
         ?s <pred>+ ?o .                # OneOrMorePath: transitive closure
+        ?s <a>/<b> ?o . ?s <a>|<b> ?o  # sequence / alternative paths
         FILTER(?a != ?b) .             # =  != <  <=  >  >= over terms
         OPTIONAL { ... }               # left join on shared variables
         GRAPH ?g { ... }               # provenance: binds/filters the
@@ -28,6 +29,7 @@ path traversals, optional enrichment, grouped analytics):
         { ... } UNION { ... }          # alternation (branches must bind
                                        #   the same variables)
         MINUS { ... }                  # exclusion -> left-anti join
+        FILTER [NOT] EXISTS { ... }    # correlated semi/anti join
         BIND(CONCAT(?a, "-") AS ?v)    # derived binding (CONCAT or a
     }                                  #   plain term)
     [GROUP BY ?v ...] [ORDER BY [DESC(?v)|ASC(?v)|?v] ...] [LIMIT n]
@@ -159,6 +161,18 @@ class MinusGroup:
 
 
 @dataclass(frozen=True)
+class ExistsClause:
+    """FILTER [NOT] EXISTS { group } (SPARQL 1.1 §8.1.1), evaluated
+    over the required part's solutions: semi/anti join on the shared
+    variables, or a 0/1-row global gate when the groups are
+    disconnected (substitution leaves no correlation)."""
+
+    patterns: tuple[TriplePattern, ...]
+    filters: tuple[Filter, ...]
+    negated: bool
+
+
+@dataclass(frozen=True)
 class Bind:
     """BIND(expr AS ?alias); expr is a term or CONCAT(term, ...)."""
 
@@ -216,6 +230,8 @@ class SparqlQuery:
     minuses: tuple[MinusGroup, ...] = ()
     # BIND(expr AS ?v) derived bindings (applied before FILTERs)
     binds: tuple[Bind, ...] = ()
+    # FILTER [NOT] EXISTS { } clauses (applied with the FILTERs)
+    exists: tuple[ExistsClause, ...] = ()
 
 
 # --------------------------------------------------------------------------
@@ -341,9 +357,10 @@ class _Parser:
         unions: list[UnionGroup] = []
         minuses: list[MinusGroup] = []
         binds: list[Bind] = []
+        exists: list[ExistsClause] = []
         patterns, filters, optionals = self._group(
             allow_optional=True, values_sink=values, unions_sink=unions,
-            minuses_sink=minuses, binds_sink=binds,
+            minuses_sink=minuses, binds_sink=binds, exists_sink=exists,
         )
         if not patterns and not unions:
             raise SparqlError("WHERE clause has no triple patterns")
@@ -409,6 +426,7 @@ class _Parser:
             unions=tuple(unions),
             minuses=tuple(minuses),
             binds=tuple(binds),
+            exists=tuple(exists),
         )
 
     def _ask(self) -> SparqlQuery:
@@ -419,9 +437,10 @@ class _Parser:
         unions: list[UnionGroup] = []
         minuses: list[MinusGroup] = []
         binds: list[Bind] = []
+        exists: list[ExistsClause] = []
         patterns, filters, optionals = self._group(
             allow_optional=True, values_sink=values, unions_sink=unions,
-            minuses_sink=minuses, binds_sink=binds,
+            minuses_sink=minuses, binds_sink=binds, exists_sink=exists,
         )
         if not patterns and not unions:
             raise SparqlError("ASK group has no triple patterns")
@@ -433,6 +452,7 @@ class _Parser:
             optionals=tuple(optionals), group_by=(), order_by=(), limit=None,
             values=tuple(values), ask=True, unions=tuple(unions),
             minuses=tuple(minuses), binds=tuple(binds),
+            exists=tuple(exists),
         )
 
     def _describe(self) -> SparqlQuery:
@@ -473,9 +493,10 @@ class _Parser:
         unions: list[UnionGroup] = []
         minuses: list[MinusGroup] = []
         binds: list[Bind] = []
+        exists: list[ExistsClause] = []
         patterns, filters, optionals = self._group(
             allow_optional=True, values_sink=values, unions_sink=unions,
-            minuses_sink=minuses, binds_sink=binds,
+            minuses_sink=minuses, binds_sink=binds, exists_sink=exists,
         )
         if not patterns and not unions:
             raise SparqlError("WHERE clause has no triple patterns")
@@ -501,6 +522,7 @@ class _Parser:
             unions=tuple(unions),
             minuses=tuple(minuses),
             binds=tuple(binds),
+            exists=tuple(exists),
         )
 
     def _aggregate(self) -> Aggregate:
@@ -611,6 +633,7 @@ class _Parser:
         unions_sink: list[UnionGroup] | None = None,
         minuses_sink: list[MinusGroup] | None = None,
         binds_sink: list[Bind] | None = None,
+        exists_sink: list[ExistsClause] | None = None,
     ) -> tuple[list[TriplePattern], list[Filter], list[OptionalGroup]]:
         self._expect_punct("{")
         patterns: list[TriplePattern] = []
@@ -671,6 +694,31 @@ class _Parser:
                 continue
             if t[0] == "word" and t[1].upper() == "FILTER":
                 self.i += 1
+                nt = self._peek()
+                if nt and nt[0] == "word" and nt[1].upper() in ("EXISTS", "NOT"):
+                    if exists_sink is None:
+                        raise SparqlError(
+                            "FILTER EXISTS is only supported at the top "
+                            "level of WHERE"
+                        )
+                    negated = False
+                    if nt[1].upper() == "NOT":
+                        self.i += 1
+                        negated = True
+                    self._expect_kw("EXISTS")
+                    ps, fs, os_ = self._group(allow_optional=False)
+                    if os_:  # pragma: no cover — guarded by allow_optional
+                        raise SparqlError(
+                            "OPTIONAL inside EXISTS is not supported"
+                        )
+                    if not ps:
+                        raise SparqlError("empty EXISTS group")
+                    exists_sink.append(
+                        ExistsClause(tuple(ps), tuple(fs), negated)
+                    )
+                    if self._peek() == ("punct", "."):
+                        self.i += 1
+                    continue
                 self._expect_punct("(")
                 lhs = self._term()
                 op_t = self._next()
@@ -1151,6 +1199,43 @@ def _solutions(
         if missing:
             raise SparqlError(f"FILTER references unbound variables {missing}")
         acc = acc.where(_filter_expr(flt))
+
+    # FILTER [NOT] EXISTS: semi/anti join on the shared variables —
+    # evaluated over the required bindings. Referencing a variable that
+    # only OPTIONAL binds is rejected explicitly (null-substitution
+    # semantics differ from a join), rather than silently degrading to
+    # the uncorrelated gate below.
+    opt_only = {
+        v for opt in q.optionals for p_ in opt.patterns for v in p_.vars
+    } - bound
+    for ex in q.exists:
+        ef, eb = _join_patterns(graph, ex.patterns, allow_product)
+        clash = eb & opt_only
+        if clash and not (eb & bound):
+            raise SparqlError(
+                f"FILTER EXISTS over OPTIONAL-bound variables {sorted(clash)} "
+                "is not supported (evaluate before OPTIONAL or restructure)"
+            )
+        for flt in ex.filters:
+            if flt.vars - eb:
+                raise SparqlError(
+                    f"EXISTS FILTER references unbound variables "
+                    f"{flt.vars - eb}"
+                )
+            ef = ef.where(_filter_expr(flt))
+        shared = sorted(bound & eb)
+        if shared:
+            how = "left_anti" if ex.negated else "left_semi"
+            acc = acc.join(ef.select(*shared).distinct(), on=shared, how=how)
+        else:
+            # no correlation: a global 0/1-row gate
+            gate = ef.limit(1).select(F.lit(1).alias("__e__"))
+            if ex.negated:
+                acc = acc.withColumn("__e__", F.lit(1)).join(
+                    F.broadcast(gate), on="__e__", how="left_anti"
+                )
+            else:
+                acc = acc.join(F.broadcast(gate)).drop("__e__")
 
     for opt in q.optionals:
         opt_frame, opt_bound = _join_patterns(graph, opt.patterns, allow_product)

@@ -46,6 +46,8 @@ ORACLES = {
 # html_to_text_v2, staging gained duplicate records), and the bucketed
 # continuous sessionizer.
 _NEVER_DRIVER_SAMPLED = [
+    "sparql_exists",
+    "sparql_not_exists",
     "sparql_seq_path",
     "sparql_alt_path",
     "sparql_union",

@@ -1617,7 +1617,65 @@ ORDER BY s, o
 """
 
 
+SPARQL_EXISTS = (
+    "SELECT DISTINCT ?s WHERE { ?s <agg> ?o . "
+    "FILTER EXISTS { ?s <group> ?z } } ORDER BY ?s"
+)
+
+
+def q_sparql_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 §8.1.1 FILTER EXISTS: aggregating entities that also
+    group — compiled to a left-semi join on the shared variable (the
+    probe side deduped)."""
+    from recon_spark.operators.sparql import compile_sparql
+
+    return compile_sparql(_canonical_kg(spark, sf_dir), SPARQL_EXISTS)
+
+
+SQL_SPARQL_EXISTS = f"""
+WITH {_sql_canonical_kg()}
+SELECT DISTINCT subj AS s FROM kg k
+WHERE pred = 'agg'
+  AND EXISTS (SELECT 1 FROM kg x WHERE x.subj = k.subj AND x.pred = 'group')
+ORDER BY s
+"""
+
+
+SPARQL_NOT_EXISTS = (
+    "SELECT DISTINCT ?g ?s WHERE { GRAPH ?g { ?s <sort> ?o } "
+    "FILTER NOT EXISTS { GRAPH ?g { ?s <merge> ?z } } } ORDER BY ?g ?s"
+)
+
+
+def q_sparql_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER NOT EXISTS composed with GRAPH provenance: (page,
+    subject) pairs sorting without merging in the SAME page-graph —
+    a left-anti join on (graph, subj); doc-scoped for the same
+    saturation reason as sparql_minus."""
+    from recon_spark.operators.sparql import compile_sparql
+
+    quads = extract_triples_tokens(_docs(spark, sf_dir)).select(
+        "subj", "pred", "obj", F.col("doc_id").alias("graph")
+    )
+    return compile_sparql(quads, SPARQL_NOT_EXISTS)
+
+
+def _sql_sparql_not_exists() -> str:
+    from recon_spark.queries.core import _sql_triples_base
+
+    return f"""
+WITH {_sql_triples_base()}
+SELECT DISTINCT doc_id AS g, subj AS s FROM triples k
+WHERE pred = 'sort'
+  AND NOT EXISTS (SELECT 1 FROM triples x WHERE x.doc_id = k.doc_id
+                  AND x.subj = k.subj AND x.pred = 'merge')
+ORDER BY g, s
+"""
+
+
 QUERIES = {
+    "sparql_exists": q_sparql_exists,
+    "sparql_not_exists": q_sparql_not_exists,
     "sparql_seq_path": q_sparql_seq_path,
     "sparql_alt_path": q_sparql_alt_path,
     "sparql_union": q_sparql_union,
@@ -1657,6 +1715,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sparql_exists": SQL_SPARQL_EXISTS,
+    "sparql_not_exists": _sql_sparql_not_exists(),
     "sparql_seq_path": SQL_SPARQL_SEQ_PATH,
     "sparql_alt_path": SQL_SPARQL_ALT_PATH,
     "sparql_union": SQL_SPARQL_UNION,

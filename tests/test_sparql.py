@@ -963,3 +963,77 @@ def test_sequence_path_pred_pruning(spark, tmp_path):
     filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert any("= scan" in f for f in filters)
     assert any("= join" in f for f in filters)
+
+
+# --------------------------------------------------------------------------
+# FILTER [NOT] EXISTS (SPARQL 1.1 §8.1.1)
+# --------------------------------------------------------------------------
+
+EKG = [
+    ("a", "agg", "x"), ("a", "group", "y"), ("b", "agg", "z"),
+    ("c", "sort", "w"), ("d", "sort", "w"), ("d", "merge", "v"),
+]
+
+
+@pytest.fixture(scope="module")
+def exists_graph(spark):
+    return spark.createDataFrame(EKG, "subj string, pred string, obj string")
+
+
+def test_filter_exists_and_not_exists(exists_graph):
+    out = compile_sparql(
+        exists_graph,
+        "SELECT DISTINCT ?s WHERE { ?s <agg> ?o . FILTER EXISTS { ?s <group> ?z } }",
+    )
+    assert [r.s for r in out.collect()] == ["a"]
+    out = compile_sparql(
+        exists_graph,
+        "SELECT DISTINCT ?s WHERE { ?s <sort> ?o . "
+        "FILTER NOT EXISTS { ?s <merge> ?z } }",
+    )
+    assert [r.s for r in out.collect()] == ["c"]
+
+
+def test_uncorrelated_exists_is_a_global_gate(exists_graph):
+    # inner matches nothing -> NOT EXISTS keeps everything
+    keep = compile_sparql(
+        exists_graph,
+        "SELECT ?s WHERE { ?s <agg> ?o . FILTER NOT EXISTS { ?q <scan> ?z } }",
+    )
+    assert keep.count() == 2
+    # inner matches something -> EXISTS keeps everything, NOT EXISTS drops all
+    assert compile_sparql(
+        exists_graph,
+        "SELECT ?s WHERE { ?s <agg> ?o . FILTER EXISTS { ?q <merge> ?z } }",
+    ).count() == 2
+    assert compile_sparql(
+        exists_graph,
+        "SELECT ?s WHERE { ?s <agg> ?o . FILTER NOT EXISTS { ?q <merge> ?z } }",
+    ).count() == 0
+
+
+def test_exists_with_inner_filter_and_graph(spark):
+    quads = spark.createDataFrame(
+        [("s1", "sort", "o", "g1"), ("s1", "merge", "m", "g1"),
+         ("s2", "sort", "o", "g2"), ("s2", "merge", "m", "g3")],
+        "subj string, pred string, obj string, graph string",
+    )
+    # doc-scoped NOT EXISTS: s2's merge lives in ANOTHER graph -> kept
+    out = compile_sparql(
+        quads,
+        "SELECT DISTINCT ?g ?s WHERE { GRAPH ?g { ?s <sort> ?o } "
+        "FILTER NOT EXISTS { GRAPH ?g { ?s <merge> ?z } } }",
+    )
+    assert [tuple(r) for r in out.collect()] == [("g2", "s2")]
+
+
+def test_exists_errors(exists_graph):
+    for bad in [
+        "SELECT ?s WHERE { ?s <agg> ?o . FILTER EXISTS { } }",
+        "SELECT ?s WHERE { ?s <agg> ?o . OPTIONAL { ?s <group> ?g } "
+        "FILTER EXISTS { ?g <x> ?y } }",
+        "SELECT ?s WHERE { ?s <agg> ?o "
+        "OPTIONAL { ?s <p> ?v FILTER EXISTS { ?v <q> ?w } } }",
+    ]:
+        with pytest.raises(SparqlError):
+            compile_sparql(exists_graph, bad).columns
