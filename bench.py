@@ -151,6 +151,7 @@ EXTENDED = [
     "image_captions",
     "page_meta",
     # round-5 final-session additions (reasoning + text models + algebra)
+    "stream_entailment",
     "kg_sameas_rewrite",
     "owl_entailment",
     "rdfs_entailment",

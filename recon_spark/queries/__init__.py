@@ -58,6 +58,7 @@ _NEVER_DRIVER_SAMPLED = [
     "bpe_merges",
     "bpe_token_counts",
     "bpe_doc_tokens",
+    "stream_entailment",
     "kg_sameas_rewrite",
     "owl_entailment",
     "rdfs_entailment",

@@ -223,7 +223,95 @@ LEFT JOIN comp co ON k.obj = co.id
 """
 
 
+# Streaming-entailment staging: the documents table split into two
+# micro-batch files (90% then the 10% delta, later mtime), cached per
+# sf_dir; checkpoints + output stores fresh per start; all removed at
+# interpreter exit (the registry sweep audits these roots).
+_ENTAIL_STAGING: dict[str, tuple[str, str, str]] = {}
+
+
+def _stage_entail_stream(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    key = os.path.abspath(sf_dir)
+    if key not in _ENTAIL_STAGING:
+        src = tempfile.mkdtemp(prefix="recon_stream_entail_src_")
+        chk_root = tempfile.mkdtemp(prefix="recon_stream_entail_chk_")
+        out_root = tempfile.mkdtemp(prefix="recon_stream_entail_out_")
+        for d in (src, chk_root, out_root):
+            atexit.register(shutil.rmtree, d, ignore_errors=True)
+        docs = spark.read.parquet(f"{key}/documents.parquet")
+        docs.where(F.col("doc_id") % 10 != 0).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b0")
+        docs.where(F.col("doc_id") % 10 == 0).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b1")
+        # one file per micro-batch, ordered by mtime: move the part
+        # files up as plain parquet files the file stream lists
+        for i in (0, 1):
+            part = next(
+                f for f in os.listdir(f"{src}/b{i}") if f.endswith(".parquet")
+            )
+            os.rename(f"{src}/b{i}/{part}", f"{src}/batch-{i}.parquet")
+            shutil.rmtree(f"{src}/b{i}")
+            os.utime(f"{src}/batch-{i}.parquet", (time.time() + i, time.time() + i))
+        _ENTAIL_STAGING[key] = (src, chk_root, out_root)
+    src, chk_root, out_root = _ENTAIL_STAGING[key]
+    import tempfile as _t
+
+    return src, _t.mkdtemp(dir=chk_root), _t.mkdtemp(dir=out_root)
+
+
+def q_stream_entailment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental entailment: crawl batches arrive as a file
+    stream (maxFilesPerTrigger=1 forces the 90% corpus and the 10%
+    delta through SEPARATE micro-batches); each foreachBatch extracts
+    and canonicalizes the batch's triples, closes ONLY the delta
+    against the accumulated store (rdfs_entail_delta — exact by
+    linearity), and appends the new rows. The returned store must
+    equal the one-shot batch closure of the full corpus — the oracle
+    IS the batch entailment SQL, so the incremental-maintenance
+    equivalence is driver-checked, not just unit-tested."""
+    from recon_spark.operators.extraction import extract_triples_tokens
+    from recon_spark.operators.reasoning import rdfs_entail_delta
+    from recon_spark.queries.core import canonicalize_triples
+
+    src, chk, out = _stage_entail_stream(spark, sf_dir)
+    schema = spark.read.parquet(f"{src}/batch-0.parquet").schema
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        kg = canonicalize_triples(
+            spark, extract_triples_tokens(batch_df)
+        ).select("subj", "pred", "obj")
+        if batch_id == 0:
+            new = rdfs_entail(spark, kg, prededup=False)
+        else:
+            store = spark.read.parquet(out)
+            new = rdfs_entail_delta(spark, store, kg, prededup=False)
+        new.write.mode("append").parquet(out)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).select("subj", "pred", "obj")
+
+
 QUERIES = {
+    "stream_entailment": q_stream_entailment,
     "kg_sameas_rewrite": q_kg_sameas_rewrite,
     "owl_entailment": q_owl_entailment,
     "rdfs_entailment": q_rdfs_entailment,
@@ -233,6 +321,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    # the streaming store must equal the one-shot batch closure
+    "stream_entailment": SQL_RDFS_ENTAILMENT,
     "kg_sameas_rewrite": _sql_kg_sameas_rewrite(),
     "owl_entailment": _sql_owl_entailment(),
     "rdfs_entailment": SQL_RDFS_ENTAILMENT,

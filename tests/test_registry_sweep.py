@@ -52,6 +52,11 @@ def _allowed_staging_roots() -> set:
     import recon_spark.queries.graph as qg
 
     allowed.update(qg._RDF_STAGING.values())
+
+    import recon_spark.queries.reasoning as qr
+
+    for dirs in qr._ENTAIL_STAGING.values():
+        allowed.update(dirs)
     return allowed
 
 
