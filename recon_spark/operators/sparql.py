@@ -19,6 +19,7 @@ path traversals, optional enrichment, grouped analytics):
         ?s ?p "literal" .              #   be a variable, <iri>, or "lit"
         ?s <pred>+ ?o .                # OneOrMorePath: transitive closure
         ?s <a>/<b> ?o . ?s <a>|<b> ?o  # sequence / alternative paths
+        ?s ^<p> ?o . ?s <a>/^<b> ?o    # inverse path (per element)
         FILTER(?a != ?b) .             # =  != <  <=  >  >= over terms
         OPTIONAL { ... }               # left join on shared variables
         GRAPH ?g { ... }               # provenance: binds/filters the
@@ -32,7 +33,7 @@ path traversals, optional enrichment, grouped analytics):
         FILTER [NOT] EXISTS { ... }    # correlated semi/anti join
         BIND(CONCAT(?a, "-") AS ?v)    # derived binding (CONCAT or a
     }                                  #   plain term)
-    [GROUP BY ?v ...] [ORDER BY [DESC(?v)|ASC(?v)|?v] ...] [LIMIT n]
+    [GROUP BY ?v ...] [ORDER BY ...] [LIMIT n] [OFFSET m]
 
     CONSTRUCT { ?o <derived> ?s . ... }    # template: triple patterns only
     WHERE { ... }                          # same group grammar as SELECT
@@ -108,10 +109,11 @@ class TriplePattern:
     # property path `<p>+`: s and o connected by ONE OR MORE p-edges
     # (SPARQL 1.1 §9.1 OneOrMorePath, set semantics)
     plus: bool = False
-    # SequencePath `<a>/<b>/...`: the predicate of each hop in order;
-    # p holds the first element (kept ground for selectivity counting)
+    # SequencePath `<a>/<b>/...`: (predicate, inverted) per hop in
+    # order; p holds the first element (for selectivity counting).
+    # `^` per element (InversePath, §9.1) flips that hop's direction.
     seq: tuple = ()
-    # AlternativePath `<a>|<b>|...`: any one of the predicates
+    # AlternativePath `<a>|<b>|...`: (predicate, inverted) branches
     alts: tuple = ()
 
     @property
@@ -215,6 +217,7 @@ class SparqlQuery:
     group_by: tuple[str, ...]
     order_by: tuple[tuple[str, bool], ...]  # (var, descending)
     limit: int | None
+    offset: int = 0
     # CONSTRUCT form: non-empty template => the query builds an RDF
     # graph (set of triples) instead of a solution table
     construct: tuple[TriplePattern, ...] = ()
@@ -245,7 +248,7 @@ _TOKEN_RE = re.compile(
       | (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
       | (?P<num>-?\d+(?:\.\d+)?)
       | (?P<op>!=|<=|>=|=|<|>)
-      | (?P<punct>[{}().,*+|/])
+      | (?P<punct>[{}().,*+|/^])
       | (?P<word>[A-Za-z_]\w*)
     )""",
     re.VERBOSE,
@@ -401,11 +404,24 @@ class _Parser:
                 raise SparqlError("empty ORDER BY clause")
 
         limit: int | None = None
-        if self._kw("LIMIT"):
-            t = self._next()
-            if t[0] != "num" or not t[1].lstrip("-").isdigit() or int(t[1]) < 0:
-                raise SparqlError(f"LIMIT needs a non-negative integer, got {t[1]!r}")
-            limit = int(t[1])
+        offset = 0
+        for _ in range(2):
+            if self._kw("LIMIT"):
+                t = self._next()
+                if (t[0] != "num" or not t[1].lstrip("-").isdigit()
+                        or int(t[1]) < 0):
+                    raise SparqlError(
+                        f"LIMIT needs a non-negative integer, got {t[1]!r}"
+                    )
+                limit = int(t[1])
+            elif self._kw("OFFSET"):
+                t = self._next()
+                if (t[0] != "num" or not t[1].lstrip("-").isdigit()
+                        or int(t[1]) < 0):
+                    raise SparqlError(
+                        f"OFFSET needs a non-negative integer, got {t[1]!r}"
+                    )
+                offset = int(t[1])
 
         if self._peek() is not None:
             raise SparqlError(f"trailing tokens from {self._peek()}")
@@ -422,6 +438,7 @@ class _Parser:
             group_by=tuple(group_by),
             order_by=tuple(order_by),
             limit=limit,
+            offset=offset,
             values=tuple(values),
             unions=tuple(unions),
             minuses=tuple(minuses),
@@ -759,7 +776,13 @@ class _Parser:
                 optionals.append(OptionalGroup(tuple(ps), tuple(fs)))
             else:
                 s = self._term()
+                inv0 = False
+                if self._peek() == ("punct", "^"):
+                    self.i += 1
+                    inv0 = True
                 p = self._term()
+                if inv0 and not isinstance(p, Lit):
+                    raise SparqlError("inverse path ^ needs a ground predicate")
                 plus = False
                 seq: list = []
                 alts: list = []
@@ -777,14 +800,18 @@ class _Parser:
                         raise SparqlError(
                             f"property path {op} needs ground predicates"
                         )
-                    parts = [p]
+                    parts = [(p, inv0)]
                     while True:
+                        inv = False
+                        if self._peek() == ("punct", "^"):
+                            self.i += 1
+                            inv = True
                         nxt = self._term()
                         if not isinstance(nxt, Lit):
                             raise SparqlError(
                                 f"property path {op} needs ground predicates"
                             )
-                        parts.append(nxt)
+                        parts.append((nxt, inv))
                         peek = self._peek()
                         if peek in (("punct", "/"), ("punct", "|")):
                             if peek[1] != op:
@@ -799,7 +826,12 @@ class _Parser:
                         seq = parts
                     else:
                         alts = parts
+                    inv0 = False  # consumed into the first element
                 o = self._term()
+                if inv0:
+                    # whole-element inverse (simple or `+` pattern):
+                    # ^<p> is <p> with the endpoints swapped
+                    s, o = o, s
                 patterns.append(
                     TriplePattern(
                         s, p, o, plus=plus, seq=tuple(seq), alts=tuple(alts)
@@ -1011,9 +1043,11 @@ def _path_frame(graph: DataFrame, pat: TriplePattern) -> DataFrame:
         else:
             keys = ["graph"]
 
-    def hop(pred: Lit) -> DataFrame:
+    def hop(el) -> DataFrame:
+        pred, inv = el
+        a, b = ("obj", "subj") if inv else ("subj", "obj")
         return graph.where(F.col("pred") == F.lit(pred.value)).select(
-            F.col("subj").alias("src"), F.col("obj").alias("dst"),
+            F.col(a).alias("src"), F.col(b).alias("dst"),
             *[F.col(k) for k in keys],
         )
 
@@ -1380,6 +1414,9 @@ def compile_sparql(
         acc = acc.orderBy(
             *[F.desc(v) if desc else F.asc(v) for v, desc in q.order_by]
         )
+
+    if q.offset:
+        acc = acc.offset(q.offset)
 
     if q.limit is not None:
         acc = acc.limit(q.limit)

@@ -1673,7 +1673,35 @@ ORDER BY g, s
 """
 
 
+SPARQL_INVERSE_PATH = (
+    "SELECT DISTINCT ?s ?t WHERE { ?s <scan>/^<scan> ?t . FILTER(?s != ?t) } "
+    "ORDER BY ?s ?t LIMIT 50 OFFSET 10"
+)
+
+
+def q_sparql_inverse_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 §9.1 InversePath inside a sequence: the co-scanner
+    idiom `<scan>/^<scan>` (entities scanning a common target) — the
+    inverse hop compiles to the same pred-pruned scan with its
+    endpoints swapped, so the pair is one self-join on the shared
+    object. Also exercises the LIMIT/OFFSET slice (§15.4-5, applied
+    offset-first over the ordered solutions)."""
+    from recon_spark.operators.sparql import compile_sparql
+
+    return compile_sparql(_canonical_kg(spark, sf_dir), SPARQL_INVERSE_PATH)
+
+
+SQL_SPARQL_INVERSE_PATH = f"""
+WITH {_sql_canonical_kg()}
+SELECT DISTINCT a.subj AS s, b.subj AS t
+FROM kg a JOIN kg b ON a.obj = b.obj
+WHERE a.pred = 'scan' AND b.pred = 'scan' AND a.subj != b.subj
+ORDER BY s, t LIMIT 50 OFFSET 10
+"""
+
+
 QUERIES = {
+    "sparql_inverse_path": q_sparql_inverse_path,
     "sparql_exists": q_sparql_exists,
     "sparql_not_exists": q_sparql_not_exists,
     "sparql_seq_path": q_sparql_seq_path,
@@ -1715,6 +1743,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sparql_inverse_path": SQL_SPARQL_INVERSE_PATH,
     "sparql_exists": SQL_SPARQL_EXISTS,
     "sparql_not_exists": _sql_sparql_not_exists(),
     "sparql_seq_path": SQL_SPARQL_SEQ_PATH,

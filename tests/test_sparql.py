@@ -1037,3 +1037,56 @@ def test_exists_errors(exists_graph):
     ]:
         with pytest.raises(SparqlError):
             compile_sparql(exists_graph, bad).columns
+
+
+# --------------------------------------------------------------------------
+# Inverse paths + OFFSET
+# --------------------------------------------------------------------------
+
+def test_inverse_path_forms(spark):
+    g = spark.createDataFrame(
+        [("a", "scan", "x"), ("b", "scan", "x"), ("x", "join", "y"),
+         ("a", "sort", "b"), ("b", "sort", "c")],
+        "subj string, pred string, obj string",
+    )
+    out = compile_sparql(g, "SELECT ?o ?s WHERE { ?o ^<scan> ?s }")
+    assert sorted(map(tuple, out.collect())) == [("x", "a"), ("x", "b")]
+    # co-scanner idiom: forward hop then inverse hop over the same pred
+    out = compile_sparql(
+        g, "SELECT DISTINCT ?s ?t WHERE { ?s <scan>/^<scan> ?t . FILTER(?s != ?t) }"
+    )
+    assert sorted(map(tuple, out.collect())) == [("a", "b"), ("b", "a")]
+    # inverse transitive closure = closure with endpoints swapped
+    out = compile_sparql(g, "SELECT ?s ?o WHERE { ?s ^<sort>+ ?o }")
+    assert sorted(map(tuple, out.collect())) == [
+        ("b", "a"), ("c", "a"), ("c", "b"),
+    ]
+    # inverse branch in an alternative
+    out = compile_sparql(
+        g, "SELECT DISTINCT ?s ?o WHERE { ?s <join>|^<scan> ?o }"
+    )
+    assert sorted(map(tuple, out.collect())) == [
+        ("x", "a"), ("x", "b"), ("x", "y"),
+    ]
+    with pytest.raises(SparqlError):
+        compile_sparql(g, "SELECT ?s WHERE { ?s ^?p ?o }").columns
+
+
+def test_limit_offset_slice(spark):
+    g = spark.createDataFrame(
+        [("s%d" % i, "scan", "x") for i in range(6)],
+        "subj string, pred string, obj string",
+    )
+    out = compile_sparql(
+        g, "SELECT ?s WHERE { ?s <scan> ?o } ORDER BY ?s LIMIT 2 OFFSET 3"
+    )
+    assert [r.s for r in out.collect()] == ["s3", "s4"]
+    # OFFSET alone, and OFFSET-before-LIMIT written the other way round
+    out = compile_sparql(g, "SELECT ?s WHERE { ?s <scan> ?o } ORDER BY ?s OFFSET 4")
+    assert [r.s for r in out.collect()] == ["s4", "s5"]
+    out = compile_sparql(
+        g, "SELECT ?s WHERE { ?s <scan> ?o } ORDER BY ?s OFFSET 1 LIMIT 2"
+    )
+    assert [r.s for r in out.collect()] == ["s1", "s2"]
+    with pytest.raises(SparqlError):
+        parse_sparql("SELECT ?s WHERE { ?s <scan> ?o } OFFSET x")
