@@ -166,6 +166,7 @@ EXTENDED = [
     "sparql_union",
     "sparql_minus",
     "sparql_bind",
+    "lm_perplexity_trigram",
     "lm_perplexity",
     "lm_quality_gate",
     "bpe_merges",

@@ -217,3 +217,167 @@ ppl AS (
   SELECT d.doc_id, coalesce(p.n_bigrams, 0) AS n_bigrams, p.ppl
   FROM {docs_table} d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 )"""
+
+
+# --------------------------------------------------------------------------
+# Trigram stupid backoff (the CCNet-scale model shape)
+# --------------------------------------------------------------------------
+
+def doc_trigrams(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, w1, w2, w3) — one row per adjacent token triple."""
+    toks = docs.select("doc_id", tokens_col(text_col).alias("t"))
+    n = F.size("t")
+    return (
+        toks.where(n >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("t", 1, n - 2).alias("w1"),
+                    F.slice("t", 2, n - 2).alias("w2"),
+                    F.slice("t", 3, n - 2).alias("w3"),
+                )
+            ).alias("tg"),
+        )
+        .select(
+            "doc_id",
+            F.col("tg.w1").alias("w1"),
+            F.col("tg.w2").alias("w2"),
+            F.col("tg.w3").alias("w3"),
+        )
+    )
+
+
+def train_trigram_lm(
+    train_docs: DataFrame, text_col: str = "text", min_count: int = 1
+) -> dict[str, DataFrame]:
+    """Bigram model tables plus 'tri': (w1, w2, w3, c123). The backoff
+    ladder S(w3|w1 w2) -> alpha*S(w3|w2) -> alpha^2*P_add1(w3) needs
+    every lower order, so the bigram tables ride along unpruned by the
+    trigram min_count."""
+    model = train_bigram_lm(train_docs, text_col, min_count=1)
+    model["tri"] = (
+        doc_trigrams(train_docs, text_col)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count("*").alias("c123"))
+        .where(F.col("c123") >= min_count)
+    )
+    return model
+
+
+def score_perplexity_trigram(
+    docs: DataFrame,
+    model: dict[str, DataFrame],
+    text_col: str = "text",
+    alpha: float = ALPHA,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """(doc_id, n_trigrams, ppl) under the chained stupid backoff:
+    S = c123/c12 when the trigram was observed, else alpha * (c23/c2
+    when the context bigram was, else alpha * (c3+1)/(N+V)). Same
+    one-shuffle shape as the bigram scorer: every model probe is a
+    broadcast join, short docs ride the same agg as null-scored rows.
+    """
+    wrap = F.broadcast if broadcast_model else (lambda df: df)
+    uni, bi, tri = model["uni"], model["bi"], model["tri"]
+    tg = doc_trigrams(docs, text_col)
+    scored = (
+        tg.join(wrap(tri), ["w1", "w2", "w3"], "left")
+        .join(
+            wrap(bi.select(F.col("w1"), F.col("w2"), F.col("c12").alias("c12_ctx"))),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            wrap(
+                bi.select(
+                    F.col("w1").alias("w2"),
+                    F.col("w2").alias("w3"),
+                    F.col("c12").alias("c23"),
+                )
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(wrap(uni.select(F.col("w").alias("w2"), F.col("c1").alias("c2"))), "w2", "left")
+        .join(wrap(uni.select(F.col("w").alias("w3"), F.col("c1").alias("c3"))), "w3", "left")
+        .join(wrap(model["totals"]))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("c123").isNotNull(),
+                F.col("c123").cast("double") / F.col("c12_ctx").cast("double"),
+            )
+            .when(
+                F.col("c23").isNotNull(),
+                F.lit(alpha) * F.col("c23").cast("double") / F.col("c2").cast("double"),
+            )
+            .otherwise(
+                F.lit(alpha) * F.lit(alpha)
+                * (F.coalesce(F.col("c3"), F.lit(0)) + F.lit(1)).cast("double")
+                / (F.col("n_tokens") + F.col("vocab")).cast("double")
+            )
+            .alias("s"),
+        )
+    )
+    scored = scored.unionByName(
+        docs.select("doc_id", F.lit(None).cast("double").alias("s"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("s").alias("n_trigrams"),
+        F.when(
+            F.count("s") > 0,
+            F.round(F.exp(-F.sum(F.log("s")) / F.count("s")), PPL_ROUND),
+        ).alias("ppl"),
+    )
+
+
+def sql_trigram_lm_ctes(
+    train_where: str,
+    alpha: float = ALPHA,
+    min_count: int = 1,
+    docs_table: str = "documents",
+) -> str:
+    """DuckDB twin ending in ``ppl3(doc_id, n_trigrams, ppl)`` —
+    extends the bigram CTE chain with the trigram table and the
+    chained backoff CASE, term for term."""
+    a = repr(float(alpha))
+    base = sql_bigram_lm_ctes(train_where, alpha, 1, docs_table)
+    return f"""{base},
+tri_c AS (
+  SELECT w1, w2, w3, count(*) AS c123
+  FROM (SELECT t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+        FROM (SELECT t, unnest(range(1, len(t) - 1)) AS i FROM toks
+              WHERE {train_where}))
+  GROUP BY 1, 2, 3 HAVING count(*) >= {min_count}
+),
+doc_tg AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)
+),
+scored3 AS (
+  SELECT doc_id,
+         CASE WHEN tri_c.c123 IS NOT NULL
+              THEN CAST(tri_c.c123 AS DOUBLE) / CAST(bctx.c12 AS DOUBLE)
+              WHEN b23.c12 IS NOT NULL
+              THEN {a} * CAST(b23.c12 AS DOUBLE) / CAST(u2.c1 AS DOUBLE)
+              ELSE {a} * {a} * CAST(coalesce(u3.c1, 0) + 1 AS DOUBLE)
+                   / CAST(totals.n_tokens + totals.vocab AS DOUBLE)
+         END AS s
+  FROM doc_tg
+  LEFT JOIN tri_c USING (w1, w2, w3)
+  LEFT JOIN bi_c bctx ON doc_tg.w1 = bctx.w1 AND doc_tg.w2 = bctx.w2
+  LEFT JOIN bi_c b23 ON doc_tg.w2 = b23.w1 AND doc_tg.w3 = b23.w2
+  LEFT JOIN uni_c u2 ON doc_tg.w2 = u2.w
+  LEFT JOIN uni_c u3 ON doc_tg.w3 = u3.w
+  CROSS JOIN totals
+),
+per_doc3 AS (
+  SELECT doc_id, count(*) AS n_trigrams,
+         round(exp(-sum(ln(s)) / count(*)), {PPL_ROUND}) AS ppl
+  FROM scored3 GROUP BY 1
+),
+ppl3 AS (
+  SELECT d.doc_id, coalesce(p.n_trigrams, 0) AS n_trigrams, p.ppl
+  FROM {docs_table} d LEFT JOIN per_doc3 p ON d.doc_id = p.doc_id
+)"""

@@ -54,6 +54,7 @@ _NEVER_DRIVER_SAMPLED = [
     "sparql_union",
     "sparql_minus",
     "sparql_bind",
+    "lm_perplexity_trigram",
     "lm_perplexity",
     "lm_quality_gate",
     "bpe_merges",

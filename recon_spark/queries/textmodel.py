@@ -222,7 +222,29 @@ GROUP BY 1
 )
 
 
+def q_lm_perplexity_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram stupid-backoff perplexity (the CCNet-scale model order)
+    with the full backoff ladder trigram -> bigram -> add-one unigram;
+    same clean-half training split and one-shuffle scoring shape as
+    the bigram query."""
+    from recon_spark.operators.lm import score_perplexity_trigram, train_trigram_lm
+
+    docs = _docs(spark, sf_dir)
+    model = train_trigram_lm(docs.where(F.col("source").rlike(TRAIN_SOURCE_RE)))
+    return score_perplexity_trigram(docs, model)
+
+
+def _sql_lm_perplexity_trigram() -> str:
+    from recon_spark.operators.lm import sql_trigram_lm_ctes
+
+    return f"""
+WITH {sql_trigram_lm_ctes(_SQL_TRAIN_WHERE)}
+SELECT doc_id, n_trigrams, ppl FROM ppl3
+"""
+
+
 QUERIES = {
+    "lm_perplexity_trigram": q_lm_perplexity_trigram,
     "lm_perplexity": q_lm_perplexity,
     "lm_quality_gate": q_lm_quality_gate,
     "bpe_merges": q_bpe_merges,
@@ -231,6 +253,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "lm_perplexity_trigram": _sql_lm_perplexity_trigram(),
     "lm_perplexity": SQL_LM_PERPLEXITY,
     "lm_quality_gate": SQL_LM_QUALITY_GATE,
     "bpe_merges": SQL_BPE_MERGES,

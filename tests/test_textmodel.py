@@ -166,3 +166,46 @@ def test_lm_shuffle_and_broadcast_paths_agree(spark):
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_textmodel_query_matches_oracle(spark, ddb, name):
     compare_query(spark, ddb, QUERIES[name], ORACLES[name], SF_SMOKE)
+
+
+def test_trigram_backoff_ladder_hand_computed(spark):
+    from recon_spark.operators.lm import score_perplexity_trigram, train_trigram_lm
+
+    train = _mkdocs(spark, ["a b c a b c", "a b d"])
+    model = train_trigram_lm(train)
+    # counts: tri (a,b,c)=2 (b,c,a)=1 (c,a,b)=1 (a,b,d)=1
+    #         bi (a,b)=3 (b,c)=2 (c,a)=1 (b,d)=1; uni a=3 b=3 c=2 d=1 N=9 V=4
+    score = {
+        r.doc_id: (r.n_trigrams, r.ppl)
+        for r in score_perplexity_trigram(
+            _mkdocs(spark, ["a b c", "x b c", "q q q", "a b"]), model
+        ).collect()
+    }
+    assert score[0] == (1, round(math.exp(-math.log(2 / 3)), 6))  # tri hit
+    # (x,b,c): tri miss, context (x,b) unseen -> backoff to (b,c)/b
+    s1 = ALPHA * 2 / 3
+    assert score[1] == (1, round(math.exp(-math.log(s1)), 6))
+    # (q,q,q): everything unseen -> alpha^2 * (0+1)/(9+4)
+    s2 = ALPHA * ALPHA * 1 / 13
+    assert score[2] == (1, round(math.exp(-math.log(s2)), 6))
+    assert score[3] == (0, None)  # two tokens: no trigram
+
+
+def test_trigram_discriminates_better_than_bigram(spark):
+    """Word-salad with plausible bigrams but impossible trigrams: the
+    trigram model must separate it from the real text more sharply."""
+    from recon_spark.operators.lm import (
+        score_perplexity,
+        score_perplexity_trigram,
+        train_bigram_lm,
+        train_trigram_lm,
+    )
+
+    train = _mkdocs(spark, ["the cat sat on the mat"] * 3 + ["the dog sat on a rug"] * 3)
+    # every adjacent pair below occurs in training, but 'cat sat on a rug'
+    # crosses sentences the trigram model never saw together with 'the cat'
+    probe = _mkdocs(spark, ["the cat sat on the mat", "the cat sat on a rug"])
+    b = {r.doc_id: r.ppl for r in score_perplexity(probe, train_bigram_lm(train)).collect()}
+    t = {r.doc_id: r.ppl for r in
+         score_perplexity_trigram(probe, train_trigram_lm(train)).collect()}
+    assert t[1] / t[0] > b[1] / b[0]  # sharper separation
