@@ -17,7 +17,7 @@ path traversals, optional enrichment, grouped analytics):
     WHERE {
         ?s <pred> ?o .                 # triple patterns; any position may
         ?s ?p "literal" .              #   be a variable, <iri>, or "lit"
-        ?s <pred>+ ?o .                # OneOrMorePath: transitive closure
+        ?s <pred>+ ?o . ?s <pred>* ?o  # One/ZeroOrMorePath closures
         ?s <a>/<b> ?o . ?s <a>|<b> ?o  # sequence / alternative paths
         ?s ^<p> ?o . ?s <a>/^<b> ?o    # inverse path (per element)
         FILTER(?a != ?b) .             # =  != <  <=  >  >= over terms
@@ -109,6 +109,10 @@ class TriplePattern:
     # property path `<p>+`: s and o connected by ONE OR MORE p-edges
     # (SPARQL 1.1 §9.1 OneOrMorePath, set semantics)
     plus: bool = False
+    # `<p>*` (ZeroOrMorePath): the `+` closure UNION the zero-length
+    # identity over the graph's terms (W3C semantics: every term is
+    # connected to itself)
+    star: bool = False
     # SequencePath `<a>/<b>/...`: (predicate, inverted) per hop in
     # order; p holds the first element (for selectivity counting).
     # `^` per element (InversePath, §9.1) flips that hop's direction.
@@ -759,7 +763,7 @@ class _Parser:
                 patterns.extend(
                     TriplePattern(
                         p.s, p.p, p.o, p.g if p.g is not None else g,
-                        p.plus, p.seq, p.alts,
+                        p.plus, p.star, p.seq, p.alts,
                     )
                     for p in ps
                 )
@@ -784,14 +788,15 @@ class _Parser:
                 if inv0 and not isinstance(p, Lit):
                     raise SparqlError("inverse path ^ needs a ground predicate")
                 plus = False
+                star = False
                 seq: list = []
                 alts: list = []
-                if self._peek() == ("punct", "+"):
-                    self.i += 1
-                    plus = True
+                if self._peek() in (("punct", "+"), ("punct", "*")):
+                    star = self._next()[1] == "*"
+                    plus = not star
                     if not isinstance(p, Lit):
                         raise SparqlError(
-                            "property path + needs a ground predicate "
+                            "property path +/* needs a ground predicate "
                             "(?p+ would close over the whole graph)"
                         )
                 elif self._peek() in (("punct", "/"), ("punct", "|")):
@@ -834,7 +839,8 @@ class _Parser:
                     s, o = o, s
                 patterns.append(
                     TriplePattern(
-                        s, p, o, plus=plus, seq=tuple(seq), alts=tuple(alts)
+                        s, p, o, plus=plus, star=star,
+                        seq=tuple(seq), alts=tuple(alts),
                     )
                 )
             # optional statement separator
@@ -889,7 +895,7 @@ def _pattern_frame(graph: DataFrame, pat: TriplePattern) -> DataFrame:
     variables (see _bind_terms). A GRAPH term additionally binds or
     filters the quad table's `graph` column; a `+` path compiles to an
     iterative transitive closure (_plus_frame)."""
-    if pat.plus:
+    if pat.plus or pat.star:
         return _plus_frame(graph, pat)
     if pat.seq or pat.alts:
         return _path_frame(graph, pat)
@@ -1016,6 +1022,26 @@ def _plus_frame(graph: DataFrame, pat: TriplePattern) -> DataFrame:
             F.col("dst").alias("src"), F.col("src").alias("dst"),
             *[F.col(k) for k in keys],
         )
+    if pat.star:
+        # zero-length paths: identity over the graph's terms (within
+        # each named graph when GRAPH-scoped); a ground endpoint
+        # contributes its own identity row even off-graph (§9.3)
+        if seed is not None:
+            ident = edges.sparkSession.createDataFrame(
+                [(seed, seed)], "src string, dst string"
+            )
+            if keys:
+                gcol = graph.select("graph").distinct()
+                ident = ident.crossJoin(gcol)
+        else:
+            terms_u = graph.select(F.col("subj").alias("n"), *keys).unionByName(
+                graph.select(F.col("obj").alias("n"), *keys)
+            ).distinct()
+            ident = terms_u.select(
+                F.col("n").alias("src"), F.col("n").alias("dst"),
+                *[F.col(k) for k in keys],
+            )
+        reached = reached.unionByName(ident).distinct()
     positions = ("src", "dst") + (("graph",) if keys else ())
     terms = (pat.s, pat.o) + ((pat.g,) if keys else ())
     return _bind_terms(reached, terms, positions)

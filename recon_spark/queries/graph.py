@@ -1700,7 +1700,40 @@ ORDER BY s, t LIMIT 50 OFFSET 10
 """
 
 
+SPARQL_ZERO_OR_MORE = (
+    "SELECT DISTINCT ?s ?o WHERE { ?s <merge>* ?o } ORDER BY ?s ?o"
+)
+
+
+def q_sparql_zero_or_more(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 §9.1 ZeroOrMorePath: the `+` closure UNION the
+    zero-length identity over the graph's terms (W3C §9.3 semantics —
+    every term connects to itself, so scan-only entities appear as
+    (x, x) rows alongside the merge-reachability pairs)."""
+    from recon_spark.operators.sparql import compile_sparql
+
+    return compile_sparql(_canonical_kg(spark, sf_dir), SPARQL_ZERO_OR_MORE)
+
+
+SQL_SPARQL_ZERO_OR_MORE = f"""
+WITH RECURSIVE {_sql_canonical_kg()},
+e AS (SELECT subj AS s, obj AS o FROM kg WHERE pred = 'merge'),
+r AS (
+  SELECT s, o FROM e
+  UNION
+  SELECT r.s, e.o FROM r JOIN e ON r.o = e.s
+),
+terms AS (SELECT subj AS n FROM kg UNION SELECT obj FROM kg)
+SELECT DISTINCT s, o FROM (
+  SELECT s, o FROM r
+  UNION ALL
+  SELECT n AS s, n AS o FROM terms
+) ORDER BY s, o
+"""
+
+
 QUERIES = {
+    "sparql_zero_or_more": q_sparql_zero_or_more,
     "sparql_inverse_path": q_sparql_inverse_path,
     "sparql_exists": q_sparql_exists,
     "sparql_not_exists": q_sparql_not_exists,
@@ -1743,6 +1776,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sparql_zero_or_more": SQL_SPARQL_ZERO_OR_MORE,
     "sparql_inverse_path": SQL_SPARQL_INVERSE_PATH,
     "sparql_exists": SQL_SPARQL_EXISTS,
     "sparql_not_exists": _sql_sparql_not_exists(),

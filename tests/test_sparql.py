@@ -1090,3 +1090,37 @@ def test_limit_offset_slice(spark):
     assert [r.s for r in out.collect()] == ["s1", "s2"]
     with pytest.raises(SparqlError):
         parse_sparql("SELECT ?s WHERE { ?s <scan> ?o } OFFSET x")
+
+
+# --------------------------------------------------------------------------
+# ZeroOrMorePath (SPARQL 1.1 §9.1 / §9.3)
+# --------------------------------------------------------------------------
+
+def test_zero_or_more_path(spark):
+    g = spark.createDataFrame(
+        [("a", "join", "b"), ("b", "join", "c"), ("a", "scan", "x")],
+        "subj string, pred string, obj string",
+    )
+    out = compile_sparql(g, "SELECT ?s ?o WHERE { ?s <join>* ?o }")
+    got = sorted(map(tuple, out.collect()))
+    # closure pairs + identity over EVERY graph term (x included)
+    assert got == [
+        ("a", "a"), ("a", "b"), ("a", "c"), ("b", "b"), ("b", "c"),
+        ("c", "c"), ("x", "x"),
+    ]
+    # seeded: the seed's own identity row comes first, even off-graph
+    assert [r.o for r in compile_sparql(
+        g, "SELECT ?o WHERE { <zzz> <join>* ?o }").collect()] == ["zzz"]
+    assert sorted(r.o for r in compile_sparql(
+        g, "SELECT ?o WHERE { <a> <join>* ?o }").collect()) == ["a", "b", "c"]
+    # GRAPH-scoped: identity per named graph
+    quads = spark.createDataFrame(
+        [("a", "join", "b", "g1"), ("c", "scan", "d", "g2")],
+        "subj string, pred string, obj string, graph string",
+    )
+    out = compile_sparql(
+        quads, "SELECT ?g ?s ?o WHERE { GRAPH ?g { ?s <join>* ?o } }"
+    )
+    got = sorted(map(tuple, out.collect()))
+    assert ("g2", "c", "c") in got and ("g1", "a", "b") in got
+    assert ("g2", "a", "a") not in got  # a is not a term of g2
