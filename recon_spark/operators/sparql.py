@@ -38,7 +38,8 @@ path traversals, optional enrichment, grouped analytics):
     CONSTRUCT { ?o <derived> ?s . ... }    # template: triple patterns only
     WHERE { ... }                          # same group grammar as SELECT
 
-Aggregates: COUNT / MIN / MAX over a variable, COUNT(*). With no GROUP BY
+Aggregates: COUNT / MIN / MAX / SUM / AVG over a variable, COUNT(*)
+(SUM/AVG cast the literal to double; non-numeric terms skip as NULL). With no GROUP BY
 clause the non-aggregate projection variables group implicitly (SPARQL 1.1
 §11.1 semantics). CONSTRUCT (§10.2) instantiates each template triple per
 solution, drops instantiations left incomplete by unbound OPTIONAL
@@ -203,7 +204,7 @@ class ValuesClause:
 
 @dataclass(frozen=True)
 class Aggregate:
-    func: str  # 'count' | 'min' | 'max'
+    func: str  # 'count' | 'min' | 'max' | 'sum' | 'avg'
     var: str | None  # None => COUNT(*)
     alias: str
 
@@ -548,7 +549,9 @@ class _Parser:
 
     def _aggregate(self) -> Aggregate:
         t = self._next()
-        if t[0] != "word" or t[1].upper() not in ("COUNT", "MIN", "MAX"):
+        if t[0] != "word" or t[1].upper() not in (
+            "COUNT", "MIN", "MAX", "SUM", "AVG"
+        ):
             raise SparqlError(f"unsupported aggregate {t[1]!r}")
         func = t[1].lower()
         self._expect_punct("(")
@@ -1419,8 +1422,18 @@ def compile_sparql(
                 e = F.count(F.lit(1)) if a.var is None else F.count(F.col(a.var))
             elif a.func == "min":
                 e = F.min(F.col(a.var))
-            else:
+            elif a.func == "max":
                 e = F.max(F.col(a.var))
+            else:
+                # SUM/AVG over RDF literals: numeric try_cast (ANSI
+                # mode makes a plain cast THROW on 'abc'), non-numeric
+                # terms become NULL and are skipped — the lenient
+                # reading of SPARQL 1.1 §18.5's aggregate-error rule
+                # most stores implement; round(6) pins float
+                # determinism against summation order, the
+                # entropy-query precedent
+                agg = F.sum if a.func == "sum" else F.avg
+                e = F.round(agg(F.col(a.var).try_cast("double")), 6)
             aggs.append(e.alias(a.alias))
         acc = acc.groupBy(*keys).agg(*aggs) if keys else acc.agg(*aggs)
     else:

@@ -1732,7 +1732,44 @@ SELECT DISTINCT s, o FROM (
 """
 
 
+SPARQL_SUM_AVG = (
+    "SELECT ?s (COUNT(?v) AS ?n) (SUM(?v) AS ?total) (AVG(?v) AS ?mean) "
+    "WHERE { ?d <n_chars> ?v . ?d <source> ?s } GROUP BY ?s ORDER BY ?s"
+)
+
+
+def q_sparql_sum_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUM/AVG aggregates over numeric RDF literals: documents exposed
+    as a literal-valued KG (doc --n_chars--> "1234", doc --source-->
+    src) and rolled up per source entirely inside the SPARQL engine —
+    the numeric try_cast skips non-numeric terms per the lenient
+    §18.5 reading."""
+    from recon_spark.operators.sparql import compile_sparql
+
+    docs = _docs(spark, sf_dir)
+    d = F.concat(F.lit("D"), F.col("doc_id").cast("string"))
+    lit_kg = docs.select(
+        d.alias("subj"), F.lit("n_chars").alias("pred"),
+        F.col("n_chars").cast("string").alias("obj"),
+    ).unionByName(
+        docs.select(
+            d.alias("subj"), F.lit("source").alias("pred"),
+            F.col("source").alias("obj"),
+        )
+    )
+    return compile_sparql(lit_kg, SPARQL_SUM_AVG)
+
+
+SQL_SPARQL_SUM_AVG = """
+SELECT source AS s, CAST(count(*) AS BIGINT) AS n,
+       round(sum(CAST(n_chars AS DOUBLE)), 6) AS total,
+       round(avg(CAST(n_chars AS DOUBLE)), 6) AS mean
+FROM documents GROUP BY 1 ORDER BY s
+"""
+
+
 QUERIES = {
+    "sparql_sum_avg": q_sparql_sum_avg,
     "sparql_zero_or_more": q_sparql_zero_or_more,
     "sparql_inverse_path": q_sparql_inverse_path,
     "sparql_exists": q_sparql_exists,
@@ -1776,6 +1813,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sparql_sum_avg": SQL_SPARQL_SUM_AVG,
     "sparql_zero_or_more": SQL_SPARQL_ZERO_OR_MORE,
     "sparql_inverse_path": SQL_SPARQL_INVERSE_PATH,
     "sparql_exists": SQL_SPARQL_EXISTS,

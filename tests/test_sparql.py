@@ -1124,3 +1124,22 @@ def test_zero_or_more_path(spark):
     got = sorted(map(tuple, out.collect()))
     assert ("g2", "c", "c") in got and ("g1", "a", "b") in got
     assert ("g2", "a", "a") not in got  # a is not a term of g2
+
+
+def test_sum_avg_aggregates_skip_non_numeric(spark):
+    kg = spark.createDataFrame(
+        [("d1", "n", "10"), ("d2", "n", "20"), ("d3", "n", "31"),
+         ("d3", "n", "oops"), ("d1", "src", "a"), ("d2", "src", "a"),
+         ("d3", "src", "b")],
+        "subj string, pred string, obj string",
+    )
+    out = compile_sparql(
+        kg,
+        "SELECT ?s (SUM(?v) AS ?total) (AVG(?v) AS ?mean) "
+        "WHERE { ?d <n> ?v . ?d <src> ?s } GROUP BY ?s ORDER BY ?s",
+    )
+    assert [tuple(r) for r in out.collect()] == [
+        ("a", 30.0, 15.0), ("b", 31.0, 31.0),
+    ]
+    with pytest.raises(SparqlError):
+        parse_sparql("SELECT (SUM(*) AS ?n) WHERE { ?s ?p ?o }")
