@@ -158,6 +158,7 @@ EXTENDED = [
     "rdfs_types",
     "shape_violations",
     "rdfs_entail_delta",
+    "sparql_subquery",
     "sparql_sum_avg",
     "sparql_zero_or_more",
     "sparql_inverse_path",

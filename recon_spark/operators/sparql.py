@@ -180,6 +180,15 @@ class ExistsClause:
 
 
 @dataclass(frozen=True)
+class SubQuery:
+    """{ SELECT ... } nested in WHERE (SPARQL 1.1 §12): evaluated
+    bottom-up, then joined with the enclosing group on the shared
+    PROJECTED variables."""
+
+    query: "SparqlQuery"
+
+
+@dataclass(frozen=True)
 class Bind:
     """BIND(expr AS ?alias); expr is a term or CONCAT(term, ...)."""
 
@@ -240,6 +249,8 @@ class SparqlQuery:
     binds: tuple[Bind, ...] = ()
     # FILTER [NOT] EXISTS { } clauses (applied with the FILTERs)
     exists: tuple[ExistsClause, ...] = ()
+    # nested { SELECT ... } subqueries (joined on shared projected vars)
+    subqueries: tuple[SubQuery, ...] = ()
 
 
 # --------------------------------------------------------------------------
@@ -366,11 +377,13 @@ class _Parser:
         minuses: list[MinusGroup] = []
         binds: list[Bind] = []
         exists: list[ExistsClause] = []
+        subqueries: list[SubQuery] = []
         patterns, filters, optionals = self._group(
             allow_optional=True, values_sink=values, unions_sink=unions,
             minuses_sink=minuses, binds_sink=binds, exists_sink=exists,
+            subqueries_sink=subqueries,
         )
-        if not patterns and not unions:
+        if not patterns and not unions and not subqueries:
             raise SparqlError("WHERE clause has no triple patterns")
 
         group_by: list[str] = []
@@ -449,6 +462,7 @@ class _Parser:
             minuses=tuple(minuses),
             binds=tuple(binds),
             exists=tuple(exists),
+            subqueries=tuple(subqueries),
         )
 
     def _ask(self) -> SparqlQuery:
@@ -460,11 +474,13 @@ class _Parser:
         minuses: list[MinusGroup] = []
         binds: list[Bind] = []
         exists: list[ExistsClause] = []
+        subqueries: list[SubQuery] = []
         patterns, filters, optionals = self._group(
             allow_optional=True, values_sink=values, unions_sink=unions,
             minuses_sink=minuses, binds_sink=binds, exists_sink=exists,
+            subqueries_sink=subqueries,
         )
-        if not patterns and not unions:
+        if not patterns and not unions and not subqueries:
             raise SparqlError("ASK group has no triple patterns")
         if self._peek() is not None:
             raise SparqlError(f"trailing tokens from {self._peek()}")
@@ -474,7 +490,7 @@ class _Parser:
             optionals=tuple(optionals), group_by=(), order_by=(), limit=None,
             values=tuple(values), ask=True, unions=tuple(unions),
             minuses=tuple(minuses), binds=tuple(binds),
-            exists=tuple(exists),
+            exists=tuple(exists), subqueries=tuple(subqueries),
         )
 
     def _describe(self) -> SparqlQuery:
@@ -516,11 +532,13 @@ class _Parser:
         minuses: list[MinusGroup] = []
         binds: list[Bind] = []
         exists: list[ExistsClause] = []
+        subqueries: list[SubQuery] = []
         patterns, filters, optionals = self._group(
             allow_optional=True, values_sink=values, unions_sink=unions,
             minuses_sink=minuses, binds_sink=binds, exists_sink=exists,
+            subqueries_sink=subqueries,
         )
-        if not patterns and not unions:
+        if not patterns and not unions and not subqueries:
             raise SparqlError("WHERE clause has no triple patterns")
         if self._peek() is not None:
             raise SparqlError(
@@ -545,6 +563,7 @@ class _Parser:
             minuses=tuple(minuses),
             binds=tuple(binds),
             exists=tuple(exists),
+            subqueries=tuple(subqueries),
         )
 
     def _aggregate(self) -> Aggregate:
@@ -658,6 +677,7 @@ class _Parser:
         minuses_sink: list[MinusGroup] | None = None,
         binds_sink: list[Bind] | None = None,
         exists_sink: list[ExistsClause] | None = None,
+        subqueries_sink: list[SubQuery] | None = None,
     ) -> tuple[list[TriplePattern], list[Filter], list[OptionalGroup]]:
         self._expect_punct("{")
         patterns: list[TriplePattern] = []
@@ -671,6 +691,39 @@ class _Parser:
                 self.i += 1
                 break
             if t == ("punct", "{"):
+                nxt = self.toks[self.i + 1] if self.i + 1 < len(self.toks) else None
+                if nxt and nxt[0] == "word" and nxt[1].upper() == "SELECT":
+                    # { SELECT ... } subquery (§12)
+                    if subqueries_sink is None:
+                        raise SparqlError(
+                            "subqueries are only supported at the top "
+                            "level of WHERE"
+                        )
+                    self.i += 1  # consume '{'
+                    depth = 0
+                    j = self.i
+                    while j < len(self.toks):
+                        tok = self.toks[j]
+                        if tok == ("punct", "{"):
+                            depth += 1
+                        elif tok == ("punct", "}"):
+                            if depth == 0:
+                                break
+                            depth -= 1
+                        j += 1
+                    if j >= len(self.toks):
+                        raise SparqlError("unclosed subquery (missing '}')")
+                    inner = _Parser("")
+                    inner.toks = self.toks[self.i:j]
+                    inner.i = 0
+                    sub = inner.parse()
+                    if sub.construct or sub.ask or sub.describe:
+                        raise SparqlError("subqueries must be SELECT form")
+                    subqueries_sink.append(SubQuery(sub))
+                    self.i = j + 1  # consume through '}'
+                    if self._peek() == ("punct", "."):
+                        self.i += 1
+                    continue
                 # { G1 } UNION { G2 } [UNION { G3 } ...]
                 if unions_sink is None:
                     raise SparqlError(
@@ -1221,7 +1274,27 @@ def _solutions(
                 )
             acc = acc.join(uf, on=shared) if shared else acc.crossJoin(uf)
         bound |= union_vars
-    assert acc is not None  # parser guarantees patterns or unions
+
+    # { SELECT ... } subqueries (§12): evaluated bottom-up against the
+    # same graph, then joined on the shared PROJECTED variables — the
+    # aggregate-then-join idiom (per-group rollups feeding the outer
+    # pattern). An unshared subquery is refused like a disconnected
+    # BGP unless allow_product.
+    for sub in q.subqueries:
+        sf = _compile_query(graph, sub.query, allow_product)
+        svars = set(sf.columns)
+        if acc is None:
+            acc = sf
+        else:
+            shared = sorted(bound & svars)
+            if not shared and not allow_product:
+                raise SparqlError(
+                    "subquery shares no variable with the enclosing group "
+                    "(pass allow_product=True to permit the product)"
+                )
+            acc = acc.join(sf, on=shared) if shared else acc.crossJoin(sf)
+        bound |= svars
+    assert acc is not None  # parser guarantees patterns/unions/subqueries
 
     # VALUES joins first (a FILTER may reference a VALUES-only var):
     # inline rows become a literal local frame, always broadcast — the
@@ -1385,8 +1458,12 @@ def compile_sparql(
     shared variables; aggregates group implicitly by the non-aggregate
     projection unless GROUP BY is explicit.
     """
-    q = parse_sparql(text)
+    return _compile_query(graph, parse_sparql(text), allow_product)
 
+
+def _compile_query(
+    graph: DataFrame, q: SparqlQuery, allow_product: bool = False
+) -> DataFrame:
     if q.describe:
         res = list(q.describe)
         return (

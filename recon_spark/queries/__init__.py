@@ -46,6 +46,7 @@ ORACLES = {
 # html_to_text_v2, staging gained duplicate records), and the bucketed
 # continuous sessionizer.
 _NEVER_DRIVER_SAMPLED = [
+    "sparql_subquery",
     "sparql_sum_avg",
     "sparql_zero_or_more",
     "sparql_inverse_path",

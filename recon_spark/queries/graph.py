@@ -1768,7 +1768,39 @@ FROM documents GROUP BY 1 ORDER BY s
 """
 
 
+SPARQL_SUBQUERY = (
+    "SELECT DISTINCT ?s ?n WHERE { ?s <sort> ?z . "
+    "{ SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s <scan> ?o } "
+    "GROUP BY ?s ORDER BY DESC(?n) ?s LIMIT 3 } } ORDER BY ?s"
+)
+
+
+def q_sparql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 §12 subquery: the aggregate-then-join idiom — the
+    top-3 scanners (per-group rollup with a deterministic ORDER BY
+    DESC(?n) ?s LIMIT 3 inside the subquery) joined back to the outer
+    pattern requiring they also sort. Evaluated bottom-up, joined on
+    the shared projected variable."""
+    from recon_spark.operators.sparql import compile_sparql
+
+    return compile_sparql(_canonical_kg(spark, sf_dir), SPARQL_SUBQUERY)
+
+
+SQL_SPARQL_SUBQUERY = f"""
+WITH {_sql_canonical_kg()},
+topk AS (
+  SELECT subj AS s, CAST(count(*) AS BIGINT) AS n
+  FROM kg WHERE pred = 'scan' GROUP BY 1
+  ORDER BY n DESC, s LIMIT 3
+)
+SELECT DISTINCT t.s, t.n FROM topk t
+WHERE EXISTS (SELECT 1 FROM kg k WHERE k.subj = t.s AND k.pred = 'sort')
+ORDER BY s
+"""
+
+
 QUERIES = {
+    "sparql_subquery": q_sparql_subquery,
     "sparql_sum_avg": q_sparql_sum_avg,
     "sparql_zero_or_more": q_sparql_zero_or_more,
     "sparql_inverse_path": q_sparql_inverse_path,
@@ -1813,6 +1845,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sparql_subquery": SQL_SPARQL_SUBQUERY,
     "sparql_sum_avg": SQL_SPARQL_SUM_AVG,
     "sparql_zero_or_more": SQL_SPARQL_ZERO_OR_MORE,
     "sparql_inverse_path": SQL_SPARQL_INVERSE_PATH,

@@ -195,7 +195,7 @@ def test_parse_shapes():
         "SELECT ?s WHERE { ?s ?p }",  # short triple
         "SELECT ?s WHERE { ?s ?p ?o",  # unclosed
         "SELECT ?s WHERE { ?s ?p ?o } LIMIT x",  # bad limit
-        "SELECT (SUM(?o) AS ?n) WHERE { ?s ?p ?o }",  # unsupported agg
+        "SELECT (GROUP_CONCAT(?o) AS ?n) WHERE { ?s ?p ?o }",  # unsupported agg
         "SELECT (MIN(*) AS ?n) WHERE { ?s ?p ?o }",  # MIN(*)
         "SELECT ?s WHERE { ?s ?p ?o } ORDER BY",  # empty order
         "SELECT ?s WHERE { OPTIONAL { ?s ?p ?o } }",  # optional only
@@ -1143,3 +1143,57 @@ def test_sum_avg_aggregates_skip_non_numeric(spark):
     ]
     with pytest.raises(SparqlError):
         parse_sparql("SELECT (SUM(*) AS ?n) WHERE { ?s ?p ?o }")
+
+
+# --------------------------------------------------------------------------
+# Subqueries (SPARQL 1.1 §12)
+# --------------------------------------------------------------------------
+
+def test_subquery_aggregate_then_join(spark):
+    kg = spark.createDataFrame(
+        [("a", "scan", "x"), ("a", "scan", "y"), ("b", "scan", "x"),
+         ("a", "type", "T"), ("b", "type", "U")],
+        "subj string, pred string, obj string",
+    )
+    out = compile_sparql(
+        kg,
+        "SELECT ?s ?t ?n WHERE { ?s <type> ?t . "
+        "{ SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s <scan> ?o } GROUP BY ?s } } "
+        "ORDER BY ?s",
+    )
+    assert [tuple(r) for r in out.collect()] == [("a", "T", 2), ("b", "U", 1)]
+    # inner ORDER/LIMIT survives: top-1 scanner only
+    top = compile_sparql(
+        kg,
+        "SELECT ?s ?n WHERE { ?s <type> ?t . "
+        "{ SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s <scan> ?o } GROUP BY ?s "
+        "ORDER BY DESC(?n) ?s LIMIT 1 } }",
+    )
+    assert [tuple(r) for r in top.collect()] == [("a", 2)]
+    # subquery-only WHERE clause
+    solo = compile_sparql(
+        kg,
+        "SELECT ?s ?n WHERE { { SELECT ?s (COUNT(?o) AS ?n) "
+        "WHERE { ?s <scan> ?o } GROUP BY ?s } } ORDER BY ?s",
+    )
+    assert [tuple(r) for r in solo.collect()] == [("a", 2), ("b", 1)]
+
+
+def test_subquery_errors(spark):
+    kg = spark.createDataFrame(
+        [("a", "scan", "x")], "subj string, pred string, obj string"
+    )
+    # disconnected subquery refused without allow_product
+    with pytest.raises(SparqlError, match="shares no variable"):
+        compile_sparql(
+            kg,
+            "SELECT ?s WHERE { ?s <scan> ?o . "
+            "{ SELECT ?q WHERE { ?q <scan> ?z } } }",
+        ).columns
+    # ...but permitted with it
+    assert compile_sparql(
+        kg,
+        "SELECT ?s ?q WHERE { ?s <scan> ?o . "
+        "{ SELECT ?q WHERE { ?q <scan> ?z } } }",
+        allow_product=True,
+    ).count() == 1
