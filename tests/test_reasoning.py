@@ -189,3 +189,88 @@ def test_sameas_rewrite_collapses_classes(spark):
     # plan: both rewrite joins broadcast, no sort-merge join
     plan = sameas_rewrite(kg, sameas)._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------- property
+
+def _naive_rdfs_fixpoint(abox, tbox):
+    """Brute-force RDFS closure: apply ALL rules (rdfs2/3/5/7/9/11)
+    repeatedly until nothing changes — no stratification, no rule
+    ordering. The ground truth the stratified engine must equal."""
+    triples = set(abox)
+    schema = set(tbox)
+    while True:
+        new = set()
+        sp = {(s, o) for s, p, o in schema if p == "subPropertyOf"}
+        sc = {(s, o) for s, p, o in schema if p == "subClassOf"}
+        dom = {(s, o) for s, p, o in schema if p == "domain"}
+        rng = {(s, o) for s, p, o in schema if p == "range"}
+        # rdfs5/11: transitivity of the schema relations themselves
+        for a, b in list(sp):
+            for c, d in list(sp):
+                if b == c:
+                    new.add((a, "subPropertyOf", d))
+        for a, b in list(sc):
+            for c, d in list(sc):
+                if b == c:
+                    new.add((a, "subClassOf", d))
+        schema2 = schema | {t for t in new if t[1] in ("subPropertyOf", "subClassOf")}
+        for s, p, o in list(triples):
+            for a, b in sp:
+                if p == a:
+                    new.add((s, b, o))  # rdfs7
+            for a, c in dom:
+                if p == a:
+                    new.add((s, "type", c))  # rdfs2
+            for a, c in rng:
+                if p == a:
+                    new.add((o, "type", c))  # rdfs3
+            if p == "type":
+                for a, b in sc:
+                    if o == a:
+                        new.add((s, "type", b))  # rdfs9
+        grown = (new - triples - {t for t in new if t[1] in ("subPropertyOf", "subClassOf")})
+        if not grown and schema2 == schema:
+            return triples
+        triples |= grown
+        schema = schema2
+
+
+def test_stratified_engine_equals_naive_fixpoint_random(spark):
+    """Randomized instances: the stratified broadcast engine must equal
+    the order-free brute-force closure (catches any rule-ordering gap
+    in the property/class fragment)."""
+    import random
+
+    rng = random.Random(42)
+    preds = ["p%d" % i for i in range(5)]
+    classes = ["C%d" % i for i in range(4)]
+    nodes = ["n%d" % i for i in range(6)]
+    for trial in range(6):
+        tbox = []
+        for _ in range(rng.randint(1, 4)):
+            tbox.append((rng.choice(preds), "subPropertyOf", rng.choice(preds)))
+        for _ in range(rng.randint(1, 3)):
+            tbox.append((rng.choice(classes), "subClassOf", rng.choice(classes)))
+        for _ in range(rng.randint(0, 2)):
+            tbox.append((rng.choice(preds), "domain", rng.choice(classes)))
+        for _ in range(rng.randint(0, 2)):
+            tbox.append((rng.choice(preds), "range", rng.choice(classes)))
+        abox = [
+            (rng.choice(nodes), rng.choice(preds), rng.choice(nodes))
+            for _ in range(rng.randint(2, 8))
+        ]
+        want = _naive_rdfs_fixpoint(set(abox), tuple(tbox))
+        got = {
+            (r.subj, r.pred, r.obj)
+            for r in rdfs_entail(
+                spark,
+                spark.createDataFrame(abox, "subj string, pred string, obj string"),
+                tuple(tbox),
+            ).collect()
+        }
+        # the naive closure also re-derives the schema triples; the
+        # engine closes only the A-Box — compare the A-Box-derived part
+        want_abox = {t for t in want if t[1] not in
+                     ("subPropertyOf", "subClassOf", "domain", "range")}
+        assert got == want_abox, f"trial {trial}: tbox={tbox} abox={abox}"
